@@ -1,0 +1,478 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
+  * Conventions (must mirror Queries.scala exactly — see its header):
+  *  - identical regex literals (RE2-compatible subset);
+  *  - DOUBLE accumulation + round(x, n) at the same places;
+  *  - CASTs so result column types match Spark's (Spark sum(int) is
+  *    BIGINT but DuckDB's is HUGEINT; Spark length/size are INTEGER
+  *    but DuckDB's are BIGINT; row_number is INTEGER vs BIGINT);
+  *  - regexp_replace needs the 'g' flag in DuckDB (Spark replaces all
+  *    matches by default);
+  *  - event-time values only ever emitted via date_trunc/strftime.
+  */
+object Oracles {
+
+  /** Token regex — keep identical to [[graft.text.Tok.pattern]]. */
+  private val RE = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Shared CTE: fixed chunker (C1) — 400-char windows, stride 350. */
+  private val chunkCte =
+    s"""WITH c AS (
+       |  SELECT doc_id, source, text, CAST(n_chars AS INTEGER) AS n,
+       |         CAST(unnest(generate_series(0, CAST(n_chars AS INTEGER) - 1, 350)) AS INTEGER) AS s
+       |  FROM documents WHERE n_chars > 0
+       |), ch AS (
+       |  SELECT doc_id, source, CAST(s // 350 AS INTEGER) AS chunk_index,
+       |         substr(text, s + 1, 400) AS text,
+       |         s AS start, CAST(least(s + 400, n) AS INTEGER) AS "end",
+       |         CAST(length(substr(text, s + 1, 400)) AS INTEGER) AS char_length,
+       |         CAST(len(regexp_extract_all(substr(text, s + 1, 400), '$RE')) AS INTEGER) AS token_length
+       |  FROM c
+       |)""".stripMargin
+
+  /** Shared CTE: token 3-gram distinct shingles per doc. */
+  private def shingleCte(filter: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$RE') AS toks
+       |  FROM documents $filter
+       |), tf AS (
+       |  SELECT doc_id, toks FROM t WHERE len(toks) > 0
+       |), sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 3
+       |              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |                     i -> array_to_string(toks[i:i+2], ' ')))
+       |              ELSE [array_to_string(toks, ' ')] END AS shingles
+       |  FROM tf
+       |)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+
+    "q_chunk_fixed" ->
+      s"""$chunkCte
+         |SELECT doc_id, chunk_index, text, start, "end", char_length, token_length
+         |FROM ch ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "q_chunk_summary" ->
+      s"""$chunkCte
+         |SELECT 'simple' AS strategy, count(*) AS chunk_count,
+         |       round(avg(char_length), 4) AS avg_chars,
+         |       min(char_length) AS min_chars, max(char_length) AS max_chars,
+         |       round(avg(token_length), 4) AS avg_tokens,
+         |       min(token_length) AS min_tokens, max(token_length) AS max_tokens
+         |FROM ch ORDER BY strategy""".stripMargin,
+
+    "q_chunk_ids" ->
+      s"""$chunkCte
+         |SELECT doc_id, source || '_chunk_' || CAST(chunk_index AS VARCHAR) AS id, chunk_index
+         |FROM ch ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "q_adjacent_overlap" ->
+      s"""$chunkCte
+         |SELECT doc_id, chunk_index, start, "end",
+         |       next_start, next_end,
+         |       CAST(greatest("end" - next_start, 0) AS INTEGER) AS overlap_len
+         |FROM (
+         |  SELECT doc_id, chunk_index, start, "end",
+         |         lead(start) OVER w AS next_start,
+         |         lead("end") OVER w AS next_end
+         |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_index)
+         |) WHERE next_start IS NOT NULL
+         |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "q_overlap_stats" ->
+      s"""$chunkCte
+         |SELECT count(*) AS overlapping_pairs,
+         |       round(avg(least(a."end", b."end") - greatest(a.start, b.start)), 4) AS avg_overlap
+         |FROM ch a JOIN ch b ON a.doc_id = b.doc_id
+         |WHERE a.chunk_index < b.chunk_index
+         |  AND a."end" > b.start AND b."end" > a.start""".stripMargin,
+
+    "q_boundary_sweep" ->
+      s"""$chunkCte
+         |, ev AS (
+         |  SELECT doc_id, pos, CAST(sum(delta) AS BIGINT) AS delta FROM (
+         |    SELECT doc_id, start AS pos, 1 AS delta FROM ch
+         |    UNION ALL
+         |    SELECT doc_id, "end" AS pos, -1 AS delta FROM ch
+         |  ) GROUP BY doc_id, pos
+         |), sw AS (
+         |  SELECT doc_id, pos,
+         |         CAST(sum(delta) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS UNBOUNDED PRECEDING) AS INTEGER) AS active,
+         |         CAST(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS INTEGER) AS seg_end
+         |  FROM ev
+         |)
+         |SELECT doc_id, pos AS seg_start, seg_end, active,
+         |       active >= 2 AS is_overlap
+         |FROM sw WHERE seg_end IS NOT NULL AND active > 0
+         |ORDER BY doc_id, seg_start""".stripMargin,
+
+    "q_topk_cosine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+         |  FROM embeddings WHERE vec_id < 3
+         |), s AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN q
+         |), r AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_topk_filtered" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+         |  FROM embeddings WHERE vec_id = 0
+         |), s AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.label = 3
+         |), r AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |             CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a CROSS JOIN embeddings b
+        |WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_near_dup_cosine" ->
+      """SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM embeddings a CROSS JOIN embeddings b
+        |  WHERE a.vec_id < 2000 AND b.vec_id < 2000 AND a.vec_id < b.vec_id
+        |) WHERE cos_sim >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_filter_conj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20
+        |  AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_date_between" ->
+      """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_preds" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_type LIKE 'PROMO%' AND NOT regexp_matches(p_name, 'green|grey')
+        |  AND p_name LIKE '%o%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 4) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders
+        |) WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+        |         ORDER BY l_linenumber ROWS UNBOUNDED PRECEDING), 4) AS running_qty
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_first_per_group" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_value_counts" ->
+      """SELECT event_type, count(*) AS count FROM events
+        |GROUP BY event_type ORDER BY count DESC, event_type""".stripMargin,
+
+    "q_distinct_values" ->
+      """SELECT DISTINCT c_mktsegment FROM customer
+        |WHERE c_mktsegment IS NOT NULL ORDER BY c_mktsegment""".stripMargin,
+
+    "q_histogram" ->
+      """WITH mm AS (
+        |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        |         CAST(max(o_totalprice) AS DOUBLE) AS hi,
+        |         (CAST(max(o_totalprice) AS DOUBLE) - CAST(min(o_totalprice) AS DOUBLE)) / 10 AS w
+        |  FROM orders
+        |), b AS (
+        |  SELECT CAST(least(floor((CAST(o_totalprice AS DOUBLE) - mm.lo) / mm.w), 9) AS INTEGER) AS bucket
+        |  FROM orders, mm
+        |)
+        |SELECT bucket, count(*) AS count,
+        |       round(mm.lo + bucket * mm.w, 4) AS bin_lo,
+        |       round(mm.lo + (bucket + 1) * mm.w, 4) AS bin_hi
+        |FROM b, mm GROUP BY bucket, mm.lo, mm.w ORDER BY bucket""".stripMargin,
+
+    "q_group_collect" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       count(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_page_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin,
+
+    "q_topn_global" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_year_quarter" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS VARCHAR) || 'q' ||
+        |       CAST(quarter(o_orderdate) AS VARCHAR) AS yq
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_valid_dates" ->
+      """SELECT o_orderkey, d,
+        |       regexp_matches(d, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+        |         AND year(CAST(d AS DATE)) BETWEEN 2009 AND 2024 AS valid
+        |FROM (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://host/docs/q' || CAST(doc_id % 4 + 1 AS VARCHAR) || '/' ||
+        |           source || '.pdf' AS href,
+        |         'Q' || CAST(doc_id % 4 + 1 AS VARCHAR) || ' Report' AS link_text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, href, link_text,
+        |         regexp_extract(href, '[^/]*$') AS filename,
+        |         CASE WHEN regexp_matches(upper(substr(link_text, 1, 2)), '^Q[1-4]$')
+        |                THEN upper(substr(link_text, 1, 2))
+        |              WHEN regexp_extract(lower(href), '/(q[1-4])/', 1) <> ''
+        |                THEN upper(regexp_extract(lower(href), '/(q[1-4])/', 1))
+        |              ELSE NULL END AS quarter
+        |  FROM u
+        |)
+        |SELECT doc_id, href, link_text, filename, quarter,
+        |       lower(quarter) || '.pdf' AS renamed
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_base64" ->
+      """SELECT doc_id, to_base64(encode(text)) AS b64,
+        |       decode(from_base64(to_base64(encode(text)))) = text AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS dup_count,
+        |       min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY text_md5""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""${shingleCte("WHERE doc_id < 50")}
+         |SELECT doc_id,
+         |       array_to_string(list_transform(generate_series(0, 3),
+         |         s -> list_min(list_transform(shingles,
+         |                x -> md5(CAST(s AS VARCHAR) || '|' || x)))), '') AS sig
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_candidates" ->
+      s"""${shingleCte("")}
+         |, sig AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 7),
+         |           s -> list_min(list_transform(shingles,
+         |                  x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sg
+         |  FROM sh
+         |), band AS (
+         |  SELECT doc_id, 0 AS b, sg[1] || sg[2] AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, sg[3] || sg[4] FROM sig
+         |  UNION ALL SELECT doc_id, 2, sg[5] || sg[6] FROM sig
+         |  UNION ALL SELECT doc_id, 3, sg[7] || sg[8] FROM sig
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |FROM band a JOIN band b2 ON a.b = b2.b AND a.band_key = b2.band_key
+         |WHERE a.doc_id < b2.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""${shingleCte("WHERE doc_id < 100")}
+         |, shr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM shr GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shr a JOIN shr b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, inter, size_a, size_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+         |         round(inter / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |) WHERE jaccard >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(regexp_extract_all(lower(text), '$RE'),
+         |      t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS s_en,
+         |    len(list_filter(regexp_extract_all(lower(text), '$RE'),
+         |      t -> list_contains(['le','la','et','de','un','une','est','que','pour','dans'], t))) AS s_fr,
+         |    len(list_filter(regexp_extract_all(lower(text), '$RE'),
+         |      t -> list_contains(['el','la','y','de','un','una','es','que','por','en'], t))) AS s_es,
+         |    len(list_filter(regexp_extract_all(lower(text), '$RE'),
+         |      t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS s_de
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN greatest(s_en, s_fr, s_es, s_de) > 0 THEN
+         |         CASE WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+         |              WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+         |              WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+         |              ELSE 'de' END
+         |       ELSE 'und' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |    CAST(len(regexp_extract_all(lower(text), '$RE')) AS DOUBLE) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         |    CAST(len(list_filter(regexp_extract_all(lower(text), '$RE'),
+         |      t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS DOUBLE) AS stop_hits
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, n_tokens, n_chars_d,
+         |    punct / greatest(n_chars_d, 1.0) AS punct_raw,
+         |    digits / greatest(n_chars_d, 1.0) AS digit_raw,
+         |    stop_hits / greatest(n_tokens, 1.0) AS stop_raw
+         |  FROM q
+         |)
+         |SELECT doc_id, n_tokens,
+         |  round(punct_raw, 6) AS punct_ratio,
+         |  round(digit_raw, 6) AS digit_ratio,
+         |  round(stop_raw, 6) AS stopword_ratio,
+         |  round(0.4 * least(n_chars_d / 200.0, 1.0)
+         |      + 0.3 * least(stop_raw * 5, 1.0)
+         |      + 0.2 * (1.0 - least(punct_raw * 10, 1.0))
+         |      + 0.1 * (1.0 - least(digit_raw * 10, 1.0)), 6) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$RE')) AS INTEGER) AS n_tokens,
+         |       n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch(ts)::BIGINT - epoch(prev_ts)::BIGINT > 1800
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), c AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s
+        |), g AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         round(sum(value), 4) AS session_value
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+        |       round(sum(session_value), 4) AS total_value
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_mm_features" ->
+      """SELECT doc_id AS asset_id, 'image/png' AS media_type,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_length,
+        |       md5(text) AS checksum
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q_mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id, text,
+        |         CAST(unnest(generate_series(0,
+        |           greatest(CAST(octet_length(encode(text)) AS INTEGER) - 1, 0), 64)) AS INTEGER) AS frame_off
+        |  FROM documents
+        |)
+        |SELECT asset_id, frame_off, substr(text, frame_off + 1, 16) AS frame_text
+        |FROM f ORDER BY asset_id, frame_off""".stripMargin
+  )
+}

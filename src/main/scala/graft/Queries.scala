@@ -1,0 +1,422 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.rel.Rel
+import graft.stats.ChunkStats
+import graft.text.Tok
+import graft.text.chunk.{FixedChunker, RecursiveChunker, SemanticChunker}
+import graft.textan.TextAnalysis
+import graft.vector.{Ann, HashingEmbedder, VectorOps}
+import graft.dedup.Dedup
+import graft.streaming.EventStreams
+import graft.multimodal.Multimodal
+
+/** The oracle-checked query catalog. Every entry maps to one or more
+  * operators of SURVEY.md §2 (the mapping is in each query's doc and
+  * in COVERAGE.md). Queries are deterministic: total ORDER BY, floats
+  * rounded, md5-based hashing only, no wall-clock, no rand().
+  *
+  * Shared conventions with the DuckDB oracle SQL in [[Oracles]]:
+  * DOUBLE accumulation for float math, identical regex literals
+  * ([[Tok.pattern]]), `date_trunc` before emitting any event-time
+  * value (fixture `ts` is ns-precision; Spark truncates to µs).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  def fixedChunks(s: SparkSession, dir: String): DataFrame =
+    FixedChunker().chunk(t(s, dir, "documents"))
+
+  // ===== chunking (C-series) =====
+
+  /** C1 fixed sliding-window chunker + F6/F7 lengths. */
+  def q_chunk_fixed(s: SparkSession, dir: String): DataFrame =
+    fixedChunks(s, dir)
+      .select(col("doc_id"), col("chunk_index"), col("text"), col("start"),
+        col("end"), col("char_length"), col("token_length"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** A1/A2 — per-strategy chunk statistics over C1 output. */
+  def q_chunk_summary(s: SparkSession, dir: String): DataFrame =
+    ChunkStats.summary(fixedChunks(s, dir)).orderBy(col("strategy"))
+
+  /** F16 — vector-store id generation `{source}_chunk_{i}`. */
+  def q_chunk_ids(s: SparkSession, dir: String): DataFrame =
+    fixedChunks(s, dir)
+      .select(col("doc_id"),
+        concat(col("source"), lit("_chunk_"), col("chunk_index")).as("id"),
+        col("chunk_index"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** W2 + interval math — adjacent chunk overlap lengths. */
+  def q_adjacent_overlap(s: SparkSession, dir: String): DataFrame =
+    ChunkStats.adjacentOverlap(fixedChunks(s, dir))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** J4 + A9 — overlapping interval pair stats. */
+  def q_overlap_stats(s: SparkSession, dir: String): DataFrame =
+    ChunkStats.overlapStats(fixedChunks(s, dir))
+
+  /** W4 — boundary sweep (active-interval segments). */
+  def q_boundary_sweep(s: SparkSession, dir: String): DataFrame =
+    ChunkStats.boundarySweep(fixedChunks(s, dir))
+      .orderBy(col("doc_id"), col("seg_start"))
+
+  /** C2 — recursive chunker (flatMap; not SQL-expressible → rows-only
+    * driver check; correctness pinned by RecursiveChunkerSpec). */
+  def q_chunk_recursive(s: SparkSession, dir: String): DataFrame =
+    RecursiveChunker().chunk(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** C3 — semantic chunker (composite; rows-only check). */
+  def q_chunk_semantic(s: SparkSession, dir: String): DataFrame =
+    SemanticChunker().chunk(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  // ===== vector retrieval (V/J6/W1 series) =====
+
+  /** Flagship: top-5 cosine neighbors for 3 query vectors taken from
+    * the embeddings table (vec_id 0,1,2) — J6 crossJoin+broadcast,
+    * V2 cosine, W1 per-query top-k with deterministic tiebreak. */
+  def q_topk_cosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    Ann.bruteTopK(emb, queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** J7 — metadata-filtered ("hybrid") retrieval: restrict corpus to
+    * label=3 before the similarity join (predicate below the join). */
+  def q_topk_filtered(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    Ann.bruteTopK(emb.filter(col("label") === 3), queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** V2 — pairwise cosine on a small id range (sanity surface). */
+  def q_cosine_pairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 20)
+    Dedup.cosineNearDup(emb, threshold = -1.0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup suite). Brute pass
+    * bounded to 2000 vectors (the exact baseline); the unbounded scale
+    * path is the LSH variant [[q_near_dup_lsh]]. */
+  def q_near_dup_cosine(s: SparkSession, dir: String): DataFrame =
+    Dedup.cosineNearDup(t(s, dir, "embeddings").filter(col("vec_id") < 2000),
+      threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** LSH near-dup (MLlib bucketed random projection; rows-only). */
+  def q_near_dup_lsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshNearDup(t(s, dir, "embeddings"), cosThreshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** LSH ANN top-k (rows-only; exact counterpart is q_topk_cosine). */
+  def q_topk_lsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    Ann.lshTopK(emb, queries, 5).orderBy(col("query_id"), col("rank"))
+  }
+
+  // ===== tabular surface (P/A/O/F series) =====
+
+  /** P1..P3+P5 — projection, equality + numeric BETWEEN, conjunction. */
+  def q_filter_conj(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" &&
+        col("l_quantity").between(10, 20) && col("l_discount") < 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** P4 — date BETWEEN on orders; emits DATE not timestamp. */
+  def q_date_between(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate").between(
+        to_timestamp(lit("1996-01-01")), to_timestamp(lit("1996-12-31"))))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** P6/P7 — prefix/suffix/contains string predicates. */
+  def q_string_preds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_type").startsWith("PROMO") &&
+        !col("p_name").rlike("green|grey") && col("p_name").contains("o"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  /** TPC-H Q1 shape — the canonical partial+final hash aggregate. */
+  def q_tpch_q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J1 — broadcast equi-join lineitem ⋈ part, revenue per brand. */
+  def q_join_broadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** Multi-way join customer ⋈ nation ⋈ region (small dims broadcast). */
+  def q_join_multi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 4).as("total_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** Semi join — orders having a high-quantity lineitem (EXISTS). */
+  def q_semi_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Anti join — customers with no orders (NOT EXISTS). */
+  def q_anti_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** W1 — top-3 orders per customer by totalprice (rank window). */
+  def q_window_topk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  /** W4-shape — running sum per order over linenumbers. */
+  def q_running_sum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 4).as("running_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** A5/A6 — first/argmax per group via ordered window. */
+  def q_first_per_group(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** A7 — value_counts. */
+  def q_value_counts(s: SparkSession, dir: String): DataFrame =
+    Rel.valueCounts(Tables.events(s, dir), "event_type")
+
+  /** A8 — distinct values with null-drop. */
+  def q_distinct_values(s: SparkSession, dir: String): DataFrame =
+    Rel.distinctValues(t(s, dir, "customer"), "c_mktsegment")
+
+  /** A3/F20 — 10-bin numpy-style histogram of o_totalprice. */
+  def q_histogram(s: SparkSession, dir: String): DataFrame =
+    Rel.histogram(t(s, dir, "orders"), "o_totalprice")
+      .withColumn("bin_lo", round(col("bin_lo"), 4))
+      .withColumn("bin_hi", round(col("bin_hi"), 4))
+
+  /** A4/A10 — group-collect + ordered concat-reduce. */
+  def q_group_collect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("n_regionkey"))
+
+  /** O3 — deterministic LIMIT/OFFSET pagination. */
+  def q_page_offset(s: SparkSession, dir: String): DataFrame =
+    Rel.page(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_orderkey")), limit = 100, offset = 50)
+
+  /** O5 — order-desc + limit (TakeOrderedAndProject). */
+  def q_topn_global(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** F1 — calendar year-quarter label. */
+  def q_year_quarter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), Rel.yearQuarter(col("o_orderdate")).as("yq"))
+      .orderBy(col("o_orderkey"))
+
+  /** P10/F15 — date-string validation predicate. */
+  def q_valid_dates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .withColumn("valid", Rel.validDate(col("d")))
+      .orderBy(col("o_orderkey"))
+
+  /** F4/F2 — URL filename + quarter classification on synthesized
+    * link rows (models the scrape-result table, S1). */
+  def q_url_parse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("https://host/docs/q"),
+          (col("doc_id") % 4 + 1), lit("/"), col("source"),
+          lit(".pdf")).as("href"),
+        concat(lit("Q"), (col("doc_id") % 4 + 1), lit(" Report")).as("link_text"))
+      .withColumn("filename", Rel.filenameFromUrl(col("href")))
+      .withColumn("quarter", Rel.quarterOf(col("link_text"), col("href")))
+      .withColumn("renamed", concat(lower(col("quarter")), lit(".pdf")))
+      .orderBy(col("doc_id"))
+
+  /** F12 — JSON decode of the events props payload. */
+  def q_json_extract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  /** F9 — base64 round-trip (data-URI decode shape). */
+  def q_base64(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("b64", regexp_replace(base64(encode(col("text"), "UTF-8")), "[\\r\\n]", ""))
+      .withColumn("roundtrip_ok",
+        decode(unbase64(col("b64")), "UTF-8") === col("text"))
+      .select(col("doc_id"), col("b64"), col("roundtrip_ok"))
+      .orderBy(col("doc_id"))
+
+  // ===== dedup suite =====
+
+  /** Exact dedup groups (hash-groupBy). */
+  def q_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(t(s, dir, "documents")).orderBy(col("text_md5"))
+
+  /** MinHash signatures (md5-based, oracle-portable). */
+  def q_minhash_sig(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .select(col("doc_id"),
+        concat_ws("", Dedup.minhashSignatureOf(col("sh"), 4)).as("sig"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash LSH candidate pairs. */
+  def q_minhash_candidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** n-gram Jaccard similarity above threshold. */
+  def q_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents").filter(col("doc_id") < 100),
+      minJaccard = 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash near-dup candidates (UDF bit math; rows-only check). */
+  def q_simhash_candidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(t(s, dir, "documents"), maxHamming = 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  // ===== text analysis =====
+
+  /** Language ID (stopword heuristic). */
+  def q_lang_id(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.detectLang(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring. */
+  def q_quality_score(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    val withCols = TextAnalysis.qualityColumns(col("text"))
+      .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+    withCols
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("digit_ratio"), col("stopword_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting (F7). */
+  def q_token_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Tok.tokenCount(col("text")).as("n_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprint (normalized md5). */
+  def q_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // ===== events / streaming-shape =====
+
+  /** Tumbling-hour aggregate per event type. */
+  def q_events_hourly(s: SparkSession, dir: String): DataFrame =
+    EventStreams.hourlyByType(Tables.events(s, dir))
+      .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization stats per user. */
+  def q_sessions(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionStats(Tables.events(s, dir))
+      .orderBy(col("user_id"))
+
+  // ===== multimodal =====
+
+  /** Binary-column feature extraction (stub codec; plumbing real). */
+  def q_mm_features(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.assetsFromDocuments(t(s, dir, "documents")))
+      .select(col("asset_id"), col("media_type"), col("byte_length"),
+        col("checksum"))
+      .orderBy(col("asset_id"))
+
+  /** Frame sampling over binary payloads (generator on binary). */
+  def q_mm_frames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.assetsFromDocuments(t(s, dir, "documents")))
+      .select(col("asset_id"), col("frame_off"),
+        decode(col("frame"), "UTF-8").as("frame_text"))
+      .orderBy(col("asset_id"), col("frame_off"))
+}

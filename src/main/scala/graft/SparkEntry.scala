@@ -1,13 +1,85 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the oracle-checked operator catalog ([[Queries]]);
+  * `oracleSql` the DuckDB equivalents ([[Oracles]]). Keys present in
+  * `queries` but not in `oracleSql` are non-SQL-expressible operators
+  * (recursive/semantic chunker, LSH, SimHash) covered by ScalaTest
+  * specs and the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full RAG slice — chunk → embed → store → top-5 retrieve →
+    * cited context per query (SURVEY §7.2). */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = io.Tables.documents(spark, "/root/testdata/sf0.001")
+    pipeline.RagPipeline.run(spark, docs,
+      Seq("spark window merge join", "stream batch dedup"), "simple")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // chunking
+    "q_chunk_fixed" -> (Queries.q_chunk_fixed _),
+    "q_chunk_summary" -> (Queries.q_chunk_summary _),
+    "q_chunk_ids" -> (Queries.q_chunk_ids _),
+    "q_adjacent_overlap" -> (Queries.q_adjacent_overlap _),
+    "q_overlap_stats" -> (Queries.q_overlap_stats _),
+    "q_boundary_sweep" -> (Queries.q_boundary_sweep _),
+    "q_chunk_recursive" -> (Queries.q_chunk_recursive _),
+    "q_chunk_semantic" -> (Queries.q_chunk_semantic _),
+    // vector retrieval
+    "q_topk_cosine" -> (Queries.q_topk_cosine _),
+    "q_topk_filtered" -> (Queries.q_topk_filtered _),
+    "q_cosine_pairs" -> (Queries.q_cosine_pairs _),
+    "q_near_dup_cosine" -> (Queries.q_near_dup_cosine _),
+    "q_near_dup_lsh" -> (Queries.q_near_dup_lsh _),
+    "q_topk_lsh" -> (Queries.q_topk_lsh _),
+    // tabular surface
+    "q_filter_conj" -> (Queries.q_filter_conj _),
+    "q_date_between" -> (Queries.q_date_between _),
+    "q_string_preds" -> (Queries.q_string_preds _),
+    "q_tpch_q1" -> (Queries.q_tpch_q1 _),
+    "q_join_broadcast" -> (Queries.q_join_broadcast _),
+    "q_join_multi" -> (Queries.q_join_multi _),
+    "q_semi_join" -> (Queries.q_semi_join _),
+    "q_anti_join" -> (Queries.q_anti_join _),
+    "q_window_topk" -> (Queries.q_window_topk _),
+    "q_running_sum" -> (Queries.q_running_sum _),
+    "q_first_per_group" -> (Queries.q_first_per_group _),
+    "q_value_counts" -> (Queries.q_value_counts _),
+    "q_distinct_values" -> (Queries.q_distinct_values _),
+    "q_histogram" -> (Queries.q_histogram _),
+    "q_group_collect" -> (Queries.q_group_collect _),
+    "q_page_offset" -> (Queries.q_page_offset _),
+    "q_topn_global" -> (Queries.q_topn_global _),
+    "q_year_quarter" -> (Queries.q_year_quarter _),
+    "q_valid_dates" -> (Queries.q_valid_dates _),
+    "q_url_parse" -> (Queries.q_url_parse _),
+    "q_json_extract" -> (Queries.q_json_extract _),
+    "q_base64" -> (Queries.q_base64 _),
+    // dedup
+    "q_dedup_exact" -> (Queries.q_dedup_exact _),
+    "q_minhash_sig" -> (Queries.q_minhash_sig _),
+    "q_minhash_candidates" -> (Queries.q_minhash_candidates _),
+    "q_ngram_jaccard" -> (Queries.q_ngram_jaccard _),
+    "q_simhash_candidates" -> (Queries.q_simhash_candidates _),
+    // text analysis
+    "q_lang_id" -> (Queries.q_lang_id _),
+    "q_quality_score" -> (Queries.q_quality_score _),
+    "q_token_count" -> (Queries.q_token_count _),
+    "q_fingerprint" -> (Queries.q_fingerprint _),
+    // events
+    "q_events_hourly" -> (Queries.q_events_hourly _),
+    "q_sessions" -> (Queries.q_sessions _),
+    // multimodal
+    "q_mm_features" -> (Queries.q_mm_features _),
+    "q_mm_frames" -> (Queries.q_mm_frames _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.sql
 }

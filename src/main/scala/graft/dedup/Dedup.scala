@@ -1,0 +1,196 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.Tok
+import graft.vector.VectorOps
+
+/** Training-data deduplication suite (north-star extension beyond the
+  * reference, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup.
+  *
+  * Portability rule: every hash that feeds an oracle-checked query is
+  * md5-based (hex strings), because Spark's `hash()` (murmur3) has no
+  * DuckDB equivalent. Lexicographic order on fixed-width hex equals
+  * numeric order, so `min(md5hex)` is a valid MinHash.
+  *
+  * Scale notes are per-function; the common theme: all candidate
+  * generation is equi-join/groupBy on a hash key (shuffle on short
+  * keys only), never an all-pairs comparison.
+  */
+object Dedup {
+
+  /** Token n-gram shingles as an array column (distinct, order-free).
+    * `transform(sequence(...))` keeps it codegen'd and oracle-portable. */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val toks = Tok.tokens(textCol)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Exact dedup (hash-groupBy): groups of byte-identical texts.
+    * At 100 TB: shuffle moves only (md5, doc_id) pairs, never text. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .groupBy(col("text_md5"))
+      .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("dup_count") > 1)
+
+  /** Exact dedup keeping the lowest doc_id per text (last-write-wins
+    * analog of the reference's id-keyed upsert, SURVEY §2.7). */
+  def dropExactDuplicates(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** MinHash signature from a *materialized* shingles column: for each
+    * seed, min over shingles of md5(seed ~ shingle). Keeping the
+    * shingle array in its own projection matters: inlining
+    * [[shingles]] here would duplicate its whole expression subtree
+    * once per seed and blow up codegen compile time. */
+  def minhashSignatureOf(shinglesCol: Column, numHashes: Int = 8): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shinglesCol,
+        s => md5(concat(seed.cast("string"), lit("|"), s)))))
+
+  /** Convenience: signature straight from text (two-step projection). */
+  def minhashSignature(textCol: Column, numHashes: Int = 8, shingleN: Int = 3): Column =
+    minhashSignatureOf(shingles(textCol, shingleN), numHashes)
+
+  /** MinHash + LSH banding: signature split into `bands` bands of
+    * `rowsPerBand` hashes; docs sharing any band key are candidates.
+    * Pipeline: per-doc signature (narrow) → explode bands →
+    * groupBy band key (the only shuffle; keys are 32-byte hashes) →
+    * emit candidate pairs from same-bucket docs. Bucket fan-out is
+    * bounded by near-dup cluster size, not corpus size. */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 8,
+      bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0)
+    val rpb = numHashes / bands
+    // Row-wise shape instead of nested lambdas: explode shingles,
+    // hash per (shingle, seed), min-aggregate per (doc, seed), then
+    // concat per band. Equivalent keys to the array-lambda form, but
+    // it spills, parallelizes per row, and avoids the multi-second
+    // codegen compile that deep nested HOFs trigger (CollapseProject
+    // re-inlines projection barriers, so staging selects don't help).
+    val sh = docs
+      .filter(Tok.tokenCount(col("text")) > 0)
+      .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
+    val minh = sh
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col("doc_id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))).as("h"))
+      .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("h"))
+    val banded = minh
+      .withColumn("band", (col("seed") / rpb).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col("seed"), col("h")))),
+        s => s.getField("h"))).as("band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** 32-bit SimHash over tokens (md5-derived bit planes). Not
+    * SQL-oracle-expressible (bit twiddling) — deterministic UDF,
+    * verified by unit tests + rows-only driver check. */
+  def simhash32(text: String): Long = {
+    if (text == null) return 0L
+    val acc = new Array[Int](32)
+    Tok.tokenize(text).foreach { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      var k = 0
+      while (k < 32) {
+        val bit = (d(k / 8) >> (7 - k % 8)) & 1
+        acc(k) += (if (bit == 1) 1 else -1)
+        k += 1
+      }
+    }
+    var h = 0L
+    var k = 0
+    while (k < 32) { if (acc(k) > 0) h |= (1L << k); k += 1 }
+    h
+  }
+
+  private val simhashUdf = udf((s: String) => simhash32(s))
+
+  def withSimhash(docs: DataFrame): DataFrame =
+    docs.withColumn("simhash", simhashUdf(col("text")))
+
+  /** SimHash near-dup candidates: block on 8-bit sub-bands (any of 4
+    * bands equal → candidate), then confirm hamming ≤ maxHamming.
+    * Banding keeps this an equi-join: no all-pairs pass at scale. */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = withSimhash(docs).select(col("doc_id"), col("simhash"))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), (b * 8).cast("int"))
+          .bitwiseAND(lit(255L))))
+        .as(Seq("band", "band_key")))
+    val a = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs: explode distinct
+    * shingles, equi-join on shingle (intersection counts), union via
+    * |A|+|B|−|A∩B|. Only shingle hashes shuffle. */
+  def ngramJaccard(docs: DataFrame, shingleN: Int = 3,
+      minJaccard: Double = 0.0): DataFrame = {
+    val sh = docs
+      .filter(Tok.tokenCount(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(shingles(col("text"), shingleN)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val inter = sh.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("shingle"), col("doc_id").as("doc_b")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("size_a"), col("size_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup: pairs above threshold. Brute-force
+    * O(n²) baseline for correctness; the scale path is
+    * [[graft.vector.Ann.lshNearDup]] (bucketed random projection). */
+  def cosineNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    // precompute each row's norm once — O(n) — instead of per pair — O(n²)
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      VectorOps.l2Norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        round(VectorOps.dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

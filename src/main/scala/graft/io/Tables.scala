@@ -1,0 +1,59 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sources for the engine's fixture tables (SURVEY.md §2.1 S5–S7).
+  *
+  * The reference reads whole markdown files / Snowflake SQL row sets
+  * (`/root/reference/Chunking_Strats/kamredt_chunking.py:41-42`,
+  * `/root/reference/Frontend/app.py:113-114`); here every table is a
+  * parquet directory so Catalyst gets footer schemas, column pruning
+  * and predicate pushdown for free. At 100 TB the same call reads a
+  * partitioned table — nothing here assumes single-file input.
+  */
+object Tables {
+  val tpch: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val rag: Seq[String] = Seq("documents", "embeddings")
+  val all: Seq[String] = tpch ++ rag :+ "events"
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings")
+
+  /** The fixture `events.ts` is parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses by default. Read it as nanos-since-epoch LONG
+    * (legacy conf) and convert to a micros TimestampType with integer
+    * `div` (never double division — ns epoch values exceed double's
+    * exact integer range). The µs floor matches what any µs engine
+    * sees; oracle-checked queries additionally never emit raw `ts`. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Whole-file text source (reference S5: one file → one string row). */
+  def wholeText(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+
+  /** Binary-file source (reference S2 landing dir: PDFs/images as bytes). */
+  def binaryFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+
+  /** Register every fixture table as a temp view so `spark.sql` works
+    * (replaces the reference's INFORMATION_SCHEMA surface, S7/S8). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}

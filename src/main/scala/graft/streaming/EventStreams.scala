@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table. The reference has
+  * no streaming (SURVEY §2.11) — this is the design-for-scale
+  * extension: the same aggregations defined once, runnable as a batch
+  * DataFrame (oracle-checkable) or as a Structured Streaming query
+  * with watermarks (tested in `StreamingSpec`).
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregate per event type. Batch form; event time
+    * truncated to the hour — identical semantics to
+    * `groupBy(window($"ts", "1 hour"))` with the window start kept.
+    * (`date_trunc` keeps the output oracle-portable: the fixture `ts`
+    * is nanosecond-precision, which Spark truncates to micros —
+    * raw `ts` must never be emitted in a checked query.) */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("total_value"))
+
+  /** Sessionization: a new session starts after `gapMinutes` of user
+    * inactivity — lag + cumulative-sum, one shuffle keyed on user_id. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Per-user session stats derived from [[sessionize]]. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        round(sum(col("session_value")), 4).as("total_value"))
+
+  /** Structured Streaming form of [[hourlyByType]]: parquet-backed
+    * stream with a watermark over a directory of (µs-timestamped)
+    * event parquet. The caller starts/controls the query (memory sink
+    * in tests). */
+  def hourlyByTypeStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema)
+      .parquet(path)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic tokenizer (reference F7: `len(tiktoken.encode(text))`,
+  * `/root/reference/Chunking_Strats/kamredt_chunking.py:48-50`).
+  *
+  * tiktoken's cl100k_base is not reproducible in a zero-dependency
+  * Scala engine, so the engine defines its own spec (SURVEY.md §7.3):
+  * a token is either a maximal run of alphanumerics or a single
+  * non-space symbol. The regex is kept inside the RE2-compatible
+  * subset so the very same pattern runs in Spark (java.util.regex)
+  * and in the DuckDB oracle (`regexp_extract_all`), giving bit-equal
+  * token counts on both sides.
+  */
+object Tok {
+  /** Shared token pattern — keep in sync with [[Tok.oracleRegex]]. */
+  val pattern: String = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  /** The literal to embed in DuckDB oracle SQL. */
+  val oracleRegex: String = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  private val compiled = java.util.regex.Pattern.compile(pattern)
+
+  /** Column of tokens — codegen'd regexp, no UDF in the hot path. */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit(pattern), lit(0))
+
+  /** Token count as a Column (F7). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Driver/executor-side Scala tokenizer with identical semantics —
+    * used by the recursive chunker's flatMap (C2), where token budgets
+    * are evaluated per fragment outside the Column world. */
+  def tokenize(s: String): Vector[String] = {
+    val m = compiled.matcher(s)
+    val b = Vector.newBuilder[String]
+    while (m.find()) b += m.group()
+    b.result()
+  }
+
+  def count(s: String): Int = {
+    val m = compiled.matcher(s)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+}

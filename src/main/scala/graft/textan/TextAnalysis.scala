@@ -1,0 +1,123 @@
+package graft.textan
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.Tok
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * extension, BASELINE.json): language ID, quality scoring, token
+  * counting, document fingerprinting. All scoring paths are pure
+  * Column expressions (codegen'd, oracle-portable); only the
+  * winnowing fingerprint uses a deterministic UDF.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword
+    * heuristic. Engine-defined spec — deliberately small and fixed so
+    * the same literals embed in oracle SQL. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "y", "de", "un", "una", "es", "que", "por", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"))
+
+  private def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t =>
+      array_contains(array(stopwords(lang).map(lit): _*), t)))
+
+  /** Language ID: CJK-character presence → "zh"; otherwise the
+    * language with the highest stopword-hit count, ties broken in
+    * fixed order en > fr > es > de; no hits at all → "und". */
+  def langScores(textCol: Column): Seq[(String, Column)] = {
+    val toks = Tok.tokens(lower(textCol))
+    Seq("en", "fr", "es", "de").map(l => l -> stopwordHits(toks, l))
+  }
+
+  def detectLang(textCol: Column): Column = {
+    val scores = langScores(textCol)
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldLeft(when(lit(false), lit("")): Column) {
+      case (acc, (l, s)) => acc.when(s === best, lit(l))
+    }
+    when(textCol.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .when(best > 0, pick)
+      .otherwise(lit("und"))
+  }
+
+  /** Quality scoring: length/punctuation/stopword/digit ratios
+    * combined into [0,1]. All DOUBLE arithmetic, rounded at the end,
+    * so the oracle reproduces it bit-for-bit. */
+  def qualityColumns(textCol: Column): Seq[(String, Column)] = {
+    val nChars = length(textCol).cast("double")
+    val toks = Tok.tokens(lower(textCol))
+    val nToks = size(toks).cast("double")
+    val punct = length(regexp_replace(textCol, "[A-Za-z0-9\\s]", "")).cast("double")
+    val digits = length(regexp_replace(textCol, "[^0-9]", "")).cast("double")
+    val stopHits = size(filter(toks, t =>
+      array_contains(array(stopwords("en").map(lit): _*), t))).cast("double")
+    Seq(
+      "n_tokens" -> nToks,
+      "punct_ratio" -> round(punct / greatest(nChars, lit(1.0)), 6),
+      "digit_ratio" -> round(digits / greatest(nChars, lit(1.0)), 6),
+      "stopword_ratio" -> round(stopHits / greatest(nToks, lit(1.0)), 6),
+      "avg_token_chars" -> round(
+        (nChars - (nToks - 1)) / greatest(nToks, lit(1.0)), 6))
+  }
+
+  /** Composite quality score: rewards mid-length docs with prose-like
+    * stopword density, penalizes symbol/digit noise. Built from RAW
+    * (unrounded) ratios — composing pre-rounded ratios puts values
+    * exactly on .xxx0005 half-boundaries, where Spark's and DuckDB's
+    * double rounding disagree. */
+  def qualityScore(textCol: Column): Column = {
+    val nChars = length(textCol).cast("double")
+    val toks = Tok.tokens(lower(textCol))
+    val nToks = size(toks).cast("double")
+    val punctRatio = length(regexp_replace(textCol, "[A-Za-z0-9\\s]", ""))
+      .cast("double") / greatest(nChars, lit(1.0))
+    val digitRatio = length(regexp_replace(textCol, "[^0-9]", ""))
+      .cast("double") / greatest(nChars, lit(1.0))
+    val stopRatio = size(filter(toks, t =>
+      array_contains(array(stopwords("en").map(lit): _*), t)))
+      .cast("double") / greatest(nToks, lit(1.0))
+    val lengthScore = least(nChars / lit(200.0), lit(1.0))
+    round(
+      lit(0.4) * lengthScore +
+        lit(0.3) * least(stopRatio * 5, lit(1.0)) +
+        lit(0.2) * (lit(1.0) - least(punctRatio * 10, lit(1.0))) +
+        lit(0.1) * (lit(1.0) - least(digitRatio * 10, lit(1.0))), 6)
+  }
+
+  /** md5 content fingerprint of the normalized text (collapse runs of
+    * whitespace, lowercase) — the cheap exact-dup key. */
+  def contentFingerprint(textCol: Column): Column =
+    md5(lower(regexp_replace(trim(textCol), "\\s+", " ")))
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): k-gram
+    * rolling hashes, minimum per sliding window, distinct retained
+    * set. Deterministic UDF (bit math is not oracle-portable). */
+  def winnow(text: String, k: Int = 8, window: Int = 4): Seq[Long] = {
+    if (text == null || text.length < k) return Seq.empty
+    val s = text.toLowerCase
+    // modulus kept < 2^31 so h*base never overflows Long
+    val base = 1000003L; val mod = 1000000007L
+    var pow = 1L // base^k — weight of the char leaving the window
+    for (_ <- 0 until k) pow = pow * base % mod
+    val hashes = new Array[Long](s.length - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (h * base + s.charAt(i)) % mod
+      if (i >= k) h = (h - s.charAt(i - k) * pow % mod + mod) % mod
+      if (i >= k - 1) hashes(i - k + 1) = h
+      i += 1
+    }
+    if (hashes.length <= window) return Seq(hashes.min).distinct
+    hashes.sliding(window).map(_.min).toSeq.distinct
+  }
+
+  private val winnowUdf = udf((s: String) => winnow(s))
+
+  def withWinnowFingerprint(docs: DataFrame): DataFrame =
+    docs.withColumn("fingerprint", winnowUdf(col("text")))
+}

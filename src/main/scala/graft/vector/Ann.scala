@@ -1,0 +1,87 @@
+package graft.vector
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star extension, BASELINE.json). Two tiers:
+  *
+  *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline.
+  *    Query side broadcast; corpus never shuffles. O(|corpus|·|q|).
+  *  - [[lshTopK]] / [[lshNearDup]]: MLlib BucketedRandomProjectionLSH
+  *    (public Spark API) — candidate generation via hash buckets, so
+  *    the join is equi on bucket keys; the 100 TB path. LSH on
+  *    L2-normalized vectors approximates cosine (d² = 2−2cos).
+  */
+object Ann {
+
+  /** Exact top-k neighbors per query vector. `queries` carries
+    * `(query_id, q_embedding)`. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms computed once per corpus row / per query row, not per pair
+    val c = corpus.withColumn("nrm_c", VectorOps.l2Norm(col("embedding")))
+    val q = queries.withColumn("nrm_q", VectorOps.l2Norm(col("q_embedding")))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        round(VectorOps.dot(col("embedding"), col("q_embedding")) /
+          (col("nrm_c") * col("nrm_q")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  private def l2normalized(df: DataFrame, in: String, out: String): DataFrame =
+    df.withColumn(out, array_to_vector(
+      transform(col(in), x =>
+        x.cast("double") / sqrt(VectorOps.dot(col(in), col(in))))))
+
+  /** ANN top-k via LSH: normalize → hash to buckets → approx-join →
+    * exact re-rank of candidates. Deterministic given the fixed seed.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bucketLength: Double = 1.0, numHashTables: Int = 4): DataFrame = {
+    val c = l2normalized(corpus, "embedding", "features")
+    val q = l2normalized(queries, "q_embedding", "features")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(c)
+    val joined = model.approxSimilarityJoin(
+        model.transform(c), model.transform(q), 2.0, "dist")
+      .select(col("datasetA.vec_id").as("vec_id"),
+        col("datasetB.query_id").as("query_id"),
+        // d² = 2 − 2·cos on unit vectors ⇒ cos = 1 − d²/2
+        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** LSH near-duplicate pairs above a cosine threshold — the scale
+    * path behind [[graft.dedup.Dedup.cosineNearDup]]. */
+  def lshNearDup(embeddings: DataFrame, cosThreshold: Double,
+      bucketLength: Double = 1.0, numHashTables: Int = 4): DataFrame = {
+    val e = l2normalized(embeddings, "embedding", "features")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(e)
+    val distThreshold = math.sqrt(math.max(0.0, 2.0 - 2.0 * cosThreshold))
+    model.approxSimilarityJoin(model.transform(e), model.transform(e),
+        distThreshold, "dist")
+      .select(col("datasetA.vec_id").as("id_a"),
+        col("datasetB.vec_id").as("id_b"),
+        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos_sim"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+}

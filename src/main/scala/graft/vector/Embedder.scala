@@ -1,0 +1,52 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.Tok
+
+/** E1 — pluggable embedder (reference: SentenceTransformer
+  * `all-MiniLM-L6-v2` / OpenAI `text-embedding-3-small`,
+  * `/root/reference/Chunking_Strats/chromadb_rag.py:25, 31-32, 82-85`;
+  * pluggable `embedding_function` `kamredt_chunking.py:118-127`).
+  *
+  * Model inference is non-deterministic network I/O, so the engine
+  * ships a deterministic hashing embedder (SURVEY §7.3) behind the
+  * same trait: swap in a real model by implementing [[Embedder]].
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  /** Adds an `embedding: array<float>` column derived from `textCol`. */
+  def embed(df: DataFrame, textCol: String = "text",
+            out: String = "embedding"): DataFrame
+  def embedOne(text: String): Array[Float]
+}
+
+/** Feature-hashing bag-of-tokens embedder, L2-normalized.
+  *
+  * Spec (engine-defined, deterministic): token bucket = first 8 hex
+  * digits of md5(token) mod dim; each occurrence adds 1 to its
+  * bucket; the vector is L2-normalized (zero vector for token-free
+  * text). md5 was chosen over murmur so the very same bucketing is
+  * expressible in DuckDB oracle SQL when needed.
+  */
+case class HashingEmbedder(dim: Int = 64) extends Embedder {
+  def bucket(token: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(token.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % dim).toInt
+  }
+
+  def embedOne(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    Tok.tokenize(text).foreach(t => v(bucket(t)) += 1f)
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (n > 0) v.map(x => (x / n).toFloat) else v
+  }
+
+  def embed(df: DataFrame, textCol: String = "text",
+            out: String = "embedding"): DataFrame = {
+    val f = udf((s: String) => if (s == null) new Array[Float](dim) else embedOne(s))
+    df.withColumn(out, f(col(textCol)))
+  }
+}

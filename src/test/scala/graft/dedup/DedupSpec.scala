@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup finds byte-identical groups and keeps min id") {
+    val d = docs(1L -> "same text", 2L -> "same text", 3L -> "other")
+    val g = Dedup.exactDupGroups(d).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("dup_count") == 2)
+    assert(g(0).getAs[Long]("keep_doc_id") == 1)
+    assert(Dedup.dropExactDuplicates(d).count() == 2)
+  }
+
+  test("simhash: identical texts same hash; near texts near hamming") {
+    val a = Dedup.simhash32("the quick brown fox jumps over the lazy dog")
+    val b = Dedup.simhash32("the quick brown fox jumps over the lazy dog")
+    val c = Dedup.simhash32("the quick brown fox jumps over the lazy cat")
+    val d = Dedup.simhash32("completely different words entirely unrelated")
+    assert(a == b)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, c) < ham(a, d))
+    assert(ham(a, c) <= 10)
+  }
+
+  test("minhash candidates surface near-identical docs") {
+    val base = "spark table scan merge row key agg window batch stream " * 5
+    val d = docs(
+      1L -> base, 2L -> (base + "tail"), 3L -> "totally different content here x y z")
+    val cand = Dedup.minhashCandidates(d).as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard: identical docs → 1.0; disjoint docs absent") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y z w v u")
+    val j = Dedup.ngramJaccard(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(!j.contains((1L, 3L)))
+  }
+
+  test("simhash candidate generation via banding matches direct hamming") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",
+      3L -> "unrelated completely different text with other words")
+    val got = Dedup.simhashCandidates(d, maxHamming = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val h1 = Dedup.simhash32("alpha beta gamma delta epsilon zeta eta theta")
+    val h2 = Dedup.simhash32("alpha beta gamma delta epsilon zeta eta iota")
+    if (java.lang.Long.bitCount(h1 ^ h2) <= 16)
+      assert(got.contains((1L, 2L)))
+  }
+}

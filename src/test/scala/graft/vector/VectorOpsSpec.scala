@@ -1,0 +1,67 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def cosOf(a: Seq[Double], b: Seq[Double]): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b")).as("c"))
+      .head().getDouble(0)
+
+  test("cos(a, a) ≈ 1, symmetry, bounds") {
+    val a = Seq(1.0, 2.0, 3.0, -1.0)
+    val b = Seq(0.5, -2.0, 0.0, 4.0)
+    assert(math.abs(cosOf(a, a) - 1.0) < 1e-12)
+    assert(math.abs(cosOf(a, b) - cosOf(b, a)) < 1e-12)
+    assert(cosOf(a, b) >= -1.0 - 1e-12 && cosOf(a, b) <= 1.0 + 1e-12)
+  }
+
+  test("orthogonal → 0, opposite → −1") {
+    assert(math.abs(cosOf(Seq(1.0, 0.0), Seq(0.0, 1.0))) < 1e-12)
+    assert(math.abs(cosOf(Seq(1.0, 2.0), Seq(-1.0, -2.0)) + 1.0) < 1e-12)
+  }
+
+  test("hashing embedder is deterministic, normalized, and bag-like") {
+    val e = HashingEmbedder(32)
+    val v1 = e.embedOne("spark table merge")
+    val v2 = e.embedOne("spark table merge")
+    assert(v1.toSeq == v2.toSeq)
+    assert(math.abs(v1.map(x => x * x.toDouble).sum - 1.0) < 1e-6)
+    // order-free bag semantics
+    assert(e.embedOne("merge spark table").toSeq == v1.toSeq)
+    // empty text → zero vector
+    assert(e.embedOne("").forall(_ == 0f))
+  }
+
+  test("topK returns k best with deterministic ties and assembled context cites ranks") {
+    val corpus = Seq(
+      (1L, 0, "alpha", "srcA", Seq(1.0f, 0.0f)),
+      (1L, 1, "beta", "srcA", Seq(0.9f, 0.1f)),
+      (2L, 0, "gamma", "srcB", Seq(0.0f, 1.0f)),
+      (2L, 1, "delta", "srcB", Seq(-1.0f, 0.0f)))
+      .toDF("doc_id", "chunk_index", "text", "source", "embedding")
+    val queries = Seq((0, Seq(1.0f, 0.0f))).toDF("query_id", "q_embedding")
+    val topk = VectorOps.topK(corpus, queries, 3,
+      Seq(col("doc_id"), col("chunk_index")))
+    val got = topk.orderBy("rank").select("rank", "text").as[(Int, String)].collect()
+    assert(got.map(_._2).toSeq == Seq("alpha", "beta", "gamma"))
+    val ctx = VectorOps.assembleContext(
+      topk.select(col("query_id"), col("rank"), col("source"), col("text")))
+      .head().getString(1)
+    assert(ctx.startsWith("Source [1] (srcA): alpha"))
+    assert(ctx.contains("\n\n" + "Source [2] (srcA): beta"))
+  }
+
+  test("brute and LSH ANN agree on the top hit for fixture embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val brute = Ann.bruteTopK(emb, q, 1).select("vec_id").head().getLong(0)
+    val lsh = Ann.lshTopK(emb, q, 1).select("vec_id").head().getLong(0)
+    assert(brute == 0L && lsh == 0L) // self is its own nearest neighbor
+  }
+}
