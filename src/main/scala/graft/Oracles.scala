@@ -465,6 +465,69 @@ object Oracles {
         |       md5(text) AS checksum
         |FROM documents ORDER BY asset_id""".stripMargin,
 
+    "q_chunk_locate" ->
+      s"""$chunkCte
+         |SELECT ch.doc_id, chunk_index, start,
+         |       CAST(strpos(d.text, ch.text) AS INTEGER) AS found_pos,
+         |       strpos(d.text, ch.text) <= start + 1 AND strpos(d.text, ch.text) > 0
+         |         AS found_at_or_before_start
+         |FROM ch JOIN documents d ON ch.doc_id = d.doc_id
+         |ORDER BY ch.doc_id, chunk_index""".stripMargin,
+
+    "q_positional_zip" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INTEGER) AS rn
+        |  FROM orders WHERE o_orderkey < 100
+        |), c AS (
+        |  SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS INTEGER) AS rn
+        |  FROM customer WHERE c_custkey < 100
+        |)
+        |SELECT o.rn AS rn, o_orderkey, c_custkey FROM o JOIN c USING (rn)
+        |ORDER BY rn""".stripMargin,
+
+    "q_context_assembly" ->
+      s"""$chunkCte
+         |, r AS (
+         |  SELECT doc_id, source, chunk_index, text,
+         |         CAST(row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY char_length DESC, chunk_index) AS INTEGER) AS rank
+         |  FROM ch
+         |)
+         |SELECT doc_id,
+         |       string_agg('Source [' || rank || '] (' || source || '): ' || text,
+         |                  e'\\n\\n' ORDER BY rank) AS context
+         |FROM r WHERE rank <= 3 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ocr_flatten" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(n_chars // 2 AS INTEGER) AS half,
+        |         CAST(n_chars AS INTEGER) AS n
+        |  FROM documents WHERE n_chars >= 2
+        |), p AS (
+        |  SELECT doc_id, 0 AS page_no, substr(text, 1, half) AS page_text FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1, substr(text, half + 1, n - half) FROM d
+        |), i AS (
+        |  SELECT doc_id, page_no, page_text,
+        |         'img-' || doc_id || '-' || page_no ||
+        |           CASE WHEN page_no = 0 THEN '.png' ELSE '' END AS image_id
+        |  FROM p
+        |), w AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY doc_id, page_no) AS INTEGER) AS img_seq,
+        |         coalesce(nullif(regexp_extract(image_id, '(\.[^.]+)$', 1), ''), '.jpeg') AS ext
+        |  FROM i
+        |)
+        |SELECT doc_id, page_no, image_id, img_seq, ext,
+        |       'doc_img_' || img_seq || ext AS img_file,
+        |       replace('![' || image_id || '](' || image_id || ') ' || page_text,
+        |               '![' || image_id || '](' || image_id || ')',
+        |               '![' || image_id || '](/images/' || 'doc_img_' || img_seq || ext || ')')
+        |         AS markdown_rewritten,
+        |       decode(from_base64(regexp_replace(
+        |         'data:image/png;base64,' || to_base64(encode(page_text)),
+        |         '^data:[^,]*,', ''))) = page_text AS payload_ok
+        |FROM w ORDER BY doc_id, page_no""".stripMargin,
+
     "q_mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id AS asset_id, text,

@@ -419,4 +419,104 @@ object Queries {
       .select(col("asset_id"), col("frame_off"),
         decode(col("frame"), "UTF-8").as("frame_text"))
       .orderBy(col("asset_id"), col("frame_off"))
+
+  // ===== remaining SURVEY §2 coverage =====
+
+  /** J3 — chunk↔document containment: every chunk located in its doc
+    * (`chunk_visualizer.py:79-102`); with birth offsets the find is a
+    * verification: locate(chunk, doc) is 1-based first occurrence. */
+  def q_chunk_locate(s: SparkSession, dir: String): DataFrame =
+    fixedChunks(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("text").as("doc_text")),
+        "doc_id")
+      .select(col("doc_id"), col("chunk_index"), col("start"),
+        call_function("locate", col("text"), col("doc_text")).as("found_pos"),
+        (call_function("locate", col("text"), col("doc_text")) <= col("start") + 1
+          && call_function("locate", col("text"), col("doc_text")) > 0)
+          .as("found_at_or_before_start"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** J2 — positional zip: pair the nth order with the nth customer
+    * (reference `zip(extracted_folders, year_quarters)`), via
+    * row_number join — the distributed analog of index pairing. */
+  def q_positional_zip(s: SparkSession, dir: String): DataFrame = {
+    val wo = Window.orderBy(col("o_orderkey"))
+    val wc = Window.orderBy(col("c_custkey"))
+    val o = t(s, dir, "orders").filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"), row_number().over(wo).as("rn"))
+    val c = t(s, dir, "customer").filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), row_number().over(wc).as("rn"))
+    o.join(c, "rn").select(col("rn"), col("o_orderkey"), col("c_custkey"))
+      .orderBy(col("rn"))
+  }
+
+  /** V4/W3/A10 — cited context assembly: top-3 longest chunks per doc
+    * (deterministic stand-in for retrieval rank), numbered and joined
+    * with "\n\n" exactly like `chromadb_rag.py:148-152`. */
+  def q_context_assembly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("char_length"), col("chunk_index"))
+    fixedChunks(s, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .withColumn("cited",
+        concat(lit("Source ["), col("rank"), lit("] ("), col("source"),
+          lit("): "), col("text")))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("\n\n",
+        transform(sort_array(collect_list(struct(col("rank"), col("cited")))),
+          x => x.getField("cited"))).as("context"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C5 + F8/F9/F10/F11 — OCR-response flatten: synthesized two-page
+    * markdown with one embedded image per page (models the Mistral
+    * OCR shape, `MistralTest.py:33-39, 66-86`): explode pages,
+    * rewrite image links, extract extension with `.jpeg` default,
+    * number images sequentially, round-trip the payload via base64. */
+  def q_ocr_flatten(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("n_chars") >= 2)
+      .select(col("doc_id"), col("text"), (col("n_chars") / 2).cast("int").as("half"),
+        col("n_chars").cast("int").as("n"))
+    val pages = docs.select(col("doc_id"),
+      posexplode(array(
+        col("text").substr(lit(1), col("half")),
+        col("text").substr(col("half") + 1, col("n") - col("half"))))
+        .as(Seq("page_no", "page_text")))
+    val imgW = Window.orderBy(col("doc_id"), col("page_no"))
+    pages
+      .withColumn("image_id",
+        concat(lit("img-"), col("doc_id"), lit("-"), col("page_no"),
+          when(col("page_no") === 0, lit(".png")).otherwise(lit(""))))
+      .withColumn("markdown",
+        concat(lit("!["), col("image_id"), lit("]("), col("image_id"),
+          lit(") "), col("page_text")))
+      .withColumn("img_seq", row_number().over(imgW)) // F11 global counter
+      .withColumn("ext", // F10: suffix or default .jpeg
+        coalesce(nullif(regexp_extract(col("image_id"), "(\\.[^.]+)$", 1), lit("")),
+          lit(".jpeg")))
+      .withColumn("img_file", // F11 naming {base}_img_{counter}{ext}
+        concat(lit("doc_img_"), col("img_seq"), col("ext")))
+      .withColumn("markdown_rewritten", // F8 link rewrite
+        call_function("replace", col("markdown"),
+          concat(lit("!["), col("image_id"), lit("]("), col("image_id"), lit(")")),
+          concat(lit("!["), col("image_id"), lit("](/images/"), col("img_file"),
+            lit(")"))))
+      .withColumn("payload_b64", // F9 data-URI strip + decode round-trip
+        regexp_replace(base64(encode(col("page_text"), "UTF-8")), "[\\r\\n]", ""))
+      .withColumn("payload_ok",
+        decode(unbase64(regexp_replace(
+          concat(lit("data:image/png;base64,"), col("payload_b64")),
+          "^data:[^,]*,", "")), "UTF-8") === col("page_text"))
+      .select(col("doc_id"), col("page_no"), col("image_id"), col("img_seq"),
+        col("ext"), col("img_file"), col("markdown_rewritten"), col("payload_ok"))
+      .orderBy(col("doc_id"), col("page_no"))
+  }
+
+  /** S10 — chunk-JSON sink shape (rows-only: JSON field-order and
+    * float rendering differ across engines; shape pinned by
+    * ChunkStatsSpec golden assertions). */
+  def q_chunk_json(s: SparkSession, dir: String): DataFrame =
+    ChunkStats.chunkJson(fixedChunks(s, dir)).orderBy(col("strategy"))
 }

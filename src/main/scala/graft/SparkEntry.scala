@@ -77,6 +77,12 @@ object SparkEntry {
     // multimodal
     "q_mm_features" -> (Queries.q_mm_features _),
     "q_mm_frames" -> (Queries.q_mm_frames _),
+    // remaining SURVEY §2 coverage
+    "q_chunk_locate" -> (Queries.q_chunk_locate _),
+    "q_positional_zip" -> (Queries.q_positional_zip _),
+    "q_context_assembly" -> (Queries.q_context_assembly _),
+    "q_ocr_flatten" -> (Queries.q_ocr_flatten _),
+    "q_chunk_json" -> (Queries.q_chunk_json _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
