@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.Tok
-import graft.vector.VectorOps
+import graft.vector.{FloatVecExpr, VectorOps}
 
 /** Training-data deduplication suite (north-star extension beyond the
   * reference, BASELINE.json): exact, MinHash+LSH, SimHash, n-gram
@@ -178,9 +178,11 @@ object Dedup {
     * O(n²) baseline for correctness; the scale path is
     * [[graft.vector.Ann.lshNearDup]] (bucketed random projection). */
   def cosineNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
-    // precompute each row's norm once — O(n) — instead of per pair — O(n²)
+    // precompute each row's norm once — O(n) — instead of per pair —
+    // O(n²); the per-pair dot is the native fused-loop expression
+    // (graft.vector.FloatVecDot), not the allocating HOF form
     val withNorm = embeddings.select(col("vec_id"), col("embedding"),
-      VectorOps.l2Norm(col("embedding")).as("nrm"))
+      FloatVecExpr.normF(col("embedding")).as("nrm"))
     val a = withNorm.select(col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = withNorm.select(col("vec_id").as("id_b"),
@@ -188,7 +190,7 @@ object Dedup {
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim",
-        round(VectorOps.dot(col("emb_a"), col("emb_b")) /
+        round(FloatVecExpr.dotF(col("emb_a"), col("emb_b")) /
           (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))

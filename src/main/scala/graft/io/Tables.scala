@@ -53,7 +53,11 @@ object Tables {
     spark.read.format("binaryFile").load(dir)
 
   /** Register every fixture table as a temp view so `spark.sql` works
-    * (replaces the reference's INFORMATION_SCHEMA surface, S7/S8). */
+    * (replaces the reference's INFORMATION_SCHEMA surface, S7/S8).
+    * `events` goes through its normalizing reader. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

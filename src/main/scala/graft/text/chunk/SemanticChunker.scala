@@ -27,7 +27,7 @@ import graft.vector.{Embedder, HashingEmbedder, VectorOps}
   */
 case class SemanticChunker(
     avgChunkTokens: Int = 300, minChunkTokens: Int = 50,
-    embedder: Embedder = HashingEmbedder(64), maxIter: Int = 20)
+    embedder: Embedder = HashingEmbedder(64), maxIter: Int = 12)
   extends Chunker {
   override val strategy = "semantic"
 

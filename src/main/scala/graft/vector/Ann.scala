@@ -21,12 +21,13 @@ object Ann {
   /** Exact top-k neighbors per query vector. `queries` carries
     * `(query_id, q_embedding)`. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // norms computed once per corpus row / per query row, not per pair
-    val c = corpus.withColumn("nrm_c", VectorOps.l2Norm(col("embedding")))
-    val q = queries.withColumn("nrm_q", VectorOps.l2Norm(col("q_embedding")))
+    // norms computed once per corpus row / per query row, not per
+    // pair; per-pair dot is the native codegen'd FloatVecDot
+    val c = corpus.withColumn("nrm_c", FloatVecExpr.normF(col("embedding")))
+    val q = queries.withColumn("nrm_q", FloatVecExpr.normF(col("q_embedding")))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos_sim",
-        round(VectorOps.dot(col("embedding"), col("q_embedding")) /
+        round(FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
           (col("nrm_c") * col("nrm_q")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("vec_id"))

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between public `Column`s and catalyst `Expression`s.
+  * `ExpressionUtils` is `private[sql]`, so this one-file shim lives in
+  * an `org.apache.spark.sql` subpackage — the standard technique for
+  * out-of-tree Catalyst extensions that need Column↔Expression
+  * conversion (the same access pattern Spark's own connectors use).
+  * No Spark internals are modified or shadowed.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,66 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.rel.Rel
+
+/** S6 (partitioned sink replacing hand-built S3 key prefixes), S8
+  * (catalog introspection replacing INFORMATION_SCHEMA), and the
+  * partition-pruning payoff the reference never had (SURVEY §4). */
+class IngestSpec extends AnyFunSuite with SparkTestBase {
+
+  test("partitionBy(year, quarter) write + partition pruning on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("year", year(col("o_orderdate")))
+      .withColumn("quarter", quarter(col("o_orderdate")))
+    orders.write.mode("overwrite")
+      .partitionBy("year", "quarter").parquet(tmp)
+
+    // key layout: {base}/year=YYYY/quarter=Q — replaces
+    // nvidia_quarterly_reports_pipeline.py:358's hand-built prefixes
+    val dirs = new java.io.File(tmp).listFiles().map(_.getName).filter(_.startsWith("year="))
+    assert(dirs.nonEmpty)
+
+    val read = spark.read.parquet(tmp).filter(col("year") === 1996)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "filter must prune partitions")
+    assert(read.count() ==
+      orders.filter(col("year") === 1996).count())
+  }
+
+  test("catalog introspection replaces INFORMATION_SCHEMA queries") {
+    Tables.registerAll(spark, sf)
+    val tables = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(Tables.all.toSet.subsetOf(tables))
+    // SQL surface works over the registered views (S7 custom SQL path)
+    val n = spark.sql("SELECT count(*) AS n FROM lineitem").head().getLong(0)
+    assert(n > 0)
+  }
+
+  test("plan-identity result cache replaces the Redis layer (S9)") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderpriority")).count()
+    df.persist()
+    try {
+      df.count() // materialize
+      val reused = df.filter(col("count") > 0).queryExecution.executedPlan.toString
+      assert(reused.contains("InMemoryTableScan"),
+        "second use must hit the columnar cache")
+    } finally df.unpersist() // TTL/invalidation analog
+  }
+
+  test("filter specs push down to the parquet scan (SURVEY §4 pushdown)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val filtered = Rel.applyFilters(li, Seq(Rel.Eq("l_returnflag", "R")))
+      .select(col("l_orderkey"))
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]")
+      || scan.contains("EqualTo(l_returnflag,R)"),
+      s"predicate must reach the scan:\n$scan")
+    // column pruning: only the two needed columns are read
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"),
+      "scan must read only projected+filtered columns")
+  }
+}
