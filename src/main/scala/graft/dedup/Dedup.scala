@@ -93,11 +93,14 @@ object Dedup {
       .agg(concat_ws("", transform(
         sort_array(collect_list(struct(col("seed"), col("h")))),
         s => s.getField("h"))).as("band_key"))
-    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    // alias self-join (not two re-derived frames) so the banded
+    // subtree's exchange is computed once and reused on both sides
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** 32-bit SimHash over tokens (md5-derived bit planes). Not

@@ -74,19 +74,24 @@ object ChunkStats {
     * pos, matching the reference's close-then-open walk — segment =
     * [pos, next pos). One window, no join. */
   def boundarySweep(chunks: DataFrame): DataFrame = {
+    // No pre-aggregation by (doc, pos): running the window straight
+    // over the raw ±1 events saves one shuffle (the groupBy would
+    // hash on (doc,pos) while the window repartitions on doc alone).
+    // Same-pos ties produce zero-width segments which the
+    // seg_end > pos filter drops, and the surviving (last) tie row
+    // carries the full cumulative sum — output is identical.
     val events = chunks.select(col("doc_id"),
       explode(array(
         struct(col("start").as("pos"), lit(1).as("delta")),
         struct(col("end").as("pos"), lit(-1).as("delta")))).as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.delta").as("delta"))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("delta")).as("delta"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"), col("delta"))
     events
       .withColumn("active",
         sum(col("delta")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("seg_end", lead(col("pos"), 1).over(w))
-      .filter(col("seg_end").isNotNull && col("active") > 0)
+      .filter(col("seg_end").isNotNull && col("seg_end") > col("pos") &&
+        col("active") > 0)
       .select(col("doc_id"), col("pos").as("seg_start"), col("seg_end"),
         col("active").cast("int").as("active"),
         (col("active") >= 2).as("is_overlap"))

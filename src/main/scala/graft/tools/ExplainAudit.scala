@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for representative queries so plan
+  * quality (pushdown, broadcast choice, codegen spans, shuffle count)
+  * can be reviewed per round. Usage:
+  *   sbt "runMain graft.tools.ExplainAudit /root/testdata/sf0.01"
+  */
+object ExplainAudit {
+  val interesting = Seq(
+    "q_chunk_fixed", "q_tpch_q1", "q_join_broadcast", "q_semi_join",
+    "q_topk_cosine", "q_near_dup_cosine", "q_boundary_sweep",
+    "q_minhash_candidates", "q_events_hourly", "q_window_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    interesting.foreach { name =>
+      println(s"\n===================== $name =====================")
+      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

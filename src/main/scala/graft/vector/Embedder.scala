@@ -30,12 +30,7 @@ trait Embedder extends Serializable {
   * expressible in DuckDB oracle SQL when needed.
   */
 case class HashingEmbedder(dim: Int = 64) extends Embedder {
-  def bucket(token: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(token.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex, 16) % dim).toInt
-  }
+  def bucket(token: String): Int = HashingEmbedder.bucket(token, dim)
 
   def embedOne(text: String): Array[Float] = {
     val v = new Array[Float](dim)
@@ -48,5 +43,34 @@ case class HashingEmbedder(dim: Int = 64) extends Embedder {
             out: String = "embedding"): DataFrame = {
     val f = udf((s: String) => if (s == null) new Array[Float](dim) else embedOne(s))
     df.withColumn(out, f(col(textCol)))
+  }
+}
+
+object HashingEmbedder {
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  // token→bucket memo: corpora repeat tokens heavily, so this turns
+  // the per-token md5 into a map lookup on the executor hot path
+  private val memo = new java.util.concurrent.ConcurrentHashMap[(String, Int), Integer]()
+
+  private val MaxMemo = 1 << 20 // bound executor memory at huge vocab
+
+  private def compute(t: String, d: Int): Integer = {
+    val md = digest.get()
+    md.reset()
+    val h = md.digest(t.getBytes("UTF-8"))
+    val hex = h.take(4).map(b => f"$b%02x").mkString
+    Integer.valueOf((java.lang.Long.parseLong(hex, 16) % d).toInt)
+  }
+
+  def bucket(token: String, dim: Int): Int = {
+    val key = (token, dim)
+    val hit = memo.get(key)
+    if (hit != null) hit.intValue()
+    else {
+      val v = compute(token, dim)
+      if (memo.size < MaxMemo) memo.putIfAbsent(key, v)
+      v.intValue()
+    }
   }
 }
