@@ -93,8 +93,9 @@ object Dedup {
       .agg(concat_ws("", transform(
         sort_array(collect_list(struct(col("seed"), col("h")))),
         s => s.getField("h"))).as("band_key"))
-    // alias self-join (not two re-derived frames) so the banded
-    // subtree's exchange is computed once and reused on both sides
+    // alias self-join; AQE picks broadcast when a side fits and a
+    // shuffle join otherwise (no hint — a forced shuffle costs 2s at
+    // small sf and a forced broadcast would be wrong at 100 TB)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
