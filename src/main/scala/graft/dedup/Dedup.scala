@@ -72,27 +72,23 @@ object Dedup {
       bands: Int = 4, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0)
     val rpb = numHashes / bands
-    // Row-wise shape instead of nested lambdas: explode shingles,
-    // hash per (shingle, seed), min-aggregate per (doc, seed), then
-    // concat per band. Equivalent keys to the array-lambda form, but
+    // Row-wise shape instead of nested lambdas: explode shingles once,
+    // then ONE partial+final hash aggregate computes all `numHashes`
+    // minima as separate agg columns (no per-seed row fan-out, no
+    // second shuffle). Equivalent keys to the array-lambda form, but
     // it spills, parallelizes per row, and avoids the multi-second
     // codegen compile that deep nested HOFs trigger (CollapseProject
     // re-inlines projection barriers, so staging selects don't help).
     val sh = docs
       .filter(Tok.tokenCount(col("text")) > 0)
       .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
-    val minh = sh
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))).as("h"))
-      .groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("h"))
-    val banded = minh
-      .withColumn("band", (col("seed") / rpb).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws("", transform(
-        sort_array(collect_list(struct(col("seed"), col("h")))),
-        s => s.getField("h"))).as("band_key"))
+    val minCols = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"h$s"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandKeys = (0 until bands).map(b =>
+      concat((b * rpb until (b + 1) * rpb).map(s => col(s"h$s")): _*))
+    val banded = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
     // alias self-join; AQE picks broadcast when a side fits and a
     // shuffle join otherwise (no hint — a forced shuffle costs 2s at
     // small sf and a forced broadcast would be wrong at 100 TB)

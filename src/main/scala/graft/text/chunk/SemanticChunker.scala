@@ -61,15 +61,35 @@ case class SemanticChunker(
       // target: chunks averaging ~avgChunkTokens ⇒ breakpoints ≈
       // totalToks/avg − nDocs (each doc contributes one trailing chunk)
       val targetBreaks = math.max(0L, totalToks / avgChunkTokens - nDocs)
-      var lo = 0.0; var hi = 2.0
-      var iter = 0
-      while (iter < maxIter) {
-        val mid = (lo + hi) / 2
-        val breaks = withDist.filter(col("dist") > mid).count()
-        if (breaks > targetBreaks) lo = mid else hi = mid
-        iter += 1
+      // Threshold selection in ONE distributed pass instead of a
+      // maxIter-deep binary search (each probe was a full count job):
+      // histogram the distances on a fixed grid of 2^maxIter bins over
+      // [0, 2] — same granularity the binary search would reach — and
+      // pick the smallest grid threshold with breaks ≤ target from
+      // the (≤4k-row) driver-side cumulative. Deterministic, and the
+      // collect size is grid-bound, not data-bound.
+      val bins = 1 << maxIter
+      val step = 2.0 / bins
+      val histo = withDist
+        .filter(col("dist").isNotNull)
+        .groupBy(greatest(least(floor(col("dist") / step), lit(bins - 1)), lit(0))
+          .cast("int").as("bin"))
+        .count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // breaks(t = (b+1)*step) = Σ counts of bins strictly above b
+      var cum = 0L
+      var threshold = 2.0
+      val suffix = new Array[Long](bins + 1)
+      var b = bins - 1
+      while (b >= 0) {
+        cum += histo.getOrElse(b, 0L); suffix(b) = cum; b -= 1
       }
-      val threshold = hi // smallest probed threshold with breaks ≤ target
+      var t = 0
+      while (t <= bins) {
+        val breaks = if (t >= bins) 0L else suffix(t)
+        if (breaks <= targetBreaks) { threshold = t * step; t = bins + 1 }
+        else t += 1
+      }
 
       // boundary AFTER piece i when dist(i, i+1) > threshold
       val seg = withDist

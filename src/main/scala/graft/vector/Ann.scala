@@ -36,10 +36,17 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  // one-pass normalize straight to an ml Vector; an expression form
+  // would recompute the norm per element after CollapseProject inlines
+  // it into the transform lambda (O(dim²) per row)
+  private val normToVector = udf((a: Seq[Float]) => {
+    val n = math.sqrt(a.iterator.map(x => x.toDouble * x).sum)
+    org.apache.spark.ml.linalg.Vectors.dense(
+      if (n > 0) a.iterator.map(_ / n).toArray else new Array[Double](a.length))
+  })
+
   private def l2normalized(df: DataFrame, in: String, out: String): DataFrame =
-    df.withColumn(out, array_to_vector(
-      transform(col(in), x =>
-        x.cast("double") / sqrt(VectorOps.dot(col(in), col(in))))))
+    df.withColumn(out, normToVector(col(in)))
 
   /** ANN top-k via LSH: normalize → hash to buckets → approx-join →
     * exact re-rank of candidates. Deterministic given the fixed seed.
