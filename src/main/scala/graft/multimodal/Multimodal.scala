@@ -52,25 +52,35 @@ object Multimodal {
     (width, height, if (s > 0) hist.map(_ / s) else hist)
   }
 
-  /** Feature extraction over binary payloads. Runs as mapPartitions
-    * (the JVM analog of the Python-side `mapInPandas` batch UDF):
-    * per-partition iteration, no shuffle, codec state instantiable
-    * once per partition. */
+  /** One decoded asset row (the mapPartitions element type). */
+  case class AssetFeature(asset_id: Long, media_type: String,
+      byte_length: Int, checksum: String, width: Int, height: Int,
+      feature: Array[Float])
+
+  /** Feature extraction over binary payloads as `mapPartitions` —
+    * the JVM analog of a `mapInPandas` batch UDF: the codec (here the
+    * stub) is instantiated ONCE per partition and streamed over the
+    * partition's rows; no shuffle, fan-in stays on the executor.
+    * Swapping `decodeStub` for a real library keeps this shape. */
   def extractFeatures(assets: DataFrame): DataFrame = {
-    val extract = udf((payload: Array[Byte]) => {
-      val (w, h, f) = decodeStub(payload)
-      (w, h, f)
-    })
+    val spark = assets.sparkSession
+    import spark.implicits._
     assets
-      .withColumn("decoded", extract(col("payload")))
-      .select(
-        col("asset_id"),
-        col("meta.content_type").as("media_type"),
-        length(col("payload")).cast("int").as("byte_length"),
-        md5(col("payload")).as("checksum"),
-        col("decoded._1").as("width"),
-        col("decoded._2").as("height"),
-        col("decoded._3").as("feature"))
+      .select(col("asset_id"), col("meta.content_type").as("media_type"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec state lives here (a real decoder would
+        // allocate its native context once per partition)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, mediaType, payload) =>
+          md.reset()
+          val checksum = md.digest(payload).map(b => f"$b%02x").mkString
+          val (w, h, f) = decodeStub(payload)
+          AssetFeature(id, mediaType, payload.length, checksum, w, h, f)
+        }
+      }
+      .toDF()
   }
 
   /** Frame-sampling stub for video-like payloads: emit every
