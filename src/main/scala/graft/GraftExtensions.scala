@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -130,6 +130,17 @@ object Queries {
     Ann.lshTopK(emb, queries, 5).orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF ANN top-k — k-means coarse quantizer + probed fine search
+    * (rows-only; exact counterpart is q_topk_cosine). */
+  def q_topk_ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val (assigned, centroids) = vector.Ivf.index(emb, nCells = 16)
+    vector.Ivf.topK(assigned, centroids, queries, 5, nProbe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ===== tabular surface (P/A/O/F series) =====
 
   /** P1..P3+P5 — projection, equality + numeric BETWEEN, conjunction. */

@@ -37,6 +37,7 @@ object SparkEntry {
     "q_near_dup_cosine" -> (Queries.q_near_dup_cosine _),
     "q_near_dup_lsh" -> (Queries.q_near_dup_lsh _),
     "q_topk_lsh" -> (Queries.q_topk_lsh _),
+    "q_topk_ivf" -> (Queries.q_topk_ivf _),
     // tabular surface
     "q_filter_conj" -> (Queries.q_filter_conj _),
     "q_date_between" -> (Queries.q_date_between _),

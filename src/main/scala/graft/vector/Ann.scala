@@ -29,10 +29,14 @@ object Ann {
       .withColumn("cos_sim",
         round(FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
           (col("nrm_c") * col("nrm_q")), 6))
+    // custom bounded-heap operator instead of window row_number: the
+    // corpus is never sorted, only k·|queries| survivors reach the
+    // (then-trivial) rank window
+    val kept = graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+      Seq(desc("cos_sim"), col("vec_id")), k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    kept.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
@@ -47,6 +51,10 @@ object Ann {
 
   private def l2normalized(df: DataFrame, in: String, out: String): DataFrame =
     df.withColumn(out, normToVector(col(in)))
+
+  /** L2-normalized ml-Vector feature column (shared with [[Ivf]]). */
+  private[vector] def withFeatureVector(df: DataFrame, in: String): DataFrame =
+    l2normalized(df, in, "features")
 
   /** ANN top-k via LSH: normalize → hash to buckets → approx-join →
     * exact re-rank of candidates. Deterministic given the fixed seed.

@@ -13,7 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Real conversion (not the lazy ColumnNodeExpression wrapper) so
+    * the result can live inside custom logical nodes and be resolved
+    * by the analyzer like any catalyst expression. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Register a Catalyst expression builder as a SQL temp function
     * (`sessionState` is private[sql], hence here). */
@@ -22,4 +27,15 @@ object ColumnShim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** DataFrame from a raw LogicalPlan (`Dataset.ofRows` is
+    * private[sql]) — needed to hand custom logical nodes to Catalyst. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
 }

@@ -56,12 +56,30 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ctx.contains("\n\n" + "Source [2] (srcA): beta"))
   }
 
-  test("brute and LSH ANN agree on the top hit for fixture embeddings") {
+  test("brute, LSH, and IVF ANN agree on the top hit for fixture embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     val brute = Ann.bruteTopK(emb, q, 1).select("vec_id").head().getLong(0)
     val lsh = Ann.lshTopK(emb, q, 1).select("vec_id").head().getLong(0)
-    assert(brute == 0L && lsh == 0L) // self is its own nearest neighbor
+    val (assigned, cents) = Ivf.index(emb, nCells = 8)
+    val ivf = Ivf.topK(assigned, cents, q, 1, nProbe = 2)
+      .select("vec_id").head().getLong(0)
+    assert(brute == 0L && lsh == 0L && ivf == 0L) // self is its own NN
+  }
+
+  test("IVF recall@5 vs brute is high with half the cells probed") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val brute = Ann.bruteTopK(emb, q, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (assigned, cents) = Ivf.index(emb, nCells = 8)
+    val ivf = Ivf.topK(assigned, cents, q, 5, nProbe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
   }
 }
