@@ -436,6 +436,21 @@ object Oracles {
         |       event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    "q_events_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         CAST(floor(epoch(ts)::DOUBLE / 1800) * 1800 AS BIGINT) AS half_hour
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, value, half_hour - 1800 AS win_start_sec FROM e
+        |  UNION ALL
+        |  SELECT event_type, value, half_hour FROM e
+        |)
+        |SELECT strftime(to_timestamp(win_start_sec), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM w GROUP BY win_start_sec, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
     "q_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value,

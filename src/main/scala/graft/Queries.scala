@@ -413,6 +413,24 @@ object Queries {
     EventStreams.sessionStats(Tables.events(s, dir))
       .orderBy(col("user_id"))
 
+  /** Sliding 1-hour windows every 30 min: each event lands in two
+    * windows (the streaming `window(ts, '1 hour', '30 minutes')`
+    * semantics, expressed portably via explicit window starts). */
+  def q_events_sliding(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("half_hour",
+        (floor(unix_timestamp(col("ts")) / 1800) * 1800).cast("long"))
+    ev.select(col("event_type"), col("value"),
+        explode(array(col("half_hour") - 1800, col("half_hour")))
+          .as("win_start_sec"))
+      .groupBy(col("win_start_sec"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .withColumn("win_start",
+        date_format(timestamp_seconds(col("win_start_sec")), "yyyy-MM-dd HH:mm:ss"))
+      .select(col("win_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   // ===== multimodal =====
 
   /** Binary-column feature extraction (stub codec; plumbing real). */

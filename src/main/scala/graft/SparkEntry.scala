@@ -74,6 +74,7 @@ object SparkEntry {
     "q_fingerprint" -> (Queries.q_fingerprint _),
     // events
     "q_events_hourly" -> (Queries.q_events_hourly _),
+    "q_events_sliding" -> (Queries.q_events_sliding _),
     "q_sessions" -> (Queries.q_sessions _),
     // multimodal
     "q_mm_features" -> (Queries.q_mm_features _),

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.vector.{HashingEmbedder, VectorOps}
+
+class RagPipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("buildStore: ids are {source}_chunk_{i}, upsert dedups ids (V1)") {
+    val store = RagPipeline.buildStore(docs, "simple")
+    assert(store.filter(!col("id").rlike("^src[0-9]+_chunk_[0-9]+$")).count() == 0)
+    assert(store.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    assert(store.schema("embedding").dataType.simpleString == "array<float>")
+  }
+
+  test("vector store round-trips through parquet and retrieval still works") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store").toString
+    RagPipeline.buildStore(docs, "simple").write.mode("overwrite").parquet(tmp)
+    val store = spark.read.parquet(tmp)
+    val embedder = HashingEmbedder(64)
+    val q = {
+      import spark.implicits._
+      embedder.embed(
+        Seq(("spark window merge join", 0)).toDF("query_text", "query_id"),
+        textCol = "query_text", out = "q_embedding")
+    }
+    val topk = VectorOps.topK(store, q, RagPipeline.TopK,
+      Seq(col("doc_id"), col("chunk_index")))
+    assert(topk.count() == RagPipeline.TopK)
+    // rank-1 chunk must contain at least one query token
+    val best = topk.filter(col("rank") === 1).head().getAs[String]("text")
+    assert(Seq("spark", "window", "merge", "join").exists(best.contains))
+  }
+
+  test("run: end-to-end context per query for every strategy") {
+    for (strategy <- Seq("simple", "recursive")) {
+      val out = RagPipeline.run(spark, docs.limit(50),
+        Seq("table scan filter"), strategy).collect()
+      assert(out.length == 1)
+      assert(out(0).getString(1).split("\n\n").length == RagPipeline.TopK)
+    }
+  }
+
+  test("unknown strategy raises like the reference dispatch (C4)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.text.chunk.Chunker("bogus")
+    }
+    assert(e.getMessage.contains("bogus"))
+  }
+}
