@@ -393,6 +393,19 @@ object Queries {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** BPE-lite subword token counts (train-on-sample + broadcast
+    * encode; rows-only — merge learning isn't SQL-expressible).
+    * Emits regex-token counts alongside for comparison. */
+  def q_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.text.BpeLite.train(
+      graft.text.BpeLite.wordCounts(docs), numMerges = 64)
+    docs.select(col("doc_id"),
+        graft.text.BpeLite.tokenCountCol(merges).as("n_bpe_tokens"),
+        Tok.tokenCount(col("text")).as("n_regex_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint (normalized md5). */
   def q_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -71,6 +71,7 @@ object SparkEntry {
     "q_lang_id" -> (Queries.q_lang_id _),
     "q_quality_score" -> (Queries.q_quality_score _),
     "q_token_count" -> (Queries.q_token_count _),
+    "q_bpe_tokens" -> (Queries.q_bpe_tokens _),
     "q_fingerprint" -> (Queries.q_fingerprint _),
     // events
     "q_events_hourly" -> (Queries.q_events_hourly _),
