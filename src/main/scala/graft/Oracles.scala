@@ -474,6 +474,39 @@ object Oracles {
         |       round(sum(session_value), 4) AS total_value
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q_union_dedup" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY doc_id) AS rn
+        |  FROM (
+        |    SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 60
+        |    UNION ALL
+        |    SELECT doc_id, source, n_chars FROM documents
+        |    WHERE doc_id >= 40 AND doc_id < 100
+        |  )
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_excluded_columns" ->
+      """SELECT text, lang, source, n_chars FROM documents
+        |ORDER BY source, n_chars, text""".stripMargin,
+
+    "q_cardinality_gate" ->
+      """SELECT "column", n_distinct, n_distinct < 15 AS categorical FROM (
+        |  SELECT 'c_mktsegment' AS "column",
+        |         count(DISTINCT c_mktsegment) AS n_distinct FROM customer
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(DISTINCT o_orderpriority) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(DISTINCT o_custkey) FROM orders
+        |) ORDER BY "column"""".stripMargin,
+
+    "q_success_counts" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |       CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+        |       count(*) AS n_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_mm_features" ->
       """SELECT doc_id AS asset_id, 'image/png' AS media_type,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_length,

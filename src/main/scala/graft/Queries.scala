@@ -561,4 +561,51 @@ object Queries {
     * ChunkStatsSpec golden assertions). */
   def q_chunk_json(s: SparkSession, dir: String): DataFrame =
     ChunkStats.chunkJson(fixedChunks(s, dir)).orderBy(col("strategy"))
+
+  /** §2.7 set ops — unionByName of two differently-ordered slices +
+    * last-write-wins dedup (the multi-quarter corpus assembly shape). */
+  def q_union_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val b = docs.filter(col("doc_id") >= 40 && col("doc_id") < 100)
+      .select(col("n_chars"), col("doc_id"), col("source")) // different order
+    a.unionByName(b.select(col("doc_id"), col("source"), col("n_chars")))
+      .dropDuplicates("doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** P9 — column-exclusion filter applied to documents (drops the
+    * `_id`-suffixed column; the reference derives filter widgets only
+    * for surviving columns). */
+  def q_excluded_columns(s: SparkSession, dir: String): DataFrame =
+    Rel.excludeColumns(t(s, dir, "documents"))
+      .orderBy(col("source"), col("n_chars"), col("text"))
+
+  /** A8 cardinality gate — distinct counts + categorical flag per
+    * candidate filter column (reference: categorical iff <15
+    * distinct, `Frontend/app.py:497-498`). */
+  def q_cardinality_gate(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+    cust.agg(countDistinct(col("c_mktsegment")).as("n_distinct"))
+      .select(lit("c_mktsegment").as("column"), col("n_distinct"))
+      .unionByName(ord.agg(countDistinct(col("o_orderpriority")).as("n_distinct"))
+        .select(lit("o_orderpriority").as("column"), col("n_distinct")))
+      .unionByName(ord.agg(countDistinct(col("o_custkey")).as("n_distinct"))
+        .select(lit("o_custkey").as("column"), col("n_distinct")))
+      .withColumn("categorical", col("n_distinct") < 15)
+      .orderBy(col("column"))
+  }
+
+  /** A11 — success-flag sums: conditional aggregation over order
+    * status (reference counts successful quarters the same way). */
+  def q_success_counts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        sum(when(col("o_orderstatus") =!= "F", 1).otherwise(0)).as("n_other"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("o_orderpriority"))
 }

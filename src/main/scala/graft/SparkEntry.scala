@@ -86,6 +86,10 @@ object SparkEntry {
     "q_context_assembly" -> (Queries.q_context_assembly _),
     "q_ocr_flatten" -> (Queries.q_ocr_flatten _),
     "q_chunk_json" -> (Queries.q_chunk_json _),
+    "q_union_dedup" -> (Queries.q_union_dedup _),
+    "q_excluded_columns" -> (Queries.q_excluded_columns _),
+    "q_cardinality_gate" -> (Queries.q_cardinality_gate _),
+    "q_success_counts" -> (Queries.q_success_counts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -58,6 +58,17 @@ class FixedChunkerSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("unicode (BMP) text chunks by character, offsets consistent") {
+    // é (1 char), CJK (1 char each) — Spark substr counts code
+    // points, matching the reference's Python slicing
+    val text = ("héllo wörld 汉字测试 " * 40).trim
+    val r = rows(1L -> text)
+    r.foreach { row =>
+      assert(row.getString(2) == text.substring(row.getInt(3), row.getInt(4)))
+    }
+    assert(r.last.getInt(4) == text.length)
+  }
+
   test("dropping the 50-char overlap reconstructs the document") {
     val text = "the quick brown fox jumps over the lazy dog " * 40
     val r = rows(1L -> text)
