@@ -122,6 +122,12 @@ object Queries {
     Ann.lshNearDup(t(s, dir, "embeddings"), cosThreshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Sign (hyperplane) LSH near-dup — the cosine-native LSH path
+    * (rows-only; candidate generation uses seeded projections). */
+  def q_near_dup_signlsh(s: SparkSession, dir: String): DataFrame =
+    Ann.signLshNearDup(t(s, dir, "embeddings"), cosThreshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** LSH ANN top-k (rows-only; exact counterpart is q_topk_cosine). */
   def q_topk_lsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")

@@ -36,6 +36,7 @@ object SparkEntry {
     "q_cosine_pairs" -> (Queries.q_cosine_pairs _),
     "q_near_dup_cosine" -> (Queries.q_near_dup_cosine _),
     "q_near_dup_lsh" -> (Queries.q_near_dup_lsh _),
+    "q_near_dup_signlsh" -> (Queries.q_near_dup_signlsh _),
     "q_topk_lsh" -> (Queries.q_topk_lsh _),
     "q_topk_ivf" -> (Queries.q_topk_ivf _),
     // tabular surface

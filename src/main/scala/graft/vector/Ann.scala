@@ -60,7 +60,7 @@ object Ann {
     * exact re-rank of candidates. Deterministic given the fixed seed.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bucketLength: Double = 1.0, numHashTables: Int = 4): DataFrame = {
+      bucketLength: Double = 0.25, numHashTables: Int = 4): DataFrame = {
     val c = l2normalized(corpus, "embedding", "features")
     val q = l2normalized(queries, "q_embedding", "features")
     val lsh = new BucketedRandomProjectionLSH()
@@ -81,10 +81,66 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Sign (hyperplane) LSH near-dup — the cosine-native LSH:
+    * each band key packs the sign bits of `bitsPerBand` seeded random
+    * projections; vectors agreeing on any band are candidates, then
+    * confirmed by exact cosine. P[bit agrees] = 1 − θ/π, so near-dup
+    * pairs (θ small) collide with high probability while the bucket
+    * join stays equi on short int keys. Preferable to bucketed random
+    * projection on unit vectors (whose 1-D floor buckets degenerate
+    * to a near-cross-join). Deterministic: fixed-seed projections. */
+  def signLshNearDup(embeddings: DataFrame, cosThreshold: Double,
+      bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    // bands × bitsPerBand random hyperplanes (gaussian, unnormalized —
+    // sign is scale-invariant)
+    val planes: Array[Array[Double]] =
+      Array.fill(bands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
+    val keysUdf = udf((v: Seq[Float]) => {
+      val out = new Array[Int](bands)
+      var b = 0
+      while (b < bands) {
+        var key = 0
+        var i = 0
+        while (i < bitsPerBand) {
+          val p = planes(b * bitsPerBand + i)
+          var d = 0.0
+          var j = 0
+          while (j < p.length && j < v.length) { d += p(j) * v(j); j += 1 }
+          if (d > 0) key |= (1 << i)
+          i += 1
+        }
+        out(b) = key
+        b += 1
+      }
+      out
+    })
+    val banded = embeddings
+      .select(col("vec_id"), col("embedding"),
+        FloatVecExpr.normF(col("embedding")).as("nrm"),
+        posexplode(keysUdf(col("embedding"))).as(Seq("band", "key")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.embedding").as("emb_a"), col("y.embedding").as("emb_b"),
+        col("x.nrm").as("nrm_a"), col("y.nrm").as("nrm_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("cos_sim",
+        round(FloatVecExpr.dotF(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos_sim") >= cosThreshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** LSH near-duplicate pairs above a cosine threshold — the scale
     * path behind [[graft.dedup.Dedup.cosineNearDup]]. */
   def lshNearDup(embeddings: DataFrame, cosThreshold: Double,
-      bucketLength: Double = 1.0, numHashTables: Int = 4): DataFrame = {
+      bucketLength: Double = 0.25, numHashTables: Int = 4): DataFrame = {
     val e = l2normalized(embeddings, "embedding", "features")
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
