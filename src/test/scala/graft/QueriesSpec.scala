@@ -22,7 +22,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     // and every customer has an order (so anti-join is empty)
     val mustBeNonEmpty = counts.keySet -- Set(
       "q_dedup_exact", "q_near_dup_cosine", "q_near_dup_lsh",
-      "q_ngram_jaccard", "q_anti_join")
+      "q_near_dup_signlsh", "q_ngram_jaccard", "q_anti_join")
     mustBeNonEmpty.foreach { n =>
       assert(counts(n) > 0, s"$n returned 0 rows")
     }
