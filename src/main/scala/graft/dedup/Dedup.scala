@@ -80,7 +80,9 @@ object Dedup {
     // codegen compile that deep nested HOFs trigger (CollapseProject
     // re-inlines projection barriers, so staging selects don't help).
     val sh = docs
-      .filter(Tok.tokenCount(col("text")) > 0)
+      // equivalent to tokenCount>0 (any non-space char tokenizes) but
+      // avoids a second regexp_extract_all pass per row
+      .filter(trim(col("text")) =!= "")
       .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
     val minCols = (0 until numHashes).map(s =>
       min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"h$s"))

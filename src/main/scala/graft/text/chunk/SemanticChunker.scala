@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.Tok
-import graft.vector.{Embedder, HashingEmbedder, VectorOps}
+import graft.vector.{Embedder, FloatVecExpr, HashingEmbedder}
 
 /** C3 — semantic (Kamradt-modified) chunker.
   *
@@ -41,7 +41,8 @@ case class SemanticChunker(
       .withColumn("next_emb", lead(col("embedding"), 1).over(w))
       .withColumn("dist",
         when(col("next_emb").isNotNull,
-          lit(1.0) - VectorOps.cosine(col("embedding"), col("next_emb")))
+          lit(1.0) - FloatVecExpr.dotF(col("embedding"), col("next_emb")) /
+            (FloatVecExpr.normF(col("embedding")) * FloatVecExpr.normF(col("next_emb"))))
           .otherwise(lit(null)))
       .drop("embedding", "next_emb")
       .cache()
