@@ -41,6 +41,13 @@ class RelSpec extends AnyFunSuite with SparkTestBase {
     assert(h.map(_.getAs[Long]("count")).sum == 101)
   }
 
+  test("histogram degenerate case: all values equal → single bucket") {
+    val h = Rel.histogram(Seq(5.0, 5.0, 5.0).toDF("x"), "x").collect()
+    assert(h.length == 1)
+    assert(h.head.getAs[Int]("bucket") == 0)
+    assert(h.head.getAs[Long]("count") == 3)
+  }
+
   test("quarterOf prefers link text, falls back to URL path") {
     val df = Seq(
       ("Q3 2024 10-Q", "https://x/other/file.pdf"),

@@ -57,4 +57,18 @@ class ChunkStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Long]("chunk_count") == 7)
     assert(row.getAs[String]("chunks").startsWith("[{"))
   }
+
+  test("chunkJson golden file: exact JSON for a fixed document") {
+    // golden test per SURVEY §5.2 item 4 — shape fixed by
+    // chunk_visualizer.py:29-49
+    val one = Seq((9L, 0, 0, 5, "hello", 5, 1, "simple"),
+      (9L, 1, 3, 8, "lo wo", 5, 2, "simple"))
+      .toDF("doc_id", "chunk_index", "start", "end", "text",
+        "char_length", "token_length", "strategy")
+    val got = ChunkStats.chunkJson(one).head().getAs[String]("chunks")
+    val expected =
+      """[{"doc_id":9,"id":0,"text":"hello","char_length":5,"token_length":1},""" +
+        """{"doc_id":9,"id":1,"text":"lo wo","char_length":5,"token_length":2}]"""
+    assert(got == expected)
+  }
 }
