@@ -63,6 +63,13 @@ object Oracles {
          |       min(token_length) AS min_tokens, max(token_length) AS max_tokens
          |FROM ch ORDER BY strategy""".stripMargin,
 
+    "q_chunk_percentiles" ->
+      s"""$chunkCte
+         |SELECT round(quantile_cont(char_length, 0.5), 4) AS p50_chars,
+         |       round(quantile_cont(char_length, 0.9), 4) AS p90_chars,
+         |       round(quantile_cont(token_length, 0.5), 4) AS p50_tokens
+         |FROM ch""".stripMargin,
+
     "q_chunk_ids" ->
       s"""$chunkCte
          |SELECT doc_id, source || '_chunk_' || CAST(chunk_index AS VARCHAR) AS id, chunk_index
@@ -124,6 +131,23 @@ object Oracles {
          |  FROM s
          |)
          |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_topk_many" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+         |  FROM embeddings WHERE vec_id < 100
+         |), s AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN q
+         |), r AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
     "q_topk_filtered" ->

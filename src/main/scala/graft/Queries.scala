@@ -46,6 +46,15 @@ object Queries {
   def q_chunk_summary(s: SparkSession, dir: String): DataFrame =
     ChunkStats.summary(fixedChunks(s, dir)).orderBy(col("strategy"))
 
+  /** Exact interpolated percentiles of chunk sizes (type-7, the
+    * numpy/DuckDB-compatible definition) — extends A2/A3 stats. */
+  def q_chunk_percentiles(s: SparkSession, dir: String): DataFrame =
+    fixedChunks(s, dir)
+      .agg(
+        round(expr("percentile(char_length, 0.5)"), 4).as("p50_chars"),
+        round(expr("percentile(char_length, 0.9)"), 4).as("p90_chars"),
+        round(expr("percentile(token_length, 0.5)"), 4).as("p50_tokens"))
+
   /** F16 — vector-store id generation `{source}_chunk_{i}`. */
   def q_chunk_ids(s: SparkSession, dir: String): DataFrame =
     fixedChunks(s, dir)
@@ -89,6 +98,17 @@ object Queries {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     Ann.bruteTopK(emb, queries, 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Fan-out retrieval: 100 query vectors × corpus, top-3 each —
+    * exercises the bounded-heap TopKPerKey operator at real per-key
+    * breadth (the 3-query flagship barely touches it). */
+  def q_topk_many(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    Ann.bruteTopK(emb, queries, 3)
       .orderBy(col("query_id"), col("rank"))
   }
 

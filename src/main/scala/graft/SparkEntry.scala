@@ -24,6 +24,7 @@ object SparkEntry {
     // chunking
     "q_chunk_fixed" -> (Queries.q_chunk_fixed _),
     "q_chunk_summary" -> (Queries.q_chunk_summary _),
+    "q_chunk_percentiles" -> (Queries.q_chunk_percentiles _),
     "q_chunk_ids" -> (Queries.q_chunk_ids _),
     "q_adjacent_overlap" -> (Queries.q_adjacent_overlap _),
     "q_overlap_stats" -> (Queries.q_overlap_stats _),
@@ -32,6 +33,7 @@ object SparkEntry {
     "q_chunk_semantic" -> (Queries.q_chunk_semantic _),
     // vector retrieval
     "q_topk_cosine" -> (Queries.q_topk_cosine _),
+    "q_topk_many" -> (Queries.q_topk_many _),
     "q_topk_filtered" -> (Queries.q_topk_filtered _),
     "q_cosine_pairs" -> (Queries.q_cosine_pairs _),
     "q_near_dup_cosine" -> (Queries.q_near_dup_cosine _),

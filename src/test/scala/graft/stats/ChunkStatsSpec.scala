@@ -58,6 +58,31 @@ class ChunkStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[String]("chunks").startsWith("[{"))
   }
 
+  test("property: sweep segment lengths sum to the interval-union length") {
+    // SURVEY §5.2 ScalaCheck property for W4, deterministic sweep of
+    // random-ish interval sets (fixed seed)
+    val rnd = new scala.util.Random(42)
+    val data = for {
+      doc <- 0 until 30
+      i <- 0 until (1 + rnd.nextInt(8))
+    } yield {
+      val s = rnd.nextInt(500)
+      (doc.toLong, i, s, s + 1 + rnd.nextInt(120))
+    }
+    val df = data.toDF("doc_id", "chunk_index", "start", "end")
+    val segs = ChunkStats.boundarySweep(df)
+      .select("doc_id", "seg_start", "seg_end")
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._3 - t._2).sum).toMap
+    // brute-force union length per doc
+    val expected = data.groupBy(_._1).view.mapValues { ivs =>
+      val covered = scala.collection.mutable.BitSet()
+      ivs.foreach { case (_, _, s, e) => (s until e).foreach(covered += _) }
+      covered.size
+    }.toMap
+    assert(segs == expected)
+  }
+
   test("chunkJson golden file: exact JSON for a fixed document") {
     // golden test per SURVEY §5.2 item 4 — shape fixed by
     // chunk_visualizer.py:29-49
