@@ -52,6 +52,13 @@ object Tables {
   def binaryFiles(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
 
+  /** Tab-delimited text source with header (reference S4: the SEC
+    * financial-statement `.txt` members extracted from ZIPs,
+    * `testing_airflow_sec_pipeline.py:195,216`). */
+  def tabDelimited(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").option("header", "true")
+      .option("inferSchema", "true").csv(path)
+
   /** Register every fixture table as a temp view so `spark.sql` works
     * (replaces the reference's INFORMATION_SCHEMA surface, S7/S8).
     * `events` goes through its normalizing reader. */

@@ -30,6 +30,17 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       orders.filter(col("year") === 1996).count())
   }
 
+  test("tab-delimited source reads SEC-style .txt members (S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sec")
+    val f = dir.resolve("sub.txt")
+    java.nio.file.Files.writeString(f,
+      "adsh\tcik\tname\tfye\n0001-23\t320193\tAPPLE INC\t0930\n0002-41\t789019\tMSFT CORP\t0630\n")
+    val df = Tables.tabDelimited(spark, f.toString)
+    assert(df.columns.toSeq == Seq("adsh", "cik", "name", "fye"))
+    assert(df.count() == 2)
+    assert(df.filter(col("cik") === 320193).count() == 1)
+  }
+
   test("catalog introspection replaces INFORMATION_SCHEMA queries") {
     Tables.registerAll(spark, sf)
     val tables = spark.catalog.listTables().collect().map(_.name).toSet
