@@ -83,6 +83,33 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB resize kernel — stands in for an image resampler. Maps the
+    * payload onto a w×h byte grid by nearest-neighbor index sampling
+    * (deterministic; a real codec would decode → resample → encode).
+    * Exercises the binary→binary transform contract. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = payload.length
+    if (n == 0) return Array.emptyByteArray
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < out.length) {
+      out(i) = payload((i.toLong * n / out.length).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize assets to target dimensions; payload replaced, metadata
+    * struct updated — per-row binary transform, no shuffle. */
+  def resize(assets: DataFrame, w: Int, h: Int): DataFrame = {
+    val f = udf((p: Array[Byte]) => resizeStub(p, w, h))
+    assets
+      .withColumn("payload", f(col("payload")))
+      .withColumn("meta", struct(
+        col("meta.content_type"), col("meta.origin"),
+        lit(w * h).as("declared_size")))
+  }
+
   /** Frame-sampling stub for video-like payloads: emit every
     * `stride`-th 16-byte "frame" window with its offset — exercises
     * the one-row→many generator shape on binary columns. */

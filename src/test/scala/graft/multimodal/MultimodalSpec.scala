@@ -31,6 +31,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("resize: payloads land on the target grid, metadata updated") {
+    val resized = Multimodal.resize(assets, 16, 8)
+    val row = resized.select(length(col("payload")).as("n"),
+      col("meta.declared_size").as("d")).head()
+    assert(row.getAs[Int]("n") == 128 && row.getAs[Int]("d") == 128)
+    // deterministic: same input → same bytes
+    val h1 = Multimodal.resize(assets, 4, 4).select(md5(col("payload")).as("h"))
+      .orderBy("h").collect().map(_.getString(0)).toSeq
+    val h2 = Multimodal.resize(assets, 4, 4).select(md5(col("payload")).as("h"))
+      .orderBy("h").collect().map(_.getString(0)).toSeq
+    assert(h1 == h2)
+  }
+
   test("frame sampling explodes payloads at the configured stride") {
     val frames = Multimodal.sampleFrames(assets, stride = 64)
     val perDoc = frames.groupBy("asset_id").count()
