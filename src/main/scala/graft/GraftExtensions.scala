@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
   }
 }

@@ -60,6 +60,34 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 1L), (1L, 2L), (2L, 4L), (3L, 6L), (3L, 5L)))
   }
 
+  test("RewriteTopKWindow rewrites filter(row_number<=k) to the heap operator") {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    for ((pred, k) <- Seq((col("rn") <= 3, 3), (col("rn") < 4, 3), (col("rn") === 1, 1))) {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      val windowed = orders.withColumn("rn", row_number().over(w)).filter(pred)
+      val analyzed = windowed.queryExecution.analyzed
+      val rewritten = RewriteTopKWindow(analyzed)
+      assert(rewritten.collectFirst { case p: TopKPerKeyPlan => p }.isDefined,
+        s"rule must fire for $pred:\n$rewritten")
+      // rewritten plan produces identical rows (incl. the rank column)
+      val got = ColumnShim.ofRows(spark, rewritten)
+        .select("o_orderkey", "rn").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expected = windowed.select("o_orderkey", "rn").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expected, s"row mismatch for $pred")
+    }
+  }
+
+  test("RewriteTopKWindow leaves non-matching windows untouched") {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val runSum = orders.withColumn("s",
+      sum(col("o_totalprice")).over(w)).filter(col("s") > 0)
+    val analyzed = runSum.queryExecution.analyzed
+    assert(RewriteTopKWindow(analyzed) == analyzed)
+  }
+
   test("available through SparkSessionExtensions injection") {
     val ext = new graft.GraftExtensions
     // construction only — injection wiring is exercised by builder
