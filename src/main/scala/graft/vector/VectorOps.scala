@@ -42,11 +42,14 @@ object VectorOps {
     val scored = corpus
       .crossJoin(broadcast(queries))
       .withColumn("cos_sim", cosine(col("embedding"), col("q_embedding")))
+    // bounded-heap per-key top-k (no corpus sort); the rank window
+    // then runs over only k·|queries| survivors
+    val kept = graft.plans.TopKPerKey(scored, Seq(col("query_id")),
+      desc("cos_sim") +: tiebreak, k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim") +: tiebreak: _*)
-    scored
+    kept
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .drop("q_embedding")
   }
 
