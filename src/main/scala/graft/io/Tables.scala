@@ -17,8 +17,31 @@ object Tables {
   val rag: Seq[String] = Seq("documents", "embeddings")
   val all: Seq[String] = tpch ++ rag :+ "events"
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Compute-heavy narrow tables are hash-repartitioned on their id
+    * right after the scan. Two reasons, both scale-motivated:
+    * (a) a single-file / single-row-group fixture otherwise yields ONE
+    *     scan task, so every per-row md5/regex/vector expression runs
+    *     serially no matter how many cores exist — the repartition is
+    *     what a many-file 100 TB table gives naturally;
+    * (b) hash partitioning on the id pre-clusters the table for the
+    *     dominant downstream shape (`groupBy(doc_id)` /
+    *     `Window.partitionBy(doc_id)`), so those aggregations reuse
+    *     this exchange instead of adding their own.
+    * Wide TPC-H fact tables are NOT spread: their queries start with
+    * pushed-down scans + partial aggregation, where an up-front
+    * shuffle of raw rows would cost more than it saves. */
+  private val spreadKey: Map[String, String] =
+    Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(p, org.apache.spark.sql.functions.col(key))
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    spreadKey.get(name).fold(raw)(spread(raw, _))
+  }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
