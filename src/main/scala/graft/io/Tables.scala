@@ -17,30 +17,61 @@ object Tables {
   val rag: Seq[String] = Seq("documents", "embeddings")
   val all: Seq[String] = tpch ++ rag :+ "events"
 
-  /** Compute-heavy narrow tables are hash-repartitioned on their id
-    * right after the scan. Two reasons, both scale-motivated:
-    * (a) a single-file / single-row-group fixture otherwise yields ONE
-    *     scan task, so every per-row md5/regex/vector expression runs
-    *     serially no matter how many cores exist — the repartition is
-    *     what a many-file 100 TB table gives naturally;
-    * (b) hash partitioning on the id pre-clusters the table for the
-    *     dominant downstream shape (`groupBy(doc_id)` /
-    *     `Window.partitionBy(doc_id)`), so those aggregations reuse
-    *     this exchange instead of adding their own.
+  /** Compute-heavy narrow tables (documents/embeddings: every query
+    * over them runs per-row md5/regex/vector expressions) are
+    * hash-repartitioned on their id right after the scan, but ONLY
+    * when the scan itself would yield fewer tasks than
+    * [[SpreadPartitions]] — i.e. only when the input is a few small
+    * files. A many-file 100 TB table already produces thousands of
+    * scan tasks, so there the spread is a no-op and no shuffle is
+    * added. The gate is computed from the file listing (count +
+    * bytes), never from runtime parallelism, so the decision — and
+    * therefore the partition layout feeding seeded KMeans / LSH — is
+    * identical on a 7-thread and a 32-thread machine.
+    *
     * Wide TPC-H fact tables are NOT spread: their queries start with
     * pushed-down scans + partial aggregation, where an up-front
     * shuffle of raw rows would cost more than it saves. */
   private val spreadKey: Map[String, String] =
     Map("documents" -> "doc_id", "embeddings" -> "vec_id")
 
-  private def spread(df: DataFrame, key: String): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(p, org.apache.spark.sql.functions.col(key))
+  /** Fixed spread width. Deliberately a constant, NOT
+    * `defaultParallelism`: `repartition(n, key)` output layout must
+    * not vary with the machine's core count, or every
+    * partition-order-sensitive consumer (seeded KMeans in Ivf,
+    * float-sum reductions) loses byte-determinism across machines. */
+  val SpreadPartitions = 32
+
+  /** Machine-independent estimate of how many scan tasks a parquet
+    * path yields: one per data file, plus splits of files larger than
+    * the default 128 MiB `spark.sql.files.maxPartitionBytes`. Depends
+    * only on the data layout, not on cores. */
+  private def estimatedScanTasks(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var tasks = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+        tasks += 1L + f.getLen / (128L << 20)
+    }
+    math.min(tasks, Int.MaxValue).toInt
   }
 
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(SpreadPartitions,
+      org.apache.spark.sql.functions.col(key))
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    spreadKey.get(name).fold(raw)(spread(raw, _))
+    val path = s"$sfDir/$name.parquet"
+    val raw = spark.read.parquet(path)
+    spreadKey.get(name) match {
+      case Some(key) if estimatedScanTasks(spark, path) < SpreadPartitions =>
+        spread(raw, key)
+      case _ => raw
+    }
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
