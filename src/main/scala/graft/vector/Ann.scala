@@ -56,16 +56,34 @@ object Ann {
   private[vector] def withFeatureVector(df: DataFrame, in: String): DataFrame =
     l2normalized(df, in, "features")
 
+  /** Bucket width for BRP-LSH over L2-NORMALIZED vectors. The
+    * projection of a unit vector onto a random unit direction has
+    * std ≈ 1/√dim, so any fixed bucket length degenerates as dim
+    * grows (at 0.25 and dim 64 the whole corpus lands in two buckets
+    * per table — measured 7.3M candidate pairs on 5k vectors, a
+    * near-cross-join). 0.4σ = 0.4/√dim splits the corpus into ~15
+    * populated buckets per table; near-dup pairs (cos ≥ 0.9 ⇒ pair
+    * projection std 0.45/√dim) still collide in ≥1 of the OR'd
+    * tables with high probability. */
+  def autoBucketLength(dim: Int): Double = 0.4 / math.sqrt(dim.toDouble)
+
+  private def resolveBucketLength(df: DataFrame, embCol: String,
+      bucketLength: Double): Double =
+    if (bucketLength > 0) bucketLength
+    else autoBucketLength(df.select(size(col(embCol))).head().getInt(0))
+
   /** ANN top-k via LSH: normalize → hash to buckets → approx-join →
     * exact re-rank of candidates. Deterministic given the fixed seed.
-    */
+    * `bucketLength ≤ 0` (the default) derives the width from the
+    * embedding dimension — see [[autoBucketLength]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bucketLength: Double = 0.25, numHashTables: Int = 4): DataFrame = {
+      bucketLength: Double = -1.0, numHashTables: Int = 4): DataFrame = {
     val c = l2normalized(corpus, "embedding", "features")
     val q = l2normalized(queries, "q_embedding", "features")
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setBucketLength(resolveBucketLength(corpus, "embedding", bucketLength))
+      .setNumHashTables(numHashTables)
       .setSeed(42L)
     val model = lsh.fit(c)
     val joined = model.approxSimilarityJoin(
@@ -140,11 +158,12 @@ object Ann {
   /** LSH near-duplicate pairs above a cosine threshold — the scale
     * path behind [[graft.dedup.Dedup.cosineNearDup]]. */
   def lshNearDup(embeddings: DataFrame, cosThreshold: Double,
-      bucketLength: Double = 0.25, numHashTables: Int = 4): DataFrame = {
+      bucketLength: Double = -1.0, numHashTables: Int = 4): DataFrame = {
     val e = l2normalized(embeddings, "embedding", "features")
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setBucketLength(resolveBucketLength(embeddings, "embedding", bucketLength))
+      .setNumHashTables(numHashTables)
       .setSeed(42L)
     val model = lsh.fit(e)
     val distThreshold = math.sqrt(math.max(0.0, 2.0 - 2.0 * cosThreshold))

@@ -1,7 +1,5 @@
 package graft.vector
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,27 +10,118 @@ import org.apache.spark.sql.functions._
   * its `nProbe` nearest cells, so the fine search touches
   * ~nProbe/nCells of the corpus instead of all of it.
   *
-  * At 100 TB: the quantizer is fit on a bounded sample (driver-safe),
-  * cell assignment is one narrow pass, and the per-query fine search
-  * is an equi-join on `cell` — shuffle keyed on short ints, corpus
-  * embeddings never move more than once. Deterministic via fixed
-  * seed + deterministic tiebreaks.
+  * The quantizer is fit DRIVER-SIDE on a bounded, vec_id-sorted
+  * sample (the standard IVF design — FAISS trains its coarse
+  * quantizer on a sample offline too). That choice is deliberate at
+  * both ends of the scale:
+  *  - at 100 TB a distributed k-means over the full corpus would be
+  *    an iteration of full-corpus jobs, while quantizer quality only
+  *    needs ~100·nCells sample points;
+  *  - a sequential Lloyd's loop over a SORTED sample is byte-
+  *    deterministic regardless of partition layout or core count —
+  *    a distributed fit sums floats in partition order and is not.
+  *
+  * Cell assignment is one narrow pass (broadcast centroids), and the
+  * per-query fine search is an equi-join on `cell` — shuffle keyed on
+  * short ints, corpus embeddings never move more than once.
   */
 object Ivf {
+
+  /** Hard cap on the driver-collected training sample: `maxSample`
+    * rows × dim floats (64-dim default ⇒ ~13 MB at the cap). */
+  val DefaultMaxSample = 50000
+
+  /** Deterministic Lloyd's k-means on L2-normalized vectors.
+    * Init: k evenly spaced rows of the sorted sample (spread beats
+    * first-k when ids correlate with content). Ties → lowest cell.
+    * Empty cells keep their previous centroid. */
+  private[vector] def lloyd(sample: Array[Array[Float]], k: Int,
+      maxIter: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "IVF quantizer needs a non-empty sample")
+    val n = sample.length
+    val dim = sample(0).length
+    val kk = math.min(k, n)
+    val cents = Array.tabulate(kk)(i => normalize(sample((i.toLong * n / kk).toInt)))
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var r = 0
+      while (r < n) {
+        val v = normalize(sample(r))
+        val c = nearest(cents, v)
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+        r += 1
+      }
+      moved = false
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          val nc = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { nc(j) = sums(c)(j) / counts(c); j += 1 }
+          if (!java.util.Arrays.equals(nc, cents(c))) { cents(c) = nc; moved = true }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  private def normalize(v: Array[Float]): Array[Double] = {
+    var s = 0.0
+    var j = 0
+    while (j < v.length) { s += v(j).toDouble * v(j); j += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    j = 0
+    while (j < v.length) { out(j) = if (n > 0) v(j) / n else 0.0; j += 1 }
+    out
+  }
+
+  /** Index of the nearest centroid by squared Euclidean distance;
+    * first index wins ties. */
+  private def nearest(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0
+      var j = 0
+      val ct = cents(c)
+      while (j < v.length && j < ct.length) {
+        val x = v(j) - ct(j); d += x * x; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
 
   /** Assign each corpus row to its quantizer cell.
     * Returns (assignedCorpus, centroids) — reuse across queries. */
   def index(corpus: DataFrame, nCells: Int = 16, sampleFraction: Double = 1.0,
-      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    val featurized = Ann.withFeatureVector(corpus, "embedding")
-    val train = if (sampleFraction >= 1.0) featurized
-      else featurized.sample(withReplacement = false, sampleFraction, seed)
-    val model = new KMeans().setK(nCells).setSeed(seed)
-      .setFeaturesCol("features").fit(train)
-    val assigned = model.transform(featurized)
-      .withColumnRenamed("prediction", "cell")
-      .drop("features")
-    (assigned, model.clusterCenters.map(_.toArray))
+      seed: Long = 42L, maxIter: Int = 10,
+      maxSample: Int = DefaultMaxSample): (DataFrame, Array[Array[Double]]) = {
+    val sampled = if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed)
+    // vec_id sort makes the collected order — and therefore the fit —
+    // independent of partitioning; limit bounds driver memory
+    val sample: Array[Array[Float]] = sampled
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxSample)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val centroids = lloyd(sample, nCells, maxIter)
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: scala.collection.Seq[Float]) =>
+      nearest(bc.value, normalize(v.toArray)))
+    val assigned = corpus.withColumn("cell", assignUdf(col("embedding")))
+    (assigned, centroids)
   }
 
   /** Top-k per query, probing the `nProbe` nearest cells. `queries`
