@@ -396,8 +396,8 @@ object Queries {
 
   /** Language ID (stopword heuristic). */
   def q_lang_id(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.detectLang(col("text")).as("pred_lang"))
+    TextAnalysis.withDetectedLang(t(s, dir, "documents"))
+      .select(col("doc_id"), col("pred_lang"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring. */

@@ -48,11 +48,29 @@ case class SemanticChunker(
       .cache()
 
     try {
-      val agg = withDist.agg(
-        sum(col("token_length")).as("toks"),
-        countDistinct(col("doc_id")).as("docs")).head()
-      val totalToks = Option(agg.getAs[Any]("toks")).fold(0L)(_.toString.toLong)
-      val nDocs = agg.getAs[Long]("docs")
+      // Threshold selection in ONE distributed pass instead of a
+      // maxIter-deep binary search (each probe was a full count job):
+      // histogram the distances on a fixed grid of 2^maxIter bins over
+      // [0, 2] — same granularity the binary search would reach — and
+      // pick the smallest grid threshold with breaks ≤ target from
+      // the (≤4k-row) driver-side cumulative. Deterministic, and the
+      // collect size is grid-bound, not data-bound. The same pass
+      // carries the corpus totals: `dist` is null exactly once per
+      // document (the `lead` tail row), so bin −1's row count IS the
+      // document count, and the per-bin token sums add up to the
+      // corpus token total — no separate aggregate job.
+      val bins = 1 << maxIter
+      val step = 2.0 / bins
+      val histo = withDist
+        .groupBy(when(col("dist").isNull, lit(-1))
+          .otherwise(greatest(least(floor(col("dist") / step), lit(bins - 1)), lit(0))
+            .cast("int")).as("bin"))
+        .agg(count(lit(1)).as("cnt"), sum(col("token_length")).as("toks"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1),
+          Option(r.getAs[Any]("toks")).fold(0L)(_.toString.toLong))).toMap
+      val totalToks = histo.valuesIterator.map(_._2).sum
+      val nDocs = histo.getOrElse(-1, (0L, 0L))._1
       if (totalToks == 0)
         return withDist.limit(0).select(
           col("doc_id"), col("source"), col("chunk_index"), col("text"),
@@ -62,28 +80,13 @@ case class SemanticChunker(
       // target: chunks averaging ~avgChunkTokens ⇒ breakpoints ≈
       // totalToks/avg − nDocs (each doc contributes one trailing chunk)
       val targetBreaks = math.max(0L, totalToks / avgChunkTokens - nDocs)
-      // Threshold selection in ONE distributed pass instead of a
-      // maxIter-deep binary search (each probe was a full count job):
-      // histogram the distances on a fixed grid of 2^maxIter bins over
-      // [0, 2] — same granularity the binary search would reach — and
-      // pick the smallest grid threshold with breaks ≤ target from
-      // the (≤4k-row) driver-side cumulative. Deterministic, and the
-      // collect size is grid-bound, not data-bound.
-      val bins = 1 << maxIter
-      val step = 2.0 / bins
-      val histo = withDist
-        .filter(col("dist").isNotNull)
-        .groupBy(greatest(least(floor(col("dist") / step), lit(bins - 1)), lit(0))
-          .cast("int").as("bin"))
-        .count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
       // breaks(t = (b+1)*step) = Σ counts of bins strictly above b
       var cum = 0L
       var threshold = 2.0
       val suffix = new Array[Long](bins + 1)
       var b = bins - 1
       while (b >= 0) {
-        cum += histo.getOrElse(b, 0L); suffix(b) = cum; b -= 1
+        cum += histo.getOrElse(b, (0L, 0L))._1; suffix(b) = cum; b -= 1
       }
       var t = 0
       while (t <= bins) {

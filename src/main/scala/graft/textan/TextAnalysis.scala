@@ -21,28 +21,72 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "y", "de", "un", "una", "es", "que", "por", "en"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"))
 
-  private def stopwordHits(toks: Column, lang: String): Column =
-    size(filter(toks, t =>
-      array_contains(array(stopwords(lang).map(lit): _*), t)))
+  /** `let`-binding for Column expressions: evaluates `value` ONCE per
+    * row and hands the body a lambda variable reference. Without this,
+    * every reuse of a Column duplicates its whole expression subtree
+    * (Catalyst plans are trees, not DAGs), and codegen's subexpression
+    * elimination refuses to hoist anything referenced under a
+    * conditional branch — `detectLang` used to re-tokenize the
+    * document ~25× per row through its when-cascade. */
+  def bind(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  private val langs: Seq[String] = Seq("en", "fr", "es", "de")
+
+  /** word → per-language membership (0/1 per entry of [[langs]]),
+    * folded to a map literal at optimization time. */
+  private def membershipMap: Column = {
+    val words = langs.flatMap(stopwords).distinct
+    map(words.flatMap { w =>
+      Seq(lit(w), array(langs.map(l =>
+        lit(if (stopwords(l).contains(w)) 1 else 0)): _*))
+    }: _*)
+  }
+
+  private def zeros: Column = array(langs.map(_ => lit(0)): _*)
+
+  /** Per-language stopword-hit counts as one int array, computed in a
+    * single pass over the token array (one map lookup per token)
+    * instead of one `filter` scan per language. */
+  def stopwordHitArray(toks: Column): Column =
+    aggregate(toks, zeros, (acc, t) =>
+      zip_with(acc, coalesce(element_at(membershipMap, t), zeros),
+        (a, b) => a + b))
 
   /** Language ID: CJK-character presence → "zh"; otherwise the
     * language with the highest stopword-hit count, ties broken in
     * fixed order en > fr > es > de; no hits at all → "und". */
   def langScores(textCol: Column): Seq[(String, Column)] = {
     val toks = Tok.tokens(lower(textCol))
-    Seq("en", "fr", "es", "de").map(l => l -> stopwordHits(toks, l))
+    langs.zipWithIndex.map { case (l, i) =>
+      l -> element_at(stopwordHitArray(toks), i + 1)
+    }
   }
 
-  def detectLang(textCol: Column): Column = {
-    val scores = langScores(textCol)
-    val best = greatest(scores.map(_._2): _*)
-    val pick = scores.foldLeft(when(lit(false), lit("")): Column) {
-      case (acc, (l, s)) => acc.when(s === best, lit(l))
-    }
+  /** Picks the language from a precomputed hit array (cheap: no
+    * re-evaluation — `sc` should be a plain column reference or a
+    * lambda variable). `array_position` returns the FIRST index of
+    * the max, which is exactly the en > fr > es > de tie order. */
+  private def pickLang(textCol: Column, sc: Column): Column =
     when(textCol.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
-      .when(best > 0, pick)
+      .when(array_max(sc) > 0,
+        element_at(array(langs.map(lit): _*),
+          array_position(sc, array_max(sc)).cast("int")))
       .otherwise(lit("und"))
-  }
+
+  def detectLang(textCol: Column): Column =
+    bind(stopwordHitArray(Tok.tokens(lower(textCol))), sc =>
+      pickLang(textCol, sc))
+
+  /** DataFrame-level language ID: stages the hit array in its own
+    * projection, so the aggregate runs once per row and the consuming
+    * projection only touches a column reference (CollapseProject
+    * leaves non-cheap expressions referenced more than once staged). */
+  def withDetectedLang(df: DataFrame, textCol: String = "text",
+      out: String = "pred_lang"): DataFrame =
+    df.withColumn("__sc", stopwordHitArray(Tok.tokens(lower(col(textCol)))))
+      .withColumn(out, pickLang(col(textCol), col("__sc")))
+      .drop("__sc")
 
   /** Quality scoring: length/punctuation/stopword/digit ratios
     * combined into [0,1]. All DOUBLE arithmetic, rounded at the end,

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage profiler for the heavy bench queries. Not part of the
@@ -28,6 +28,9 @@ object Profile {
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+      .setLevel(org.apache.log4j.Level.INFO)
     import graft.io.Tables
     import graft.dedup.Dedup
     import graft.text.Tok
@@ -89,6 +92,139 @@ object Profile {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
         time("join+distinct") { noop(joined) }
+      case "text" =>
+        for (q <- Seq("q_lang_id", "q_quality_score", "q_fingerprint",
+            "q_token_count", "q_bpe_tokens")) {
+          val fn = graft.SparkEntry.queries(q)
+          time(q) { noop(fn(spark, sfDir)) }
+          time(s"$q (2nd)") { noop(fn(spark, sfDir)) }
+        }
+      case "langcold" =>
+        import graft.textan.TextAnalysis
+        val docs0 = Tables.table(spark, sfDir, "documents")
+        time("hitArray FIRST (cold)") {
+          noop(docs0.select(col("doc_id"),
+            TextAnalysis.stopwordHitArray(Tok.tokens(lower(col("text")))).as("sc")))
+        }
+        time("full q_lang_id after") {
+          noop(graft.SparkEntry.queries("q_lang_id")(spark, sfDir))
+        }
+      case "langold" =>
+        import graft.textan.TextAnalysis.stopwords
+        val docs0 = Tables.table(spark, sfDir, "documents")
+        val toks = Tok.tokens(lower(col("text")))
+        def hits(lang: String) = size(filter(toks, t =>
+          array_contains(array(stopwords(lang).map(lit): _*), t)))
+        val scores = Seq("en", "fr", "es", "de").map(l => l -> hits(l))
+        val best = greatest(scores.map(_._2): _*)
+        val pick = scores.foldLeft(when(lit(false), lit("")): Column) {
+          case (acc, (l, sc)) => acc.when(sc === best, lit(l))
+        }
+        val old = when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+          .when(best > 0, pick).otherwise(lit("und"))
+        time("OLD detectLang cold") {
+          noop(docs0.select(col("doc_id"), old.as("pred_lang")).orderBy(col("doc_id")))
+        }
+        time("OLD detectLang 2nd") {
+          noop(docs0.select(col("doc_id"), old.as("pred_lang")).orderBy(col("doc_id")))
+        }
+      case "langphases" =>
+        val df = graft.SparkEntry.queries("q_lang_id")(spark, sfDir)
+        time("analyze") { df.queryExecution.analyzed }
+        time("optimize") { df.queryExecution.optimizedPlan }
+        time("physical") { df.queryExecution.executedPlan }
+        time("execute") { noop(df) }
+        val df2 = graft.SparkEntry.queries("q_lang_id")(spark, sfDir)
+        time("all (2nd)") { noop(df2) }
+        // pieces of the expression, cold each
+        import graft.textan.TextAnalysis
+        val docs = Tables.table(spark, sfDir, "documents")
+        time("hitArray only") {
+          noop(docs.select(col("doc_id"),
+            TextAnalysis.stopwordHitArray(Tok.tokens(lower(col("text")))).as("sc")))
+        }
+        time("bind(hitArray) pick") {
+          noop(docs.select(col("doc_id"),
+            TextAnalysis.bind(
+              TextAnalysis.stopwordHitArray(Tok.tokens(lower(col("text")))), sc =>
+                when(array_max(sc) > 0, lit("x")).otherwise(lit("und"))).as("l")))
+        }
+        time("rlike only") {
+          noop(docs.select(col("doc_id"),
+            when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+              .otherwise(lit("u")).as("l")))
+        }
+      case "semantic2" =>
+        val docs = Tables.table(spark, sfDir, "documents")
+        val pieces = graft.text.chunk.RecursiveChunker(chunkSize = 50, overlap = 0)
+          .chunk(docs)
+        time("pieces (recursive min-split)") { noop(pieces) }
+        val emb = graft.vector.HashingEmbedder(64).embed(pieces)
+        time("embed") { noop(emb) }
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_index"))
+        val withDist = emb
+          .withColumn("next_emb", lead(col("embedding"), 1).over(w))
+          .withColumn("dist",
+            when(col("next_emb").isNotNull,
+              lit(1.0) - graft.vector.FloatVecExpr.dotF(col("embedding"), col("next_emb")) /
+                (graft.vector.FloatVecExpr.normF(col("embedding")) *
+                  graft.vector.FloatVecExpr.normF(col("next_emb"))))
+              .otherwise(lit(null)))
+          .drop("embedding", "next_emb")
+        time("withDist") { noop(withDist) }
+        time("full chunk()") {
+          noop(graft.text.chunk.SemanticChunker().chunk(docs))
+        }
+      case "semantic3" =>
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.table(spark, sfDir, "documents")
+        val pieces = graft.text.chunk.RecursiveChunker(chunkSize = 50, overlap = 0)
+          .chunk(docs)
+          .select(col("doc_id"), col("source"), col("chunk_index"),
+            col("text"), col("start"), col("end"), col("token_length"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_index"))
+        val withDist = graft.vector.HashingEmbedder(64).embed(pieces)
+          .withColumn("next_emb", lead(col("embedding"), 1).over(w))
+          .withColumn("dist",
+            when(col("next_emb").isNotNull,
+              lit(1.0) - graft.vector.FloatVecExpr.dotF(col("embedding"), col("next_emb")) /
+                (graft.vector.FloatVecExpr.normF(col("embedding")) *
+                  graft.vector.FloatVecExpr.normF(col("next_emb"))))
+              .otherwise(lit(null)))
+          .drop("embedding", "next_emb")
+          .cache()
+        val bins = 1 << 12
+        val step = 2.0 / bins
+        val histo = time("histogram job (materializes cache)") {
+          withDist
+            .groupBy(when(col("dist").isNull, lit(-1))
+              .otherwise(greatest(least(floor(col("dist") / step), lit(bins - 1)), lit(0))
+                .cast("int")).as("bin"))
+            .agg(count(lit(1)).as("cnt"), sum(col("token_length")).as("toks"))
+            .collect()
+        }
+        println(s"[profile] histo rows ${histo.length}")
+        val threshold = 0.9
+        val seg = withDist
+          .withColumn("brk",
+            when(lag(col("dist"), 1).over(w) > threshold, 1).otherwise(0))
+          .withColumn("segment",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val merged = seg.groupBy(col("doc_id"), col("source"), col("segment"))
+          .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+        val segW = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+        val out = merged
+          .join(docs.select(col("doc_id"), col("text").as("doc_text")), "doc_id")
+          .withColumn("text",
+            col("doc_text").substr(col("start") + lit(1), col("end") - col("start")))
+          .withColumn("chunk_index", row_number().over(segW) - lit(1))
+          .select(col("doc_id"), col("source"), col("chunk_index"), col("text"),
+            col("start"), col("end"), length(col("text")).as("char_length"),
+            Tok.tokenCount(col("text")).as("token_length"))
+        time("final job") { noop(out) }
+        time("final job (2nd)") { noop(out) }
+        withDist.unpersist()
       case "semantic" =>
         val docs = Tables.table(spark, sfDir, "documents")
         time("full q_chunk_semantic") {
@@ -96,6 +232,42 @@ object Profile {
         }
         time("full (2nd run)") {
           noop(graft.text.chunk.SemanticChunker().chunk(docs))
+        }
+      case "lsh" =>
+        val emb = Tables.table(spark, sfDir, "embeddings")
+        time("q_near_dup_lsh full") {
+          noop(graft.Queries.q_near_dup_lsh(spark, sfDir))
+        }
+        time("q_near_dup_lsh (2nd)") {
+          noop(graft.Queries.q_near_dup_lsh(spark, sfDir))
+        }
+        time("q_topk_lsh full") {
+          noop(graft.Queries.q_topk_lsh(spark, sfDir))
+        }
+        time("q_near_dup_signlsh full") {
+          noop(graft.Queries.q_near_dup_signlsh(spark, sfDir))
+        }
+        // candidate volume inside the BRP approx join
+        import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+        val norm = udf((a: Seq[Float]) => {
+          val n = math.sqrt(a.iterator.map(x => x.toDouble * x).sum)
+          org.apache.spark.ml.linalg.Vectors.dense(
+            if (n > 0) a.iterator.map(_ / n).toArray else new Array[Double](a.length))
+        })
+        val e = emb.withColumn("features", norm(col("embedding")))
+        val lsh = new BucketedRandomProjectionLSH()
+          .setInputCol("features").setOutputCol("hashes")
+          .setBucketLength(0.25).setNumHashTables(4).setSeed(42L)
+        val model = lsh.fit(e)
+        val t1 = model.transform(e)
+          .select(col("vec_id"), posexplode(col("hashes")).as(Seq("tbl", "h")))
+          .withColumn("h0",
+            element_at(org.apache.spark.ml.functions.vector_to_array(col("h")), 1))
+        val buckets = t1.groupBy("tbl", "h0").count()
+        time("bucket histogram") {
+          buckets.orderBy(desc("count")).show(10, false)
+          println("[profile] candidate pairs ≈ " +
+            buckets.agg(sum(col("count") * col("count"))).head().getLong(0))
         }
       case "ivf" =>
         val emb = Tables.table(spark, sfDir, "embeddings")
