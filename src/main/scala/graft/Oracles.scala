@@ -376,6 +376,44 @@ object Oracles {
          |WHERE a.doc_id < b2.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // SimHash is md5-derived bit math, so it IS oracle-expressible:
+    // byte j of the digest is hex chars 2j,2j+1 (strpos into the hex
+    // alphabet), bit k of the 32-bit hash is bit 7−k%8 of byte k/8.
+    // Mirrors Dedup.simhash32 exactly: +1/−1 vote per token per bit,
+    // h |= 1<<k when the vote is positive, token-less docs hash to 0
+    // (LEFT JOIN + COALESCE), 8-bit banding, hamming = bit_count(xor).
+    "q_simhash_candidates" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$RE')) AS t
+         |  FROM documents
+         |), th AS (
+         |  SELECT doc_id, md5(t) AS h FROM tok
+         |), bitsum AS (
+         |  SELECT doc_id, k,
+         |    SUM(CASE WHEN (((strpos('0123456789abcdef', substr(h, (k//8)*2+1, 1)) - 1) * 16
+         |               + (strpos('0123456789abcdef', substr(h, (k//8)*2+2, 1)) - 1))
+         |               >> (7 - (k % 8))) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) ks
+         |  GROUP BY doc_id, k
+         |), shp AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bitsum GROUP BY doc_id
+         |), shh AS (
+         |  SELECT d.doc_id, COALESCE(shp.simhash, 0) AS simhash
+         |  FROM documents d LEFT JOIN shp ON d.doc_id = shp.doc_id
+         |), banded AS (
+         |  SELECT doc_id, simhash, b AS band, (simhash >> (b*8)) & 255 AS band_key
+         |  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+         |), pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""${shingleCte("WHERE doc_id < 100")}
          |, shr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),

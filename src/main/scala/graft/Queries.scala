@@ -387,7 +387,8 @@ object Queries {
       minJaccard = 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash near-dup candidates (UDF bit math; rows-only check). */
+  /** SimHash near-dup candidates (md5 bit math — oracle-checked; the
+    * DuckDB side reconstructs the digest bits from the hex string). */
   def q_simhash_candidates(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(t(s, dir, "documents"), maxHamming = 6)
       .orderBy(col("doc_a"), col("doc_b"))

@@ -113,9 +113,10 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash over tokens (md5-derived bit planes). Not
-    * SQL-oracle-expressible (bit twiddling) — deterministic UDF,
-    * verified by unit tests + rows-only driver check. */
+  /** 32-bit SimHash over tokens (md5-derived bit planes). Fully
+    * deterministic, and oracle-expressible after all: the DuckDB side
+    * ([[graft.Oracles]] q_simhash_candidates) rebuilds each digest bit
+    * from the md5 hex string, so this UDF is hash-checked end-to-end. */
   def simhash32(text: String): Long = {
     if (text == null) return 0L
     val acc = new Array[Int](32)
