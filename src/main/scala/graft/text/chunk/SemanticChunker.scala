@@ -37,6 +37,10 @@ case class SemanticChunker(
       .select(col("doc_id"), col("source"), col("chunk_index"),
         col("text"), col("start"), col("end"), col("token_length"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_index"))
+    // `text` is dropped before the cache: the merged output re-slices
+    // from the parent document, so the cached distances frame stays
+    // narrow — per ~50-token piece just ids, offsets, token count and
+    // one double, not the piece text (which would dominate the cache).
     val withDist = embedder.embed(pieces)
       .withColumn("next_emb", lead(col("embedding"), 1).over(w))
       .withColumn("dist",
@@ -44,7 +48,7 @@ case class SemanticChunker(
           lit(1.0) - FloatVecExpr.dotF(col("embedding"), col("next_emb")) /
             (FloatVecExpr.normF(col("embedding")) * FloatVecExpr.normF(col("next_emb"))))
           .otherwise(lit(null)))
-      .drop("embedding", "next_emb")
+      .drop("embedding", "next_emb", "text")
       .cache()
 
     try {
@@ -73,8 +77,8 @@ case class SemanticChunker(
       val nDocs = histo.getOrElse(-1, (0L, 0L))._1
       if (totalToks == 0)
         return withDist.limit(0).select(
-          col("doc_id"), col("source"), col("chunk_index"), col("text"),
-          col("start"), col("end"),
+          col("doc_id"), col("source"), col("chunk_index"),
+          lit("").cast("string").as("text"), col("start"), col("end"),
           col("token_length").as("char_length"), col("token_length"),
           lit(strategy).as("strategy"))
       // target: chunks averaging ~avgChunkTokens ⇒ breakpoints ≈

@@ -136,18 +136,27 @@ object Ann {
       }
       out
     })
-    val banded = embeddings
-      .select(col("vec_id"), col("embedding"),
-        FloatVecExpr.normF(col("embedding")).as("nrm"),
-        posexplode(keysUdf(col("embedding"))).as(Seq("band", "key")))
-    val cand = banded.as("x").join(banded.as("y"),
+    // Candidate generation stays NARROW: only (vec_id, band, key) goes
+    // through the self-join and the pair-dedup shuffles, never the
+    // embedding arrays (the old shape shuffled 8 copies of every
+    // vector, then dropDuplicates moved wide rows again). Vectors are
+    // joined back exactly once per side for the exact-cosine confirm —
+    // the standard candidate/verify split, and the only layout that
+    // survives 100 TB where candidate volume ≫ corpus size.
+    val keyed = embeddings.select(col("vec_id"),
+      posexplode(keysUdf(col("embedding"))).as(Seq("band", "key")))
+    val pairs = keyed.as("x").join(keyed.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        col("x.embedding").as("emb_a"), col("y.embedding").as("emb_b"),
-        col("x.nrm").as("nrm_a"), col("y.nrm").as("nrm_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val emb = embeddings.select(col("vec_id"), col("embedding"),
+      FloatVecExpr.normF(col("embedding")).as("nrm"))
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "id_b")
       .withColumn("cos_sim",
         round(FloatVecExpr.dotF(col("emb_a"), col("emb_b")) /
           (col("nrm_a") * col("nrm_b")), 6))
