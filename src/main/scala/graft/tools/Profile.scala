@@ -92,6 +92,46 @@ object Profile {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
         time("join+distinct") { noop(joined) }
+      case "explainreuse" =>
+        for (q <- Seq("q_minhash_candidates", "q_simhash_candidates",
+            "q_ngram_jaccard", "q_near_dup_signlsh")) {
+          val df = graft.SparkEntry.queries(q)(spark, sfDir)
+          df.collect() // execute THIS queryExecution so AQE finalizes
+          val s = df.queryExecution.executedPlan.toString
+          println(s"[profile] $q reusedExchange=" +
+            s.sliding("ReusedExchange".length).count(_ == "ReusedExchange"))
+          if (sys.env.contains("GRAFT_DUMP_PLAN"))
+            println(s)
+        }
+      case "minhash2" =>
+        val docs = Tables.table(spark, sfDir, "documents")
+        def banded0 = {
+          val sh = docs.filter(trim(col("text")) =!= "")
+            .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+          val minCols = (0 until 8).map(s =>
+            min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"h$s"))
+          val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+          val bandKeys = (0 until 4).map(b =>
+            concat((b * 2 until (b + 1) * 2).map(s => col(s"h$s")): _*))
+          sig.select(col("doc_id"),
+            posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+        }
+        def joinOf(b: DataFrame) =
+          b.as("x").join(b.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.band_key") === col("y.band_key") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+            .distinct()
+        time("A: current (AQE broadcast)") { noop(joinOf(banded0)) }
+        time("A (2nd)") { noop(joinOf(banded0)) }
+        val rep = banded0.repartition(col("band"), col("band_key"))
+        time("B: repartition both sides") { noop(joinOf(rep)) }
+        time("B (2nd)") { noop(joinOf(rep)) }
+        val cached = banded0.cache()
+        time("C: cache banded") { noop(joinOf(cached)) }
+        time("C (2nd)") { noop(joinOf(cached)) }
+        cached.unpersist()
       case "text" =>
         for (q <- Seq("q_lang_id", "q_quality_score", "q_fingerprint",
             "q_token_count", "q_bpe_tokens")) {
