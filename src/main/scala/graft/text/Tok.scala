@@ -44,4 +44,15 @@ object Tok {
     while (m.find()) n += 1
     n
   }
+
+  /** Token count of `s[from, to)` without allocating the substring —
+    * an opaque matcher region behaves exactly like `count(s.substring
+    * (from, to))`. Callers cut only at non-alphanumeric boundaries, so
+    * region edges never split a token. */
+  def countRegion(s: String, from: Int, to: Int): Int = {
+    val m = compiled.matcher(s).region(from, to)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
 }

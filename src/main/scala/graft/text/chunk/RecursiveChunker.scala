@@ -41,7 +41,13 @@ case class RecursiveChunker(
   private[chunk] def fragments(
       text: String, start: Int, end: Int, seps: Seq[String]): Vector[(Int, Int)] = {
     if (start >= end) return Vector.empty
-    if (Tok.count(text.substring(start, end)) <= chunkSize)
+    // ≤ chunkSize chars ⇒ ≤ chunkSize tokens (every token is ≥ 1
+    // char), so small fragments are accepted without tokenizing at
+    // all; only genuinely long spans pay the regex. countRegion scans
+    // in place — the old substring-per-recursion-level shape
+    // re-copied and re-tokenized the same characters once per
+    // separator depth.
+    if (end - start <= chunkSize || Tok.countRegion(text, start, end) <= chunkSize)
       return Vector((start, end))
     seps match {
       case sep +: rest =>
@@ -74,7 +80,7 @@ case class RecursiveChunker(
     * strictly after the previous one). */
   private[chunk] def merge(text: String, frags: Vector[(Int, Int)]): Vector[(Int, Int)] = {
     if (frags.isEmpty) return Vector.empty
-    val tokCount = frags.map { case (a, b) => Tok.count(text.substring(a, b)) }
+    val tokCount = frags.map { case (a, b) => Tok.countRegion(text, a, b) }
     val out = Vector.newBuilder[(Int, Int)]
     var lo = 0
     while (lo < frags.length) {
