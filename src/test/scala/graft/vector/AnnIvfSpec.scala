@@ -1,0 +1,81 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.dedup.Dedup
+
+/** Round-3 additions: the deterministic driver-side Lloyd's quantizer
+  * behind [[Ivf.index]], the dim-derived LSH bucket length, and the
+  * narrow candidate/verify shape of [[Ann.signLshNearDup]].
+  */
+class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic synthetic corpus: `n` seeded unit-ish vectors plus
+    * one slightly perturbed near-duplicate of each of the first
+    * `dups` — so the true near-dup pair set is known by construction. */
+  private def corpus(n: Int, dups: Int, dim: Int = 16): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until n).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val near = (0 until dups).map { i =>
+      val v = base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((n + i).toLong, v)
+    }
+    base ++ near
+  }
+
+  test("lloyd: deterministic, k centroids, k > n degrades to n") {
+    val sample = Array.tabulate(20)(i =>
+      Array.tabulate(4)(j => (i * 4 + j).toFloat / 80f))
+    val a = Ivf.lloyd(sample, 5, 10)
+    val b = Ivf.lloyd(sample.map(_.clone), 5, 10)
+    assert(a.length == 5)
+    assert(a.zip(b).forall { case (x, y) => java.util.Arrays.equals(x, y) })
+    assert(Ivf.lloyd(sample.take(3), 5, 10).length == 3)
+  }
+
+  test("Ivf.index cell assignment is independent of partition layout") {
+    val df = corpus(40, 0).toDF("vec_id", "embedding")
+    val (a3, c3) = Ivf.index(df.repartition(3), nCells = 4)
+    val (a13, c13) = Ivf.index(df.repartition(13), nCells = 4)
+    assert(c3.zip(c13).forall { case (x, y) => java.util.Arrays.equals(x, y) })
+    val cells3 = a3.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val cells13 = a13.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(cells3 == cells13)
+  }
+
+  test("autoBucketLength scales as 0.4/sqrt(dim)") {
+    assert(math.abs(Ann.autoBucketLength(64) - 0.05) < 1e-12)
+    assert(Ann.autoBucketLength(16) > Ann.autoBucketLength(256))
+  }
+
+  test("signLshNearDup: every reported pair is confirmed, and recall vs brute is high") {
+    val df = corpus(60, 10).toDF("vec_id", "embedding")
+    val thr = 0.95
+    val brute = Dedup.cosineNearDup(df, thr)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.size >= 10) // the 10 constructed near-dups are found
+    val lsh = Ann.signLshNearDup(df, thr)
+    // soundness: the exact-cosine confirm bounds every reported pair
+    assert(lsh.filter(col("cos_sim") < thr).count() == 0)
+    val got = lsh.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute))
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"sign-LSH recall too low: $recall")
+  }
+
+  test("lshNearDup with dim-derived bucket length matches brute on constructed dups") {
+    val df = corpus(60, 10).toDF("vec_id", "embedding")
+    val thr = 0.95
+    val brute = Dedup.cosineNearDup(df, thr)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = Ann.lshNearDup(df, thr)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute))
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"BRP-LSH recall too low: $recall")
+  }
+}
