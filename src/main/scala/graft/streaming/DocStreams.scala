@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.textan.TextAnalysis
+
+/** Streaming twins of the dedup operators — the continuous-ingest
+  * shape of a training-data pipeline (SURVEY §2.11 extension; the
+  * reference's ingest DAG is a daily batch, `/root/reference/Airflow/
+  * dags/nvidia_quarterly_reports_pipeline.py:70-71`).
+  *
+  * Scale notes: streaming exact dedup keeps ONE fingerprint (16-byte
+  * md5) per distinct document in the state store — state is bounded
+  * by distinct content, not stream length, and with RocksDB state
+  * backing it spills off-heap. The watermarked variant bounds state
+  * by the watermark horizon instead: a duplicate arriving later than
+  * the delay is no longer caught, which is the deliberate trade for
+  * O(horizon) state on an unbounded stream.
+  */
+object DocStreams {
+
+  /** Content-exact dedup on a document stream: first arrival per
+    * normalized-content fingerprint wins (same key as
+    * [[graft.textan.TextAnalysis.contentFingerprint]], so the kept
+    * set matches batch [[graft.dedup.Dedup.dropExactDuplicates]] up
+    * to arrival order). */
+  def dedupDocumentStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("fingerprint", TextAnalysis.contentFingerprint(col("text")))
+      .dropDuplicates("fingerprint")
+  }
+
+  /** Watermarked event dedup: drops re-deliveries of the same
+    * `event_id` arriving within `delay` of the watermark — bounded
+    * state for at-least-once upstreams. */
+  def dedupEventStream(spark: SparkSession, path: String,
+      delay: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+}
