@@ -401,17 +401,13 @@ object Queries {
       .select(col("doc_id"), col("pred_lang"))
       .orderBy(col("doc_id"))
 
-  /** Quality scoring. */
-  def q_quality_score(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
-    val withCols = TextAnalysis.qualityColumns(col("text"))
-      .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
-    withCols
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+  /** Quality scoring (single-pass staged form — same values as the
+    * per-Column API, each regex evaluated once per row). */
+  def q_quality_score(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQuality(t(s, dir, "documents"))
       .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
         col("digit_ratio"), col("stopword_ratio"), col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   /** Token counting (F7). */
   def q_token_count(s: SparkSession, dir: String): DataFrame =

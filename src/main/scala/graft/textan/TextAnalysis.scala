@@ -132,6 +132,46 @@ object TextAnalysis {
         lit(0.1) * (lit(1.0) - least(digitRatio * 10, lit(1.0))), 6)
   }
 
+  /** DataFrame-level quality columns + composite score in one pass:
+    * the shared scalars (token count, punct/digit char counts,
+    * stopword hits) are staged in their own projection, so each
+    * regex/tokenize runs once per row and every ratio — and the
+    * composite score — is plain arithmetic over column references.
+    * Values are bit-identical to [[qualityColumns]]/[[qualityScore]]
+    * (same DOUBLE arithmetic, same single terminal rounding); only
+    * the expression sharing differs. CollapseProject keeps the staged
+    * columns because each is referenced more than once. */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val staged = df
+      .withColumn("__toks", Tok.tokens(lower(t)))
+      .withColumn("__nchars", length(t).cast("double"))
+      .withColumn("__punct",
+        length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double"))
+      .withColumn("__digits",
+        length(regexp_replace(t, "[^0-9]", "")).cast("double"))
+      .withColumn("__ntoks", size(col("__toks")).cast("double"))
+      .withColumn("__stop", size(filter(col("__toks"), tk =>
+        array_contains(array(stopwords("en").map(lit): _*), tk))).cast("double"))
+    val nChars = col("__nchars"); val nToks = col("__ntoks")
+    val punctRatio = col("__punct") / greatest(nChars, lit(1.0))
+    val digitRatio = col("__digits") / greatest(nChars, lit(1.0))
+    val stopRatio = col("__stop") / greatest(nToks, lit(1.0))
+    staged
+      .withColumn("n_tokens", nToks)
+      .withColumn("punct_ratio", round(punctRatio, 6))
+      .withColumn("digit_ratio", round(digitRatio, 6))
+      .withColumn("stopword_ratio", round(stopRatio, 6))
+      .withColumn("avg_token_chars",
+        round((nChars - (nToks - 1)) / greatest(nToks, lit(1.0)), 6))
+      .withColumn("quality", round(
+        lit(0.4) * least(nChars / lit(200.0), lit(1.0)) +
+          lit(0.3) * least(stopRatio * 5, lit(1.0)) +
+          lit(0.2) * (lit(1.0) - least(punctRatio * 10, lit(1.0))) +
+          lit(0.1) * (lit(1.0) - least(digitRatio * 10, lit(1.0))), 6))
+      .drop("__toks", "__nchars", "__punct", "__digits", "__ntoks", "__stop")
+  }
+
   /** md5 content fingerprint of the normalized text (collapse runs of
     * whitespace, lowercase) — the cheap exact-dup key. */
   def contentFingerprint(textCol: Column): Column =
