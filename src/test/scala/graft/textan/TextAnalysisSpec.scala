@@ -33,6 +33,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0) > got(1))
   }
 
+  test("withQuality equals the per-Column forms bit-for-bit") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val staged = TextAnalysis.withQuality(docs)
+      .select("doc_id", "n_tokens", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "avg_token_chars", "quality")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val perColumn = TextAnalysis.qualityColumns(col("text"))
+      .foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .select("doc_id", "n_tokens", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "avg_token_chars", "quality")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(staged == perColumn)
+  }
+
   test("winnow fingerprint: deterministic, shift-invariant core") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
