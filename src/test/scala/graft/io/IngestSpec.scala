@@ -41,6 +41,17 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(df.filter(col("cik") === 320193).count() == 1)
   }
 
+  test("whole-text source reads one file as one row (S5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wholetext")
+    val body = "# Report\n\nParagraph one.\n\nParagraph two.\n"
+    java.nio.file.Files.writeString(dir.resolve("report.md"), body)
+    val df = Tables.wholeText(spark, dir.toString)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == body.stripLineEnd ||
+      rows(0).getString(0) == body) // text source may drop the trailing newline
+  }
+
   test("catalog introspection replaces INFORMATION_SCHEMA queries") {
     Tables.registerAll(spark, sf)
     val tables = spark.catalog.listTables().collect().map(_.name).toSet

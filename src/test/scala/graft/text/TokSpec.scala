@@ -16,4 +16,13 @@ class TokSpec extends AnyFunSuite {
     val s = "the fast key order sort, table scan! merge 42 part."
     assert(Tok.count(s) == Tok.tokenize(s).length)
   }
+  test("countRegion equals count of the substring for every region") {
+    // includes mid-token cuts — the opaque region must behave exactly
+    // like the substring even when an edge splits an alnum run
+    val texts = Seq("", "a", "hello world", "a-b c.d 42x\n\npara two!",
+      "  spaces   and\ttabs ", "纯中文 tokens mixed 12ab")
+    for (s <- texts; a <- 0 to s.length; b <- a to s.length)
+      assert(Tok.countRegion(s, a, b) == Tok.count(s.substring(a, b)),
+        s"region ($a,$b) of '$s'")
+  }
 }
