@@ -50,4 +50,19 @@ class IngestPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql("SELECT graft_simhash('x') AS h").head().getLong(0) ==
       graft.dedup.Dedup.simhash32("x"))
   }
+
+  test("SQL text-analysis surface: graft_lang_id / graft_quality / graft_fingerprint") {
+    graft.GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT graft_lang_id('the cat and the dog is in a tree') AS l")
+      .head().getString(0) == "en")
+    val q = spark.sql(
+      "SELECT graft_quality('the data is in the table and it is good') AS q")
+      .head().getDouble(0)
+    assert(q >= 0.0 && q <= 1.0)
+    // same value as the Column API, and whitespace/case-insensitive
+    val fp = spark.sql("SELECT graft_fingerprint('A  B') AS f").head().getString(0)
+    val fp2 = spark.sql("SELECT graft_fingerprint('a b') AS f").head().getString(0)
+    assert(fp == fp2 && fp.length == 32)
+  }
 }
