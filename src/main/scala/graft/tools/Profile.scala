@@ -92,6 +92,20 @@ object Profile {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
         time("join+distinct") { noop(joined) }
+      case "shuffles" =>
+        // static shuffle inventory: count exchanges / sorts / scans in
+        // every catalog query's initial physical plan (pre-AQE — an
+        // upper bound; AQE may downgrade shuffles to broadcasts)
+        val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          def cnt(p: String) = p.r.findAllIn(plan).size
+          (name, cnt("Exchange hashpartitioning"), cnt("Exchange rangepartitioning"),
+            cnt("BroadcastExchange"), cnt("\\bSort\\b"), cnt("FileScan"))
+        }
+        println(f"[profile] ${"query"}%-26s hash range bcast sort scan")
+        rows.foreach { case (n, h, r, b, s, f) =>
+          println(f"[profile] $n%-26s $h%4d $r%5d $b%5d $s%4d $f%4d")
+        }
       case "explainreuse" =>
         for (q <- Seq("q_minhash_candidates", "q_simhash_candidates",
             "q_ngram_jaccard", "q_near_dup_signlsh")) {
