@@ -432,6 +432,27 @@ object Oracles {
          |) WHERE jaccard >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // same three patterns, same order as graft.textan.Scrub; DuckDB
+    // needs the 'g' flag to replace all matches like Spark does
+    "q_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text,
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[0-9]{4,}', '<NUM>', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // first 16 bits of md5(key) < 0.25 * 65536 — same bucket math as
+    // graft.rel.Sampling (Spark conv(hex,16,10) == DuckDB 0x-cast)
+    "q_sample_det" ->
+      s"""SELECT o_orderkey,
+         |       CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INTEGER) AS INTEGER) AS bucket
+         |FROM orders
+         |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INTEGER) < 16384
+         |ORDER BY o_orderkey""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH sc AS (
          |  SELECT doc_id, text,

@@ -436,6 +436,23 @@ object Queries {
         TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** PII-style redaction: emails → URLs → long digit runs, in that
+    * order (regexp_replace chain, zero shuffle). */
+  def q_redact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.textan.Scrub.redact(col("text")).as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic 25% sample of orders, keyed on md5(o_orderkey) —
+    * reproducible across runs/partitionings, no rand(). */
+  def q_sample_det(s: SparkSession, dir: String): DataFrame =
+    graft.rel.Sampling.deterministicSample(
+        t(s, dir, "orders"), col("o_orderkey"), 0.25)
+      .select(col("o_orderkey"),
+        graft.rel.Sampling.hashBucket(col("o_orderkey")).as("bucket"))
+      .orderBy(col("o_orderkey"))
+
   // ===== events / streaming-shape =====
 
   /** Tumbling-hour aggregate per event type. */

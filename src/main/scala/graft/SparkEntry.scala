@@ -76,6 +76,8 @@ object SparkEntry {
     "q_token_count" -> (Queries.q_token_count _),
     "q_bpe_tokens" -> (Queries.q_bpe_tokens _),
     "q_fingerprint" -> (Queries.q_fingerprint _),
+    "q_redact" -> (Queries.q_redact _),
+    "q_sample_det" -> (Queries.q_sample_det _),
     // events
     "q_events_hourly" -> (Queries.q_events_hourly _),
     "q_events_sliding" -> (Queries.q_events_sliding _),

@@ -1,0 +1,31 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, key-addressed sampling (north-star extension):
+  * keep a row iff the first 16 bits of md5(key) fall below
+  * fraction·2^16. Unlike `df.sample`/`rand()`, the decision is a pure
+  * function of the KEY — reproducible across runs, partitionings and
+  * cluster sizes, stable under re-ingestion, and expressible in any
+  * md5-capable engine (the DuckDB oracle hash-matches it).
+  *
+  * At 100 TB this is the only sampling that composes: the filter
+  * rides the scan (no shuffle, no RNG state), the same fraction of
+  * every future delta lands in the sample, and a join of two tables
+  * sampled on the SAME key stays consistent (both keep the same
+  * keys). Salt the key (`concat(lit(salt), key)`) for independent
+  * re-draws.
+  */
+object Sampling {
+  /** 16-bit bucket of md5(key): 0 ≤ bucket < 65536. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+
+  /** Rows whose bucket < fraction·65536 — ≈fraction of any corpus,
+    * exactly reproducible. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    df.filter(hashBucket(key) < math.round(fraction * 65536).toInt)
+  }
+}
