@@ -107,12 +107,14 @@ case class SemanticChunker(
           sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       val merged = seg.groupBy(col("doc_id"), col("source"), col("segment"))
         .agg(min(col("start")).as("start"), max(col("end")).as("end"))
-      val segW = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      // `segment` is a contiguous 0-based per-doc counter (running sum
+      // of break flags, first row 0), so it IS the chunk index — no
+      // row_number window (and its extra per-doc sort) needed
       merged
         .join(docs.select(col("doc_id"), col("text").as("doc_text")), "doc_id")
         .withColumn("text",
           col("doc_text").substr(col("start") + lit(1), col("end") - col("start")))
-        .withColumn("chunk_index", row_number().over(segW) - lit(1))
+        .withColumn("chunk_index", col("segment").cast("int"))
         .select(col("doc_id"), col("source"), col("chunk_index"), col("text"),
           col("start"), col("end"),
           length(col("text")).as("char_length"),
