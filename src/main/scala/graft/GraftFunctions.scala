@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.udf
 import graft.dedup.Dedup
 import graft.text.Tok
-import graft.textan.TextAnalysis
+import graft.textan.{Scrub, TextAnalysis}
 import graft.vector.FloatVecDot
 
 /** SQL-surface registration: exposes the engine's scalar extensions
@@ -37,5 +37,10 @@ object GraftFunctions {
     shim.registerExpression(spark, "graft_fingerprint",
       exprs => shim.expression(
         TextAnalysis.contentFingerprint(shim.column(exprs.head))))
+    shim.registerExpression(spark, "graft_redact",
+      exprs => shim.expression(Scrub.redact(shim.column(exprs.head))))
+    shim.registerExpression(spark, "graft_hash_bucket",
+      exprs => shim.expression(
+        graft.rel.Sampling.hashBucket(shim.column(exprs.head))))
   }
 }

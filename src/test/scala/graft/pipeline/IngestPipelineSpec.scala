@@ -64,5 +64,9 @@ class IngestPipelineSpec extends AnyFunSuite with SparkTestBase {
     val fp = spark.sql("SELECT graft_fingerprint('A  B') AS f").head().getString(0)
     val fp2 = spark.sql("SELECT graft_fingerprint('a b') AS f").head().getString(0)
     assert(fp == fp2 && fp.length == 32)
+    assert(spark.sql("SELECT graft_redact('id 99887 x@y.io') AS r")
+      .head().getString(0) == "id <NUM> <EMAIL>")
+    val bk = spark.sql("SELECT graft_hash_bucket(42) AS b").head().getInt(0)
+    assert(bk >= 0 && bk < 65536)
   }
 }
