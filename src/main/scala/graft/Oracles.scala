@@ -444,6 +444,25 @@ object Oracles {
          |    '[0-9]{4,}', '<NUM>', 'g') AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the engine computes this with the two-pass distributed prefix
+    // sum (PrefixSum); the oracle is the plain ordered-window form —
+    // the whole point is that they are value-identical
+    "q_token_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '$RE')) AS INTEGER) AS n_tokens
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |           AS prefix_tokens
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, prefix_tokens,
+         |       CAST(FLOOR(prefix_tokens / 2000) AS INTEGER) AS shard
+         |FROM p ORDER BY doc_id""".stripMargin,
+
     // first 16 bits of md5(key) < 0.25 * 65536 — same bucket math as
     // graft.rel.Sampling (Spark conv(hex,16,10) == DuckDB 0x-cast)
     "q_sample_det" ->

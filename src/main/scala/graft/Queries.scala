@@ -444,6 +444,18 @@ object Queries {
         graft.textan.Scrub.redact(col("text")).as("redacted"))
       .orderBy(col("doc_id"))
 
+  /** Token-budget corpus sharding via the DISTRIBUTED global prefix
+    * sum (graft.rel.PrefixSum): identical to `sum() OVER (ORDER BY)`
+    * but computed with parallel per-partition windows + broadcast
+    * base offsets — no single-partition window at any scale. */
+  def q_token_shards(s: SparkSession, dir: String): DataFrame =
+    graft.rel.PrefixSum.tokenShards(
+        t(s, dir, "documents")
+          .select(col("doc_id"), Tok.tokenCount(col("text")).as("n_tokens")),
+        col("doc_id"), col("n_tokens"), budget = 2000L)
+      .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic 25% sample of orders, keyed on md5(o_orderkey) —
     * reproducible across runs/partitionings, no rand(). */
   def q_sample_det(s: SparkSession, dir: String): DataFrame =

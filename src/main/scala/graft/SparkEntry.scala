@@ -78,6 +78,7 @@ object SparkEntry {
     "q_fingerprint" -> (Queries.q_fingerprint _),
     "q_redact" -> (Queries.q_redact _),
     "q_sample_det" -> (Queries.q_sample_det _),
+    "q_token_shards" -> (Queries.q_token_shards _),
     // events
     "q_events_hourly" -> (Queries.q_events_hourly _),
     "q_events_sliding" -> (Queries.q_events_sliding _),
