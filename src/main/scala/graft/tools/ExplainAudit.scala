@@ -11,7 +11,8 @@ object ExplainAudit {
   val interesting = Seq(
     "q_chunk_fixed", "q_tpch_q1", "q_join_broadcast", "q_semi_join",
     "q_topk_cosine", "q_near_dup_cosine", "q_boundary_sweep",
-    "q_minhash_candidates", "q_events_hourly", "q_window_topk")
+    "q_minhash_candidates", "q_events_hourly", "q_window_topk",
+    "q_token_shards", "q_sample_det")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
