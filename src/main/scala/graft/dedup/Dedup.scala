@@ -118,6 +118,33 @@ object Dedup {
       .distinct()
   }
 
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  // token → its 32 digest bits packed into an int (bit k of the hash
+  // at position k). Corpora repeat tokens heavily, so the per-token
+  // md5 becomes a map hit on the executor hot path; bounded like
+  // HashingEmbedder's memo.
+  private val bitsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val MaxMemo = 1 << 20
+
+  private def tokenBits(t: String): Int = {
+    val hit = bitsMemo.get(t)
+    if (hit != null) return hit.intValue()
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(t.getBytes("UTF-8"))
+    var bits = 0
+    var k = 0
+    while (k < 32) {
+      if (((d(k / 8) >> (7 - k % 8)) & 1) == 1) bits |= (1 << k)
+      k += 1
+    }
+    if (bitsMemo.size < MaxMemo) bitsMemo.putIfAbsent(t, Integer.valueOf(bits))
+    bits
+  }
+
   /** 32-bit SimHash over tokens (md5-derived bit planes). Fully
     * deterministic, and oracle-expressible after all: the DuckDB side
     * ([[graft.Oracles]] q_simhash_candidates) rebuilds each digest bit
@@ -126,12 +153,10 @@ object Dedup {
     if (text == null) return 0L
     val acc = new Array[Int](32)
     Tok.tokenize(text).foreach { t =>
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8"))
+      val bits = tokenBits(t)
       var k = 0
       while (k < 32) {
-        val bit = (d(k / 8) >> (7 - k % 8)) & 1
-        acc(k) += (if (bit == 1) 1 else -1)
+        acc(k) += (if (((bits >>> k) & 1) == 1) 1 else -1)
         k += 1
       }
     }
