@@ -28,4 +28,19 @@ object Sampling {
     require(fraction >= 0.0 && fraction <= 1.0)
     df.filter(hashBucket(key) < math.round(fraction * 65536).toInt)
   }
+
+  /** Per-stratum fractions (e.g. language quotas): the threshold is
+    * looked up from a map literal on the stratum column; strata
+    * absent from `fractions` are dropped. Same key-addressed
+    * reproducibility as [[deterministicSample]], still a pure scan
+    * filter — the quota map is a broadcast-free expression literal. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0))
+    val thresholds = map(fractions.flatMap { case (s, f) =>
+      Seq(lit(s), lit(math.round(f * 65536).toInt))
+    }.toSeq: _*)
+    df.filter(hashBucket(key) <
+      coalesce(element_at(thresholds, stratum.cast("string")), lit(0)))
+  }
 }

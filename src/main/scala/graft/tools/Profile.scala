@@ -92,6 +92,14 @@ object Profile {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
         time("join+distinct") { noop(joined) }
+      case "simhash" =>
+        val docs = Tables.table(spark, sfDir, "documents")
+        time("withSimhash only") { noop(Dedup.withSimhash(docs).select("doc_id", "simhash")) }
+        time("withSimhash (2nd)") { noop(Dedup.withSimhash(docs).select("doc_id", "simhash")) }
+        time("full candidates") { noop(Dedup.simhashCandidates(docs, maxHamming = 6)) }
+        time("full (2nd)") { noop(Dedup.simhashCandidates(docs, maxHamming = 6)) }
+        val n = Dedup.simhashCandidates(docs, maxHamming = 6).count()
+        println(s"[profile] candidate rows: $n")
       case "shuffles" =>
         // static shuffle inventory: count exchanges / sorts / scans in
         // every catalog query's initial physical plan (pre-AQE — an

@@ -37,4 +37,24 @@ class ScrubSamplingSpec extends AnyFunSuite with SparkTestBase {
       .select("k").as[Long].collect().toSet
     assert(c.subsetOf(a))
   }
+
+  test("stratified sample honors per-stratum quotas; unknown strata dropped") {
+    val df = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "xx"))
+      .toDF("k", "lang")
+    val got = Sampling.stratifiedSample(df, col("k"), col("lang"),
+        Map("en" -> 0.5, "fr" -> 0.1))
+      .groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(!got.contains("xx"))
+    assert(got("en") > 400 && got("en") < 600)   // ≈500 of 1000
+    assert(got("fr") > 60 && got("fr") < 140)    // ≈100 of 1000
+    // stratified "en" rows are exactly the plain 0.5 sample of en rows
+    val en = Sampling.deterministicSample(
+        df.filter(col("lang") === "en"), col("k"), 0.5)
+      .select("k").as[Long].collect().toSet
+    val enStrat = Sampling.stratifiedSample(df, col("k"), col("lang"),
+        Map("en" -> 0.5)).select("k").as[Long].collect().toSet
+    assert(enStrat == en)
+  }
 }
