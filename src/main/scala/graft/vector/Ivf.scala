@@ -154,4 +154,31 @@ object Ivf {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
+
+  /** Persist an index: the assigned corpus lands `partitionBy("cell")`
+    * and the centroids as one tiny parquet. A loaded index serves
+    * [[topK]] with STORAGE-level pruning — the `cell` equi-join
+    * becomes a partition filter, so only the probed nProbe/nCells of
+    * the files are read at all. This is the parquet-native stand-in
+    * for the reference's ChromaDB persistence
+    * (`/root/reference/Chunking_Strats/chromadb_rag.py:103-110`). */
+  def saveIndex(assigned: DataFrame, centroids: Array[Array[Double]],
+      path: String): Unit = {
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/corpus")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Array[Array[Double]]) = {
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    (corpus, cents)
+  }
 }

@@ -67,6 +67,28 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"sign-LSH recall too low: $recall")
   }
 
+  test("persisted IVF index round-trips and serves topK with dynamic partition pruning") {
+    val df = corpus(50, 0).toDF("vec_id", "embedding")
+    val (assigned, cents) = Ivf.index(df, nCells = 4)
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val inMem = Ivf.topK(assigned, cents, q, 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Ivf.saveIndex(assigned, cents, dir)
+    val (loaded, loadedCents) = Ivf.loadIndex(spark, dir)
+    assert(loadedCents.zip(cents).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) })
+    val served = Ivf.topK(loaded, loadedCents, q, 3, nProbe = 2)
+    assert(served.collect().map(_.toSeq).toSet == inMem)
+    // the cell equi-join must reach the scan as a dynamic partition
+    // filter: only probed cell directories are read from storage
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"no partition pruning on the loaded index scan:\n${plan.take(2000)}")
+  }
+
   test("lshNearDup with dim-derived bucket length matches brute on constructed dups") {
     val df = corpus(60, 10).toDF("vec_id", "embedding")
     val thr = 0.95
