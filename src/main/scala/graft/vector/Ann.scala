@@ -143,8 +143,12 @@ object Ann {
     // joined back exactly once per side for the exact-cosine confirm —
     // the standard candidate/verify split, and the only layout that
     // survives 100 TB where candidate volume ≫ corpus size.
+    // shared repartition on the join key (same discipline as the
+    // Dedup self-joins): both sides canonicalize to one exchange, so
+    // the projection UDF runs once instead of once per side
     val keyed = embeddings.select(col("vec_id"),
-      posexplode(keysUdf(col("embedding"))).as(Seq("band", "key")))
+        posexplode(keysUdf(col("embedding"))).as(Seq("band", "key")))
+      .repartition(col("band"), col("key"))
     val pairs = keyed.as("x").join(keyed.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
