@@ -113,6 +113,12 @@ object Tables {
     spark.read.option("sep", "\t").option("header", "true")
       .option("inferSchema", "true").csv(path)
 
+  /** Newline-delimited JSON source (the OCR/LLM response shape the
+    * reference passes around as dicts, S13) — schema inferred or
+    * supplied by the caller for production stability. */
+  def jsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** Register every fixture table as a temp view so `spark.sql` works
     * (replaces the reference's INFORMATION_SCHEMA surface, S7/S8).
     * `events` goes through its normalizing reader. */

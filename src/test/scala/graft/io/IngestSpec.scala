@@ -52,6 +52,30 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       rows(0).getString(0) == body) // text source may drop the trailing newline
   }
 
+  test("json-lines source reads modeled OCR responses (S13 shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.writeString(dir.resolve("resp.jsonl"),
+      """{"doc_id": 1, "page": 0, "text": "alpha"}
+        |{"doc_id": 1, "page": 1, "text": "beta"}
+        |{"doc_id": 2, "page": 0, "text": "gamma"}
+        |""".stripMargin)
+    val df = Tables.jsonLines(spark, dir.toString)
+    assert(df.count() == 3)
+    assert(df.filter(col("doc_id") === 1).count() == 2)
+  }
+
+  test("orc round-trip preserves rows and pushes filters like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == docs.count())
+    val plan = back.filter(col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"no ORC pushdown:\n${plan.take(800)}")
+  }
+
   test("catalog introspection replaces INFORMATION_SCHEMA queries") {
     Tables.registerAll(spark, sf)
     val tables = spark.catalog.listTables().collect().map(_.name).toSet
