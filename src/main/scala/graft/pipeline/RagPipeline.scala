@@ -33,18 +33,45 @@ object RagPipeline {
   /** Retrieve top-k chunks for query texts and assemble the cited
     * context per query. `queryTexts` are embedded with the same
     * embedder as the store (reference embeds the query with the
-    * collection's embedding fn, `chromadb_rag.py:127-140`). */
+    * collection's embedding fn, `chromadb_rag.py:127-140`).
+    *
+    * `retrieval` dispatches like the reference's chunking-strategy
+    * dispatch (C4): "brute" = exact cosine via the TopKPerKey
+    * operator; "ivf" / "lsh" = the sub-linear ANN paths, with the
+    * store enumerated to numeric ids by the distributed prefix sum
+    * (deterministic: id-ordered, partition-independent). Unknown
+    * strategies raise, mirroring the reference's error path. */
   def run(spark: SparkSession, docs: DataFrame, queryTexts: Seq[String],
       strategy: String = "simple",
-      embedder: Embedder = HashingEmbedder(64)): DataFrame = {
+      embedder: Embedder = HashingEmbedder(64),
+      retrieval: String = "brute"): DataFrame = {
     import spark.implicits._
     val store = buildStore(docs, strategy, embedder)
     val queries = embedder
       .embed(queryTexts.zipWithIndex.toDF("query_text", "query_id"),
         textCol = "query_text", out = "q_embedding")
-    val topk = VectorOps.topK(store, queries, TopK,
-      tiebreak = Seq(col("doc_id"), col("chunk_index")))
-    VectorOps.assembleContext(
-      topk.select(col("query_id"), col("rank"), col("source"), col("text")))
+    val topk = retrieval match {
+      case "brute" =>
+        VectorOps.topK(store, queries, TopK,
+          tiebreak = Seq(col("doc_id"), col("chunk_index")))
+          .select(col("query_id"), col("rank"), col("source"), col("text"))
+      case "ivf" | "lsh" =>
+        val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
+          store, col("id"), lit(1L), "vec_id")
+        val hits = retrieval match {
+          case "ivf" =>
+            val (assigned, cents) = graft.vector.Ivf.index(indexed)
+            graft.vector.Ivf.topK(assigned, cents, queries, TopK)
+          case _ =>
+            graft.vector.Ann.lshTopK(indexed, queries, TopK)
+        }
+        hits.join(indexed.select(col("vec_id"), col("source"), col("text")),
+            "vec_id")
+          .select(col("query_id"), col("rank"), col("source"), col("text"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown retrieval strategy: $other") // C4-style dispatch error
+    }
+    VectorOps.assembleContext(topk)
   }
 }

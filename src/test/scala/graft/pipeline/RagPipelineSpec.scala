@@ -50,4 +50,19 @@ class RagPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("bogus"))
   }
+
+  test("run: ivf and lsh retrieval produce a full cited context; unknown retrieval raises") {
+    for (retrieval <- Seq("ivf", "lsh")) {
+      val out = RagPipeline.run(spark, docs.limit(50),
+        Seq("table scan filter"), "simple", retrieval = retrieval).collect()
+      assert(out.length == 1, s"$retrieval: one context row per query")
+      assert(out(0).getString(1).split("\n\n").length == RagPipeline.TopK,
+        s"$retrieval: context must cite TopK chunks")
+    }
+    val e = intercept[IllegalArgumentException] {
+      RagPipeline.run(spark, docs.limit(5), Seq("x"), "simple",
+        retrieval = "bogus-ann")
+    }
+    assert(e.getMessage.contains("bogus-ann"))
+  }
 }
