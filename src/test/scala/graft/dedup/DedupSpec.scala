@@ -29,6 +29,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ham(a, c) <= 10)
   }
 
+  test("array-lambda and row-wise minhash signatures agree") {
+    // two implementations of one spec: minhashSignature (array HOF,
+    // used by q_minhash_sig) and the explode+groupBy aggregate inside
+    // minhashCandidates. If they drift, banding keys silently diverge.
+    val d = docs(
+      1L -> "spark table scan merge row key agg window batch stream",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "x")
+    val lambda = d.select(col("doc_id"),
+        Dedup.minhashSignature(col("text")).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val sh = d.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"))).as("shingle"))
+    val minCols = (0 until 8).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"h$s"))
+    val rowWise = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => r.getString(i)).toSeq).toMap
+    assert(lambda == rowWise)
+  }
+
   test("minhash candidates surface near-identical docs") {
     val base = "spark table scan merge row key agg window batch stream " * 5
     val d = docs(
