@@ -16,18 +16,26 @@ object Bench {
     // the first measured query doesn't absorb fixed startup cost
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    // min-of-3 per query: a single sample is hostage to whatever else
+    // the machine is doing (two committed artifacts were inflated ~2x
+    // by external load); the min of three runs is the closest cheap
+    // estimator of the query's intrinsic cost on a noisy box
+    val Runs = 3
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes EVERY output column — count() would let
-      // Catalyst prune the expensive expressions out of the measurement
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes EVERY output column — count() would let
+        // Catalyst prune the expensive expressions out of the measurement
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

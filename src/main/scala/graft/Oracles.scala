@@ -624,6 +624,96 @@ object Oracles {
          |FROM ch JOIN documents d ON ch.doc_id = d.doc_id
          |ORDER BY ch.doc_id, chunk_index""".stripMargin,
 
+    "q_chunk_occurrences" ->
+      s"""$chunkCte
+         |, pc AS (
+         |  SELECT doc_id, chunk_index,
+         |         CASE WHEN doc_id % 7 = 0 THEN text || chr(1) ELSE text END AS text
+         |  FROM ch
+         |), j AS (
+         |  SELECT pc.doc_id, pc.chunk_index, pc.text, d.text AS doc_text,
+         |         CAST(length(pc.text) AS INTEGER) AS clen
+         |  FROM pc JOIN documents d ON pc.doc_id = d.doc_id
+         |), pos AS (
+         |  SELECT doc_id, chunk_index, clen, text, doc_text,
+         |         CASE WHEN CAST(length(doc_text) AS INTEGER) - clen + 1 >= 1
+         |              THEN list_filter(generate_series(1, CAST(length(doc_text) AS INTEGER) - clen + 1),
+         |                     p -> substr(doc_text, p, clen) = text)
+         |              ELSE [] END AS positions
+         |  FROM j
+         |), fl AS (
+         |  SELECT *, max(CASE WHEN len(positions) > 0 THEN 1 ELSE 0 END)
+         |              OVER (PARTITION BY doc_id) = 1 AS doc_has_exact
+         |  FROM pos
+         |), ex AS (
+         |  SELECT doc_id, chunk_index, CAST(unnest(positions) AS INTEGER) AS start_pos,
+         |         clen, 'exact' AS match_type
+         |  FROM fl WHERE doc_has_exact
+         |), fz AS (
+         |  SELECT doc_id, chunk_index,
+         |         CAST(strpos(doc_text, substr(text, 1, 30)) AS INTEGER) AS start_pos,
+         |         clen, 'fuzzy' AS match_type
+         |  FROM fl
+         |  WHERE NOT doc_has_exact AND clen > 30
+         |    AND strpos(doc_text, substr(text, 1, 30)) > 0
+         |)
+         |SELECT doc_id, chunk_index, start_pos,
+         |       CAST(start_pos + clen AS INTEGER) AS end_pos, match_type
+         |FROM (SELECT * FROM ex UNION ALL SELECT * FROM fz)
+         |ORDER BY doc_id, start_pos, chunk_index""".stripMargin,
+
+    "q_text_overlap_pairs" ->
+      s"""$chunkCte
+         |, p AS (
+         |  SELECT a.doc_id, a.chunk_index AS i, b.chunk_index AS j,
+         |         a.text AS ta, b.text AS tb
+         |  FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND a.chunk_index < b.chunk_index
+         |), s AS (
+         |  SELECT doc_id, i, j,
+         |         greatest(
+         |           coalesce(list_aggregate(list_filter(
+         |             generate_series(1, least(length(ta), length(tb))),
+         |             l -> substr(ta, length(ta) - l + 1, l) = substr(tb, 1, l)), 'max'), 0),
+         |           coalesce(list_aggregate(list_filter(
+         |             generate_series(1, least(length(ta), length(tb))),
+         |             l -> substr(tb, length(tb) - l + 1, l) = substr(ta, 1, l)), 'max'), 0)
+         |         ) AS max_overlap
+         |  FROM p
+         |)
+         |SELECT doc_id, i, j, CAST(max_overlap AS INTEGER) AS max_overlap
+         |FROM s WHERE max_overlap > 10 ORDER BY doc_id, i, j""".stripMargin,
+
+    "q_ocr_nested" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(n_chars // 2 AS INTEGER) AS half,
+        |         CAST(n_chars AS INTEGER) AS n
+        |  FROM documents WHERE n_chars >= 2
+        |), p AS (
+        |  SELECT doc_id, 0 AS page_no, substr(text, 1, half) AS page_text FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1, substr(text, half + 1, n - half) FROM d
+        |), pn AS (
+        |  SELECT doc_id, page_no, page_text,
+        |         CAST((doc_id + page_no) % 3 AS INTEGER) AS n_imgs
+        |  FROM p
+        |), im AS (
+        |  SELECT doc_id, page_no, page_text,
+        |         CAST(unnest(generate_series(1, n_imgs)) AS INTEGER) AS i
+        |  FROM pn WHERE n_imgs >= 1
+        |), jo AS (
+        |  SELECT pn.doc_id, pn.page_no, pn.n_imgs, im.i,
+        |         'img-' || pn.doc_id || '-' || pn.page_no || '-' || im.i AS img_id,
+        |         CASE WHEN im.i % 2 = 1 THEN 'data:image/png;base64,' ELSE '' END
+        |           || to_base64(encode(substr(im.page_text, im.i, 16))) AS img_b64
+        |  FROM pn LEFT JOIN im ON pn.doc_id = im.doc_id AND pn.page_no = im.page_no
+        |)
+        |SELECT doc_id, page_no, n_imgs, CAST(i - 1 AS INTEGER) AS img_idx,
+        |       img_id,
+        |       CAST(img_b64 LIKE 'data:%' AS INTEGER) AS had_data_uri,
+        |       CAST(length(decode(from_base64(
+        |         regexp_replace(img_b64, '^data:[^,]*,', '')))) AS INTEGER) AS payload_len
+        |FROM jo ORDER BY doc_id, page_no, img_idx""".stripMargin,
+
     "q_positional_zip" ->
       """WITH o AS (
         |  SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INTEGER) AS rn

@@ -578,7 +578,6 @@ object Queries {
         col("text").substr(lit(1), col("half")),
         col("text").substr(col("half") + 1, col("n") - col("half"))))
         .as(Seq("page_no", "page_text")))
-    val imgW = Window.orderBy(col("doc_id"), col("page_no"))
     pages
       .withColumn("image_id",
         concat(lit("img-"), col("doc_id"), lit("-"), col("page_no"),
@@ -586,7 +585,16 @@ object Queries {
       .withColumn("markdown",
         concat(lit("!["), col("image_id"), lit("]("), col("image_id"),
           lit(") "), col("page_text")))
-      .withColumn("img_seq", row_number().over(imgW)) // F11 global counter
+      // F11 global counter: the reference's `global_counter` is a
+      // sequence over EVERY page of every document, so a plain
+      // `row_number() OVER (ORDER BY ...)` would funnel the whole
+      // corpus through one partition. The distributed prefix sum of
+      // 1s over the unique (doc_id, page_no) order key is the same
+      // number (= row_number - 1 + 1) without the bottleneck.
+      .transform(df => graft.rel.PrefixSum.exclusivePrefixSum(
+        df, col("doc_id").cast("long") * 2 + col("page_no"), lit(1L), "img_seq0"))
+      .withColumn("img_seq", (col("img_seq0") + 1).cast("int"))
+      .drop("img_seq0")
       .withColumn("ext", // F10: suffix or default .jpeg
         coalesce(nullif(regexp_extract(col("image_id"), "(\\.[^.]+)$", 1), lit("")),
           lit(".jpeg")))
@@ -660,4 +668,124 @@ object Queries {
         sum(when(col("o_orderstatus") =!= "F", 1).otherwise(0)).as("n_other"),
         count(lit(1)).as("n_total"))
       .orderBy(col("o_orderpriority"))
+
+  /** J3/F18 closed — find-ALL-occurrences containment with the
+    * per-document fuzzy fallback, the full reference visualizer
+    * semantics (`chunk_visualizer.py:84-102`): every chunk maps to
+    * EVERY position where it occurs in its document (duplicate chunks
+    * are intentional); if a document yields no exact match at all,
+    * each of its >30-char chunks is located by its first 30 chars
+    * instead (`find(chunk[:30])`). Chunks of doc_id % 7 == 0 carry an
+    * out-of-alphabet sentinel suffix so the fallback branch really
+    * executes. Positions are 1-based (`locate` convention);
+    * end_pos = start_pos + len(chunk). The position scan is a per-row
+    * higher-order filter — embarrassingly parallel; the only shuffles
+    * are the doc join and the per-doc flag window (both on doc_id). */
+  def q_chunk_occurrences(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("doc_text"))
+    val chunks = fixedChunks(s, dir)
+      .select(col("doc_id"), col("chunk_index"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit("\u0001")))
+          .otherwise(col("text")).as("text"))
+    val joined = chunks.join(docs, "doc_id")
+      .withColumn("clen", length(col("text")))
+      .withColumn("positions",
+        when(length(col("doc_text")) - col("clen") + 1 >= 1,
+          filter(
+            sequence(lit(1), length(col("doc_text")) - col("clen") + 1),
+            p => col("doc_text").substr(p, col("clen")) === col("text")))
+          .otherwise(array().cast("array<int>")))
+    val flagged = joined.withColumn("doc_has_exact",
+      max(when(size(col("positions")) > 0, 1).otherwise(0))
+        .over(Window.partitionBy(col("doc_id"))) === 1)
+    val exact = flagged.filter(col("doc_has_exact"))
+      .select(col("doc_id"), col("chunk_index"),
+        explode(col("positions")).as("start_pos"), col("clen"),
+        lit("exact").as("match_type"))
+    val fuzzy = flagged.filter(!col("doc_has_exact") && col("clen") > 30)
+      .withColumn("start_pos",
+        call_function("locate",
+          col("text").substr(lit(1), lit(30)), col("doc_text")))
+      .filter(col("start_pos") > 0)
+      .select(col("doc_id"), col("chunk_index"), col("start_pos"), col("clen"),
+        lit("fuzzy").as("match_type"))
+    exact.unionByName(fuzzy)
+      .select(col("doc_id"), col("chunk_index"), col("start_pos"),
+        (col("start_pos") + col("clen")).as("end_pos"), col("match_type"))
+      .orderBy(col("doc_id"), col("start_pos"), col("chunk_index"))
+  }
+
+  /** J5 closed — all-pairs text-overlap scorer: for every chunk pair
+    * (i < j) of a document, the longest L where one chunk's L-char
+    * suffix equals the other's L-char prefix, keeping non-trivial
+    * overlaps (> 10 chars) — the character branch of
+    * `chunk_visualizer.py:445-453`, which needs no birth offsets (the
+    * interval variants in [[ChunkStats]] do). Pure substring algebra
+    * per pair; the self-join shuffles on doc_id only, so pair count
+    * is bounded per document, never cross-corpus. */
+  def q_text_overlap_pairs(s: SparkSession, dir: String): DataFrame = {
+    val ch = fixedChunks(s, dir)
+      .select(col("doc_id"), col("chunk_index"), col("text"))
+    def longestJoin(a: Column, b: Column): Column =
+      coalesce(array_max(filter(
+        sequence(lit(1), least(length(a), length(b))),
+        l => a.substr(length(a) - l + 1, l) === b.substr(lit(1), l))), lit(0))
+    val a = ch.select(col("doc_id"), col("chunk_index").as("i"), col("text").as("ta"))
+    val b = ch.select(col("doc_id"), col("chunk_index").as("j"), col("text").as("tb"))
+    a.join(b, Seq("doc_id")).filter(col("i") < col("j"))
+      .withColumn("max_overlap",
+        greatest(longestJoin(col("ta"), col("tb")), longestJoin(col("tb"), col("ta"))))
+      .filter(col("max_overlap") > 10)
+      .select(col("doc_id"), col("i"), col("j"), col("max_overlap"))
+      .orderBy(col("doc_id"), col("i"), col("j"))
+  }
+
+  /** S13/C5 real response shape — the OCR payload is
+    * pages[].images[].{id, image_base64} with 0..n images per page:
+    * `MistralTest.py:57-76` iterates `page.images` (so multi-image
+    * pages exist) and pages with no images must survive the flatten.
+    * Built as a real ARRAY<STRUCT> column and flattened with
+    * posexplode_outer so zero-image pages keep a row with NULL image
+    * fields; odd-indexed images carry a data-URI prefix to exercise
+    * the strip (`MistralTest.py:70-72`). Complements [[q_ocr_flatten]]
+    * (which covers link rewrite + the global counter). */
+  def q_ocr_nested(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("n_chars") >= 2)
+      .select(col("doc_id"), col("text"),
+        (col("n_chars") / 2).cast("int").as("half"),
+        col("n_chars").cast("int").as("n"))
+    val pages = docs.select(col("doc_id"),
+      posexplode(array(
+        col("text").substr(lit(1), col("half")),
+        col("text").substr(col("half") + 1, col("n") - col("half"))))
+        .as(Seq("page_no", "page_text")))
+    def b64At(i: Column): Column =
+      regexp_replace(
+        base64(encode(col("page_text").substr(i, lit(16)), "UTF-8")),
+        "[\\r\\n]", "")
+    val withImgs = pages
+      .withColumn("n_imgs", ((col("doc_id") + col("page_no")) % 3).cast("int"))
+      .withColumn("images",
+        transform(slice(sequence(lit(1), lit(2)), lit(1), col("n_imgs")), i =>
+          struct(
+            concat(lit("img-"), col("doc_id"), lit("-"), col("page_no"),
+              lit("-"), i).as("id"),
+            concat(
+              when(i % 2 === 1, lit("data:image/png;base64,")).otherwise(lit("")),
+              b64At(i)).as("image_base64"))))
+    withImgs
+      .select(col("doc_id"), col("page_no"), col("n_imgs"),
+        posexplode_outer(col("images")).as(Seq("img_idx", "img")))
+      .select(col("doc_id"), col("page_no"), col("n_imgs"), col("img_idx"),
+        col("img.id").as("img_id"),
+        // int not boolean: a NULL (zero-image page) must canonicalize
+        // the same way in Spark-parquet and DuckDB pandas renderings
+        col("img.image_base64").startsWith("data:").cast("int").as("had_data_uri"),
+        length(decode(unbase64(
+          regexp_replace(col("img.image_base64"), "^data:[^,]*,", "")),
+          "UTF-8")).as("payload_len"))
+      .orderBy(col("doc_id"), col("page_no"), col("img_idx"))
+  }
 }

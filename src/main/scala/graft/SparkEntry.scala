@@ -88,6 +88,9 @@ object SparkEntry {
     "q_mm_frames" -> (Queries.q_mm_frames _),
     // remaining SURVEY §2 coverage
     "q_chunk_locate" -> (Queries.q_chunk_locate _),
+    "q_chunk_occurrences" -> (Queries.q_chunk_occurrences _),
+    "q_text_overlap_pairs" -> (Queries.q_text_overlap_pairs _),
+    "q_ocr_nested" -> (Queries.q_ocr_nested _),
     "q_positional_zip" -> (Queries.q_positional_zip _),
     "q_context_assembly" -> (Queries.q_context_assembly _),
     "q_ocr_flatten" -> (Queries.q_ocr_flatten _),

@@ -53,4 +53,68 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     val orders = spark.read.parquet(s"$sf/orders.parquet").count()
     assert(total == orders)
   }
+
+  test("q_ocr_flatten: no unpartitioned window in the plan, seq still global") {
+    val df = Queries.q_ocr_flatten(spark, sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      "global counter must go through the distributed prefix sum")
+    // the prefix-sum-derived counter is exactly row_number over
+    // (doc_id, page_no): 1..N with no gaps, monotone in that order
+    val seqs = df.select("img_seq").orderBy("doc_id", "page_no")
+      .collect().map(_.getInt(0))
+    assert(seqs.toSeq == (1 to seqs.length))
+  }
+
+  test("q_chunk_occurrences: exact rows cover birth offsets; perturbed docs go fuzzy") {
+    val occ = Queries.q_chunk_occurrences(spark, sf).collect()
+    val byType = occ.groupBy(_.getString(4))
+    // perturbed docs (doc_id % 7 == 0) can never match exactly
+    assert(byType("exact").forall(_.getLong(0) % 7 != 0))
+    assert(byType("fuzzy").forall(_.getLong(0) % 7 == 0))
+    // every unperturbed chunk's birth offset appears among its matches
+    val births = Queries.q_chunk_fixed(spark, sf)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("chunk_index"), (col("start") + 1).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val exactSet = byType("exact")
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(births.subsetOf(exactSet))
+    // fuzzy rows locate the chunk's first-30-chars at its birth offset
+    // (fixture texts don't repeat their openings)
+    assert(byType("fuzzy").nonEmpty)
+  }
+
+  test("q_text_overlap_pairs: adjacent fixed chunks overlap by >= stride window") {
+    val rows = Queries.q_text_overlap_pairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    val adjacent = Queries.q_chunk_fixed(spark, sf)
+      .select("doc_id", "chunk_index", "char_length")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val expected = adjacent.keys.filter { case (d, i) =>
+      adjacent.contains((d, i + 1)) &&
+        adjacent((d, i)) >= 51 && adjacent((d, i + 1)) >= 51
+    }
+    assert(expected.nonEmpty)
+    expected.foreach { case (d, i) =>
+      assert(rows.get((d, i, i + 1)).exists(_ >= 50),
+        s"adjacent pair ($d,$i,${i + 1}) missing or overlap < 50")
+    }
+  }
+
+  test("q_ocr_nested: zero-image pages survive explode_outer; data-URI on odd images") {
+    val rows = Queries.q_ocr_nested(spark, sf).collect()
+    val zeroImg = rows.filter(_.getInt(2) == 0)
+    assert(zeroImg.nonEmpty)
+    assert(zeroImg.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    val withImg = rows.filter(_.getInt(2) > 0)
+    assert(withImg.exists(_.getInt(2) == 2)) // multi-image pages exist
+    withImg.foreach { r =>
+      assert(r.getInt(5) == (if (r.getInt(3) == 0) 1 else 0)) // had_data_uri
+      assert(!r.isNullAt(6)) // payload decodes
+    }
+  }
 }
