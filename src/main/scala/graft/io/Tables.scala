@@ -85,10 +85,25 @@ object Tables {
     * (legacy conf) and convert to a micros TimestampType with integer
     * `div` (never double division — ns epoch values exceed double's
     * exact integer range). The µs floor matches what any µs engine
-    * sees; oracle-checked queries additionally never emit raw `ts`. */
+    * sees; oracle-checked queries additionally never emit raw `ts`.
+    *
+    * The legacy conf is consulted ONLY during schema inference (the
+    * eager `spark.read.parquet` below; there is no per-read option
+    * for it in Spark 4.1 — probed), so it is set for exactly that
+    * window and restored in a finally: a later parquet read in the
+    * same session sees the session's own value again, and this
+    * DataFrame still executes fine after the restore because the
+    * captured LONG schema, not the conf, drives the scan. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, sfDir, "events")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val raw =
+      try table(spark, sfDir, "events") // eager schema inference
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",

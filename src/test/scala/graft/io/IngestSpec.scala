@@ -97,6 +97,55 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     } finally df.unpersist() // TTL/invalidation analog
   }
 
+  test("zip extraction: corrupt-skip + delete-archive, members feed tabDelimited (S4)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val src = java.nio.file.Files.createTempDirectory("graft-zips-src").toFile
+    val dst = java.nio.file.Files.createTempDirectory("graft-zips-dst").toString
+    // a good archive with a nested tab-delimited member (2023q4.zip)
+    val good = new java.io.File(src, "2023q4.zip")
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(good))
+    zos.putNextEntry(new ZipEntry("sub.txt"))
+    zos.write("adsh\tvalue\nr1\t10\nr2\t20\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("nested/num.txt"))
+    zos.write("k\tv\na\t1\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    // a corrupt archive (BadZipFile analog)
+    val bad = new java.io.File(src, "2024q1.zip")
+    java.nio.file.Files.write(bad.toPath, "not a zip at all".getBytes("UTF-8"))
+
+    val results = Zips.extractAll(src.getPath, dst)
+    assert(results.map(_.archive) == Seq("2023q4.zip", "2024q1.zip"))
+    assert(results.head.folder.contains(s"$dst/2023q4") && results.head.members == 2)
+    assert(results(1).folder.isEmpty, "corrupt zip must be skipped")
+    // both archives removed afterwards, like the reference's os.remove
+    assert(!good.exists() && !bad.exists())
+    assert(Zips.yearQuarters(results) == Seq("2023q4"))
+    // extracted member flows into the distributed tab-delimited source
+    val df = Tables.tabDelimited(spark, s"$dst/2023q4/sub.txt")
+    assert(df.columns.toSeq == Seq("adsh", "value") && df.count() == 2)
+  }
+
+  test("events reader does not leak the nanosAsLong conf into the session") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key) // Some(default) for registered confs
+    assert(!before.contains("true"))
+    val ev = Tables.events(spark, sf)
+    // conf restored the moment the reader returns...
+    assert(spark.conf.getOption(key) == before,
+      "reader must not mutate session state")
+    // ...yet the returned frame still executes (schema was captured)
+    assert(ev.limit(3).count() == 3)
+    // and a raw read of the same nanos parquet still gets the
+    // session's own (strict) behavior: Spark 4 refuses NANOS
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(s"$sf/events.parquet")
+    }
+    assert(err.getMessage.contains("PARQUET_TYPE_ILLEGAL")
+      || err.getErrorClass == "PARQUET_TYPE_ILLEGAL")
+  }
+
   test("filter specs push down to the parquet scan (SURVEY §4 pushdown)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val filtered = Rel.applyFilters(li, Seq(Rel.Eq("l_returnflag", "R")))
