@@ -662,6 +662,64 @@ object Oracles {
          |FROM (SELECT * FROM ex UNION ALL SELECT * FROM fz)
          |ORDER BY doc_id, start_pos, chunk_index""".stripMargin,
 
+    // Recursive-chunker replay: fragment on '\n\n' (separator stays
+    // attached to the preceding piece), then walk the greedy merge as
+    // a recursive CTE. For a fragment f, tokens-before-f is
+    // tokcum - toks, so the budget test S(hi) - S(lo-1) <= B needs no
+    // extra lookup; the overlap backup is "smallest b in (lo, hi]
+    // whose trailing token sum fits the overlap", else hi + 1.
+    "q_chunk_recursive_crafted" ->
+      s"""WITH RECURSIVE doc AS (
+         |  SELECT string_agg('p' || i || repeat(' w', (i * 7) % 5 + 1), e'\\n\\n' ORDER BY i) AS text
+         |  FROM range(1, 13) t(i)
+         |), sp AS (
+         |  SELECT text, string_split(text, e'\\n\\n') AS pieces FROM doc
+         |), fidx AS (
+         |  SELECT CAST(unnest(generate_series(1, len(pieces))) AS INTEGER) AS fi, pieces FROM sp
+         |), f AS (
+         |  SELECT fi, pieces[fi] || CASE WHEN fi < len(pieces) THEN e'\\n\\n' ELSE '' END AS ftext
+         |  FROM fidx
+         |), fcum AS (
+         |  SELECT fi, ftext,
+         |         CAST(len(regexp_extract_all(ftext, '$RE')) AS INTEGER) AS toks,
+         |         CAST(length(ftext) AS INTEGER) AS flen,
+         |         CAST(coalesce(sum(length(ftext)) OVER (ORDER BY fi
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS fstart,
+         |         CAST(sum(len(regexp_extract_all(ftext, '$RE'))) OVER (ORDER BY fi) AS INTEGER) AS tokcum
+         |  FROM f
+         |), lohi AS (
+         |  SELECT l.fi AS lo,
+         |         CAST(greatest(l.fi, coalesce((SELECT max(h.fi) FROM fcum h
+         |           WHERE h.fi >= l.fi AND h.tokcum - (l.tokcum - l.toks) <= 10), l.fi)) AS INTEGER) AS hi
+         |  FROM fcum l
+         |), nxt AS (
+         |  SELECT lh.lo, lh.hi,
+         |         CAST(greatest(coalesce(
+         |           (SELECT min(b.fi) FROM fcum b JOIN fcum h ON h.fi = lh.hi
+         |            WHERE b.fi > lh.lo AND b.fi <= lh.hi
+         |              AND h.tokcum - (b.tokcum - b.toks) <= 3),
+         |           lh.hi + 1), lh.lo + 1) AS INTEGER) AS next_lo
+         |  FROM lohi lh
+         |), steps AS (
+         |  SELECT CAST(0 AS INTEGER) AS chunk_index, CAST(1 AS INTEGER) AS lo
+         |  UNION ALL
+         |  SELECT s.chunk_index + 1, n.next_lo
+         |  FROM steps s JOIN nxt n ON n.lo = s.lo
+         |  WHERE n.hi < (SELECT max(fi) FROM fcum)
+         |)
+         |SELECT CAST(1 AS BIGINT) AS doc_id, s.chunk_index,
+         |       substr(d.text, lf.fstart + 1, (hf.fstart + hf.flen) - lf.fstart) AS text,
+         |       lf.fstart AS start, hf.fstart + hf.flen AS "end",
+         |       CAST((hf.fstart + hf.flen) - lf.fstart AS INTEGER) AS char_length,
+         |       CAST(len(regexp_extract_all(
+         |         substr(d.text, lf.fstart + 1, (hf.fstart + hf.flen) - lf.fstart), '$RE')) AS INTEGER) AS token_length
+         |FROM steps s
+         |JOIN nxt n ON n.lo = s.lo
+         |JOIN fcum lf ON lf.fi = s.lo
+         |JOIN fcum hf ON hf.fi = n.hi
+         |CROSS JOIN doc d
+         |ORDER BY chunk_index""".stripMargin,
+
     "q_text_overlap_pairs" ->
       s"""$chunkCte
          |, p AS (

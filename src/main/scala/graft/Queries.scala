@@ -716,6 +716,29 @@ object Queries {
       .orderBy(col("doc_id"), col("start_pos"), col("chunk_index"))
   }
 
+  /** C2 oracle-checked — the recursive chunker's split/merge/overlap
+    * machinery on a crafted multi-paragraph document with a token
+    * budget small enough to force real work (the corpus-wide
+    * [[q_chunk_recursive]] stays rows-only because fixture docs all
+    * fit one chunk at the reference's 400-token budget, so its oracle
+    * would only ever see the accept path). Budget 10 / overlap 3 over
+    * 12 paragraphs of varying token counts exercises: depth-1
+    * separator split, greedy merge to the budget, and the
+    * trailing-overlap backup that re-seeds each next chunk. The
+    * DuckDB oracle replays the same algorithm as a recursive CTE. */
+  def q_chunk_recursive_crafted(s: SparkSession, dir: String): DataFrame = {
+    val doc = (1 to 12).map { i =>
+      val k = (i * 7) % 5 + 1
+      s"p$i" + (" w" * k)
+    }.mkString("\n\n")
+    import s.implicits._
+    val df = Seq((1L, "crafted", doc)).toDF("doc_id", "source", "text")
+    RecursiveChunker(chunkSize = 10, overlap = 3).chunk(df)
+      .select(col("doc_id"), col("chunk_index"), col("text"), col("start"),
+        col("end"), col("char_length"), col("token_length"))
+      .orderBy(col("chunk_index"))
+  }
+
   /** J5 closed — all-pairs text-overlap scorer: for every chunk pair
     * (i < j) of a document, the longest L where one chunk's L-char
     * suffix equals the other's L-char prefix, keeping non-trivial

@@ -89,6 +89,7 @@ object SparkEntry {
     // remaining SURVEY §2 coverage
     "q_chunk_locate" -> (Queries.q_chunk_locate _),
     "q_chunk_occurrences" -> (Queries.q_chunk_occurrences _),
+    "q_chunk_recursive_crafted" -> (Queries.q_chunk_recursive_crafted _),
     "q_text_overlap_pairs" -> (Queries.q_text_overlap_pairs _),
     "q_ocr_nested" -> (Queries.q_ocr_nested _),
     "q_positional_zip" -> (Queries.q_positional_zip _),

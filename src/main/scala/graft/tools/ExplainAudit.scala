@@ -12,7 +12,12 @@ object ExplainAudit {
     "q_chunk_fixed", "q_tpch_q1", "q_join_broadcast", "q_semi_join",
     "q_topk_cosine", "q_near_dup_cosine", "q_boundary_sweep",
     "q_minhash_candidates", "q_events_hourly", "q_window_topk",
-    "q_token_shards", "q_sample_det")
+    "q_token_shards", "q_sample_det",
+    // round 4 additions: the two containment/overlap joins (shuffle
+    // only on doc_id), the nested OCR explode_outer, and the
+    // prefix-sum-based ocr_flatten (no unpartitioned window)
+    "q_chunk_occurrences", "q_text_overlap_pairs", "q_ocr_nested",
+    "q_ocr_flatten")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -67,10 +67,23 @@ object Ann {
     * tables with high probability. */
   def autoBucketLength(dim: Int): Double = 0.4 / math.sqrt(dim.toDouble)
 
+  /** Embedding dimension per input plan, probed at most once per JVM:
+    * the one-row probe is cheap, but launching it before EVERY LSH
+    * call stacks a needless extra scan in front of the real job at
+    * corpus scale. Keyed by the analyzed plan's semantic hash so
+    * repeated calls over the same table share one probe. */
+  private val dimCache = scala.collection.concurrent.TrieMap.empty[Int, Int]
+
+  private def embeddingDim(df: DataFrame, embCol: String): Int = {
+    val k = df.select(col(embCol)).queryExecution.analyzed.semanticHash()
+    dimCache.getOrElseUpdate(k,
+      df.select(size(col(embCol))).head().getInt(0))
+  }
+
   private def resolveBucketLength(df: DataFrame, embCol: String,
       bucketLength: Double): Double =
     if (bucketLength > 0) bucketLength
-    else autoBucketLength(df.select(size(col(embCol))).head().getInt(0))
+    else autoBucketLength(embeddingDim(df, embCol))
 
   /** ANN top-k via LSH: normalize → hash to buckets → approx-join →
     * exact re-rank of candidates. Deterministic given the fixed seed.
