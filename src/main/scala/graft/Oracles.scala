@@ -47,6 +47,69 @@ object Oracles {
        |  FROM tf
        |)""".stripMargin
 
+  /** Shared CTE chain: minhash signatures → banded candidate pairs
+    * (`cand`: doc_a < doc_b) — q_minhash_candidates' body, reused by
+    * the clustering oracle. */
+  private val minhashCandCte =
+    s"""${shingleCte("")}
+       |, sig AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 7),
+       |           s -> list_min(list_transform(shingles,
+       |                  x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sg
+       |  FROM sh
+       |), band AS (
+       |  SELECT doc_id, 0 AS b, sg[1] || sg[2] AS band_key FROM sig
+       |  UNION ALL SELECT doc_id, 1, sg[3] || sg[4] FROM sig
+       |  UNION ALL SELECT doc_id, 2, sg[5] || sg[6] FROM sig
+       |  UNION ALL SELECT doc_id, 3, sg[7] || sg[8] FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM band a JOIN band b2 ON a.b = b2.b AND a.band_key = b2.band_key
+       |  WHERE a.doc_id < b2.doc_id
+       |)""".stripMargin
+
+  /** Shared CTE chain: BM25 postings → scored → ranked (k1 = 1.2,
+    * b = 0.75; literal arithmetic kept in the exact shape of
+    * [[graft.text.Bm25.topK]]'s Column tree so both engines evaluate
+    * the same double expression). Ends with `ranked`; also defines
+    * `q` (the literal query set shared with the Jaccard/RRF side). */
+  private val bm25RankedCte =
+    s"""WITH p0 AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$RE')) AS term
+       |  FROM documents
+       |), postings AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM p0 GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1
+       |), stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+       |), dfreq AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1
+       |), q AS (
+       |  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'join hash window stream'),
+       |                        (CAST(1 AS BIGINT), 'sort merge filter vector'),
+       |                        (CAST(2 AS BIGINT), 'spark query scan batch'))
+       |    AS v(query_id, qtext)
+       |), qt AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT query_id, unnest(regexp_extract_all(lower(qtext), '$RE')) AS term FROM q)
+       |), scored AS (
+       |  SELECT qt.query_id, p.doc_id,
+       |         round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+       |           p.tf * (1.2 + 1.0) /
+       |           (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))), 6) AS score
+       |  FROM postings p
+       |  JOIN qt ON p.term = qt.term
+       |  JOIN dfreq f ON f.term = p.term
+       |  JOIN dl d ON d.doc_id = p.doc_id
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id) AS INTEGER) AS rank, doc_id, score
+       |  FROM scored
+       |)""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "q_chunk_fixed" ->
@@ -359,22 +422,90 @@ object Oracles {
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "q_minhash_candidates" ->
-      s"""${shingleCte("")}
-         |, sig AS (
-         |  SELECT doc_id, list_transform(generate_series(0, 7),
-         |           s -> list_min(list_transform(shingles,
-         |                  x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sg
-         |  FROM sh
-         |), band AS (
-         |  SELECT doc_id, 0 AS b, sg[1] || sg[2] AS band_key FROM sig
-         |  UNION ALL SELECT doc_id, 1, sg[3] || sg[4] FROM sig
-         |  UNION ALL SELECT doc_id, 2, sg[5] || sg[6] FROM sig
-         |  UNION ALL SELECT doc_id, 3, sg[7] || sg[8] FROM sig
+      s"""$minhashCandCte
+         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Components by recursive transitive closure over the candidate
+    // pairs (both directions), then min reachable id per node — the
+    // engine's iterative min-label propagation converges to exactly
+    // this fixpoint.
+    "q_dup_clusters" ->
+      s"""${minhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")}
+         |, e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand
+         |), reach AS (
+         |  SELECT a AS node, a AS x FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.x
+         |), comp AS (
+         |  SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
          |)
-         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |FROM band a JOIN band b2 ON a.b = b2.b AND a.band_key = b2.band_key
-         |WHERE a.doc_id < b2.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |SELECT c.node AS doc_id, c.cluster_id, d.n_chars,
+         |       CAST(count(*) OVER (PARTITION BY c.cluster_id) AS INTEGER) AS cluster_size,
+         |       row_number() OVER (PARTITION BY c.cluster_id
+         |         ORDER BY d.n_chars DESC, c.node) = 1 AS is_canonical
+         |FROM comp c JOIN documents d ON d.doc_id = c.node
+         |ORDER BY cluster_id, doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""${shingleCte("")}
+         |, ex AS (
+         |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh,
+         |         unnest(shingles) AS shingle
+         |  FROM sh
+         |), test AS (
+         |  SELECT doc_id AS test_id, n_sh AS n_test, shingle FROM ex WHERE doc_id % 50 = 0
+         |), train AS (
+         |  SELECT doc_id AS train_id, n_sh AS n_train, shingle FROM ex WHERE doc_id % 50 != 0
+         |), jn AS (
+         |  SELECT test_id, train_id, n_test, n_train, CAST(count(*) AS INTEGER) AS shared
+         |  FROM train JOIN test USING (shingle)
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT test_id, train_id, shared,
+         |       round(CAST(shared AS DOUBLE) / (n_test + n_train - shared), 4) AS jaccard
+         |FROM jn WHERE shared >= 2 ORDER BY test_id, train_id""".stripMargin,
+
+    "q_bm25_topk" ->
+      s"""$bm25RankedCte
+         |SELECT query_id, rank, doc_id, score FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      s"""$bm25RankedCte
+         |, dt AS (
+         |  SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_d, unnest(ts) AS term
+         |  FROM (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '$RE')) AS ts
+         |        FROM documents)
+         |), qt2 AS (
+         |  SELECT query_id, CAST(len(ts) AS INTEGER) AS n_q, unnest(ts) AS term
+         |  FROM (SELECT query_id, list_distinct(regexp_extract_all(lower(qtext), '$RE')) AS ts
+         |        FROM q)
+         |), jsc AS (
+         |  SELECT qt2.query_id, dt.doc_id, qt2.n_q, dt.n_d,
+         |         round(CAST(count(*) AS DOUBLE) / (qt2.n_q + dt.n_d - count(*)), 6) AS score
+         |  FROM dt JOIN qt2 USING (term)
+         |  GROUP BY qt2.query_id, dt.doc_id, qt2.n_q, dt.n_d
+         |), jr AS (
+         |  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score DESC, doc_id) AS INTEGER) AS rank, doc_id
+         |  FROM jsc
+         |), pooled AS (
+         |  SELECT query_id, doc_id, round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score
+         |  FROM (
+         |    SELECT query_id, rank, doc_id FROM ranked WHERE rank <= 10
+         |    UNION ALL
+         |    SELECT query_id, rank, doc_id FROM jr WHERE rank <= 10
+         |  ) GROUP BY 1, 2
+         |), fr AS (
+         |  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank,
+         |         doc_id, rrf_score
+         |  FROM pooled
+         |)
+         |SELECT query_id, rank, doc_id, rrf_score FROM fr
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // SimHash is md5-derived bit math, so it IS oracle-expressible:
     // byte j of the digest is hex chars 2j,2j+1 (strpos into the hex

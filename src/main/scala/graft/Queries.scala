@@ -716,6 +716,79 @@ object Queries {
       .orderBy(col("doc_id"), col("start_pos"), col("chunk_index"))
   }
 
+  /** Shared literal query set for the lexical-retrieval family —
+    * terms drawn from the fixture corpus vocabulary. */
+  private def lexQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, "join hash window stream"),
+        (1L, "sort merge filter vector"),
+        (2L, "spark query scan batch")).toDF("query_id", "qtext")
+  }
+
+  /** BM25 lexical top-k — the sparse complement of q_topk_cosine:
+    * inverted-index retrieval expressed relationally (query terms
+    * broadcast; only their posting lists move). [[graft.text.Bm25]]. */
+  def q_bm25_topk(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.topK(t(s, dir, "documents"), lexQueries(s), 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Hybrid retrieval via reciprocal-rank fusion (1/(60+rank)) of the
+    * BM25 list and a token-set-Jaccard list — the standard
+    * calibration-free way to combine a lexical and a similarity
+    * ranking. */
+  def q_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.Bm25.rrfFuse(
+      graft.text.Bm25.topK(docs, lexQueries(s), 10),
+      graft.text.Bm25.tokenJaccardTopK(docs, lexQueries(s), 10), 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Near-dup RESOLUTION — minhash candidate pairs clustered into
+    * connected components (iterative min-label propagation,
+    * [[graft.dedup.Clusters]]) with one canonical keeper per cluster
+    * (longest text, doc_id tiebreak). The step the pair generators
+    * leave open: a~b~c is ONE duplicate group even when (a,c) never
+    * collided in a band. DuckDB oracle computes the same components
+    * by recursive transitive closure. */
+  def q_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.dedup.Clusters.canonicalize(docs, Dedup.minhashCandidates(docs))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** Train/test contamination report — 3-token-shingle overlap of a
+    * held-out slice (doc_id % 50 == 0) against the rest of the
+    * corpus: the standard pre-training decontamination check. The
+    * held-out side is broadcast (eval sets are small); the corpus
+    * side's shingles stream past it, and only matching pairs reach
+    * the aggregation. */
+  def q_contamination(s: SparkSession, dir: String): DataFrame = {
+    // both the test and train side read the shingled corpus; persist
+    // so the tokenize+shingle pass runs once, not once per side
+    // (MEMORY_AND_DISK; Spark's LRU frees it — an eager unpersist
+    // would un-cache before the caller consumes the lazy result)
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val test = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("test_id"), col("n_sh").as("n_test"),
+        explode(col("sh")).as("shingle"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_id"), col("n_sh").as("n_train"),
+        explode(col("sh")).as("shingle"))
+    train.join(broadcast(test), "shingle")
+      .groupBy(col("test_id"), col("train_id"), col("n_test"), col("n_train"))
+      .agg(count(lit(1)).cast("int").as("shared"))
+      .filter(col("shared") >= 2)
+      .withColumn("jaccard", round(
+        col("shared").cast("double") /
+          (col("n_test") + col("n_train") - col("shared")), 4))
+      .select(col("test_id"), col("train_id"), col("shared"), col("jaccard"))
+      .orderBy(col("test_id"), col("train_id"))
+  }
+
   /** C2 oracle-checked — the recursive chunker's split/merge/overlap
     * machinery on a crafted multi-paragraph document with a token
     * budget small enough to force real work (the corpus-wide

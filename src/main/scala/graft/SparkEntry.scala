@@ -70,6 +70,10 @@ object SparkEntry {
     "q_minhash_candidates" -> (Queries.q_minhash_candidates _),
     "q_ngram_jaccard" -> (Queries.q_ngram_jaccard _),
     "q_simhash_candidates" -> (Queries.q_simhash_candidates _),
+    "q_dup_clusters" -> (Queries.q_dup_clusters _),
+    "q_contamination" -> (Queries.q_contamination _),
+    "q_bm25_topk" -> (Queries.q_bm25_topk _),
+    "q_hybrid_rrf" -> (Queries.q_hybrid_rrf _),
     // text analysis
     "q_lang_id" -> (Queries.q_lang_id _),
     "q_quality_score" -> (Queries.q_quality_score _),

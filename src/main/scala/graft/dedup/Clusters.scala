@@ -1,0 +1,96 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate RESOLUTION: candidate pairs → connected components
+  * → one canonical document per duplicate cluster.
+  *
+  * The candidate generators ([[Dedup.minhashCandidates]],
+  * [[Dedup.simhashCandidates]], the LSH paths) emit PAIRS; a training
+  * pipeline must turn pairs into clusters and a keep/drop decision —
+  * transitively: if a~b and b~c, all three are one duplicate group
+  * even when (a,c) never collided in a band.
+  *
+  * Components via iterative min-label propagation WITH pointer
+  * jumping: each round every node adopts the minimum label among
+  * itself and its neighbors (equi-join + groupBy-min), then
+  * additionally its label's label (a second self-join) — the
+  * shortcut halves label-chain lengths, so rounds are O(log
+  * diameter) even on pathological path-shaped dup graphs, not
+  * O(diameter). Each round is plain shuffle work that AQE sizes like
+  * any aggregation. Driver state per round is ONE boolean (did any
+  * label change); each round's labels are localCheckpoint'ed to
+  * truncate lineage — without that the plan tree doubles per
+  * iteration. On a cluster, swap localCheckpoint for a reliable
+  * `checkpoint` directory; the algorithm is unchanged.
+  *
+  * Labels are minima of doc ids — deterministic for any partition
+  * layout, so the operator stays byte-stable across machines.
+  */
+object Clusters {
+
+  /** `pairs` must have two id columns (`doc_a`, `doc_b`). Returns
+    * (node, comp): every doc that appears in some pair, labeled with
+    * the smallest doc id reachable from it. Docs in no pair are
+    * singletons — absent here by construction; callers join back to
+    * the corpus (see [[canonicalize]]). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // both union branches and every iteration read the pairs; without
+    // this persist the candidate GENERATOR (minhash/simhash pipeline)
+    // executes once per branch. MEMORY_AND_DISK: candidate volume is
+    // bounded by near-dup cluster sizes, and it spills, not OOMs.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(F.min(col("comp")).as("nbr_comp"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("a"), "left")
+        .select(col("node"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp1"))
+      // pointer jumping: also adopt your LABEL's label. A label is the
+      // min id seen so far — itself a node of the same component — so
+      // the shortcut stays inside the component while halving label-
+      // chain lengths: rounds become O(log diameter), which is what
+      // saves a pathological path-shaped dup graph (neighbor
+      // propagation alone needs diameter rounds).
+      val jumped = stepped.as("l")
+        .join(stepped.select(col("node").as("pnode"), col("comp1").as("pcomp")).as("p"),
+          col("l.comp1") === col("p.pnode"), "left")
+        .select(col("l.node").as("node"), col("l.comp").as("comp"),
+          least(col("l.comp1"), coalesce(col("pcomp"), col("l.comp1"))).as("comp2"))
+        .localCheckpoint()
+      converged = jumped.filter(col("comp2") < col("comp")).isEmpty
+      labels = jumped.select(col("node"), col("comp2").as("comp"))
+      iter += 1
+    }
+    p.unpersist()
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster the corpus by `pairs` and pick one canonical doc per
+    * cluster: longest text wins, smallest doc_id breaks ties (the
+    * usual "keep the best copy" rule — quality first, stable second).
+    * Emits every doc of every multi-doc cluster with its cluster id,
+    * size, and the keep flag. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val w = Window.partitionBy(col("cluster_id"))
+    val rank = Window.partitionBy(col("cluster_id"))
+      .orderBy(desc("n_chars"), col("doc_id"))
+    docs.join(comp, docs("doc_id") === comp("node")) // inner: clustered docs only
+      .select(docs("doc_id"), col("comp").as("cluster_id"), docs("n_chars"))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("int"))
+      .withColumn("is_canonical", row_number().over(rank) === 1)
+  }
+}

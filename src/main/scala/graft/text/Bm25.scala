@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval — the classic sparse complement to the
+  * dense cosine path ([[graft.vector.Ann]]): Okapi BM25 with
+  * k1 = 1.2, b = 0.75, idf = ln(1 + (N − df + ½)/(df + ½)).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - postings (doc, term, tf) are one explode + one aggregate over
+  *    the corpus — the same shape as the minhash signature pass;
+  *  - the QUERY side is tiny and broadcast: postings are semi-joined
+  *    down to query terms BEFORE any stats join, so only the posting
+  *    lists of queried terms ever move — the inverted-index access
+  *    pattern, expressed relationally;
+  *  - per-term df is an aggregate bounded by vocabulary, joined only
+  *    for queried terms; corpus-level N/avgdl is a single broadcast
+  *    row (no collect);
+  *  - per-query top-k goes through the row_number window that
+  *    [[graft.plans.RewriteTopKWindow]] rewrites to the bounded-heap
+  *    TopKPerKey operator — no per-query sort of the whole score
+  *    list.
+  *
+  * Scores are rounded to 6 decimals BEFORE ranking so the ordering
+  * (and the DuckDB oracle's) cannot depend on float summation order.
+  */
+object Bm25 {
+
+  /** Top-k docs per query. `queries`: (query_id, qtext). Output:
+    * (query_id, rank, doc_id, score). */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), explode(Tok.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val docLen = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
+    val stats = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val df = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val qterms = queries
+      .select(col("query_id"),
+        explode(array_distinct(Tok.tokens(lower(col("qtext"))))).as("term"))
+    // only queried terms' postings flow past this point
+    val matched = postings.join(broadcast(qterms), "term")
+      .join(broadcast(df.join(broadcast(qterms.select("term").distinct()), "term")),
+        "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+    val idf: Column =
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm: Column =
+      col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = matched
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Token-set Jaccard ranking — the unweighted lexical cousin of
+    * BM25: |Q∩D| / |Q∪D| over distinct lowercase tokens. Same
+    * inverted-index access pattern (query terms broadcast, only
+    * matching postings move); used as the second list in the RRF
+    * fusion. */
+  def tokenJaccardTopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val dterms = docs
+      .select(col("doc_id"), array_distinct(Tok.tokens(lower(col("text")))).as("ts"))
+      .withColumn("n_d", size(col("ts")))
+      .select(col("doc_id"), col("n_d"), explode(col("ts")).as("term"))
+    val qterms = queries
+      .select(col("query_id"), array_distinct(Tok.tokens(lower(col("qtext")))).as("ts"))
+      .withColumn("n_q", size(col("ts")))
+      .select(col("query_id"), col("n_q"), explode(col("ts")).as("term"))
+    val scored = dterms.join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"), col("n_q"), col("n_d"))
+      .agg(count(lit(1)).cast("int").as("m"))
+      .withColumn("score",
+        round(col("m").cast("double") / (col("n_q") + col("n_d") - col("m")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (SIGIR'09 form,
+    * 1/(c + rank), c = 60): the standard way to combine a lexical
+    * and a similarity ranking without score calibration. Inputs need
+    * (query_id, doc_id, rank); fused score is rounded before the
+    * final ranking for cross-engine determinism. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Double = 60.0): DataFrame = {
+    val contrib = (r: Column) => lit(1.0) / (lit(c) + r)
+    val pooled = a.select(col("query_id"), col("doc_id"), contrib(col("rank")).as("contrib"))
+      .unionByName(
+        b.select(col("query_id"), col("doc_id"), contrib(col("rank")).as("contrib")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf_score"), col("doc_id"))
+    pooled.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Near-dup resolution: components must close transitively over
+  * candidate pairs and pick one canonical keeper per cluster. */
+class ClustersSpec extends AnyFunSuite with SparkTestBase {
+
+  test("components close transitively; chains collapse to one cluster") {
+    import spark.implicits._
+    // two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val comp = Clusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L),
+      "a-b, b-c, c-d must be ONE component even though (a,d) never paired")
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+  }
+
+  test("canonicalize keeps the longest doc, doc_id tiebreak, sizes right") {
+    import spark.implicits._
+    val docs = Seq((1L, 100L), (2L, 300L), (3L, 300L), (4L, 50L), (9L, 10L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Clusters.canonicalize(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(3), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // singleton 9 not emitted
+    assert(out.values.forall { case (cid, size, _) => cid == 1L && size == 4 })
+    // longest is 300 shared by docs 2 and 3 -> smaller doc_id wins
+    assert(out(2L)._3 && !out(1L)._3 && !out(3L)._3 && !out(4L)._3)
+  }
+
+  test("label propagation is deterministic across partition layouts") {
+    import spark.implicits._
+    val pairs = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b") // one long chain: worst-case diameter
+    val a = Clusters.connectedComponents(pairs.repartition(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Clusters.connectedComponents(pairs.repartition(13))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+    assert(a.forall(_._2 == 1L), "whole chain is one component")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** BM25 + RRF sanity beyond the DuckDB hash check. */
+class Bm25Spec extends AnyFunSuite with SparkTestBase {
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark shuffle join join join"),
+      (2L, "spark shuffle"),
+      (3L, "window sort merge window sort"),
+      (4L, "totally unrelated words here"),
+      (5L, "join")).toDF("doc_id", "text")
+  }
+
+  test("bm25: repeated query terms rank higher; non-matching docs absent") {
+    import spark.implicits._
+    val q = Seq((0L, "join")).toDF("query_id", "qtext")
+    val out = Bm25.topK(docsDf, q, 5).orderBy("rank").collect()
+    // only docs containing 'join' score
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 5L))
+    // tf=3 in doc 1 still beats doc 5's single occurrence — but only
+    // narrowly (1.43 vs 1.41): k1 saturation + length normalization
+    // nearly cancel three repetitions in a doc 5x as long
+    assert(out.head.getLong(2) == 1L)
+    assert(out.head.getDouble(3) - out(1).getDouble(3) < 0.1)
+  }
+
+  test("bm25: rarer term contributes more than common term (idf)") {
+    import spark.implicits._
+    // 'spark' appears in 2 docs, 'window' in 1 -> same tf, window doc wins
+    val q = Seq((0L, "spark window")).toDF("query_id", "qtext")
+    val out = Bm25.topK(docsDf, q, 5).filter(col("rank") === 1).head()
+    assert(out.getLong(2) == 3L)
+  }
+
+  test("rrf: agreement across lists beats a single first place") {
+    import spark.implicits._
+    val a = Seq((0L, 1, 101L), (0L, 2, 102L), (0L, 3, 103L))
+      .toDF("query_id", "rank", "doc_id")
+    val b = Seq((0L, 1, 104L), (0L, 2, 102L), (0L, 3, 103L))
+      .toDF("query_id", "rank", "doc_id")
+    val fused = Bm25.rrfFuse(a, b, 4).orderBy("rank").collect()
+    // 102 appears rank-2 in BOTH lists: 2/(60+2) > 1/(60+1)
+    assert(fused.head.getLong(2) == 102L)
+    assert(fused.map(_.getLong(2)).toSet == Set(101L, 102L, 103L, 104L))
+  }
+
+  test("token jaccard: exact vocabulary match outranks supersets") {
+    import spark.implicits._
+    val q = Seq((0L, "spark shuffle")).toDF("query_id", "qtext")
+    val out = Bm25.tokenJaccardTopK(docsDf, q, 3).orderBy("rank").collect()
+    assert(out.head.getLong(2) == 2L) // doc 2 == exactly {spark, shuffle}
+    assert(out.head.getDouble(3) == 1.0)
+  }
+}
