@@ -39,8 +39,11 @@ object RagPipeline {
     * dispatch (C4): "brute" = exact cosine via the TopKPerKey
     * operator; "ivf" / "lsh" = the sub-linear ANN paths, with the
     * store enumerated to numeric ids by the distributed prefix sum
-    * (deterministic: id-ordered, partition-independent). Unknown
-    * strategies raise, mirroring the reference's error path. */
+    * (deterministic: id-ordered, partition-independent); "hybrid" =
+    * reciprocal-rank fusion of the dense cosine list with a BM25
+    * lexical list over the same chunk store (the calibration-free
+    * dense+sparse combiner). Unknown strategies raise, mirroring the
+    * reference's error path. */
   def run(spark: SparkSession, docs: DataFrame, queryTexts: Seq[String],
       strategy: String = "simple",
       embedder: Embedder = HashingEmbedder(64),
@@ -66,6 +69,26 @@ object RagPipeline {
             graft.vector.Ann.lshTopK(indexed, queries, TopK)
         }
         hits.join(indexed.select(col("vec_id"), col("source"), col("text")),
+            "vec_id")
+          .select(col("query_id"), col("rank"), col("source"), col("text"))
+      case "hybrid" =>
+        // dense + lexical over the same enumerated store, fused by RRF
+        // (deeper candidate lists than the final k, the usual fusion
+        // setup); persisted because three consumers read it
+        val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
+            store, col("id"), lit(1L), "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dense = VectorOps.topK(indexed, queries, TopK * 2,
+            tiebreak = Seq(col("vec_id")))
+          .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+        val lex = graft.text.Bm25.topK(
+            indexed.select(col("vec_id").as("doc_id"), col("text")),
+            queries.select(col("query_id"), col("query_text").as("qtext")),
+            TopK * 2)
+          .select(col("query_id"), col("rank"), col("doc_id"))
+        graft.text.Bm25.rrfFuse(dense, lex, TopK)
+          .withColumnRenamed("doc_id", "vec_id")
+          .join(indexed.select(col("vec_id"), col("source"), col("text")),
             "vec_id")
           .select(col("query_id"), col("rank"), col("source"), col("text"))
       case other =>

@@ -51,6 +51,18 @@ class RagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("bogus"))
   }
 
+  test("run: hybrid retrieval fuses dense and lexical lists into a full context") {
+    val out = RagPipeline.run(spark, docs.limit(50),
+      Seq("table scan filter"), "simple", retrieval = "hybrid").collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1).split("\n\n").length == RagPipeline.TopK,
+      "hybrid: context must cite TopK chunks")
+    // the query words appear verbatim in the corpus, so the lexical
+    // list is non-degenerate: at least one cited chunk contains one
+    assert(Seq("table", "scan", "filter")
+      .exists(w => out(0).getString(1).contains(w)))
+  }
+
   test("run: ivf and lsh retrieval produce a full cited context; unknown retrieval raises") {
     for (retrieval <- Seq("ivf", "lsh")) {
       val out = RagPipeline.run(spark, docs.limit(50),
