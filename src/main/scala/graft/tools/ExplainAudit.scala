@@ -17,7 +17,10 @@ object ExplainAudit {
     // only on doc_id), the nested OCR explode_outer, and the
     // prefix-sum-based ocr_flatten (no unpartitioned window)
     "q_chunk_occurrences", "q_text_overlap_pairs", "q_ocr_nested",
-    "q_ocr_flatten")
+    "q_ocr_flatten",
+    // round 4b: lexical retrieval (postings semi-joined to broadcast
+    // query terms) and the contamination broadcast shape
+    "q_bm25_topk", "q_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
