@@ -35,13 +35,24 @@ object Clusters {
     * (node, comp): every doc that appears in some pair, labeled with
     * the smallest doc id reachable from it. Docs in no pair are
     * singletons — absent here by construction; callers join back to
-    * the corpus (see [[canonicalize]]). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * the corpus (see [[canonicalize]]).
+    *
+    * Size-adaptive, like a broadcast-join threshold: candidate-pair
+    * graphs are tiny relative to the corpus (pairs exist only where
+    * near-dups exist), so up to `smallGraphThreshold` pairs the
+    * components come from ONE bounded collect + driver union-find —
+    * replacing O(log diameter) shuffle rounds with a single job.
+    * Above the threshold the distributed propagation loop runs; both
+    * paths converge to the same min-label fixpoint, so the choice is
+    * invisible in the output (and the oracle hash). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      smallGraphThreshold: Long = 1L << 20): DataFrame = {
     // both union branches and every iteration read the pairs; without
     // this persist the candidate GENERATOR (minhash/simhash pipeline)
     // executes once per branch. MEMORY_AND_DISK: candidate volume is
     // bounded by near-dup cluster sizes, and it spills, not OOMs.
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (p.count() <= smallGraphThreshold) return driverUnionFind(p)
     val edges = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
@@ -76,6 +87,40 @@ object Clusters {
     p.unpersist()
     edges.unpersist()
     labels
+  }
+
+  /** Union-find with path compression over a collected pair list
+    * (bounded by [[connectedComponents]]'s threshold: ≤2^20 pairs ×
+    * 16 bytes = 16 MB driver ceiling). Roots are then resolved to
+    * each component's minimum member, so the labels are identical to
+    * the distributed fixpoint and independent of edge order. */
+  private def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.unpersist()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOfRoot.updateWith(r)(m => Some(math.min(m.getOrElse(n), n)))
+    }
+    parent.keys.toSeq.sorted
+      .map(n => (n, minOfRoot(find(n))))
+      .toDF("node", "comp")
   }
 
   /** Cluster the corpus by `pairs` and pick one canonical doc per

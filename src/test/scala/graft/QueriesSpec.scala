@@ -69,6 +69,23 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(seqs.toSeq == (1 to seqs.length))
   }
 
+  test("catalog-wide plan gate: no unpartitioned Window outside the documented exception") {
+    // q_positional_zip is the one sanctioned global sequence: its
+    // inputs are bounded <100 rows by construction (SCALE.md §Global
+    // sequences). Everything else must keep windows partitioned —
+    // an unpartitioned Window funnels the corpus through ONE task.
+    val allowed = Set("q_positional_zip")
+    val offenders = SparkEntry.queries.collect {
+      case (name, fn) if !allowed(name) =>
+        val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        name -> bad.size
+    }.filter(_._2 > 0)
+    assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
+  }
+
   test("q_chunk_occurrences: exact rows cover birth offsets; perturbed docs go fuzzy") {
     val occ = Queries.q_chunk_occurrences(spark, sf).collect()
     val byType = occ.groupBy(_.getString(4))

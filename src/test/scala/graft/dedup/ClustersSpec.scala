@@ -34,15 +34,17 @@ class ClustersSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L)._3 && !out(1L)._3 && !out(3L)._3 && !out(4L)._3)
   }
 
-  test("label propagation is deterministic across partition layouts") {
+  test("distributed propagation matches driver union-find, any partition layout") {
     import spark.implicits._
     val pairs = (1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("doc_a", "doc_b") // one long chain: worst-case diameter
-    val a = Clusters.connectedComponents(pairs.repartition(1))
+    // threshold 0 forces the distributed O(log diameter) loop
+    val dist = Clusters.connectedComponents(pairs.repartition(13),
+        smallGraphThreshold = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val b = Clusters.connectedComponents(pairs.repartition(13))
+    val drv = Clusters.connectedComponents(pairs.repartition(1))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    assert(a == b)
-    assert(a.forall(_._2 == 1L), "whole chain is one component")
+    assert(dist == drv, "both strategies must reach the same fixpoint")
+    assert(dist.forall(_._2 == 1L), "whole chain is one component")
   }
 }
