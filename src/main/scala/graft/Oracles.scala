@@ -96,8 +96,8 @@ object Oracles {
        |), scored AS (
        |  SELECT qt.query_id, p.doc_id,
        |         round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
-       |           p.tf * (1.2 + 1.0) /
-       |           (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))), 6) AS score
+       |           (p.tf * (1.2 + 1.0) /
+       |            (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)))), 6) AS score
        |  FROM postings p
        |  JOIN qt ON p.term = qt.term
        |  JOIN dfreq f ON f.term = p.term

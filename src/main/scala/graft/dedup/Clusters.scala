@@ -45,8 +45,8 @@ object Clusters {
     * Above the threshold the distributed propagation loop runs; both
     * paths converge to the same min-label fixpoint, so the choice is
     * invisible in the output (and the oracle hash). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      smallGraphThreshold: Long = 1L << 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 40,
+      smallGraphThreshold: Long = 1L << 18): DataFrame = {
     // both union branches and every iteration read the pairs; without
     // this persist the candidate GENERATOR (minhash/simhash pipeline)
     // executes once per branch. MEMORY_AND_DISK: candidate volume is
@@ -86,14 +86,23 @@ object Clusters {
     }
     p.unpersist()
     edges.unpersist()
+    // with pointer jumping, label-chain depth halves per round, so 40
+    // rounds cover any graph this side of 2^40 nodes — hitting the cap
+    // means something is wrong; wrong clusters must not leave silently
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 
-  /** Union-find with path compression over a collected pair list
-    * (bounded by [[connectedComponents]]'s threshold: ≤2^20 pairs ×
-    * 16 bytes = 16 MB driver ceiling). Roots are then resolved to
-    * each component's minimum member, so the labels are identical to
-    * the distributed fixpoint and independent of edge order. */
+  /** Union-find with path compression over a collected pair list,
+    * bounded by [[connectedComponents]]'s threshold: ≤2^18 pairs.
+    * The real driver footprint is JVM rows + boxed hash-map entries,
+    * roughly 100–300 bytes/pair — tens of MB at the cap, NOT the raw
+    * 16 bytes/pair — which is why the threshold stops at 2^18.
+    * Roots are resolved to each component's minimum member, so the
+    * labels are identical to the distributed fixpoint and independent
+    * of edge order. */
   private def driverUnionFind(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._

@@ -30,10 +30,14 @@ object ResultCache {
   /** SELECT-only guard (`app.py:279-281`). */
   def isAllowed(query: String): Boolean = normalize(query).startsWith("select")
 
-  private def key(query: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(normalize(query).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  /** Key = session identity + normalized-query md5: entries hold
+    * DataFrames bound to their owning session, so a second session in
+    * the same JVM must never receive another session's frame. */
+  private def key(spark: SparkSession, query: String): String =
+    System.identityHashCode(spark).toHexString + ":" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(normalize(query).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
 
   /** Run `query` through the guard + cache: a live entry is served
     * from the columnar cache; a miss (or expired entry) re-executes
@@ -43,8 +47,13 @@ object ResultCache {
     require(isAllowed(query), "Only SELECT queries are allowed")
     lookup(spark, query, now).getOrElse {
       val df = spark.sql(query).persist()
-      entries.put(key(query), Entry(df, now() + ttlMillis))
-      df
+      // putIfAbsent: if a concurrent miss won the race, keep ITS entry
+      // and unpersist ours — an unconditional put would orphan the
+      // loser's persisted frame in executor memory
+      entries.putIfAbsent(key(spark, query), Entry(df, now() + ttlMillis)) match {
+        case Some(winner) => df.unpersist(blocking = false); winner.df
+        case None => df
+      }
     }
   }
 
@@ -52,7 +61,7 @@ object ResultCache {
     * unpersisted and removed on the way out (lazy TTL eviction). */
   def lookup(spark: SparkSession, query: String,
       now: () => Long = () => System.currentTimeMillis()): Option[DataFrame] = {
-    val k = key(query)
+    val k = key(spark, query)
     entries.get(k) match {
       case Some(e) if now() < e.deadlineMillis => Some(e.df)
       case Some(e) => evict(k, e); None
@@ -63,8 +72,10 @@ object ResultCache {
   def evictAll(): Unit = entries.foreach { case (k, e) => evict(k, e) }
 
   private def evict(k: String, e: Entry): Unit = {
-    e.df.unpersist(blocking = false)
-    entries.remove(k)
+    // conditional remove: only drop the exact entry we decided to
+    // evict — a fresh entry raced in under the same key must survive
+    // (and keep its persisted frame)
+    if (entries.remove(k, e)) e.df.unpersist(blocking = false)
     ()
   }
 }

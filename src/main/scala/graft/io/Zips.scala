@@ -66,11 +66,24 @@ object Zips {
           } finally zip.close()
           Extraction(zf.getName, Some(dest.getPath), n)
         } catch {
-          case _: ZipException => Extraction(zf.getName, None, 0)
+          case _: ZipException =>
+            // a corrupt archive (or a zip-slip entry mid-stream) must
+            // not leave half-extracted members behind: downstream
+            // consumers that glob destRoot would ingest a partial
+            // quarter. Remove everything written for this archive.
+            deleteRecursively(dest)
+            Extraction(zf.getName, None, 0)
         }
       Files.deleteIfExists(Paths.get(zf.getPath)) // reference: os.remove after either branch
       out
     }
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
   }
 
   /** The reference's `year_quarters` derivation: basename of each

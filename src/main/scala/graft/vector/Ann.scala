@@ -71,7 +71,13 @@ object Ann {
     * the one-row probe is cheap, but launching it before EVERY LSH
     * call stacks a needless extra scan in front of the real job at
     * corpus scale. Keyed by the analyzed plan's semantic hash so
-    * repeated calls over the same table share one probe. */
+    * repeated calls over the same table share one probe. Known
+    * tradeoff of any dim memo: if the FILES under a semantically
+    * identical plan are rewritten with different-dimension vectors in
+    * the same JVM, the stale dim degrades LSH recall (never
+    * correctness — the exact-cosine confirm still runs). Pass an
+    * explicit `bucketLength` to bypass the probe entirely when the
+    * dim is known to the caller. */
   private val dimCache = scala.collection.concurrent.TrieMap.empty[Int, Int]
 
   private def embeddingDim(df: DataFrame, embCol: String): Int = {

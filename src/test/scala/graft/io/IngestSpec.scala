@@ -127,6 +127,25 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(df.columns.toSeq == Seq("adsh", "value") && df.count() == 2)
   }
 
+  test("zip-slip archive is rejected wholesale with no partial extraction") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val src = java.nio.file.Files.createTempDirectory("graft-zipslip-src").toFile
+    val dst = java.nio.file.Files.createTempDirectory("graft-zipslip-dst").toString
+    val z = new java.io.File(src, "2025q1.zip")
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(z))
+    zos.putNextEntry(new ZipEntry("ok.txt"))
+    zos.write("fine\n".getBytes("UTF-8")); zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("../evil.txt"))
+    zos.write("escape\n".getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    val res = Zips.extractAll(src.getPath, dst)
+    assert(res.head.folder.isEmpty && res.head.members == 0)
+    assert(!new java.io.File(dst, "evil.txt").exists(), "zip-slip must not escape")
+    assert(!new java.io.File(dst, "2025q1").exists(),
+      "aborted archive must leave no partial members (ok.txt was written first)")
+    assert(!z.exists(), "archive removed either way")
+  }
+
   test("events reader does not leak the nanosAsLong conf into the session") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val before = spark.conf.getOption(key) // Some(default) for registered confs
