@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 
@@ -32,6 +33,46 @@ class ClustersSpec extends AnyFunSuite with SparkTestBase {
     assert(out.values.forall { case (cid, size, _) => cid == 1L && size == 4 })
     // longest is 300 shared by docs 2 and 3 -> smaller doc_id wins
     assert(out(2L)._3 && !out(1L)._3 && !out(3L)._3 && !out(4L)._3)
+  }
+
+  test("property: random graphs — components match an in-test BFS reference") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.chooseNum(1, 25) // edge count
+      es <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(1L, 30L); b <- Gen.chooseNum(1L, 30L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    def bfsComponents(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = (es ++ es.map(_.swap)).groupMap(_._1)(_._2)
+      val seen = scala.collection.mutable.Map.empty[Long, Long]
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!seen.contains(start)) {
+          val queue = scala.collection.mutable.Queue(start)
+          val members = scala.collection.mutable.Buffer.empty[Long]
+          while (queue.nonEmpty) {
+            val x = queue.dequeue()
+            if (!seen.contains(x)) {
+              seen(x) = -1; members += x
+              adj.getOrElse(x, Nil).foreach(queue.enqueue)
+            }
+          }
+          val label = members.min
+          members.foreach(m => seen(m) = label)
+        }
+      }
+      seen.toMap
+    }
+    val prop = Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        val got = Clusters.connectedComponents(es.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == bfsComponents(es)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("distributed propagation matches driver union-find, any partition layout") {
