@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** JSON string escape shared with Verify's convention: backslash,
+    * quote, and ALL control chars — exception messages can carry
+    * newlines/tabs that would corrupt the one-line artifact. */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,13 +34,20 @@ object Bench {
     // by external load); the min of three runs is the closest cheap
     // estimator of the query's intrinsic cost on a noisy box
     val Runs = 3
+    // failure-loud: a throwing query would otherwise bench as ~0 s and
+    // make the run look BETTER — record every distinct error, surface
+    // them in the artifact, and exit non-zero so the driver can't
+    // mistake a broken catalog for a fast one
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink materializes EVERY output column — count() would let
         // Catalyst prune the expensive expressions out of the measurement
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          errors += s"$name: ${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -35,7 +55,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map(jq).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also land the whole line in a file: the committed BENCH_r04.json
+    // was a stdout `tail` capture that truncated away 10 queries and
+    // the total — the file artifact is always complete
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED")
+      sys.exit(1)
+    }
   }
 }

@@ -110,6 +110,37 @@ object Oracles {
        |  FROM scored
        |)""".stripMargin
 
+  /** Shared CTE chain: sign-LSH band keys (mirrors
+    * [[graft.vector.Ann.signLshKeys]] bit for bit): plane weight =
+    * first 8 md5 hex chars of "p|j" as unsigned int, mapped to
+    * [−1, 1) (division by 2³¹ is exact in both engines); dot products
+    * sum left-to-right over ascending dims exactly like the Scala
+    * while-loop (DuckDB's `list_sum` is an ordered fold — verified
+    * order-sensitive on (1e16, 1, −1e16)); bit i of band b comes from
+    * plane p = 8b + i. `filter` narrows the vector set. */
+  private def signLshKeysCte(filter: String): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding FROM embeddings $filter
+       |), pw AS (
+       |  SELECT p, list(w ORDER BY j) AS w FROM (
+       |    SELECT ps.p, js.j,
+       |           CAST('0x' || substr(md5(CAST(ps.p AS VARCHAR) || '|' ||
+       |                 CAST(js.j AS VARCHAR)), 1, 8) AS BIGINT)
+       |             / 2147483648.0 - 1.0 AS w
+       |    FROM (SELECT unnest(generate_series(0, 63)) AS p) ps
+       |    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js
+       |  ) GROUP BY p
+       |), dots AS (
+       |  SELECT e.vec_id, pw.p,
+       |         list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |           i -> pw.w[i] * CAST(e.embedding[i] AS DOUBLE))) AS d
+       |  FROM emb e CROSS JOIN pw
+       |), keys AS (
+       |  SELECT vec_id, CAST(p // 8 AS INTEGER) AS band,
+       |         CAST(sum(CASE WHEN d > 0 THEN (1 << (p % 8)) ELSE 0 END) AS INTEGER) AS "key"
+       |  FROM dots GROUP BY vec_id, p // 8
+       |)""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "q_chunk_fixed" ->
@@ -247,6 +278,32 @@ object Oracles {
         |  WHERE a.vec_id < 2000 AND b.vec_id < 2000 AND a.vec_id < b.vec_id
         |) WHERE cos_sim >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // full sign-LSH replay: md5 planes → sign bits → band keys →
+    // band self-join → exact-cosine confirm (correctly empty on this
+    // fixture — max pairwise cosine ≈ 0.51; the key machinery is
+    // value-pinned by q_signlsh_bands below)
+    "q_near_dup_signlsh" ->
+      s"""${signLshKeysCte("")}
+         |, cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM keys x JOIN keys y
+         |    ON x.band = y.band AND x."key" = y."key" AND x.vec_id < y.vec_id
+         |)
+         |SELECT id_a, id_b, cos_sim FROM (
+         |  SELECT c.id_a, c.id_b,
+         |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id_a
+         |  JOIN embeddings b ON b.vec_id = c.id_b
+         |) WHERE cos_sim >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_signlsh_bands" ->
+      s"""${signLshKeysCte("WHERE vec_id < 200")}
+         |SELECT vec_id, band, "key" FROM keys
+         |ORDER BY vec_id, band""".stripMargin,
 
     "q_filter_conj" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice

@@ -142,11 +142,25 @@ object Queries {
     Ann.lshNearDup(t(s, dir, "embeddings"), cosThreshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** Sign (hyperplane) LSH near-dup — the cosine-native LSH path
-    * (rows-only; candidate generation uses seeded projections). */
+  /** Sign (hyperplane) LSH near-dup — the cosine-native LSH path.
+    * Oracle-checked end to end since the projection planes are
+    * md5-derived ([[Ann.planeWeight]]): DuckDB replays planes, sign
+    * bits, band keys, the band self-join and the exact-cosine confirm.
+    * The fixture's max pairwise cosine is ≈0.51, so the correct
+    * answer at 0.9 is empty — the band-key machinery itself is pinned
+    * with real data by [[q_signlsh_bands]]. */
   def q_near_dup_signlsh(s: SparkSession, dir: String): DataFrame =
     Ann.signLshNearDup(t(s, dir, "embeddings"), cosThreshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Sign-LSH band keys for the first 200 vectors — the data-rich
+    * oracle surface for the md5-derived hyperplane machinery (the
+    * near-dup query above is correctly empty on this fixture, so this
+    * query is what actually exercises plane weights, ordered dot
+    * products and bit packing against DuckDB). */
+  def q_signlsh_bands(s: SparkSession, dir: String): DataFrame =
+    Ann.signLshKeys(t(s, dir, "embeddings").filter(col("vec_id") < 200))
+      .orderBy(col("vec_id"), col("band"))
 
   /** LSH ANN top-k (rows-only; exact counterpart is q_topk_cosine). */
   def q_topk_lsh(s: SparkSession, dir: String): DataFrame = {

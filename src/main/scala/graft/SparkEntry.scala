@@ -39,6 +39,7 @@ object SparkEntry {
     "q_near_dup_cosine" -> (Queries.q_near_dup_cosine _),
     "q_near_dup_lsh" -> (Queries.q_near_dup_lsh _),
     "q_near_dup_signlsh" -> (Queries.q_near_dup_signlsh _),
+    "q_signlsh_bands" -> (Queries.q_signlsh_bands _),
     "q_topk_lsh" -> (Queries.q_topk_lsh _),
     "q_topk_ivf" -> (Queries.q_topk_ivf _),
     // tabular surface

@@ -118,24 +118,34 @@ object Ann {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
-  /** Sign (hyperplane) LSH near-dup — the cosine-native LSH:
-    * each band key packs the sign bits of `bitsPerBand` seeded random
-    * projections; vectors agreeing on any band are candidates, then
-    * confirmed by exact cosine. P[bit agrees] = 1 − θ/π, so near-dup
-    * pairs (θ small) collide with high probability while the bucket
-    * join stays equi on short int keys. Preferable to bucketed random
-    * projection on unit vectors (whose 1-D floor buckets degenerate
-    * to a near-cross-join). Deterministic: fixed-seed projections. */
-  def signLshNearDup(embeddings: DataFrame, cosThreshold: Double,
-      bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    val rnd = new scala.util.Random(seed)
-    // bands × bitsPerBand random hyperplanes (gaussian, unnormalized —
-    // sign is scale-invariant)
+  /** md5-derived projection weight for sign-LSH plane `p`, dimension
+    * `j`: the first 8 hex chars of md5("p|j") as an unsigned int,
+    * mapped to [−1, 1). Deterministic BY CONSTRUCTION — no seeded JVM
+    * randomness — and engine-portable: DuckDB recomputes the identical
+    * double from the same md5 hex (division by 2³¹ and the subtraction
+    * are exact / identically-rounded IEEE ops), so the whole LSH path
+    * is replayable in SQL. Same trick as the minhash permutations
+    * (`graft.dedup.Dedup` md5(seed|shingle)). Uniform-cube rather than
+    * gaussian directions — sign-LSH only needs symmetry, and the
+    * recall-vs-brute bound is asserted in AnnIvfSpec. */
+  private[vector] def planeWeight(p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p|$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+  }
+
+  /** Per-vector sign-LSH band keys `(vec_id, band, key)`: key packs
+    * the sign bits of the `bitsPerBand` planes of that band (plane
+    * index p = band·bitsPerBand + bit). The dot products accumulate
+    * left-to-right in ascending dimension order so the DuckDB oracle's
+    * `list_sum(list_transform(...))` (also ordered) lands on the
+    * bit-identical double — signs can never disagree across engines. */
+  def signLshKeys(embeddings: DataFrame, bands: Int = 8,
+      bitsPerBand: Int = 8): DataFrame = {
+    val dim = embeddingDim(embeddings, "embedding")
     val planes: Array[Array[Double]] =
-      Array.fill(bands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
+      Array.tabulate(bands * bitsPerBand)(p => Array.tabulate(dim)(planeWeight(p, _)))
     val keysUdf = udf((v: Seq[Float]) => {
       val out = new Array[Int](bands)
       var b = 0
@@ -155,6 +165,21 @@ object Ann {
       }
       out
     })
+    embeddings.select(col("vec_id"),
+      posexplode(keysUdf(col("embedding"))).as(Seq("band", "key")))
+  }
+
+  /** Sign (hyperplane) LSH near-dup — the cosine-native LSH:
+    * each band key packs the sign bits of `bitsPerBand` md5-derived
+    * projections ([[signLshKeys]]); vectors agreeing on any band are
+    * candidates, then confirmed by exact cosine. P[bit agrees] =
+    * 1 − θ/π, so near-dup pairs (θ small) collide with high
+    * probability while the bucket join stays equi on short int keys.
+    * Preferable to bucketed random projection on unit vectors (whose
+    * 1-D floor buckets degenerate to a near-cross-join). Fully
+    * deterministic and DuckDB-replayable end to end. */
+  def signLshNearDup(embeddings: DataFrame, cosThreshold: Double,
+      bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     // Candidate generation stays NARROW: only (vec_id, band, key) goes
     // through the self-join and the pair-dedup shuffles, never the
     // embedding arrays (the old shape shuffled 8 copies of every
@@ -165,8 +190,7 @@ object Ann {
     // shared repartition on the join key (same discipline as the
     // Dedup self-joins): both sides canonicalize to one exchange, so
     // the projection UDF runs once instead of once per side
-    val keyed = embeddings.select(col("vec_id"),
-        posexplode(keysUdf(col("embedding"))).as(Seq("band", "key")))
+    val keyed = signLshKeys(embeddings, bands, bitsPerBand)
       .repartition(col("band"), col("key"))
     val pairs = keyed.as("x").join(keyed.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
