@@ -305,6 +305,90 @@ object Oracles {
          |SELECT vec_id, band, "key" FROM keys
          |ORDER BY vec_id, band""".stripMargin,
 
+    // IVF replay on the crafted two-cluster fixture
+    // (Queries.ivfCraftedCorpus/Queries, shared literals): sorted-
+    // sample init picks vec 0 and vec 4, one assignment round against
+    // the init centroids, one per-cell mean update (= the Lloyd's
+    // fixpoint by construction — round 2 regroups identically), then
+    // the serve path: probe = best cell by cosine against the
+    // FLOAT-cast centroid (the engine ships centroids to the probe
+    // join as floats), fine search = exact cosine over the probed
+    // cell only, rank, top-3. All sums are written left-assoc over
+    // ascending dims to mirror FloatVecExpr's accumulation; centroid
+    // means may differ by ulps (avg order) but only feed well-
+    // separated assignment/probe DECISIONS, never output values.
+    "q_topk_ivf_crafted" -> {
+      val cv = Queries.ivfCraftedCorpus.map { case (id, v) =>
+        s"(CAST($id AS BIGINT), " +
+          v.map(x => s"CAST(${x.toDouble} AS DOUBLE)").mkString(", ") + ")"
+      }.mkString(", ")
+      val qv = Queries.ivfCraftedQueries.map { case (id, v) =>
+        s"(CAST($id AS BIGINT), " +
+          v.map(x => s"CAST(${x.toDouble} AS DOUBLE)").mkString(", ") + ")"
+      }.mkString(", ")
+      s"""WITH corpus(vec_id, e1, e2, e3, e4) AS (
+         |  VALUES $cv
+         |), qs(query_id, q1, q2, q3, q4) AS (
+         |  VALUES $qv
+         |), nv AS (
+         |  SELECT vec_id, e1 / nrm AS n1, e2 / nrm AS n2, e3 / nrm AS n3, e4 / nrm AS n4
+         |  FROM (SELECT *, sqrt(e1*e1 + e2*e2 + e3*e3 + e4*e4) AS nrm FROM corpus)
+         |), init0 AS (SELECT n1, n2, n3, n4 FROM nv WHERE vec_id = 0
+         |), init1 AS (SELECT n1, n2, n3, n4 FROM nv WHERE vec_id = 4
+         |), a0 AS (
+         |  SELECT v.vec_id,
+         |         CASE WHEN (v.n1-c1.n1)*(v.n1-c1.n1) + (v.n2-c1.n2)*(v.n2-c1.n2)
+         |                 + (v.n3-c1.n3)*(v.n3-c1.n3) + (v.n4-c1.n4)*(v.n4-c1.n4)
+         |               < (v.n1-c0.n1)*(v.n1-c0.n1) + (v.n2-c0.n2)*(v.n2-c0.n2)
+         |                 + (v.n3-c0.n3)*(v.n3-c0.n3) + (v.n4-c0.n4)*(v.n4-c0.n4)
+         |              THEN 1 ELSE 0 END AS cell
+         |  FROM nv v CROSS JOIN init0 c0 CROSS JOIN init1 c1
+         |), cents AS (
+         |  SELECT a0.cell,
+         |         avg(v.n1) AS c1, avg(v.n2) AS c2, avg(v.n3) AS c3, avg(v.n4) AS c4,
+         |         CAST(CAST(avg(v.n1) AS FLOAT) AS DOUBLE) AS g1,
+         |         CAST(CAST(avg(v.n2) AS FLOAT) AS DOUBLE) AS g2,
+         |         CAST(CAST(avg(v.n3) AS FLOAT) AS DOUBLE) AS g3,
+         |         CAST(CAST(avg(v.n4) AS FLOAT) AS DOUBLE) AS g4
+         |  FROM a0 JOIN nv v USING (vec_id) GROUP BY a0.cell
+         |), assign AS (
+         |  SELECT v.vec_id,
+         |         CASE WHEN (v.n1-k1.c1)*(v.n1-k1.c1) + (v.n2-k1.c2)*(v.n2-k1.c2)
+         |                 + (v.n3-k1.c3)*(v.n3-k1.c3) + (v.n4-k1.c4)*(v.n4-k1.c4)
+         |               < (v.n1-k0.c1)*(v.n1-k0.c1) + (v.n2-k0.c2)*(v.n2-k0.c2)
+         |                 + (v.n3-k0.c3)*(v.n3-k0.c3) + (v.n4-k0.c4)*(v.n4-k0.c4)
+         |              THEN 1 ELSE 0 END AS cell
+         |  FROM nv v
+         |  CROSS JOIN (SELECT * FROM cents WHERE cell = 0) k0
+         |  CROSS JOIN (SELECT * FROM cents WHERE cell = 1) k1
+         |), probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c.cell,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             (q.q1*c.g1 + q.q2*c.g2 + q.q3*c.g3 + q.q4*c.g4) /
+         |             (sqrt(q.q1*q.q1 + q.q2*q.q2 + q.q3*q.q3 + q.q4*q.q4) *
+         |              sqrt(c.g1*c.g1 + c.g2*c.g2 + c.g3*c.g3 + c.g4*c.g4)) DESC,
+         |             c.cell) AS crank
+         |    FROM qs q CROSS JOIN cents c
+         |  ) WHERE crank <= 1
+         |), scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         round((v.e1*q.q1 + v.e2*q.q2 + v.e3*q.q3 + v.e4*q.q4) /
+         |               (sqrt(v.e1*v.e1 + v.e2*v.e2 + v.e3*v.e3 + v.e4*v.e4) *
+         |                sqrt(q.q1*q.q1 + q.q2*q.q2 + q.q3*q.q3 + q.q4*q.q4)), 6) AS cos_sim
+         |  FROM probe p
+         |  JOIN assign a USING (cell)
+         |  JOIN corpus v ON v.vec_id = a.vec_id
+         |  JOIN qs q ON q.query_id = p.query_id
+         |)
+         |SELECT query_id, rank, vec_id, cos_sim FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored
+         |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
     "q_filter_conj" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
         |FROM lineitem
@@ -907,6 +991,92 @@ object Oracles {
          |JOIN fcum hf ON hf.fi = n.hi
          |CROSS JOIN doc d
          |ORDER BY chunk_index""".stripMargin,
+
+    // Semantic-chunker replay on the crafted topic-cluster doc
+    // (Queries.semanticCraftedParas, shared so the document is
+    // byte-identical). Each 3-token paragraph exactly fills the
+    // min-split budget, so pieces == paragraphs; embeddings are
+    // integer lattice counts (bucket = first 8 md5 hex chars % 8 —
+    // same bucketing as HashingEmbedder), so dot/norm² are exact
+    // integers and dist = 1 − dot/(√na·√nb) is bit-identical to the
+    // engine's double. Threshold: smallest grid point t·(2/4096) with
+    // #(dists in bins ≥ t) ≤ max(0, Σtoks // avg − nDocs) — the
+    // engine's one-pass histogram selection verbatim. Breaks when the
+    // PRECEDING gap exceeds the threshold (lag), running-sum segment
+    // ids, then min/max merge + re-slice from the document.
+    "q_chunk_semantic_crafted" -> {
+      val n = Queries.semanticCraftedParas.length
+      val values = Queries.semanticCraftedParas.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, '$p')" }.mkString(", ")
+      s"""WITH paras(i, ptext) AS (
+         |  VALUES $values
+         |), doc AS (
+         |  SELECT string_agg(ptext, e'\\n\\n' ORDER BY i) AS text FROM paras
+         |), p AS (
+         |  SELECT i AS pi,
+         |         ptext || CASE WHEN i < $n THEN e'\\n\\n' ELSE '' END AS ptxt
+         |  FROM paras
+         |), pc AS (
+         |  SELECT pi, ptxt,
+         |         CAST(coalesce(sum(length(ptxt)) OVER (ORDER BY pi
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS pstart,
+         |         CAST(sum(length(ptxt)) OVER (ORDER BY pi) AS INTEGER) AS pend,
+         |         CAST(len(regexp_extract_all(ptxt, '$RE')) AS INTEGER) AS toks
+         |  FROM p
+         |), tb AS (
+         |  SELECT pi, CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 8 AS INTEGER) AS bucket
+         |  FROM (SELECT pi, unnest(regexp_extract_all(ptxt, '$RE')) AS t FROM p)
+         |), cnt AS (
+         |  SELECT pi, bucket, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY 1, 2
+         |), n2 AS (
+         |  SELECT pi, CAST(sum(c * c) AS BIGINT) AS nn FROM cnt GROUP BY 1
+         |), dt AS (
+         |  SELECT a.pi, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         |  FROM cnt a JOIN cnt b ON b.pi = a.pi + 1 AND b.bucket = a.bucket
+         |  GROUP BY 1
+         |), dists AS (
+         |  SELECT pc.pi, pc.pstart, pc.pend, pc.toks,
+         |         CASE WHEN pc.pi < $n THEN
+         |           1.0 - coalesce(dt.dot, 0) / (sqrt(na.nn) * sqrt(nb.nn))
+         |         END AS dist
+         |  FROM pc
+         |  LEFT JOIN dt ON dt.pi = pc.pi
+         |  JOIN n2 na ON na.pi = pc.pi
+         |  LEFT JOIN n2 nb ON nb.pi = pc.pi + 1
+         |), tgt AS (
+         |  SELECT greatest(0, (SELECT sum(toks) FROM pc) // 6
+         |                  - (SELECT count(*) FROM dists WHERE dist IS NULL)) AS target
+         |), thr AS (
+         |  SELECT min(ts.t) * (2.0 / 4096) AS threshold
+         |  FROM (SELECT unnest(generate_series(0, 4096)) AS t) ts
+         |  WHERE (SELECT count(*) FROM dists
+         |         WHERE dist IS NOT NULL
+         |           AND CAST(greatest(least(floor(dist / (2.0 / 4096)), 4095), 0) AS INTEGER) >= ts.t)
+         |        <= (SELECT target FROM tgt)
+         |), brk AS (
+         |  SELECT pi, pstart, pend,
+         |         CASE WHEN lag(dist) OVER (ORDER BY pi) > (SELECT threshold FROM thr)
+         |              THEN 1 ELSE 0 END AS b
+         |  FROM dists
+         |), seg AS (
+         |  SELECT pi, pstart, pend,
+         |         sum(b) OVER (ORDER BY pi ROWS UNBOUNDED PRECEDING) AS segment
+         |  FROM brk
+         |), m AS (
+         |  SELECT segment, min(pstart) AS mstart, max(pend) AS mend
+         |  FROM seg GROUP BY 1
+         |)
+         |SELECT CAST(1 AS BIGINT) AS doc_id, 'crafted' AS source,
+         |       CAST(m.segment AS INTEGER) AS chunk_index,
+         |       substr(d.text, m.mstart + 1, m.mend - m.mstart) AS text,
+         |       m.mstart AS start, m.mend AS "end",
+         |       CAST(length(substr(d.text, m.mstart + 1, m.mend - m.mstart)) AS INTEGER) AS char_length,
+         |       CAST(len(regexp_extract_all(
+         |         substr(d.text, m.mstart + 1, m.mend - m.mstart), '$RE')) AS INTEGER) AS token_length,
+         |       'semantic' AS strategy
+         |FROM m CROSS JOIN doc d
+         |ORDER BY chunk_index""".stripMargin
+    },
 
     "q_text_overlap_pairs" ->
       s"""$chunkCte

@@ -181,6 +181,40 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Crafted IVF fixture: two well-separated integer clusters (A ≈ e1:
+    * vec 0–3, B ≈ e2: vec 4–7). The deterministic sorted-sample init
+    * picks vec 0 and vec 4 (indices 0 and n/2), the round-1 assignment
+    * is exactly the cluster split, and round 2 recomputes identical
+    * means — so Lloyd's lands on its fixpoint after ONE update round
+    * and the whole fit is plain SQL (one assignment + one per-cell
+    * mean). Integer components are exact in Float, keeping every
+    * engine/oracle double bit-comparable until the final round(6).
+    * Shared with [[Oracles]]. */
+  private[graft] val ivfCraftedCorpus: Seq[(Long, Seq[Float])] = Seq(
+    0L -> Seq(10f, 1f, 0f, 0f), 1L -> Seq(10f, 0f, 1f, 0f),
+    2L -> Seq(9f, 1f, 1f, 0f), 3L -> Seq(11f, 0f, 0f, 1f),
+    4L -> Seq(0f, 10f, 1f, 0f), 5L -> Seq(1f, 10f, 0f, 0f),
+    6L -> Seq(0f, 9f, 1f, 1f), 7L -> Seq(0f, 11f, 0f, 1f))
+
+  private[graft] val ivfCraftedQueries: Seq[(Long, Seq[Float])] = Seq(
+    100L -> Seq(10f, 0f, 0f, 1f), 101L -> Seq(0f, 10f, 1f, 1f))
+
+  /** IVF oracle-checked — coarse quantize → probe → fine search on the
+    * crafted two-cluster fixture ([[ivfCraftedCorpus]]): nCells = 2,
+    * nProbe = 1, k = 3, so the probed fine search really prunes (only
+    * the winning cell's 4 vectors are scored per query). The
+    * corpus-wide [[q_topk_ivf]] stays rows-only (iterative fit); this
+    * entry hash-checks the same index/serve code path where the fit
+    * is SQL-replayable. */
+  def q_topk_ivf_crafted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = ivfCraftedCorpus.toDF("vec_id", "embedding")
+    val queries = ivfCraftedQueries.toDF("query_id", "q_embedding")
+    val (assigned, cents) = vector.Ivf.index(corpus, nCells = 2)
+    vector.Ivf.topK(assigned, cents, queries, 3, nProbe = 1)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ===== tabular surface (P/A/O/F series) =====
 
   /** P1..P3+P5 — projection, equality + numeric BETWEEN, conjunction. */
@@ -823,6 +857,43 @@ object Queries {
     RecursiveChunker(chunkSize = 10, overlap = 3).chunk(df)
       .select(col("doc_id"), col("chunk_index"), col("text"), col("start"),
         col("end"), col("char_length"), col("token_length"))
+      .orderBy(col("chunk_index"))
+  }
+
+  /** Crafted corpus for the semantic-chunker oracle: 12 three-token
+    * paragraphs in three topic clusters (A A A B B A A C C C B B), so
+    * within-topic adjacent pieces share tokens (small cosine distance)
+    * and topic transitions are near-orthogonal (large distance). Each
+    * paragraph has EXACTLY minChunkTokens tokens, so the min-split
+    * stage keeps one piece per paragraph — the split machinery is
+    * already oracle-pinned by [[q_chunk_recursive_crafted]]; this
+    * fixture isolates the breakpoint/threshold/merge stage. Shared
+    * with [[Oracles]] so the SQL replays the identical document. */
+  private[graft] val semanticCraftedParas: Seq[String] = Seq(
+    "alpha beta gamma", "alpha gamma delta", "beta alpha gamma",
+    "rocket engine thrust", "engine rocket nozzle",
+    "alpha beta delta", "gamma beta alpha",
+    "ocean wave tide", "wave ocean salt", "tide salt wave",
+    "rocket thrust burn", "nozzle burn rocket")
+
+  /** C3 oracle-checked — the semantic chunker's algorithmic core
+    * (adjacent-piece cosine distances → histogram threshold selection
+    * → breakpoint segmentation → merge, reference semantics
+    * `chromadb_rag.py:75-93`, `kamredt_chunking.py:124-131`) on the
+    * crafted doc above with INTEGER-LATTICE embeddings
+    * ([[graft.vector.LatticeEmbedder]]): raw md5-bucket counts, no
+    * normalization, so every dot/norm² is exact integer arithmetic
+    * and the cosine distances are bit-identical in DuckDB regardless
+    * of summation order. The corpus-wide [[q_chunk_semantic]] stays
+    * rows-only (float-precision replay of the NORMALIZED production
+    * embedder in SQL is genuinely fragile — r4 assessment stands);
+    * this entry hash-checks the same code path with exact arithmetic. */
+  def q_chunk_semantic_crafted(s: SparkSession, dir: String): DataFrame = {
+    val doc = semanticCraftedParas.mkString("\n\n")
+    import s.implicits._
+    val df = Seq((1L, "crafted", doc)).toDF("doc_id", "source", "text")
+    SemanticChunker(avgChunkTokens = 6, minChunkTokens = 3,
+      embedder = graft.vector.LatticeEmbedder(8)).chunk(df)
       .orderBy(col("chunk_index"))
   }
 

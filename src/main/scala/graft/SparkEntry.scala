@@ -42,6 +42,7 @@ object SparkEntry {
     "q_signlsh_bands" -> (Queries.q_signlsh_bands _),
     "q_topk_lsh" -> (Queries.q_topk_lsh _),
     "q_topk_ivf" -> (Queries.q_topk_ivf _),
+    "q_topk_ivf_crafted" -> (Queries.q_topk_ivf_crafted _),
     // tabular surface
     "q_filter_conj" -> (Queries.q_filter_conj _),
     "q_date_between" -> (Queries.q_date_between _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "q_chunk_locate" -> (Queries.q_chunk_locate _),
     "q_chunk_occurrences" -> (Queries.q_chunk_occurrences _),
     "q_chunk_recursive_crafted" -> (Queries.q_chunk_recursive_crafted _),
+    "q_chunk_semantic_crafted" -> (Queries.q_chunk_semantic_crafted _),
     "q_text_overlap_pairs" -> (Queries.q_text_overlap_pairs _),
     "q_ocr_nested" -> (Queries.q_ocr_nested _),
     "q_positional_zip" -> (Queries.q_positional_zip _),

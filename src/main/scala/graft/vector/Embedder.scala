@@ -46,6 +46,30 @@ case class HashingEmbedder(dim: Int = 64) extends Embedder {
   }
 }
 
+/** Integer-lattice variant of [[HashingEmbedder]]: the RAW bucket
+  * counts, NOT L2-normalized. Cosine similarity over these vectors is
+  * mathematically identical to the normalized form's, but numerically
+  * it involves only exact integer dot/norm² arithmetic (counts are
+  * exactly representable in Float, products and sums stay exact in
+  * Double), so downstream cosine DISTANCES are bit-identical across
+  * engines regardless of summation order. This is the property the
+  * crafted semantic-chunker oracle needs to replay breakpoint
+  * selection in DuckDB SQL; the production default stays
+  * [[HashingEmbedder]]. */
+case class LatticeEmbedder(dim: Int = 8) extends Embedder {
+  def embedOne(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    Tok.tokenize(text).foreach(t => v(HashingEmbedder.bucket(t, dim)) += 1f)
+    v
+  }
+
+  def embed(df: DataFrame, textCol: String = "text",
+            out: String = "embedding"): DataFrame = {
+    val f = udf((s: String) => if (s == null) new Array[Float](dim) else embedOne(s))
+    df.withColumn(out, f(col(textCol)))
+  }
+}
+
 object HashingEmbedder {
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
