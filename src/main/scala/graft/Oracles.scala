@@ -613,6 +613,14 @@ object Oracles {
          |SELECT query_id, rank, doc_id, score FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // the saved-index serve path must reproduce the inline path's
+    // scores exactly (shared scoring tree; values round-trip parquet
+    // losslessly), so its oracle IS the inline oracle
+    "q_bm25_indexed" ->
+      s"""$bm25RankedCte
+         |SELECT query_id, rank, doc_id, score FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_hybrid_rrf" ->
       s"""$bm25RankedCte
          |, dt AS (

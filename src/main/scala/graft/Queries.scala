@@ -780,6 +780,22 @@ object Queries {
     graft.text.Bm25.topK(t(s, dir, "documents"), lexQueries(s), 5)
       .orderBy(col("query_id"), col("rank"))
 
+  /** BM25 served from a SAVED inverted index — the
+    * build-once-serve-many split that is the 100 TB usage pattern
+    * (q_bm25_topk's cost is ~all index build). The index persists
+    * bucket-partitioned postings/df (md5(term) % 64), so the three
+    * query terms' buckets become a static partition filter on the
+    * scan; build happens once per JVM ([[graft.text.Bm25
+    * .ensureSavedIndex]]), then every serve is term-pruned reads
+    * only. Same scores as q_bm25_topk (shared scoring tree), same
+    * oracle SQL. */
+  def q_bm25_indexed(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.text.Bm25.ensureSavedIndex(t(s, dir, "documents"), dir)
+    graft.text.Bm25.topKIndexed(
+        graft.text.Bm25.loadIndex(s, path), lexQueries(s), 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (1/(60+rank)) of the
     * BM25 list and a token-set-Jaccard list — the standard
     * calibration-free way to combine a lexical and a similarity

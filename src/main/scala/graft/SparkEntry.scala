@@ -75,6 +75,7 @@ object SparkEntry {
     "q_dup_clusters" -> (Queries.q_dup_clusters _),
     "q_contamination" -> (Queries.q_contamination _),
     "q_bm25_topk" -> (Queries.q_bm25_topk _),
+    "q_bm25_indexed" -> (Queries.q_bm25_indexed _),
     "q_hybrid_rrf" -> (Queries.q_hybrid_rrf _),
     // text analysis
     "q_lang_id" -> (Queries.q_lang_id _),

@@ -30,6 +30,26 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     assert(out.head.getDouble(3) - out(1).getDouble(3) < 0.1)
   }
 
+  test("saved index round-trips and topKIndexed matches topK with bucket pruning") {
+    import spark.implicits._
+    val q = Seq((0L, "join spark"), (1L, "window merge")).toDF("query_id", "qtext")
+    val inline = Bm25.topK(docsDf, q, 5).collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-spec").toString
+    Bm25.saveIndex(docsDf, dir)
+    val served = Bm25.topKIndexed(Bm25.loadIndex(spark, dir), q, 5)
+    assert(served.collect().map(_.toSeq).toSet == inline)
+    // the query terms' md5 buckets must reach the postings scan as a
+    // static partition filter — only those bucket dirs are read
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*bucket".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"no bucket partition pruning on the index scan:\n${plan.take(2000)}")
+    // and the pruned read really narrows: scanned bucket set < all 64
+    val terms = Seq("join", "spark", "window", "merge")
+    val buckets = terms.map(graft.vector.HashingEmbedder.bucket(_, Bm25.IndexBuckets)).distinct
+    assert(buckets.size < Bm25.IndexBuckets)
+  }
+
   test("bm25: rarer term contributes more than common term (idf)") {
     import spark.implicits._
     // 'spark' appears in 2 docs, 'window' in 1 -> same tf, window doc wins
