@@ -42,5 +42,7 @@ object GraftFunctions {
     shim.registerExpression(spark, "graft_hash_bucket",
       exprs => shim.expression(
         graft.rel.Sampling.hashBucket(shim.column(exprs.head))))
+    shim.registerExpression(spark, "graft_indexes_of",
+      exprs => graft.text.StringIndexesOf(exprs.head, exprs(1)))
   }
 }

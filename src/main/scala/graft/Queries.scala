@@ -736,14 +736,16 @@ object Queries {
       .select(col("doc_id"), col("chunk_index"),
         when(col("doc_id") % 7 === 0, concat(col("text"), lit("\u0001")))
           .otherwise(col("text")).as("text"))
+    // scan-from-previous-match kernel (graft.text.StrExpr): linear in
+    // doclen + matches instead of the old all-positions HOF's
+    // O(doclen·chunklen) compares + per-row position-array build;
+    // value-identical (overlaps included), still embarrassingly
+    // parallel, and the DuckDB oracle remains the independent
+    // all-positions scan
     val joined = chunks.join(docs, "doc_id")
       .withColumn("clen", length(col("text")))
       .withColumn("positions",
-        when(length(col("doc_text")) - col("clen") + 1 >= 1,
-          filter(
-            sequence(lit(1), length(col("doc_text")) - col("clen") + 1),
-            p => col("doc_text").substr(p, col("clen")) === col("text")))
-          .otherwise(array().cast("array<int>")))
+        graft.text.StrExpr.indexesOf(col("doc_text"), col("text")))
     val flagged = joined.withColumn("doc_has_exact",
       max(when(size(col("positions")) > 0, 1).otherwise(0))
         .over(Window.partitionBy(col("doc_id"))) === 1)

@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scan-from-previous-match "find all occurrences" kernel.
+  *
+  * The pure-SQL form (`filter(sequence(1, n−m+1), p -> substr(doc, p,
+  * m) = chunk)`) is oracle-portable but does O(doclen · chunklen)
+  * character compares per row AND materializes a ~doclen-int array
+  * before the filter — the one advisory hot spot of the r4 audit.
+  * This kernel steps `UTF8String.indexOf` from one past the previous
+  * match (overlapping occurrences included, exactly like the
+  * all-positions form), so per-row cost is one linear scan plus work
+  * proportional to the number of matches, and the only allocation is
+  * the result array. 1-based char positions (`locate` convention);
+  * empty needle → empty array; no match → empty array.
+  */
+object StrOps {
+  def indexesOf(hay: UTF8String, nee: UTF8String): ArrayData = {
+    if (nee.numChars() == 0) return new GenericArrayData(Array.empty[Int])
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var from = 0
+    var p = hay.indexOf(nee, from)
+    while (p >= 0) {
+      buf += p + 1
+      from = p + 1
+      p = hay.indexOf(nee, from)
+    }
+    new GenericArrayData(buf.toArray)
+  }
+}
+
+/** `indexesOf(haystack, needle)` — array<int> of ALL 1-based match
+  * positions. Native expression with codegen (a static kernel call
+  * inside whole-stage codegen, same style as [[graft.vector
+  * .FloatVecDot]]), value-identical to the HOF filter form — asserted
+  * in StrExprSpec, and the q_chunk_occurrences oracle keeps checking
+  * the output against DuckDB's independent all-positions scan. */
+case class StringIndexesOf(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"StringIndexesOf needs two string inputs, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(h: Any, n: Any): Any =
+    StrOps.indexesOf(h.asInstanceOf[UTF8String], n.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, n) => s"graft.text.StrOps.indexesOf($h, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StringIndexesOf =
+    copy(left = newLeft, right = newRight)
+}
+
+object StrExpr {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column wrapper: all 1-based occurrence positions of `needle` in
+    * `haystack`. */
+  def indexesOf(haystack: Column, needle: Column): Column =
+    ColumnShim.column(StringIndexesOf(
+      ColumnShim.expression(haystack), ColumnShim.expression(needle)))
+}
