@@ -23,13 +23,37 @@ import org.apache.spark.sql.functions._
   * any aggregation. Driver state per round is ONE boolean (did any
   * label change); each round's labels are localCheckpoint'ed to
   * truncate lineage — without that the plan tree doubles per
-  * iteration. On a cluster, swap localCheckpoint for a reliable
-  * `checkpoint` directory; the algorithm is unchanged.
+  * iteration. On a cluster, set [[Clusters.CheckpointDirConf]] to a
+  * reliable directory and every round checkpoints durably instead —
+  * the algorithm is unchanged.
   *
   * Labels are minima of doc ids — deterministic for any partition
   * layout, so the operator stays byte-stable across machines.
   */
 object Clusters {
+
+  /** Set this conf to a reliable (HDFS / object-store) path to make
+    * each propagation round checkpoint durably instead of
+    * executor-locally — the cluster-grade toggle for long runs where
+    * executor loss would otherwise kill the truncated lineage. Unset
+    * (the default) keeps `localCheckpoint`: right for local[] and
+    * short-lived jobs, and the algorithm is identical either way. */
+  val CheckpointDirConf = "spark.graft.clusters.checkpointDir"
+
+  /** Per-round lineage truncation, honoring [[CheckpointDirConf]].
+    * An already-configured SparkContext checkpoint dir wins; we only
+    * set it when absent (setCheckpointDir creates a fresh subdir per
+    * call, so re-setting every round would litter the store). */
+  private def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val dir = spark.conf.get(CheckpointDirConf, "")
+    if (dir.isEmpty) df.localCheckpoint()
+    else {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    }
+  }
 
   /** `pairs` must have two id columns (`doc_a`, `doc_b`). Returns
     * (node, comp): every doc that appears in some pair, labeled with
@@ -57,9 +81,8 @@ object Clusters {
       .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .persist()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint()
+    var labels = truncate(edges.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -74,12 +97,11 @@ object Clusters {
       // chain lengths: rounds become O(log diameter), which is what
       // saves a pathological path-shaped dup graph (neighbor
       // propagation alone needs diameter rounds).
-      val jumped = stepped.as("l")
+      val jumped = truncate(stepped.as("l")
         .join(stepped.select(col("node").as("pnode"), col("comp1").as("pcomp")).as("p"),
           col("l.comp1") === col("p.pnode"), "left")
         .select(col("l.node").as("node"), col("l.comp").as("comp"),
-          least(col("l.comp1"), coalesce(col("pcomp"), col("l.comp1"))).as("comp2"))
-        .localCheckpoint()
+          least(col("l.comp1"), coalesce(col("pcomp"), col("l.comp1"))).as("comp2")))
       converged = jumped.filter(col("comp2") < col("comp")).isEmpty
       labels = jumped.select(col("node"), col("comp2").as("comp"))
       iter += 1

@@ -31,14 +31,21 @@ object DocStreams {
       .dropDuplicates("fingerprint")
   }
 
+  /** The watermark + in-horizon dedup core: state for an `event_id`
+    * lives until the watermark passes its event time + `delay`; a
+    * re-delivery while the state lives is dropped, one past the
+    * horizon is re-admitted — the deliberate bounded-state trade,
+    * pinned batch-by-batch in DocStreamsSpec. */
+  def dedupEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked event dedup: drops re-deliveries of the same
     * `event_id` arriving within `delay` of the watermark — bounded
     * state for at-least-once upstreams. */
   def dedupEventStream(spark: SparkSession, path: String,
       delay: String = "1 hour"): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(path)
-      .withWatermark("ts", delay)
-      .dropDuplicatesWithinWatermark("event_id")
+    dedupEvents(spark.readStream.schema(schema).parquet(path), delay)
   }
 }

@@ -88,4 +88,27 @@ class ClustersSpec extends AnyFunSuite with SparkTestBase {
     assert(dist == drv, "both strategies must reach the same fixpoint")
     assert(dist.forall(_._2 == 1L), "whole chain is one component")
   }
+
+  test("reliable-checkpoint toggle: distributed path converges and writes durably") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccp").toString
+    spark.conf.set(Clusters.CheckpointDirConf, dir)
+    try {
+      val pairs = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq
+        .toDF("doc_a", "doc_b")
+      val got = Clusters.connectedComponents(pairs.repartition(7),
+          smallGraphThreshold = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got.forall(_._2 == 1L))
+      // the rounds really checkpointed into the reliable dir
+      def anyFile(f: java.io.File): Boolean = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        kids.exists(_.isFile) || kids.exists(anyFile)
+      }
+      assert(anyFile(new java.io.File(dir)),
+        s"no checkpoint data written under $dir")
+    } finally {
+      spark.conf.unset(Clusters.CheckpointDirConf)
+    }
+  }
 }

@@ -50,4 +50,31 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
       assert(got.select("event_id").distinct().count() == distinctIds)
     } finally query.stop()
   }
+
+  test("watermark horizon: in-horizon re-delivery dropped, past-horizon re-admitted") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val q = DocStreams.dedupEvents(mem.toDF().toDF("event_id", "ts"), "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      mem.addData((1L, ts(1, 0)), (2L, ts(1, 10))) // watermark after batch: 00:10
+      q.processAllAvailable()
+      mem.addData((1L, ts(1, 30))) // state for id 1 alive (wm 00:10 < 02:00) → dropped
+      q.processAllAvailable()
+      mem.addData((3L, ts(5, 0))) // advances watermark to 04:00 → id-1 state evicted
+      q.processAllAvailable()
+      mem.addData((1L, ts(5, 30))) // past the horizon → re-admitted (bounded-state trade)
+      q.processAllAvailable()
+      val got = spark.table("wm_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got.count(_ == 1L) == 2,
+        s"expected the past-horizon re-delivery of id 1 to re-emit; got $got")
+      assert(got.count(_ == 2L) == 1 && got.count(_ == 3L) == 1)
+    } finally q.stop()
+  }
 }

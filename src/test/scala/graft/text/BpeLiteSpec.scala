@@ -4,6 +4,24 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class BpeLiteSpec extends AnyFunSuite {
 
+  test("golden: exact merge sequence + encodings on the classic low/lower/lowest vocab") {
+    // hand-derived: (l,o) and (o,w) tie at 10 → lexicographic (l,o);
+    // then (lo,w)=10, (low,e)=5; (lowe,s) and (s,t) tie at 3 →
+    // "lowe" < "s"; then (lowes,t)=3, finally (lowe,r)=2
+    val vocab = Map("low" -> 5L, "lower" -> 2L, "lowest" -> 3L)
+    val merges = BpeLite.train(vocab, 6)
+    assert(merges == Vector(
+      "l" -> "o", "lo" -> "w", "low" -> "e",
+      "lowe" -> "s", "lowes" -> "t", "lowe" -> "r"))
+    assert(BpeLite.encodeWord("low", merges) == Vector("low"))
+    assert(BpeLite.encodeWord("lower", merges) == Vector("lower"))
+    assert(BpeLite.encodeWord("lowest", merges) == Vector("lowest"))
+    // out-of-vocab word reuses learned subwords: s + lower
+    assert(BpeLite.encodeWord("slower", merges) == Vector("s", "lower"))
+    // vocabulary exhausts after 6 merges — extra budget changes nothing
+    assert(BpeLite.train(vocab, 100) == merges)
+  }
+
   test("training merges the most frequent pair first, ties lexicographic") {
     val merges = BpeLite.train(Map("aaab" -> 10L, "aab" -> 5L), 1)
     assert(merges == Vector(("a", "a"))) // "aa" dominates
