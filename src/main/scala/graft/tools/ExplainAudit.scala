@@ -20,7 +20,12 @@ object ExplainAudit {
     "q_ocr_flatten",
     // round 4b: lexical retrieval (postings semi-joined to broadcast
     // query terms) and the contamination broadcast shape
-    "q_bm25_topk", "q_contamination")
+    "q_bm25_topk", "q_contamination",
+    // round 5: md5-plane sign-LSH (narrow candidate/verify), the
+    // saved-index BM25 serve (bucket partition pruning on the
+    // postings scan), and the two crafted-oracle replays
+    "q_signlsh_bands", "q_near_dup_signlsh", "q_bm25_indexed",
+    "q_chunk_semantic_crafted", "q_topk_ivf_crafted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
