@@ -305,6 +305,40 @@ object Oracles {
          |SELECT vec_id, band, "key" FROM keys
          |ORDER BY vec_id, band""".stripMargin,
 
+    // embedding near-dup resolution: sign-LSH candidates (0.45
+    // confirm) closed transitively — the same recursive-closure
+    // pattern as q_dup_clusters, over the replayable LSH pair set
+    "q_dup_clusters_embedding" ->
+      s"""${signLshKeysCte("").replaceFirst("WITH ", "WITH RECURSIVE ")}
+         |, cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM keys x JOIN keys y
+         |    ON x.band = y.band AND x."key" = y."key" AND x.vec_id < y.vec_id
+         |), conf AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b,
+         |           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+         |    FROM cand c
+         |    JOIN embeddings a ON a.vec_id = c.id_a
+         |    JOIN embeddings b ON b.vec_id = c.id_b
+         |  ) WHERE cos_sim >= 0.45
+         |), e AS (
+         |  SELECT id_a AS a, id_b AS b FROM conf
+         |  UNION SELECT id_b, id_a FROM conf
+         |), reach AS (
+         |  SELECT a AS node, a AS x FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.x
+         |), comp AS (
+         |  SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+         |)
+         |SELECT c.node AS vec_id, c.cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY c.cluster_id) AS INTEGER) AS cluster_size,
+         |       c.node = c.cluster_id AS is_canonical
+         |FROM comp c
+         |ORDER BY cluster_id, vec_id""".stripMargin,
+
     // IVF replay on the crafted two-cluster fixture
     // (Queries.ivfCraftedCorpus/Queries, shared literals): sorted-
     // sample init picks vec 0 and vec 4, one assignment round against

@@ -823,6 +823,25 @@ object Queries {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  /** Embedding-side near-dup RESOLUTION — the vector twin of
+    * [[q_dup_clusters]]: sign-LSH candidate pairs (md5 planes, fully
+    * DuckDB-replayable since r5) at a threshold the fixture actually
+    * populates, closed transitively into components, smallest vec_id
+    * as the canonical keeper. Composes two independently
+    * oracle-checked stages (banded candidates + recursive closure)
+    * into one end-to-end hash-checked row. */
+  def q_dup_clusters_embedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val pairs = Ann.signLshNearDup(emb, cosThreshold = 0.45)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comp = graft.dedup.Clusters.connectedComponents(pairs)
+    val w = Window.partitionBy(col("cluster_id"))
+    comp.select(col("node").as("vec_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("int"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
   /** Train/test contamination report — 3-token-shingle overlap of a
     * held-out slice (doc_id % 50 == 0) against the rest of the
     * corpus: the standard pre-training decontamination check. The

@@ -73,6 +73,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (Queries.q_ngram_jaccard _),
     "q_simhash_candidates" -> (Queries.q_simhash_candidates _),
     "q_dup_clusters" -> (Queries.q_dup_clusters _),
+    "q_dup_clusters_embedding" -> (Queries.q_dup_clusters_embedding _),
     "q_contamination" -> (Queries.q_contamination _),
     "q_bm25_topk" -> (Queries.q_bm25_topk _),
     "q_bm25_indexed" -> (Queries.q_bm25_indexed _),

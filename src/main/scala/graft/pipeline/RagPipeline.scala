@@ -42,8 +42,10 @@ object RagPipeline {
     * (deterministic: id-ordered, partition-independent); "hybrid" =
     * reciprocal-rank fusion of the dense cosine list with a BM25
     * lexical list over the same chunk store (the calibration-free
-    * dense+sparse combiner). Unknown strategies raise, mirroring the
-    * reference's error path. */
+    * dense+sparse combiner); "bm25_indexed" = lexical retrieval
+    * served from the persisted bucket-partitioned inverted index
+    * (build-once-serve-many). Unknown strategies raise, mirroring
+    * the reference's error path. */
   def run(spark: SparkSession, docs: DataFrame, queryTexts: Seq[String],
       strategy: String = "simple",
       embedder: Embedder = HashingEmbedder(64),
@@ -88,6 +90,23 @@ object RagPipeline {
           .select(col("query_id"), col("rank"), col("doc_id"))
         graft.text.Bm25.rrfFuse(dense, lex, TopK)
           .withColumnRenamed("doc_id", "vec_id")
+          .join(indexed.select(col("vec_id"), col("source"), col("text")),
+            "vec_id")
+          .select(col("query_id"), col("rank"), col("source"), col("text"))
+      case "bm25_indexed" =>
+        // lexical retrieval from a PERSISTED inverted index — the
+        // build-once-serve-many path: first run per store builds +
+        // saves, every later run is bucket-pruned serve only
+        val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
+            store, col("id"), lit(1L), "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val corpus = indexed.select(col("vec_id").as("doc_id"), col("text"))
+        val path = graft.text.Bm25.ensureSavedIndex(corpus,
+          s"ragpipeline-${indexed.queryExecution.analyzed.semanticHash()}")
+        val hits = graft.text.Bm25.topKIndexed(
+          graft.text.Bm25.loadIndex(spark, path),
+          queries.select(col("query_id"), col("query_text").as("qtext")), TopK)
+        hits.withColumnRenamed("doc_id", "vec_id")
           .join(indexed.select(col("vec_id"), col("source"), col("text")),
             "vec_id")
           .select(col("query_id"), col("rank"), col("source"), col("text"))
