@@ -295,6 +295,27 @@ object Profile {
         time("full (2nd run)") {
           noop(graft.text.chunk.SemanticChunker().chunk(docs))
         }
+        // stage decomposition of the floor
+        import graft.text.chunk.RecursiveChunker
+        import graft.vector.{FloatVecExpr, HashingEmbedder}
+        import org.apache.spark.sql.expressions.Window
+        val pieces = RecursiveChunker(chunkSize = 50, overlap = 0).chunk(docs)
+          .select(col("doc_id"), col("source"), col("chunk_index"),
+            col("text"), col("start"), col("end"), col("token_length"))
+        time("min-split flatMap only") { noop(pieces) }
+        val emb = HashingEmbedder(64).embed(pieces)
+        time("+ embed UDF") { noop(emb) }
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_index"))
+        val dist = emb
+          .withColumn("next_emb", lead(col("embedding"), 1).over(w))
+          .withColumn("dist",
+            when(col("next_emb").isNotNull,
+              lit(1.0) - FloatVecExpr.dotF(col("embedding"), col("next_emb")) /
+                (FloatVecExpr.normF(col("embedding")) *
+                 FloatVecExpr.normF(col("next_emb"))))
+              .otherwise(lit(null)))
+          .drop("embedding", "next_emb", "text")
+        time("+ lead window + cosine dist") { noop(dist) }
       case "lsh" =>
         val emb = Tables.table(spark, sfDir, "embeddings")
         time("q_near_dup_lsh full") {
