@@ -1,19 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** JSON string escape shared with Verify's convention: backslash,
-    * quote, and ALL control chars — exception messages can carry
-    * newlines/tabs that would corrupt the one-line artifact. */
-  private def jq(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,7 +42,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val errJson = errors.map(jq).mkString("[", ",", "]")
+    val errJson = errors.map(JsonText.quote).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also land the whole line in a file: the committed BENCH_r04.json

@@ -33,25 +33,45 @@ import org.apache.spark.sql.functions._
 object Clusters {
 
   /** Set this conf to a reliable (HDFS / object-store) path to make
-    * each propagation round checkpoint durably instead of
-    * executor-locally — the cluster-grade toggle for long runs where
-    * executor loss would otherwise kill the truncated lineage. Unset
-    * (the default) keeps `localCheckpoint`: right for local[] and
-    * short-lived jobs, and the algorithm is identical either way. */
+    * each propagation round land durably instead of executor-locally —
+    * the cluster-grade toggle for long runs where executor loss would
+    * otherwise kill the truncated lineage. Superseded rounds are
+    * deleted as they are replaced; one final tiny (node, comp)
+    * parquet per call remains under `<dir>/cc-<uuid>` because it
+    * backs the returned frame. Unset (the default) keeps
+    * `localCheckpoint`: right for local[] and short-lived jobs, and
+    * the algorithm is identical either way. */
   val CheckpointDirConf = "spark.graft.clusters.checkpointDir"
 
-  /** Per-round lineage truncation, honoring [[CheckpointDirConf]].
-    * An already-configured SparkContext checkpoint dir wins; we only
-    * set it when absent (setCheckpointDir creates a fresh subdir per
-    * call, so re-setting every round would litter the store). */
-  private def truncate(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val dir = spark.conf.get(CheckpointDirConf, "")
-    if (dir.isEmpty) df.localCheckpoint()
-    else {
-      val sc = spark.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-      df.checkpoint()
+  /** Per-round lineage truncation state for one connectedComponents
+    * call in reliable mode: a unique subdir under the configured
+    * checkpoint root, plus the previous round's path so superseded
+    * copies are deleted as soon as the next round lands (Spark's
+    * `Dataset.checkpoint` would leave every round's files behind —
+    * reliable checkpoints are only cleaned under an opt-in cleaner
+    * conf). Only the FINAL round's tiny (node, comp) parquet remains:
+    * it backs the returned frame, so it must outlive the call; the
+    * caller owns the configured directory's lifecycle. */
+  private final class Truncator(spark: org.apache.spark.sql.SparkSession) {
+    private val root = spark.conf.get(CheckpointDirConf, "")
+    private val runDir =
+      if (root.isEmpty) "" else s"$root/cc-${java.util.UUID.randomUUID()}"
+    private var round = 0
+
+    def apply(df: DataFrame): DataFrame =
+      if (root.isEmpty) df.localCheckpoint()
+      else {
+        val path = s"$runDir/labels-$round"
+        df.write.mode("overwrite").parquet(path)
+        if (round > 0) delete(s"$runDir/labels-${round - 1}")
+        round += 1
+        spark.read.parquet(path)
+      }
+
+    private def delete(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
     }
   }
 
@@ -81,6 +101,7 @@ object Clusters {
       .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .persist()
+    val truncate = new Truncator(pairs.sparkSession)
     var labels = truncate(edges.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node")))
     var iter = 0

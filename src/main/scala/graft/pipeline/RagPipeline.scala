@@ -46,10 +46,18 @@ object RagPipeline {
     * served from the persisted bucket-partitioned inverted index
     * (build-once-serve-many). Unknown strategies raise, mirroring
     * the reference's error path. */
+  /** `indexKey` (bm25_indexed only): a caller-chosen stable name for
+    * the store, enabling the build-once-serve-many memo across calls.
+    * Empty (the default) builds this call's index fresh — a plan
+    * hash is NOT a usable default because fresh UDF/flatMap lambdas
+    * get identity hashCodes in the canonicalized plan, so identical
+    * invocations hash differently (measured), and a silently-colliding
+    * key would serve the wrong corpus. */
   def run(spark: SparkSession, docs: DataFrame, queryTexts: Seq[String],
       strategy: String = "simple",
       embedder: Embedder = HashingEmbedder(64),
-      retrieval: String = "brute"): DataFrame = {
+      retrieval: String = "brute",
+      indexKey: String = ""): DataFrame = {
     import spark.implicits._
     val store = buildStore(docs, strategy, embedder)
     val queries = embedder
@@ -101,8 +109,18 @@ object RagPipeline {
             store, col("id"), lit(1L), "vec_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val corpus = indexed.select(col("vec_id").as("doc_id"), col("text"))
-        val path = graft.text.Bm25.ensureSavedIndex(corpus,
-          s"ragpipeline-${indexed.queryExecution.analyzed.semanticHash()}")
+        val path =
+          if (indexKey.nonEmpty)
+            graft.text.Bm25.ensureSavedIndex(corpus, s"ragpipeline-$indexKey")
+          else {
+            // no stable identity for this store → build fresh (correct,
+            // just unmemoized); see the indexKey doc for why a plan
+            // hash cannot stand in
+            val p = java.nio.file.Files
+              .createTempDirectory("graft-bm25-rag").toString
+            graft.text.Bm25.saveIndex(corpus, p)
+            p
+          }
         val hits = graft.text.Bm25.topKIndexed(
           graft.text.Bm25.loadIndex(spark, path),
           queries.select(col("query_id"), col("query_text").as("qtext")), TopK)

@@ -152,7 +152,12 @@ object Bm25 {
     * First call builds + saves (the expensive corpus pass); later
     * calls — e.g. Bench's min-of-3 or a query batch loop — only pay
     * the pruned serve. TrieMap.getOrElseUpdate is atomic, so
-    * concurrent callers share one build. */
+    * concurrent callers share one build. Known tradeoff of any
+    * key-by-name memo (same as the Ann dim memo): if the corpus
+    * BEHIND a key is rewritten in the same JVM, the stale index keeps
+    * serving the old scores — callers must change the key when the
+    * data changes (the catalog keys by fixture directory, which is
+    * immutable per run). */
   private val savedIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def ensureSavedIndex(docs: DataFrame, cacheKey: String): String =

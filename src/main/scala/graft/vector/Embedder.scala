@@ -15,10 +15,16 @@ import graft.text.Tok
   */
 trait Embedder extends Serializable {
   def dim: Int
-  /** Adds an `embedding: array<float>` column derived from `textCol`. */
-  def embed(df: DataFrame, textCol: String = "text",
-            out: String = "embedding"): DataFrame
   def embedOne(text: String): Array[Float]
+  /** Adds an `embedding: array<float>` column derived from `textCol`:
+    * one default UDF wrapper over [[embedOne]] (null text → zero
+    * vector) shared by every implementation, so null handling can
+    * never diverge between embedders. */
+  def embed(df: DataFrame, textCol: String = "text",
+            out: String = "embedding"): DataFrame = {
+    val f = udf((s: String) => if (s == null) new Array[Float](dim) else embedOne(s))
+    df.withColumn(out, f(col(textCol)))
+  }
 }
 
 /** Feature-hashing bag-of-tokens embedder, L2-normalized.
@@ -38,12 +44,6 @@ case class HashingEmbedder(dim: Int = 64) extends Embedder {
     val n = math.sqrt(v.map(x => x.toDouble * x).sum)
     if (n > 0) v.map(x => (x / n).toFloat) else v
   }
-
-  def embed(df: DataFrame, textCol: String = "text",
-            out: String = "embedding"): DataFrame = {
-    val f = udf((s: String) => if (s == null) new Array[Float](dim) else embedOne(s))
-    df.withColumn(out, f(col(textCol)))
-  }
 }
 
 /** Integer-lattice variant of [[HashingEmbedder]]: the RAW bucket
@@ -61,12 +61,6 @@ case class LatticeEmbedder(dim: Int = 8) extends Embedder {
     val v = new Array[Float](dim)
     Tok.tokenize(text).foreach(t => v(HashingEmbedder.bucket(t, dim)) += 1f)
     v
-  }
-
-  def embed(df: DataFrame, textCol: String = "text",
-            out: String = "embedding"): DataFrame = {
-    val f = udf((s: String) => if (s == null) new Array[Float](dim) else embedOne(s))
-    df.withColumn(out, f(col(textCol)))
   }
 }
 

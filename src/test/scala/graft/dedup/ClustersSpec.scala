@@ -100,15 +100,25 @@ class ClustersSpec extends AnyFunSuite with SparkTestBase {
           smallGraphThreshold = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(got.forall(_._2 == 1L))
-      // the rounds really checkpointed into the reliable dir
-      def anyFile(f: java.io.File): Boolean = {
-        val kids = Option(f.listFiles()).getOrElse(Array.empty)
-        kids.exists(_.isFile) || kids.exists(anyFile)
-      }
-      assert(anyFile(new java.io.File(dir)),
-        s"no checkpoint data written under $dir")
+      // the rounds really landed durably, AND superseded rounds were
+      // cleaned up: exactly one labels-* dir (the final round) remains
+      // under this call's cc-* run dir
+      val runDirs = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith("cc-"))
+      assert(runDirs.length == 1, s"expected one cc-* run dir in $dir")
+      val labelDirs = Option(runDirs.head.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("labels-"))
+      assert(labelDirs.length == 1,
+        s"superseded rounds must be deleted; found ${labelDirs.map(_.getName).toSeq}")
+      assert(labelDirs.head.listFiles().exists(_.getName.endsWith(".parquet")))
     } finally {
       spark.conf.unset(Clusters.CheckpointDirConf)
+      // the spec owns its temp dir — remove it entirely
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
     }
   }
 }

@@ -65,14 +65,20 @@ class RagPipelineSpec extends AnyFunSuite with SparkTestBase {
 
   test("run: bm25_indexed serves from the saved index and matches inline lexical top ranks") {
     val out = RagPipeline.run(spark, docs.limit(50),
-      Seq("table scan filter"), "simple", retrieval = "bm25_indexed").collect()
+      Seq("table scan filter"), "simple", retrieval = "bm25_indexed",
+      indexKey = "ragpipeline-spec-store").collect()
     assert(out.length == 1)
     assert(out(0).getString(1).split("\n\n").nonEmpty)
-    // second run hits the memoized saved index (serve-only) and is
-    // value-identical
+    // second run with the same stable key hits the memoized saved
+    // index (serve-only) and is value-identical; an unkeyed run
+    // builds fresh and must also agree
     val again = RagPipeline.run(spark, docs.limit(50),
-      Seq("table scan filter"), "simple", retrieval = "bm25_indexed").collect()
+      Seq("table scan filter"), "simple", retrieval = "bm25_indexed",
+      indexKey = "ragpipeline-spec-store").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val unkeyed = RagPipeline.run(spark, docs.limit(50),
+      Seq("table scan filter"), "simple", retrieval = "bm25_indexed").collect()
+    assert(out.map(_.toSeq).toSeq == unkeyed.map(_.toSeq).toSeq)
   }
 
   test("run: ivf and lsh retrieval produce a full cited context; unknown retrieval raises") {

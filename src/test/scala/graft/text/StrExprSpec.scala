@@ -25,7 +25,7 @@ class StrExprSpec extends AnyFunSuite with SparkTestBase {
       ("hello", "xyz"),            // no match
       ("", "a"),                   // empty hay
       ("αβγαβ", "αβ"),             // multibyte chars: positions 1, 4
-      ("xy", ""), // the sentinel char the query injects
+      ("x\u0001y\u0001", "\u0001"), // the sentinel char the query injects
       ("docdoc", "docdocdoc"))
       .toDF("hay", "nee")
     val out = rows.select(
