@@ -842,6 +842,109 @@ object Oracles {
          |       n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Gopher-style repetition signals over token 2-grams; docs with
+    // <2 tokens keep a row with zeroed fractions via the LEFT join
+    "q_repetition" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$RE') AS ts FROM documents
+         |), base AS (
+         |  SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+         |         CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct, ts
+         |  FROM tk
+         |), bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+         |           i -> ts[i] || ' ' || ts[i + 1])) AS bg
+         |  FROM base WHERE n_tokens >= 2
+         |), cnts AS (
+         |  SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT doc_id, sum(cnt) AS total_bg,
+         |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ,
+         |         max(cnt) AS top_cnt
+         |  FROM cnts GROUP BY 1
+         |)
+         |SELECT b.doc_id, b.n_tokens,
+         |       round(CAST(b.n_distinct AS DOUBLE) / greatest(b.n_tokens, 1), 6)
+         |         AS distinct_ratio,
+         |       round(CAST(coalesce(a.dup_occ, 0) AS DOUBLE)
+         |         / greatest(coalesce(a.total_bg, 0), 1), 6) AS dup_2gram_frac,
+         |       round(CAST(coalesce(a.top_cnt, 0) AS DOUBLE)
+         |         / greatest(coalesce(a.total_bg, 0), 1), 6) AS top_2gram_frac
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the corpus keep/drop composition: lang CASE (q_lang_id), the
+    // quality formula (q_quality_score), canonical flag from the
+    // recursive-closure clustering (q_dup_clusters) — first failing
+    // rule wins
+    "q_corpus_filter" ->
+      s"""${minhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")}
+         |, e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand
+         |), reach AS (
+         |  SELECT a AS node, a AS x FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.x
+         |), comp AS (
+         |  SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+         |), canon AS (
+         |  SELECT c.node AS doc_id,
+         |         row_number() OVER (PARTITION BY c.cluster_id
+         |           ORDER BY d.n_chars DESC, c.node) = 1 AS is_canonical
+         |  FROM comp c JOIN documents d ON d.doc_id = c.node
+         |), lsc AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(regexp_extract_all(lower(text), '$RE'),
+         |      t2 -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t2))) AS s_en,
+         |    len(list_filter(regexp_extract_all(lower(text), '$RE'),
+         |      t2 -> list_contains(['le','la','et','de','un','une','est','que','pour','dans'], t2))) AS s_fr,
+         |    len(list_filter(regexp_extract_all(lower(text), '$RE'),
+         |      t2 -> list_contains(['el','la','y','de','un','una','es','que','por','en'], t2))) AS s_es,
+         |    len(list_filter(regexp_extract_all(lower(text), '$RE'),
+         |      t2 -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t2))) AS s_de
+         |  FROM documents
+         |), lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |         WHEN greatest(s_en, s_fr, s_es, s_de) > 0 THEN
+         |           CASE WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+         |                WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+         |                WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+         |                ELSE 'de' END
+         |         ELSE 'und' END AS pred_lang
+         |  FROM lsc
+         |), qual0 AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |    CAST(len(regexp_extract_all(lower(text), '$RE')) AS DOUBLE) AS n_tokens,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         |    CAST(len(list_filter(regexp_extract_all(lower(text), '$RE'),
+         |      t2 -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t2))) AS DOUBLE) AS stop_hits
+         |  FROM documents
+         |), qual AS (
+         |  SELECT doc_id,
+         |    round(0.4 * least(n_chars_d / 200.0, 1.0)
+         |        + 0.3 * least(stop_hits / greatest(n_tokens, 1.0) * 5, 1.0)
+         |        + 0.2 * (1.0 - least(punct / greatest(n_chars_d, 1.0) * 10, 1.0))
+         |        + 0.1 * (1.0 - least(digits / greatest(n_chars_d, 1.0) * 10, 1.0)), 6) AS quality
+         |  FROM qual0
+         |), verdicts AS (
+         |  SELECT d.doc_id, l.pred_lang, ql.quality,
+         |         CASE WHEN l.pred_lang != 'en' THEN 'lang'
+         |              WHEN ql.quality < 0.5 THEN 'quality'
+         |              WHEN NOT coalesce(cn.is_canonical, TRUE) THEN 'duplicate'
+         |              ELSE 'keep' END AS reason
+         |  FROM documents d
+         |  JOIN lang l ON l.doc_id = d.doc_id
+         |  JOIN qual ql ON ql.doc_id = d.doc_id
+         |  LEFT JOIN canon cn ON cn.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, pred_lang, quality,
+         |       CAST(reason = 'keep' AS INTEGER) AS keep, reason
+         |FROM verdicts ORDER BY doc_id""".stripMargin,
+
     "q_fingerprint" ->
       """SELECT doc_id,
         |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint

@@ -477,6 +477,49 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, MassiveText
+    * quality rules, adapted to token n-grams — the fixture corpus has
+    * no line structure): per document, the fraction of 2-gram
+    * occurrences whose 2-gram repeats, the most-frequent-2-gram
+    * share, and the distinct-token ratio. One explode + a two-level
+    * aggregate — shuffles on (doc_id, bigram) then doc_id, so the
+    * corpus scales like any token-statistics pass. */
+  def q_repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), Tok.tokens(col("text")).as("ts"))
+      .withColumn("n_tokens", size(col("ts")))
+      .withColumn("n_distinct", size(array_distinct(col("ts"))))
+    val bigrams = toks
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode(when(col("n_tokens") >= 2,
+          zip_with(
+            slice(col("ts"), lit(1), col("n_tokens") - 1),
+            slice(col("ts"), lit(2), col("n_tokens") - 1),
+            (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .agg(sum(col("cnt")).as("total_bg"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0))).as("dup_occ"),
+        max(col("cnt")).as("top_cnt"))
+    // LEFT join back so token-poor docs (no bigrams) keep a row with
+    // zeroed fractions — the filter stage downstream must see every doc
+    toks.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .join(bigrams.select(col("doc_id"), col("total_bg"), col("dup_occ"),
+        col("top_cnt")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") /
+          greatest(col("n_tokens"), lit(1)), 6).as("distinct_ratio"),
+        round(coalesce(col("dup_occ"), lit(0L)).cast("double") /
+          greatest(coalesce(col("total_bg"), lit(0L)), lit(1)), 6)
+          .as("dup_2gram_frac"),
+        round(coalesce(col("top_cnt"), lit(0L)).cast("double") /
+          greatest(coalesce(col("total_bg"), lit(0L)), lit(1)), 6)
+          .as("top_2gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint (normalized md5). */
   def q_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -491,6 +534,32 @@ object Queries {
       .select(col("doc_id"),
         graft.textan.Scrub.redact(col("text")).as("redacted"))
       .orderBy(col("doc_id"))
+
+  /** The materialize-the-training-corpus decision: compose language
+    * ID, quality scoring and near-dup resolution into one keep/drop
+    * per document with a first-failing-rule reason — the stage every
+    * large-scale pipeline runs before tokenization. Precedence: lang
+    * → quality → duplicate (non-canonical cluster member) → keep.
+    * Each ingredient is independently oracle-checked (q_lang_id,
+    * q_quality_score, q_dup_clusters); this row hash-checks the
+    * composition. */
+  def q_corpus_filter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.withQuality(TextAnalysis.withDetectedLang(docs))
+    val clusters = graft.dedup.Clusters
+      .canonicalize(docs, Dedup.minhashCandidates(docs))
+      .select(col("doc_id"), col("is_canonical"))
+    scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("pred_lang") =!= "en", lit("lang"))
+          .when(col("quality") < 0.5, lit("quality"))
+          .when(!coalesce(col("is_canonical"), lit(true)), lit("duplicate"))
+          .otherwise(lit("keep")))
+      .withColumn("keep", (col("reason") === "keep").cast("int"))
+      .select(col("doc_id"), col("pred_lang"), col("quality"),
+        col("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Token-budget corpus sharding via the DISTRIBUTED global prefix
     * sum (graft.rel.PrefixSum): identical to `sum() OVER (ORDER BY)`

@@ -84,6 +84,8 @@ object SparkEntry {
     "q_token_count" -> (Queries.q_token_count _),
     "q_bpe_tokens" -> (Queries.q_bpe_tokens _),
     "q_fingerprint" -> (Queries.q_fingerprint _),
+    "q_repetition" -> (Queries.q_repetition _),
+    "q_corpus_filter" -> (Queries.q_corpus_filter _),
     "q_redact" -> (Queries.q_redact _),
     "q_sample_det" -> (Queries.q_sample_det _),
     "q_token_shards" -> (Queries.q_token_shards _),
