@@ -25,7 +25,10 @@ object ExplainAudit {
     // saved-index BM25 serve (bucket partition pruning on the
     // postings scan), and the two crafted-oracle replays
     "q_signlsh_bands", "q_near_dup_signlsh", "q_bm25_indexed",
-    "q_chunk_semantic_crafted", "q_topk_ivf_crafted")
+    "q_chunk_semantic_crafted", "q_topk_ivf_crafted",
+    // round 5b: repetition signals (explode + two-level agg) and the
+    // composed corpus keep/drop decision
+    "q_repetition", "q_corpus_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
