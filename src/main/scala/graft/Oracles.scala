@@ -305,6 +305,31 @@ object Oracles {
          |SELECT vec_id, band, "key" FROM keys
          |ORDER BY vec_id, band""".stripMargin,
 
+    // deterministic LSH ANN top-k: queries are corpus rows vec_id<3,
+    // so their band keys come from the same keys CTE; candidates =
+    // any shared band, exact cosine re-rank, top-5
+    "q_topk_signlsh" ->
+      s"""${signLshKeysCte("")}
+         |, qk AS (
+         |  SELECT vec_id AS query_id, band, "key" FROM keys WHERE vec_id < 3
+         |), cand AS (
+         |  SELECT DISTINCT qk.query_id, k2.vec_id
+         |  FROM keys k2 JOIN qk USING (band, "key")
+         |), scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.vec_id
+         |  JOIN embeddings b ON b.vec_id = c.query_id
+         |)
+         |SELECT query_id, rank, vec_id, cos_sim FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // embedding near-dup resolution: sign-LSH candidates (0.45
     // confirm) closed transitively — the same recursive-closure
     // pattern as q_dup_clusters, over the replayable LSH pair set

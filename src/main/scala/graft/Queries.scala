@@ -162,6 +162,18 @@ object Queries {
     Ann.signLshKeys(t(s, dir, "embeddings").filter(col("vec_id") < 200))
       .orderBy(col("vec_id"), col("band"))
 
+  /** Sign-LSH ANN top-k — the DETERMINISTIC LSH retrieval path,
+    * oracle-checked end to end (md5 planes; the MLlib variant below
+    * stays rows-only): band-collision candidates, exact cosine
+    * re-rank, top-5. Queries are corpus rows vec_id < 3, so the
+    * oracle derives their keys by filtering the shared keys CTE. */
+  def q_topk_signlsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    Ann.signLshTopK(emb, queries, 5).orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH ANN top-k (rows-only; exact counterpart is q_topk_cosine). */
   def q_topk_lsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")

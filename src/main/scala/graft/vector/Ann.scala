@@ -211,6 +211,40 @@ object Ann {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** ANN top-k via sign-LSH: a corpus vector is a candidate for a
+    * query iff they share at least one band key; candidates are
+    * exactly re-ranked by cosine. The query side's keys are broadcast
+    * (queries are small by definition), so the band join streams the
+    * corpus keys past them map-side — the inverted-probe pattern, and
+    * the whole path is deterministic and DuckDB-replayable (md5
+    * planes, [[signLshKeys]]). Queries whose true neighbors never
+    * collide return fewer than k rows — the standard ANN recall
+    * trade, bounded in AnnIvfSpec by the constructed-near-dup
+    * guarantee. `queries` carries (query_id, q_embedding). */
+  def signLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    val ck = signLshKeys(corpus, bands, bitsPerBand)
+    val qk = signLshKeys(
+        queries.select(col("query_id").as("vec_id"),
+          col("q_embedding").as("embedding")), bands, bitsPerBand)
+      .select(col("vec_id").as("query_id"), col("band"), col("key"))
+    val cand = ck.join(broadcast(qk), Seq("band", "key"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val scored = cand
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        FloatVecExpr.normF(col("embedding")).as("nrm_c")), "vec_id")
+      .join(broadcast(queries.withColumn("nrm_q",
+        FloatVecExpr.normF(col("q_embedding")))), "query_id")
+      .withColumn("cos_sim",
+        round(FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
+          (col("nrm_c") * col("nrm_q")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
   /** LSH near-duplicate pairs above a cosine threshold — the scale
     * path behind [[graft.dedup.Dedup.cosineNearDup]]. */
   def lshNearDup(embeddings: DataFrame, cosThreshold: Double,

@@ -67,6 +67,26 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"sign-LSH recall too low: $recall")
   }
 
+  test("signLshTopK: self always found; constructed near-dups land in the top-5") {
+    import org.apache.spark.sql.Row
+    val df = corpus(60, 10).toDF("vec_id", "embedding")
+    // queries = the 10 base vectors that have a constructed near-dup
+    val q = df.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val got = Ann.signLshTopK(df, q, 5).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3)))
+      }
+    (0L until 10L).foreach { i =>
+      val hits = got.getOrElse(i, Array.empty[(Long, Double)])
+      // identical keys ⇒ the query itself is always a candidate, rank 1
+      assert(hits.headOption.map(_._1).contains(i), s"query $i must find itself")
+      // cos ≈ 0.9995 ⇒ the near-dup collides in ≥1 band w.h.p.
+      assert(hits.map(_._1).contains(60L + i),
+        s"query $i: constructed near-dup ${60 + i} missing from top-5 ${hits.toSeq}")
+    }
+  }
+
   test("persisted IVF index round-trips and serves topK with dynamic partition pruning") {
     val df = corpus(50, 0).toDF("vec_id", "embedding")
     val (assigned, cents) = Ivf.index(df, nCells = 4)
