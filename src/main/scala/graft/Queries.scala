@@ -497,13 +497,15 @@ object Queries {
     * aggregate — shuffles on (doc_id, bigram) then doc_id, so the
     * corpus scales like any token-statistics pass. */
   def q_repetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+    // ONE corpus scan: explode_outer keeps a null-bigram row for
+    // token-poor docs, so no join-back (which would tokenize the
+    // corpus a second time) is needed to emit their zeroed fractions
+    t(s, dir, "documents")
       .select(col("doc_id"), Tok.tokens(col("text")).as("ts"))
       .withColumn("n_tokens", size(col("ts")))
       .withColumn("n_distinct", size(array_distinct(col("ts"))))
-    val bigrams = toks
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        explode(when(col("n_tokens") >= 2,
+        explode_outer(when(col("n_tokens") >= 2,
           zip_with(
             slice(col("ts"), lit(1), col("n_tokens") - 1),
             slice(col("ts"), lit(2), col("n_tokens") - 1),
@@ -512,23 +514,20 @@ object Queries {
       .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
-      .agg(sum(col("cnt")).as("total_bg"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0))).as("dup_occ"),
-        max(col("cnt")).as("top_cnt"))
-    // LEFT join back so token-poor docs (no bigrams) keep a row with
-    // zeroed fractions — the filter stage downstream must see every doc
-    toks.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
-      .join(bigrams.select(col("doc_id"), col("total_bg"), col("dup_occ"),
-        col("top_cnt")), Seq("doc_id"), "left")
+      .agg(
+        sum(when(col("bg").isNotNull, col("cnt")).otherwise(lit(0L)))
+          .as("total_bg"),
+        sum(when(col("bg").isNotNull && col("cnt") > 1, col("cnt"))
+          .otherwise(lit(0L))).as("dup_occ"),
+        max(when(col("bg").isNotNull, col("cnt")).otherwise(lit(0L)))
+          .as("top_cnt"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("n_distinct").cast("double") /
           greatest(col("n_tokens"), lit(1)), 6).as("distinct_ratio"),
-        round(coalesce(col("dup_occ"), lit(0L)).cast("double") /
-          greatest(coalesce(col("total_bg"), lit(0L)), lit(1)), 6)
-          .as("dup_2gram_frac"),
-        round(coalesce(col("top_cnt"), lit(0L)).cast("double") /
-          greatest(coalesce(col("total_bg"), lit(0L)), lit(1)), 6)
-          .as("top_2gram_frac"))
+        round(col("dup_occ").cast("double") /
+          greatest(col("total_bg"), lit(1)), 6).as("dup_2gram_frac"),
+        round(col("top_cnt").cast("double") /
+          greatest(col("total_bg"), lit(1)), 6).as("top_2gram_frac"))
       .orderBy(col("doc_id"))
   }
 

@@ -62,6 +62,13 @@ object Clusters {
       if (root.isEmpty) df.localCheckpoint()
       else {
         val path = s"$runDir/labels-$round"
+        if (round == 0)
+          // surface the retained path: the final round's parquet backs
+          // the returned frame, so this dir outlives the call — the
+          // operator of a long-lived job cleans consumed run dirs
+          org.apache.log4j.Logger.getLogger("graft.Clusters").info(
+            s"reliable checkpoint run dir: $runDir " +
+              "(final labels parquet remains after the call; delete when consumed)")
         df.write.mode("overwrite").parquet(path)
         if (round > 0) delete(s"$runDir/labels-${round - 1}")
         round += 1

@@ -47,12 +47,15 @@ object RagPipeline {
     * (build-once-serve-many). Unknown strategies raise, mirroring
     * the reference's error path. */
   /** `indexKey` (bm25_indexed only): a caller-chosen stable name for
-    * the store, enabling the build-once-serve-many memo across calls.
-    * Empty (the default) builds this call's index fresh — a plan
-    * hash is NOT a usable default because fresh UDF/flatMap lambdas
-    * get identity hashCodes in the canonicalized plan, so identical
-    * invocations hash differently (measured), and a silently-colliding
-    * key would serve the wrong corpus. */
+    * the DOCUMENT SET, enabling the build-once-serve-many memo across
+    * calls; the chunking strategy and embedder dim are folded into
+    * the cache key automatically, so the same name with a different
+    * store configuration can never serve the wrong index. Empty (the
+    * default) serves from an in-memory inline build — a plan hash is
+    * NOT a usable default because fresh UDF/flatMap lambdas get
+    * identity hashCodes in the canonicalized plan, so identical
+    * invocations hash differently (measured), and a
+    * silently-colliding key would serve the wrong corpus. */
   def run(spark: SparkSession, docs: DataFrame, queryTexts: Seq[String],
       strategy: String = "simple",
       embedder: Embedder = HashingEmbedder(64),
@@ -109,21 +112,19 @@ object RagPipeline {
             store, col("id"), lit(1L), "vec_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val corpus = indexed.select(col("vec_id").as("doc_id"), col("text"))
-        val path =
-          if (indexKey.nonEmpty)
-            graft.text.Bm25.ensureSavedIndex(corpus, s"ragpipeline-$indexKey")
-          else {
-            // no stable identity for this store → build fresh (correct,
-            // just unmemoized); see the indexKey doc for why a plan
-            // hash cannot stand in
-            val p = java.nio.file.Files
-              .createTempDirectory("graft-bm25-rag").toString
-            graft.text.Bm25.saveIndex(corpus, p)
-            p
-          }
-        val hits = graft.text.Bm25.topKIndexed(
-          graft.text.Bm25.loadIndex(spark, path),
-          queries.select(col("query_id"), col("query_text").as("qtext")), TopK)
+        val qtexts = queries.select(col("query_id"), col("query_text").as("qtext"))
+        val hits =
+          if (indexKey.nonEmpty) {
+            val path = graft.text.Bm25.ensureSavedIndex(corpus,
+              s"ragpipeline-$indexKey-$strategy-${embedder.dim}")
+            graft.text.Bm25.topKIndexed(
+              graft.text.Bm25.loadIndex(spark, path), qtexts, TopK)
+          } else
+            // no stable identity for this store → serve from an
+            // in-memory inline build (identical scores — shared
+            // scoring tree) rather than leaking one saved index per
+            // call to disk; see the indexKey doc
+            graft.text.Bm25.topK(corpus, qtexts, TopK)
         hits.withColumnRenamed("doc_id", "vec_id")
           .join(indexed.select(col("vec_id"), col("source"), col("text")),
             "vec_id")

@@ -82,8 +82,18 @@ object Ann {
 
   private def embeddingDim(df: DataFrame, embCol: String): Int = {
     val k = df.select(col(embCol)).queryExecution.analyzed.semanticHash()
-    dimCache.getOrElseUpdate(k,
-      df.select(size(col(embCol))).head().getInt(0))
+    dimCache.get(k) match {
+      case Some(d) => d
+      case None =>
+        // total on an empty frame: dim 0 (degenerate keys, still
+        // correct — exact confirm/rerank runs on zero rows) and NOT
+        // cached, so a later populated frame with the same plan
+        // shape re-probes the real dim
+        val d = df.select(size(col(embCol))).take(1)
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        if (d > 0) dimCache.putIfAbsent(k, d)
+        d
+    }
   }
 
   private def resolveBucketLength(df: DataFrame, embCol: String,

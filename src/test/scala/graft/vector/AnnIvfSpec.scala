@@ -87,6 +87,13 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("signLshTopK: empty query batch yields an empty result, not a crash") {
+    val df = corpus(20, 0).toDF("vec_id", "embedding")
+    val noQueries = corpus(1, 0).toDF("query_id", "q_embedding")
+      .filter(col("query_id") < 0)
+    assert(Ann.signLshTopK(df, noQueries, 5).count() == 0)
+  }
+
   test("persisted IVF index round-trips and serves topK with dynamic partition pruning") {
     val df = corpus(50, 0).toDF("vec_id", "embedding")
     val (assigned, cents) = Ivf.index(df, nCells = 4)
