@@ -26,18 +26,23 @@ object Bench {
     // them in the artifact, and exit non-zero so the driver can't
     // mistake a broken catalog for a fast one
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      var failed = false
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink materializes EVERY output column — count() would let
         // Catalyst prune the expensive expressions out of the measurement
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           errors += s"$name: ${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a failing query's near-zero wall time must NOT enter the map or
+      // the total — a partially-broken run would otherwise compare
+      // "faster" than a clean one; errors[] + exit 1 carry the failure
+      if (failed) None else Some(name -> times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

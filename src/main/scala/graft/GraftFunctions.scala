@@ -24,9 +24,22 @@ import graft.vector.FloatVecDot
 object GraftFunctions {
   private val shim = org.apache.spark.sql.graftshim.ColumnShim
 
+  /** Clean SQL-side arity error (Spark's builtin wording) instead of
+    * an IndexOutOfBoundsException from a bare `exprs(1)`. */
+  private def arity[A](name: String, expected: Int,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])(
+      build: => A): A = {
+    if (exprs.length != expected)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function $name. " +
+          s"Expected: $expected; Found: ${exprs.length}")
+    build
+  }
+
   def register(spark: SparkSession): Unit = {
     shim.registerExpression(
-      spark, "graft_dot", exprs => FloatVecDot(exprs.head, exprs(1)))
+      spark, "graft_dot",
+      exprs => arity("graft_dot", 2, exprs)(FloatVecDot(exprs.head, exprs(1))))
     spark.udf.register("graft_token_count", udf((s: String) =>
       if (s == null) 0 else Tok.count(s)))
     spark.udf.register("graft_simhash", udf((s: String) => Dedup.simhash32(s)))
@@ -43,6 +56,7 @@ object GraftFunctions {
       exprs => shim.expression(
         graft.rel.Sampling.hashBucket(shim.column(exprs.head))))
     shim.registerExpression(spark, "graft_indexes_of",
-      exprs => graft.text.StringIndexesOf(exprs.head, exprs(1)))
+      exprs => arity("graft_indexes_of", 2, exprs)(
+        graft.text.StringIndexesOf(exprs.head, exprs(1))))
   }
 }

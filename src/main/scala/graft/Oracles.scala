@@ -1069,9 +1069,11 @@ object Oracles {
     "q_chunk_occurrences" ->
       s"""$chunkCte
          |, pc AS (
-         |  SELECT doc_id, chunk_index,
-         |         CASE WHEN doc_id % 7 = 0 THEN text || chr(1) ELSE text END AS text
-         |  FROM ch
+         |  SELECT * FROM (
+         |    SELECT doc_id, chunk_index,
+         |           CASE WHEN doc_id % 7 = 0 THEN text || chr(1) ELSE text END AS text
+         |    FROM ch
+         |  ) WHERE length(text) > 0  -- empty-needle guard, mirrors the engine
          |), j AS (
          |  SELECT pc.doc_id, pc.chunk_index, pc.text, d.text AS doc_text,
          |         CAST(length(pc.text) AS INTEGER) AS clen

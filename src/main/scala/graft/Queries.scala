@@ -816,6 +816,10 @@ object Queries {
       .select(col("doc_id"), col("chunk_index"),
         when(col("doc_id") % 7 === 0, concat(col("text"), lit("\u0001")))
           .otherwise(col("text")).as("text"))
+      // empty-needle guard (mirrored in the oracle): the kernel defines
+      // indexesOf("", doc) as zero matches while the all-positions HOF
+      // form matches every position — keep empty chunks out of both
+      .filter(length(col("text")) > 0)
     // scan-from-previous-match kernel (graft.text.StrExpr): linear in
     // doclen + matches instead of the old all-positions HOF's
     // O(doclen·chunklen) compares + per-row position-array build;

@@ -79,7 +79,7 @@ object Zips {
     }
   }
 
-  private def deleteRecursively(f: File): Unit = {
+  private[graft] def deleteRecursively(f: File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()

@@ -37,9 +37,12 @@ object RagPipeline {
     *
     * `retrieval` dispatches like the reference's chunking-strategy
     * dispatch (C4): "brute" = exact cosine via the TopKPerKey
-    * operator; "ivf" / "lsh" = the sub-linear ANN paths, with the
-    * store enumerated to numeric ids by the distributed prefix sum
-    * (deterministic: id-ordered, partition-independent); "hybrid" =
+    * operator; "ivf" / "lsh" / "signlsh" = the sub-linear ANN paths,
+    * with the store enumerated to numeric ids by the distributed
+    * prefix sum (deterministic: id-ordered, partition-independent) —
+    * "signlsh" is the md5-hyperplane LSH ([[graft.vector.Ann
+    * .signLshTopK]]), the engine's deterministic banded ANN (the one
+    * the q_topk_signlsh oracle hash-checks); "hybrid" =
     * reciprocal-rank fusion of the dense cosine list with a BM25
     * lexical list over the same chunk store (the calibration-free
     * dense+sparse combiner); "bm25_indexed" = lexical retrieval
@@ -71,13 +74,15 @@ object RagPipeline {
         VectorOps.topK(store, queries, TopK,
           tiebreak = Seq(col("doc_id"), col("chunk_index")))
           .select(col("query_id"), col("rank"), col("source"), col("text"))
-      case "ivf" | "lsh" =>
+      case "ivf" | "lsh" | "signlsh" =>
         val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
           store, col("id"), lit(1L), "vec_id")
         val hits = retrieval match {
           case "ivf" =>
             val (assigned, cents) = graft.vector.Ivf.index(indexed)
             graft.vector.Ivf.topK(assigned, cents, queries, TopK)
+          case "signlsh" =>
+            graft.vector.Ann.signLshTopK(indexed, queries, TopK)
           case _ =>
             graft.vector.Ann.lshTopK(indexed, queries, TopK)
         }
@@ -115,8 +120,11 @@ object RagPipeline {
         val qtexts = queries.select(col("query_id"), col("query_text").as("qtext"))
         val hits =
           if (indexKey.nonEmpty) {
+            // length-prefixed indexKey: plain '-' concatenation would
+            // let a key containing '-' collide with another
+            // (indexKey, strategy) pair and serve the wrong index
             val path = graft.text.Bm25.ensureSavedIndex(corpus,
-              s"ragpipeline-$indexKey-$strategy-${embedder.dim}")
+              s"ragpipeline/${indexKey.length}:$indexKey/$strategy/${embedder.dim}")
             graft.text.Bm25.topKIndexed(
               graft.text.Bm25.loadIndex(spark, path), qtexts, TopK)
           } else

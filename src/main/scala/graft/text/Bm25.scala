@@ -151,18 +151,37 @@ object Bm25 {
   /** One saved index per cache key per JVM: build-once-serve-many.
     * First call builds + saves (the expensive corpus pass); later
     * calls — e.g. Bench's min-of-3 or a query batch loop — only pay
-    * the pruned serve. TrieMap.getOrElseUpdate is atomic, so
-    * concurrent callers share one build. Known tradeoff of any
-    * key-by-name memo (same as the Ann dim memo): if the corpus
-    * BEHIND a key is rewritten in the same JVM, the stale index keeps
-    * serving the old scores — callers must change the key when the
-    * data changes (the catalog keys by fixture directory, which is
-    * immutable per run). */
+    * the pruned serve. Under contention two callers MAY both run the
+    * builder (TrieMap.getOrElseUpdate evaluates the thunk outside the
+    * CAS); exactly one build wins the map slot and the loser's dir is
+    * reclaimed by the same shutdown hook that cleans the winners —
+    * every created dir is registered below before any bytes land.
+    * Known tradeoff of any key-by-name memo (same as the Ann dim
+    * memo): if the corpus BEHIND a key is rewritten in the same JVM,
+    * the stale index keeps serving the old scores — callers must
+    * change the key when the data changes (the catalog keys by
+    * fixture directory, which is immutable per run). */
   private val savedIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Every temp dir ever created for a saved index (winners AND
+    * double-build losers); removed recursively at JVM exit so a long
+    * dev session doesn't accumulate orphaned `graft-bm25-idx*` dirs. */
+  private[text] val createdDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      createdDirs.forEach { d =>
+        try graft.io.Zips.deleteRecursively(new java.io.File(d))
+        catch { case _: Throwable => () } // best-effort exit cleanup
+      }
+    }))
 
   def ensureSavedIndex(docs: DataFrame, cacheKey: String): String =
     savedIndexes.getOrElseUpdate(cacheKey, {
+      cleanupHook
       val p = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
+      createdDirs.add(p)
       saveIndex(docs, p)
       p
     })

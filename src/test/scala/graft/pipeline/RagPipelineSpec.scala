@@ -81,6 +81,32 @@ class RagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_.toSeq).toSeq == unkeyed.map(_.toSeq).toSeq)
   }
 
+  test("run: signlsh retrieval agrees with brute on an exact-chunk query") {
+    val corpus = docs.limit(50)
+    // query = an exact chunk text: its embedding equals the stored
+    // chunk's, so every sign-LSH band key collides and the candidate
+    // set must contain the chunk — rank-1 is then the cosine-1 chunk,
+    // exactly what brute retrieval returns
+    // a UNIQUE chunk text: the fixture corpus contains near-duplicate
+    // documents, and a duplicated chunk would make rank-1 a cosine-1
+    // tie that brute and signlsh break by different keys
+    val store = RagPipeline.buildStore(corpus, "simple")
+    val chunkText = store.groupBy(col("text")).count()
+      .filter(col("count") === 1)
+      .orderBy(col("text")).select(col("text")).head().getString(0)
+    val brute = RagPipeline.run(spark, corpus, Seq(chunkText), "simple",
+      retrieval = "brute").collect()
+    val lsh = RagPipeline.run(spark, corpus, Seq(chunkText), "simple",
+      retrieval = "signlsh").collect()
+    assert(lsh.length == 1)
+    val bruteTop = brute(0).getString(1).split("\n\n").head
+    val cited = lsh(0).getString(1).split("\n\n")
+    assert(cited.nonEmpty && cited.head == bruteTop,
+      "signlsh rank-1 must be the exact-match chunk brute retrieval finds")
+    // banded ANN may cite fewer than TopK on sparse collisions, never more
+    assert(cited.length <= RagPipeline.TopK)
+  }
+
   test("run: ivf and lsh retrieval produce a full cited context; unknown retrieval raises") {
     for (retrieval <- Seq("ivf", "lsh")) {
       val out = RagPipeline.run(spark, docs.limit(50),

@@ -50,6 +50,16 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     assert(buckets.size < Bm25.IndexBuckets)
   }
 
+  test("ensureSavedIndex registers its temp dir for shutdown cleanup and memoizes") {
+    val p1 = Bm25.ensureSavedIndex(docsDf, "bm25-spec-cleanup-key")
+    assert(Bm25.createdDirs.contains(p1),
+      "saved-index dir must be registered for the exit cleanup hook")
+    // second call with the same key serves the memoized path, no new dir
+    val before = Bm25.createdDirs.size()
+    val p2 = Bm25.ensureSavedIndex(docsDf, "bm25-spec-cleanup-key")
+    assert(p2 == p1 && Bm25.createdDirs.size() == before)
+  }
+
   test("bm25: rarer term contributes more than common term (idf)") {
     import spark.implicits._
     // 'spark' appears in 2 docs, 'window' in 1 -> same tf, window doc wins
