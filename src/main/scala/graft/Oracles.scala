@@ -867,36 +867,56 @@ object Oracles {
          |       n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // Gopher-style repetition signals over token 2-grams; docs with
-    // <2 tokens keep a row with zeroed fractions via the LEFT join
-    "q_repetition" ->
+    // Gopher-style repetition signals over token n-grams, n ∈ {2,3,4}
+    // (the full MassiveText dup-n-gram family); docs with <n tokens
+    // keep zeroed fractions for that n via the LEFT join + coalesce
+    "q_repetition" -> {
+      def gramBranch(n: Int): String = {
+        val expr = (1 to n).map(j => s"ts[i + ${j - 1}]").mkString(" || ' ' || ")
+        s"""SELECT doc_id, $n AS n,
+           |         unnest(list_transform(generate_series(1, len(ts) - ${n - 1}),
+           |           i -> $expr)) AS g
+           |  FROM base WHERE n_tokens >= $n""".stripMargin
+      }
+      def fracCols(n: Int): String =
+        s"""round(CAST(coalesce(a.dup_$n, 0) AS DOUBLE)
+           |         / greatest(coalesce(a.total_$n, 0), 1), 6) AS dup_${n}gram_frac,
+           |       round(CAST(coalesce(a.top_$n, 0) AS DOUBLE)
+           |         / greatest(coalesce(a.total_$n, 0), 1), 6) AS top_${n}gram_frac""".stripMargin
+      def aggCols(n: Int): String =
+        s"""sum(CASE WHEN n = $n THEN cnt ELSE 0 END) AS total_$n,
+           |         sum(CASE WHEN n = $n AND cnt > 1 THEN cnt ELSE 0 END) AS dup_$n,
+           |         max(CASE WHEN n = $n THEN cnt END) AS top_$n""".stripMargin
       s"""WITH tk AS (
          |  SELECT doc_id, regexp_extract_all(text, '$RE') AS ts FROM documents
          |), base AS (
          |  SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
          |         CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct, ts
          |  FROM tk
-         |), bg AS (
-         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
-         |           i -> ts[i] || ' ' || ts[i + 1])) AS bg
-         |  FROM base WHERE n_tokens >= 2
+         |), gr AS (
+         |  ${gramBranch(2)}
+         |  UNION ALL
+         |  ${gramBranch(3)}
+         |  UNION ALL
+         |  ${gramBranch(4)}
          |), cnts AS (
-         |  SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2
+         |  SELECT doc_id, n, g, count(*) AS cnt FROM gr GROUP BY 1, 2, 3
          |), agg AS (
-         |  SELECT doc_id, sum(cnt) AS total_bg,
-         |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ,
-         |         max(cnt) AS top_cnt
+         |  SELECT doc_id,
+         |         ${aggCols(2)},
+         |         ${aggCols(3)},
+         |         ${aggCols(4)}
          |  FROM cnts GROUP BY 1
          |)
          |SELECT b.doc_id, b.n_tokens,
          |       round(CAST(b.n_distinct AS DOUBLE) / greatest(b.n_tokens, 1), 6)
          |         AS distinct_ratio,
-         |       round(CAST(coalesce(a.dup_occ, 0) AS DOUBLE)
-         |         / greatest(coalesce(a.total_bg, 0), 1), 6) AS dup_2gram_frac,
-         |       round(CAST(coalesce(a.top_cnt, 0) AS DOUBLE)
-         |         / greatest(coalesce(a.total_bg, 0), 1), 6) AS top_2gram_frac
+         |       ${fracCols(2)},
+         |       ${fracCols(3)},
+         |       ${fracCols(4)}
          |FROM base b LEFT JOIN agg a USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the corpus keep/drop composition: lang CASE (q_lang_id), the
     // quality formula (q_quality_score), canonical flag from the

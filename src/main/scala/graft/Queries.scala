@@ -490,44 +490,53 @@ object Queries {
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021, MassiveText
-    * quality rules, adapted to token n-grams — the fixture corpus has
-    * no line structure): per document, the fraction of 2-gram
-    * occurrences whose 2-gram repeats, the most-frequent-2-gram
-    * share, and the distinct-token ratio. One explode + a two-level
-    * aggregate — shuffles on (doc_id, bigram) then doc_id, so the
+    * quality rules §A1.1, adapted to token n-grams — the fixture
+    * corpus has no line structure): per document and for each
+    * n ∈ {2,3,4}, the fraction of n-gram occurrences whose n-gram
+    * repeats (`dup_{n}gram_frac`) and the most-frequent-n-gram share
+    * (`top_{n}gram_frac`), plus the distinct-token ratio — the full
+    * dup-n-gram family Gopher thresholds on, not just its smallest
+    * member. STILL one corpus scan: all three gram sizes explode from
+    * the same tokenized row as (n, gram) pairs, then a two-level
+    * aggregate — shuffles on (doc_id, n, gram) then doc_id, so the
     * corpus scales like any token-statistics pass. */
   def q_repetition(s: SparkSession, dir: String): DataFrame = {
-    // ONE corpus scan: explode_outer keeps a null-bigram row for
+    // per-size gram arrays from one token array; array_join(slice)
+    // renders the same string DuckDB's ts[i] || ' ' || … does
+    def grams(n: Int): Column =
+      when(col("n_tokens") >= n,
+        transform(sequence(lit(1), col("n_tokens") - (n - 1)),
+          i => struct(lit(n).as("n"),
+            array_join(slice(col("ts"), i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    // ONE corpus scan: explode_outer keeps a null-gram row for
     // token-poor docs, so no join-back (which would tokenize the
     // corpus a second time) is needed to emit their zeroed fractions
+    def fracs(n: Int): Seq[Column] = Seq(
+      round(
+        sum(when(col("g.n") === n && col("cnt") > 1, col("cnt")).otherwise(lit(0L)))
+          .cast("double") /
+        greatest(sum(when(col("g.n") === n, col("cnt")).otherwise(lit(0L))), lit(1L)),
+        6).as(s"dup_${n}gram_frac"),
+      round(
+        coalesce(max(when(col("g.n") === n, col("cnt"))), lit(0L)).cast("double") /
+        greatest(sum(when(col("g.n") === n, col("cnt")).otherwise(lit(0L))), lit(1L)),
+        6).as(s"top_${n}gram_frac"))
     t(s, dir, "documents")
       .select(col("doc_id"), Tok.tokens(col("text")).as("ts"))
       .withColumn("n_tokens", size(col("ts")))
       .withColumn("n_distinct", size(array_distinct(col("ts"))))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        explode_outer(when(col("n_tokens") >= 2,
-          zip_with(
-            slice(col("ts"), lit(1), col("n_tokens") - 1),
-            slice(col("ts"), lit(2), col("n_tokens") - 1),
-            (a, b) => concat_ws(" ", a, b)))
-          .otherwise(array().cast("array<string>"))).as("bg"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bg"))
+        explode_outer(concat(grams(2), grams(3), grams(4))).as("g"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
-      .agg(
-        sum(when(col("bg").isNotNull, col("cnt")).otherwise(lit(0L)))
-          .as("total_bg"),
-        sum(when(col("bg").isNotNull && col("cnt") > 1, col("cnt"))
-          .otherwise(lit(0L))).as("dup_occ"),
-        max(when(col("bg").isNotNull, col("cnt")).otherwise(lit(0L)))
-          .as("top_cnt"))
-      .select(col("doc_id"), col("n_tokens"),
+      .agg(fracs(2).head, fracs(2).tail ++ fracs(3) ++ fracs(4): _*)
+      .select(Seq(col("doc_id"), col("n_tokens"),
         round(col("n_distinct").cast("double") /
-          greatest(col("n_tokens"), lit(1)), 6).as("distinct_ratio"),
-        round(col("dup_occ").cast("double") /
-          greatest(col("total_bg"), lit(1)), 6).as("dup_2gram_frac"),
-        round(col("top_cnt").cast("double") /
-          greatest(col("total_bg"), lit(1)), 6).as("top_2gram_frac"))
+          greatest(col("n_tokens"), lit(1)), 6).as("distinct_ratio")) ++
+        (2 to 4).flatMap(n =>
+          Seq(col(s"dup_${n}gram_frac"), col(s"top_${n}gram_frac"))): _*)
       .orderBy(col("doc_id"))
   }
 

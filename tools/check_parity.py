@@ -31,7 +31,7 @@ def render(df: pd.DataFrame):
         out.append("|".join(cells))
     return out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -39,6 +39,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         spark_dir = os.path.join(out_dir, name)
         if not os.path.isdir(spark_dir):
             print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
@@ -71,6 +73,8 @@ def main(sf_dir, out_dir):
     # rows-only queries
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
+        if only and name not in only:
+            continue
         if os.path.isdir(p) and name not in oracle:
             files = sorted(glob.glob(f"{p}/*.parquet"))
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
@@ -79,4 +83,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
