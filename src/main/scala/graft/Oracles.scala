@@ -1038,6 +1038,26 @@ object Oracles {
         |       round(sum(session_value), 4) AS total_value
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // canonical chunk-JSON: both engines render the identical string
+    // (explicit field order, int concat, backslash-first escapes)
+    "q_chunk_json" ->
+      s"""$chunkCte
+         |, pc AS (
+         |  SELECT 'simple' AS strategy, doc_id, chunk_index,
+         |         '{"doc_id":' || doc_id || ',"id":' || chunk_index ||
+         |         ',"text":"' ||
+         |         replace(replace(replace(replace(replace(text,
+         |           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+         |           chr(13), '\\r'), chr(9), '\\t') ||
+         |         '","char_length":' || char_length ||
+         |         ',"token_length":' || token_length || '}' AS piece
+         |  FROM ch
+         |)
+         |SELECT strategy, count(*) AS chunk_count,
+         |       '[' || string_agg(piece, ',' ORDER BY doc_id, chunk_index) || ']'
+         |         AS chunks
+         |FROM pc GROUP BY strategy ORDER BY strategy""".stripMargin,
+
     "q_union_dedup" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

@@ -753,9 +753,11 @@ object Queries {
       .orderBy(col("doc_id"), col("page_no"))
   }
 
-  /** S10 — chunk-JSON sink shape (rows-only: JSON field-order and
-    * float rendering differ across engines; shape pinned by
-    * ChunkStatsSpec golden assertions). */
+  /** S10 — chunk-JSON sink, hash-checked since r6: the JSON is a
+    * canonical string build ([[ChunkStats.chunkJson]] — explicit
+    * field order, integer rendering, fixed escapes) so the DuckDB
+    * oracle reproduces it byte-for-byte; golden shape still pinned by
+    * ChunkStatsSpec. */
   def q_chunk_json(s: SparkSession, dir: String): DataFrame =
     ChunkStats.chunkJson(fixedChunks(s, dir)).orderBy(col("strategy"))
 

@@ -97,13 +97,47 @@ object ChunkStats {
         (col("active") >= 2).as("is_overlap"))
   }
 
+  /** Minimal JSON string escape for the canonical chunk-JSON build:
+    * backslash, quote, newline, carriage return, tab — the escapes
+    * both engines can replay byte-for-byte. (Other control chars
+    * would need \u00XX rendering; the corpus fixtures contain none,
+    * and a text that did would fail loudly in the oracle compare
+    * rather than silently corrupt.) Backslash FIRST so later escapes'
+    * own backslashes aren't double-escaped. */
+  private[graft] def jsonEscape(c: Column): Column = {
+    val esc = Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
+      "\r" -> "\\r", "\t" -> "\\t")
+    esc.foldLeft(c) { case (acc, (from, to)) =>
+      call_function("replace", acc, lit(from), lit(to))
+    }
+  }
+
   /** S10 — chunk-JSON sink shape (`chunk_visualizer.py:29-49`):
-    * `{strategy, chunk_count, chunks: [{id, text, char_length,
-    * token_length}]}` — one row per strategy. */
-  def chunkJson(chunks: DataFrame): DataFrame =
-    chunks.groupBy(col("strategy")).agg(
-      count(lit(1)).as("chunk_count"),
-      to_json(sort_array(collect_list(struct(
-        col("doc_id"), col("chunk_index").as("id"), col("text"),
-        col("char_length"), col("token_length"))))).as("chunks"))
+    * `{strategy, chunk_count, chunks: [{doc_id, id, text,
+    * char_length, token_length}]}` — one row per strategy. The JSON
+    * text is built as a CANONICAL string (explicit field order,
+    * integer rendering, fixed escapes) instead of `to_json`, so an
+    * independent engine reproduces it byte-for-byte — that flips the
+    * catalog row from rows-only to a full hash check while keeping
+    * the same sink contract. Chunks are ordered by (doc_id, id)
+    * inside the array. */
+  def chunkJson(chunks: DataFrame): DataFrame = {
+    val piece = concat(
+      lit("{\"doc_id\":"), col("doc_id"),
+      lit(",\"id\":"), col("chunk_index"),
+      lit(",\"text\":\""), jsonEscape(col("text")),
+      lit("\",\"char_length\":"), col("char_length"),
+      lit(",\"token_length\":"), col("token_length"), lit("}"))
+    chunks
+      .select(col("strategy"), col("doc_id"), col("chunk_index"),
+        piece.as("piece"))
+      .groupBy(col("strategy")).agg(
+        count(lit(1)).as("chunk_count"),
+        concat(lit("["),
+          array_join(transform(
+            sort_array(collect_list(struct(
+              col("doc_id"), col("chunk_index"), col("piece")))),
+            x => x.getField("piece")), ","),
+          lit("]")).as("chunks"))
+  }
 }

@@ -96,4 +96,22 @@ class ChunkStatsSpec extends AnyFunSuite with SparkTestBase {
         """{"doc_id":9,"id":1,"text":"lo wo","char_length":5,"token_length":2}]"""
     assert(got == expected)
   }
+
+  test("chunkJson escapes backslash, quote, newline, cr, tab as valid JSON") {
+    val tricky = "a\\b\"c\nd\re\tf"
+    val one = Seq((1L, 0, 0, 11, tricky, 11, 1, "simple"))
+      .toDF("doc_id", "chunk_index", "start", "end", "text",
+        "char_length", "token_length", "strategy")
+    val got = ChunkStats.chunkJson(one).head().getAs[String]("chunks")
+    assert(got.contains("""a\\b\"c\nd\re\tf"""))
+    // and the canonical string parses back to the original text
+    val parsed = spark.range(1).select(
+      from_json(lit(got),
+        org.apache.spark.sql.types.DataTypes.createArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))).as("j"))
+      .selectExpr("j[0].text").head().getString(0)
+    assert(parsed == tricky)
+  }
 }
