@@ -58,5 +58,8 @@ object GraftFunctions {
     shim.registerExpression(spark, "graft_indexes_of",
       exprs => arity("graft_indexes_of", 2, exprs)(
         graft.text.StringIndexesOf(exprs.head, exprs(1))))
+    shim.registerExpression(spark, "graft_affix_overlap",
+      exprs => arity("graft_affix_overlap", 2, exprs)(
+        graft.text.LongestAffixOverlap(exprs.head, exprs(1))))
   }
 }

@@ -1034,21 +1034,22 @@ object Queries {
     * suffix equals the other's L-char prefix, keeping non-trivial
     * overlaps (> 10 chars) — the character branch of
     * `chunk_visualizer.py:445-453`, which needs no birth offsets (the
-    * interval variants in [[ChunkStats]] do). Pure substring algebra
-    * per pair; the self-join shuffles on doc_id only, so pair count
-    * is bounded per document, never cross-corpus. */
+    * interval variants in [[ChunkStats]] do). The per-pair scorer is
+    * the KMP-automaton kernel [[graft.text.StrOps.longestAffixOverlap]]
+    * — one linear pass per pair instead of the old HOF form's O(L²)
+    * substring compares + materialized length-L int array (the r5
+    * audit's last hot spot); the DuckDB oracle stays the independent
+    * HOF scan, and StrExprSpec pins kernel==HOF on adversarial
+    * strings. The self-join shuffles on doc_id only, so pair count is
+    * bounded per document, never cross-corpus. */
   def q_text_overlap_pairs(s: SparkSession, dir: String): DataFrame = {
     val ch = fixedChunks(s, dir)
       .select(col("doc_id"), col("chunk_index"), col("text"))
-    def longestJoin(a: Column, b: Column): Column =
-      coalesce(array_max(filter(
-        sequence(lit(1), least(length(a), length(b))),
-        l => a.substr(length(a) - l + 1, l) === b.substr(lit(1), l))), lit(0))
     val a = ch.select(col("doc_id"), col("chunk_index").as("i"), col("text").as("ta"))
     val b = ch.select(col("doc_id"), col("chunk_index").as("j"), col("text").as("tb"))
     a.join(b, Seq("doc_id")).filter(col("i") < col("j"))
       .withColumn("max_overlap",
-        greatest(longestJoin(col("ta"), col("tb")), longestJoin(col("tb"), col("ta"))))
+        graft.text.StrExpr.longestAffixOverlap(col("ta"), col("tb")))
       .filter(col("max_overlap") > 10)
       .select(col("doc_id"), col("i"), col("j"), col("max_overlap"))
       .orderBy(col("doc_id"), col("i"), col("j"))

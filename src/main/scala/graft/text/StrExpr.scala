@@ -33,6 +33,45 @@ object StrOps {
     }
     new GenericArrayData(buf.toArray)
   }
+
+  /** Longest L such that `a`'s L-char suffix equals `b`'s L-char
+    * prefix, via the KMP prefix-function automaton: build π over `b`,
+    * stream `a` through it; the final automaton state IS the longest
+    * b-prefix that is an a-suffix. One linear pass (O(|a|+|b|) code
+    * points, O(|b|) ints) — vs the HOF form's O(min²) substring
+    * compares plus a materialized length-min int array per pair.
+    * Code-point arrays (not UTF-16 units) so lengths agree with SQL
+    * `substr`/`length` character semantics on astral chars. */
+  private def sufPre(a: Array[Int], b: Array[Int]): Int = {
+    val m = b.length
+    if (m == 0 || a.length == 0) return 0
+    val pi = new Array[Int](m)
+    var k = 0
+    var i = 1
+    while (i < m) {
+      while (k > 0 && b(i) != b(k)) k = pi(k - 1)
+      if (b(i) == b(k)) k += 1
+      pi(i) = k
+      i += 1
+    }
+    k = 0
+    i = 0
+    while (i < a.length) {
+      if (k == m) k = pi(k - 1) // full b matched mid-stream; fall back
+      while (k > 0 && a(i) != b(k)) k = pi(k - 1)
+      if (a(i) == b(k)) k += 1
+      i += 1
+    }
+    k // ≤ min(|a|, |b|): at most one increment per consumed char of a
+  }
+
+  /** max(sufPre(a,b), sufPre(b,a)) — the symmetric "how much do these
+    * two chunks overlap end-to-start" scorer of J5. */
+  def longestAffixOverlap(a: UTF8String, b: UTF8String): Int = {
+    val ac = a.toString.codePoints().toArray
+    val bc = b.toString.codePoints().toArray
+    math.max(sufPre(ac, bc), sufPre(bc, ac))
+  }
 }
 
 /** `indexesOf(haystack, needle)` — array<int> of ALL 1-based match
@@ -70,6 +109,41 @@ case class StringIndexesOf(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `longestAffixOverlap(a, b)` — int: the longest L where one input's
+  * L-char suffix equals the other's L-char prefix (both directions).
+  * Native codegen'd expression (static kernel call in whole-stage
+  * codegen); value-identical to the O(L²) HOF filter form it replaced
+  * in q_text_overlap_pairs — asserted in StrExprSpec, and that
+  * query's DuckDB oracle remains the independent HOF scan. */
+case class LongestAffixOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"LongestAffixOverlap needs two string inputs, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StrOps.longestAffixOverlap(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.text.StrOps.longestAffixOverlap($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongestAffixOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
 object StrExpr {
   import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -78,4 +152,10 @@ object StrExpr {
   def indexesOf(haystack: Column, needle: Column): Column =
     ColumnShim.column(StringIndexesOf(
       ColumnShim.expression(haystack), ColumnShim.expression(needle)))
+
+  /** Column wrapper: longest suffix/prefix overlap length between two
+    * strings, both directions. */
+  def longestAffixOverlap(a: Column, b: Column): Column =
+    ColumnShim.column(LongestAffixOverlap(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
 }

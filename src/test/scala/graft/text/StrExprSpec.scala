@@ -64,4 +64,70 @@ class StrExprSpec extends AnyFunSuite with SparkTestBase {
       .head().getSeq[Int](0)
     assert(got == Seq(1, 2, 3))
   }
+
+  // ===== longestAffixOverlap — must be VALUE-identical to the O(L²)
+  // HOF form it replaced in q_text_overlap_pairs =====
+
+  private def hofOverlap(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // the `when` guard matters: Spark sequence(1, 0) DESCENDS ([1,0]),
+    // and l=1 on two empty strings compares "" === "" — the unguarded
+    // form "finds" overlap 1 where DuckDB's generate_series finds none
+    def oneWay(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      coalesce(array_max(filter(
+        when(least(length(x), length(y)) >= 1,
+          sequence(lit(1), least(length(x), length(y))))
+          .otherwise(array().cast("array<int>")),
+        l => x.substr(length(x) - l + 1, l) === y.substr(lit(1), l))), lit(0))
+    greatest(oneWay(a, b), oneWay(b, a))
+  }
+
+  test("longestAffixOverlap matches the HOF form on crafted and adversarial strings") {
+    val rows = Seq(
+      ("abcdef", "defxyz"),      // plain 3-char suffix/prefix overlap
+      ("aaaa", "aaa"),           // all-same: min length wins (3)
+      ("ababab", "bababa"),      // periodic both directions (5)
+      ("abc", "abc"),            // identical: whole string (3)
+      ("abc", "xyz"),            // nothing
+      ("", "abc"),               // empty side
+      ("", ""),                  // both empty
+      ("xy", "yxyxyx"),          // overlap via the REVERSE direction
+      ("aabaa", "aab"),          // full b inside a, and prefix overlap
+      ("αβγ", "βγα"),            // multibyte: suffix βγ? no — γ vs β; reverse: α (1)
+      ("x" * 500 + "ov", "ov" + "y" * 500), // long strings, small overlap
+      ("docdoc", "docdocdoc"))   // needle longer than hay
+      .toDF("a", "b")
+    val bad = rows.select(
+        StrExpr.longestAffixOverlap(col("a"), col("b")).as("fast"),
+        hofOverlap(col("a"), col("b")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(bad.count() == 0)
+  }
+
+  test("longestAffixOverlap agrees with the HOF form on pseudo-random strings") {
+    // alphabet of 2 forces dense periodic collisions — the KMP
+    // fallback chain is exercised hard
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      val a = (1 to rnd.nextInt(30)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+      val b = (1 to rnd.nextInt(30)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+      (a, b)
+    }.toDF("a", "b")
+    val bad = rows.select(
+        StrExpr.longestAffixOverlap(col("a"), col("b")).as("fast"),
+        hofOverlap(col("a"), col("b")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(bad.count() == 0)
+  }
+
+  test("registered SQL surface graft_affix_overlap works; bad arity errors cleanly") {
+    graft.GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_affix_overlap('abcdef', 'defxyz') AS o")
+      .head().getInt(0)
+    assert(got == 3)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_affix_overlap('abc') AS o").collect()
+    }
+    assert(e.getMessage.contains("Invalid number of arguments"))
+  }
 }
