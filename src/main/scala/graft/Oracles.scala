@@ -141,6 +141,82 @@ object Oracles {
        |  FROM dots GROUP BY vec_id, p // 8
        |)""".stripMargin
 
+  /** IVF replay on the crafted two-cluster fixture (shared by
+    * q_topk_ivf_crafted AND q_topk_ivf_indexed — the saved-index
+    * serve reads back bit-identical floats and shares the engine's
+    * probe/scoring Column trees, so one SQL checks both rows). */
+  private lazy val ivfCraftedSql: String = {
+    val cv = Queries.ivfCraftedCorpus.map { case (id, v) =>
+      s"(CAST($id AS BIGINT), " +
+        v.map(x => s"CAST(${x.toDouble} AS DOUBLE)").mkString(", ") + ")"
+    }.mkString(", ")
+    val qv = Queries.ivfCraftedQueries.map { case (id, v) =>
+      s"(CAST($id AS BIGINT), " +
+        v.map(x => s"CAST(${x.toDouble} AS DOUBLE)").mkString(", ") + ")"
+    }.mkString(", ")
+    s"""WITH corpus(vec_id, e1, e2, e3, e4) AS (
+       |  VALUES $cv
+       |), qs(query_id, q1, q2, q3, q4) AS (
+       |  VALUES $qv
+       |), nv AS (
+       |  SELECT vec_id, e1 / nrm AS n1, e2 / nrm AS n2, e3 / nrm AS n3, e4 / nrm AS n4
+       |  FROM (SELECT *, sqrt(e1*e1 + e2*e2 + e3*e3 + e4*e4) AS nrm FROM corpus)
+       |), init0 AS (SELECT n1, n2, n3, n4 FROM nv WHERE vec_id = 0
+       |), init1 AS (SELECT n1, n2, n3, n4 FROM nv WHERE vec_id = 4
+       |), a0 AS (
+       |  SELECT v.vec_id,
+       |         CASE WHEN (v.n1-c1.n1)*(v.n1-c1.n1) + (v.n2-c1.n2)*(v.n2-c1.n2)
+       |                 + (v.n3-c1.n3)*(v.n3-c1.n3) + (v.n4-c1.n4)*(v.n4-c1.n4)
+       |               < (v.n1-c0.n1)*(v.n1-c0.n1) + (v.n2-c0.n2)*(v.n2-c0.n2)
+       |                 + (v.n3-c0.n3)*(v.n3-c0.n3) + (v.n4-c0.n4)*(v.n4-c0.n4)
+       |              THEN 1 ELSE 0 END AS cell
+       |  FROM nv v CROSS JOIN init0 c0 CROSS JOIN init1 c1
+       |), cents AS (
+       |  SELECT a0.cell,
+       |         avg(v.n1) AS c1, avg(v.n2) AS c2, avg(v.n3) AS c3, avg(v.n4) AS c4,
+       |         CAST(CAST(avg(v.n1) AS FLOAT) AS DOUBLE) AS g1,
+       |         CAST(CAST(avg(v.n2) AS FLOAT) AS DOUBLE) AS g2,
+       |         CAST(CAST(avg(v.n3) AS FLOAT) AS DOUBLE) AS g3,
+       |         CAST(CAST(avg(v.n4) AS FLOAT) AS DOUBLE) AS g4
+       |  FROM a0 JOIN nv v USING (vec_id) GROUP BY a0.cell
+       |), assign AS (
+       |  SELECT v.vec_id,
+       |         CASE WHEN (v.n1-k1.c1)*(v.n1-k1.c1) + (v.n2-k1.c2)*(v.n2-k1.c2)
+       |                 + (v.n3-k1.c3)*(v.n3-k1.c3) + (v.n4-k1.c4)*(v.n4-k1.c4)
+       |               < (v.n1-k0.c1)*(v.n1-k0.c1) + (v.n2-k0.c2)*(v.n2-k0.c2)
+       |                 + (v.n3-k0.c3)*(v.n3-k0.c3) + (v.n4-k0.c4)*(v.n4-k0.c4)
+       |              THEN 1 ELSE 0 END AS cell
+       |  FROM nv v
+       |  CROSS JOIN (SELECT * FROM cents WHERE cell = 0) k0
+       |  CROSS JOIN (SELECT * FROM cents WHERE cell = 1) k1
+       |), probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             (q.q1*c.g1 + q.q2*c.g2 + q.q3*c.g3 + q.q4*c.g4) /
+       |             (sqrt(q.q1*q.q1 + q.q2*q.q2 + q.q3*q.q3 + q.q4*q.q4) *
+       |              sqrt(c.g1*c.g1 + c.g2*c.g2 + c.g3*c.g3 + c.g4*c.g4)) DESC,
+       |             c.cell) AS crank
+       |    FROM qs q CROSS JOIN cents c
+       |  ) WHERE crank <= 1
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         round((v.e1*q.q1 + v.e2*q.q2 + v.e3*q.q3 + v.e4*q.q4) /
+       |               (sqrt(v.e1*v.e1 + v.e2*v.e2 + v.e3*v.e3 + v.e4*v.e4) *
+       |                sqrt(q.q1*q.q1 + q.q2*q.q2 + q.q3*q.q3 + q.q4*q.q4)), 6) AS cos_sim
+       |  FROM probe p
+       |  JOIN assign a USING (cell)
+       |  JOIN corpus v ON v.vec_id = a.vec_id
+       |  JOIN qs q ON q.query_id = p.query_id
+       |)
+       |SELECT query_id, rank, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored
+       |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
 
     "q_chunk_fixed" ->
@@ -376,77 +452,12 @@ object Oracles {
     // ascending dims to mirror FloatVecExpr's accumulation; centroid
     // means may differ by ulps (avg order) but only feed well-
     // separated assignment/probe DECISIONS, never output values.
-    "q_topk_ivf_crafted" -> {
-      val cv = Queries.ivfCraftedCorpus.map { case (id, v) =>
-        s"(CAST($id AS BIGINT), " +
-          v.map(x => s"CAST(${x.toDouble} AS DOUBLE)").mkString(", ") + ")"
-      }.mkString(", ")
-      val qv = Queries.ivfCraftedQueries.map { case (id, v) =>
-        s"(CAST($id AS BIGINT), " +
-          v.map(x => s"CAST(${x.toDouble} AS DOUBLE)").mkString(", ") + ")"
-      }.mkString(", ")
-      s"""WITH corpus(vec_id, e1, e2, e3, e4) AS (
-         |  VALUES $cv
-         |), qs(query_id, q1, q2, q3, q4) AS (
-         |  VALUES $qv
-         |), nv AS (
-         |  SELECT vec_id, e1 / nrm AS n1, e2 / nrm AS n2, e3 / nrm AS n3, e4 / nrm AS n4
-         |  FROM (SELECT *, sqrt(e1*e1 + e2*e2 + e3*e3 + e4*e4) AS nrm FROM corpus)
-         |), init0 AS (SELECT n1, n2, n3, n4 FROM nv WHERE vec_id = 0
-         |), init1 AS (SELECT n1, n2, n3, n4 FROM nv WHERE vec_id = 4
-         |), a0 AS (
-         |  SELECT v.vec_id,
-         |         CASE WHEN (v.n1-c1.n1)*(v.n1-c1.n1) + (v.n2-c1.n2)*(v.n2-c1.n2)
-         |                 + (v.n3-c1.n3)*(v.n3-c1.n3) + (v.n4-c1.n4)*(v.n4-c1.n4)
-         |               < (v.n1-c0.n1)*(v.n1-c0.n1) + (v.n2-c0.n2)*(v.n2-c0.n2)
-         |                 + (v.n3-c0.n3)*(v.n3-c0.n3) + (v.n4-c0.n4)*(v.n4-c0.n4)
-         |              THEN 1 ELSE 0 END AS cell
-         |  FROM nv v CROSS JOIN init0 c0 CROSS JOIN init1 c1
-         |), cents AS (
-         |  SELECT a0.cell,
-         |         avg(v.n1) AS c1, avg(v.n2) AS c2, avg(v.n3) AS c3, avg(v.n4) AS c4,
-         |         CAST(CAST(avg(v.n1) AS FLOAT) AS DOUBLE) AS g1,
-         |         CAST(CAST(avg(v.n2) AS FLOAT) AS DOUBLE) AS g2,
-         |         CAST(CAST(avg(v.n3) AS FLOAT) AS DOUBLE) AS g3,
-         |         CAST(CAST(avg(v.n4) AS FLOAT) AS DOUBLE) AS g4
-         |  FROM a0 JOIN nv v USING (vec_id) GROUP BY a0.cell
-         |), assign AS (
-         |  SELECT v.vec_id,
-         |         CASE WHEN (v.n1-k1.c1)*(v.n1-k1.c1) + (v.n2-k1.c2)*(v.n2-k1.c2)
-         |                 + (v.n3-k1.c3)*(v.n3-k1.c3) + (v.n4-k1.c4)*(v.n4-k1.c4)
-         |               < (v.n1-k0.c1)*(v.n1-k0.c1) + (v.n2-k0.c2)*(v.n2-k0.c2)
-         |                 + (v.n3-k0.c3)*(v.n3-k0.c3) + (v.n4-k0.c4)*(v.n4-k0.c4)
-         |              THEN 1 ELSE 0 END AS cell
-         |  FROM nv v
-         |  CROSS JOIN (SELECT * FROM cents WHERE cell = 0) k0
-         |  CROSS JOIN (SELECT * FROM cents WHERE cell = 1) k1
-         |), probe AS (
-         |  SELECT query_id, cell FROM (
-         |    SELECT q.query_id, c.cell,
-         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |             (q.q1*c.g1 + q.q2*c.g2 + q.q3*c.g3 + q.q4*c.g4) /
-         |             (sqrt(q.q1*q.q1 + q.q2*q.q2 + q.q3*q.q3 + q.q4*q.q4) *
-         |              sqrt(c.g1*c.g1 + c.g2*c.g2 + c.g3*c.g3 + c.g4*c.g4)) DESC,
-         |             c.cell) AS crank
-         |    FROM qs q CROSS JOIN cents c
-         |  ) WHERE crank <= 1
-         |), scored AS (
-         |  SELECT p.query_id, a.vec_id,
-         |         round((v.e1*q.q1 + v.e2*q.q2 + v.e3*q.q3 + v.e4*q.q4) /
-         |               (sqrt(v.e1*v.e1 + v.e2*v.e2 + v.e3*v.e3 + v.e4*v.e4) *
-         |                sqrt(q.q1*q.q1 + q.q2*q.q2 + q.q3*q.q3 + q.q4*q.q4)), 6) AS cos_sim
-         |  FROM probe p
-         |  JOIN assign a USING (cell)
-         |  JOIN corpus v ON v.vec_id = a.vec_id
-         |  JOIN qs q ON q.query_id = p.query_id
-         |)
-         |SELECT query_id, rank, vec_id, cos_sim FROM (
-         |  SELECT query_id, vec_id, cos_sim,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
-         |  FROM scored
-         |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-    },
+    "q_topk_ivf_crafted" -> ivfCraftedSql,
+
+    // the saved-index serve is score-bit-identical to the in-memory
+    // crafted row (shared probe/scoring Column trees; floats survive
+    // the parquet round-trip exactly) → one oracle SQL, two rows
+    "q_topk_ivf_indexed" -> ivfCraftedSql,
 
     "q_filter_conj" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice

@@ -227,6 +227,28 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF served from a SAVED index — the persist-then-query usage
+    * pattern of the reference's vector store (ChromaDB
+    * `PersistentClient`, `chromadb_rag.py:103-110`), mirrored on the
+    * crafted fixture so the serve is hash-checked: [[vector.Ivf
+    * .ensureSavedIndex]] fits + persists `partitionBy("cell")` once
+    * per JVM, then [[vector.Ivf.topKIndexed]] resolves the probed
+    * cells driver-side and reads ONLY those cell directories (static
+    * `PartitionFilters: [cell IN (…)]` on the scan — the IVF twin of
+    * q_bm25_indexed's term-bucket pruning). Scores are bit-identical
+    * to [[q_topk_ivf_crafted]] (shared probe/scoring Column trees),
+    * so both rows share one oracle SQL. */
+  def q_topk_ivf_indexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = ivfCraftedCorpus.toDF("vec_id", "embedding")
+    val queries = ivfCraftedQueries.toDF("query_id", "q_embedding")
+    val path = vector.Ivf.ensureSavedIndex(corpus, nCells = 2,
+      cacheKey = "ivf-crafted-two-cluster")
+    val (diskCorpus, cents) = vector.Ivf.loadIndex(s, path)
+    vector.Ivf.topKIndexed(diskCorpus, cents, queries, 3, nProbe = 1)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ===== tabular surface (P/A/O/F series) =====
 
   /** P1..P3+P5 — projection, equality + numeric BETWEEN, conjunction. */

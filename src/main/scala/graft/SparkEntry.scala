@@ -44,6 +44,7 @@ object SparkEntry {
     "q_topk_signlsh" -> (Queries.q_topk_signlsh _),
     "q_topk_ivf" -> (Queries.q_topk_ivf _),
     "q_topk_ivf_crafted" -> (Queries.q_topk_ivf_crafted _),
+    "q_topk_ivf_indexed" -> (Queries.q_topk_ivf_indexed _),
     // tabular surface
     "q_filter_conj" -> (Queries.q_filter_conj _),
     "q_date_between" -> (Queries.q_date_between _),

@@ -163,25 +163,9 @@ object Bm25 {
     * fixture directory, which is immutable per run). */
   private val savedIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Every temp dir ever created for a saved index (winners AND
-    * double-build losers); removed recursively at JVM exit so a long
-    * dev session doesn't accumulate orphaned `graft-bm25-idx*` dirs. */
-  private[text] val createdDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private lazy val cleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      createdDirs.forEach { d =>
-        try graft.io.Zips.deleteRecursively(new java.io.File(d))
-        catch { case _: Throwable => () } // best-effort exit cleanup
-      }
-    }))
-
   def ensureSavedIndex(docs: DataFrame, cacheKey: String): String =
     savedIndexes.getOrElseUpdate(cacheKey, {
-      cleanupHook
-      val p = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toString
-      createdDirs.add(p)
+      val p = graft.io.TempDirs.create("graft-bm25-idx")
       saveIndex(docs, p)
       p
     })

@@ -124,17 +124,18 @@ object Ivf {
     (assigned, centroids)
   }
 
-  /** Top-k per query, probing the `nProbe` nearest cells. `queries`
-    * carries (query_id, q_embedding). */
-  def topK(assignedCorpus: DataFrame, centroids: Array[Array[Double]],
-      queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
-    val spark = assignedCorpus.sparkSession
+  /** Probe step: per query, the `nProbe` nearest quantizer cells by
+    * cosine against the FLOAT-cast centroids (ties → lowest cell).
+    * Output (query_id, q_embedding, cell) — tiny: |queries| × nProbe. */
+  private def probe(queries: DataFrame, centroids: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     // centroid table is tiny → crossJoin(broadcast) to score cells
     val cents = centroids.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
       .toSeq.toDF("cell", "centroid")
-    val probed = queries.crossJoin(broadcast(cents))
+    queries.crossJoin(broadcast(cents))
       .withColumn("cdist",
         FloatVecExpr.dotF(col("q_embedding"), col("centroid")) /
           (FloatVecExpr.normF(col("q_embedding")) * FloatVecExpr.normF(col("centroid"))))
@@ -142,7 +143,14 @@ object Ivf {
         Window.partitionBy(col("query_id")).orderBy(desc("cdist"), col("cell"))))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("q_embedding"), col("cell"))
-    // fine search: equi-join on cell — only the probed slices scanned
+  }
+
+  /** Fine search: equi-join corpus ⋈ probed on cell — only probed
+    * slices are scanned — then exact cosine, rank, top-k. ONE Column
+    * tree for the in-memory and saved-index serves, so their scores
+    * are bit-identical. */
+  private def fineSearch(assignedCorpus: DataFrame, probed: DataFrame,
+      k: Int): DataFrame = {
     val scored = assignedCorpus.join(broadcast(probed), "cell")
       .withColumn("cos_sim",
         round(FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
@@ -153,6 +161,28 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Top-k per query, probing the `nProbe` nearest cells. `queries`
+    * carries (query_id, q_embedding). */
+  def topK(assignedCorpus: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame =
+    fineSearch(assignedCorpus, probe(queries, centroids, nProbe), k)
+
+  /** Top-k served from a LOADED index ([[loadIndex]]) with
+    * STORAGE-level pruning: the probed cells are resolved driver-side
+    * first (bounded by |queries| × nProbe — queries are small by
+    * definition, mirroring [[graft.text.Bm25.topKIndexed]]'s term
+    * collect), then pushed as a static `cell IN (…)` filter, which on
+    * a `partitionBy("cell")` layout becomes a PartitionFilter — only
+    * the probed nProbe/nCells of the index FILES are read at all.
+    * Same probe + scoring trees as [[topK]] → identical scores. */
+  def topKIndexed(corpusFromDisk: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val probed = probe(queries, centroids, nProbe)
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    fineSearch(corpusFromDisk.filter(col("cell").isin(cells: _*)), probed, k)
   }
 
   /** Persist an index: the assigned corpus lands `partitionBy("cell")`
@@ -181,4 +211,20 @@ object Ivf {
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
     (corpus, cents)
   }
+
+  /** One saved index per cache key per JVM (build-once-serve-many,
+    * same memo contract and caveats as [[graft.text.Bm25
+    * .ensureSavedIndex]]): first call fits + assigns + persists, later
+    * calls serve cell-pruned reads only. Dirs are registered with
+    * [[graft.io.TempDirs]] for exit cleanup. */
+  private val savedIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureSavedIndex(corpus: DataFrame, nCells: Int,
+      cacheKey: String): String =
+    savedIndexes.getOrElseUpdate(cacheKey, {
+      val p = graft.io.TempDirs.create("graft-ivf-idx")
+      val (assigned, cents) = index(corpus, nCells)
+      saveIndex(assigned, cents, p)
+      p
+    })
 }

@@ -52,12 +52,12 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
 
   test("ensureSavedIndex registers its temp dir for shutdown cleanup and memoizes") {
     val p1 = Bm25.ensureSavedIndex(docsDf, "bm25-spec-cleanup-key")
-    assert(Bm25.createdDirs.contains(p1),
+    assert(graft.io.TempDirs.isRegistered(p1),
       "saved-index dir must be registered for the exit cleanup hook")
     // second call with the same key serves the memoized path, no new dir
-    val before = Bm25.createdDirs.size()
+    val before = graft.io.TempDirs.registeredCount
     val p2 = Bm25.ensureSavedIndex(docsDf, "bm25-spec-cleanup-key")
-    assert(p2 == p1 && Bm25.createdDirs.size() == before)
+    assert(p2 == p1 && graft.io.TempDirs.registeredCount == before)
   }
 
   test("bm25: rarer term contributes more than common term (idf)") {

@@ -116,6 +116,31 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
       s"no partition pruning on the loaded index scan:\n${plan.take(2000)}")
   }
 
+  test("topKIndexed: STATIC cell pruning on the loaded scan, scores identical to topK") {
+    val df = corpus(50, 0).toDF("vec_id", "embedding")
+    val (assigned, cents) = Ivf.index(df, nCells = 4)
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val inMem = Ivf.topK(assigned, cents, q, 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val path = Ivf.ensureSavedIndex(df, nCells = 4, cacheKey = "annivf-spec-static")
+    assert(graft.io.TempDirs.isRegistered(path),
+      "saved-index dir must be registered for exit cleanup")
+    // memo: same key serves the same path, no rebuild
+    assert(Ivf.ensureSavedIndex(df, nCells = 4, cacheKey = "annivf-spec-static") == path)
+    val (loaded, loadedCents) = Ivf.loadIndex(spark, path)
+    val served = Ivf.topKIndexed(loaded, loadedCents, q, 3, nProbe = 2)
+    assert(served.collect().map(_.toSeq).toSet == inMem,
+      "saved-index serve must score bit-identically to the in-memory serve")
+    // the driver-resolved probe cells must land as a STATIC partition
+    // filter (cell IN (...)) — storage-level pruning, not just a
+    // runtime join filter
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r
+    assert(pf.findFirstIn(plan).isDefined || plan.contains("cell#") && plan.contains(" IN ("),
+      s"no static cell IN (...) partition filter on the loaded index scan:\n${plan.take(2500)}")
+  }
+
   test("lshNearDup with dim-derived bucket length matches brute on constructed dups") {
     val df = corpus(60, 10).toDF("vec_id", "embedding")
     val thr = 0.95
