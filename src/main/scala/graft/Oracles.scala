@@ -1108,6 +1108,56 @@ object Oracles {
         |       md5(text) AS checksum
         |FROM documents ORDER BY asset_id""".stripMargin,
 
+    // real-codec replay: the crafted PNG pixel formula predicts every
+    // decoded value (PNG lossless; grayscale lum = pixel value since
+    // the ITU 601 weights sum to exactly 1000; NN resample index is
+    // (x*srcW)//16). The grid is a bounded cross join filtered to each
+    // asset's true dims (max w 16, max h 11 — version-portable, no
+    // lateral table functions needed).
+    "q_mm_decode" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 47)) AS asset_id),
+        |dims AS (
+        |  SELECT asset_id, CAST(8 + asset_id % 9 AS INTEGER) AS w,
+        |         CAST(5 + asset_id % 7 AS INTEGER) AS h
+        |  FROM ids),
+        |xs AS (SELECT unnest(generate_series(0, 16)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 11)) AS y),
+        |px AS (
+        |  SELECT d.asset_id, d.w, d.h, xs.x, ys.y,
+        |         (xs.x * 7 + ys.y * 13 + d.asset_id * 31) % 256 AS v
+        |  FROM dims d CROSS JOIN xs CROSS JOIN ys
+        |  WHERE xs.x < d.w AND ys.y < d.h),
+        |hist AS (
+        |  SELECT asset_id, w, h,
+        |         CAST(count(*) AS INTEGER) AS n_pixels,
+        |         CAST(sum(v) AS BIGINT) AS lum_sum,
+        |         CAST(sum(CASE WHEN v // 32 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS h0,
+        |         CAST(sum(CASE WHEN v // 32 = 1 THEN 1 ELSE 0 END) AS INTEGER) AS h1,
+        |         CAST(sum(CASE WHEN v // 32 = 2 THEN 1 ELSE 0 END) AS INTEGER) AS h2,
+        |         CAST(sum(CASE WHEN v // 32 = 3 THEN 1 ELSE 0 END) AS INTEGER) AS h3,
+        |         CAST(sum(CASE WHEN v // 32 = 4 THEN 1 ELSE 0 END) AS INTEGER) AS h4,
+        |         CAST(sum(CASE WHEN v // 32 = 5 THEN 1 ELSE 0 END) AS INTEGER) AS h5,
+        |         CAST(sum(CASE WHEN v // 32 = 6 THEN 1 ELSE 0 END) AS INTEGER) AS h6,
+        |         CAST(sum(CASE WHEN v // 32 = 7 THEN 1 ELSE 0 END) AS INTEGER) AS h7
+        |  FROM px GROUP BY 1, 2, 3),
+        |rxs AS (SELECT unnest(generate_series(0, 15)) AS x),
+        |rys AS (SELECT unnest(generate_series(0, 15)) AS y),
+        |rpx AS (
+        |  SELECT d.asset_id,
+        |         ((r1.x * d.w // 16) * 7 + (r2.y * d.h // 16) * 13
+        |           + d.asset_id * 31) % 256 AS v
+        |  FROM dims d CROSS JOIN rxs r1 CROSS JOIN rys r2),
+        |ragg AS (
+        |  SELECT asset_id, CAST(16 AS INTEGER) AS r_width,
+        |         CAST(16 AS INTEGER) AS r_height,
+        |         CAST(sum(v) AS BIGINT) AS r_lum_sum
+        |  FROM rpx GROUP BY 1)
+        |SELECT h.asset_id, h.w AS width, h.h AS height, h.n_pixels, h.lum_sum,
+        |       h.h0, h.h1, h.h2, h.h3, h.h4, h.h5, h.h6, h.h7,
+        |       r.r_width, r.r_height, r.r_lum_sum
+        |FROM hist h JOIN ragg r USING (asset_id)
+        |ORDER BY h.asset_id""".stripMargin,
+
     "q_chunk_locate" ->
       s"""$chunkCte
          |SELECT ch.doc_id, chunk_index, start,

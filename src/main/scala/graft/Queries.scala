@@ -665,6 +665,29 @@ object Queries {
         col("checksum"))
       .orderBy(col("asset_id"))
 
+  /** REAL image decode + resample, oracle-checked end to end: 48
+    * crafted deterministic PNGs ([[Multimodal.makePng]] — grayscale
+    * pixel = (x·7 + y·13 + id·31) mod 256) are decoded with
+    * `javax.imageio` inside mapPartitions, emitting true width/height,
+    * pixel count, total luminance and an 8-bucket luminance histogram;
+    * then each is nearest-neighbor resampled to 16×16
+    * ([[Multimodal.resize]]), PNG re-encoded, decoded AGAIN and its
+    * luminance re-summed. PNG is lossless and the NN sample index is
+    * integer arithmetic, so DuckDB predicts every value from the
+    * pixel formula without any image library — the oracle checks two
+    * real codec round-trips. */
+  def q_mm_decode(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.pngAssets(s, 48)
+    val orig = Multimodal.extractFeatures(assets)
+      .select(Seq(col("asset_id"), col("width"), col("height"),
+        (col("width") * col("height")).as("n_pixels"), col("lum_sum")) ++
+        (0 until 8).map(i => col("hist").getItem(i).as(s"h$i")): _*)
+    val resized = Multimodal.extractFeatures(Multimodal.resize(assets, 16, 16))
+      .select(col("asset_id"), col("width").as("r_width"),
+        col("height").as("r_height"), col("lum_sum").as("r_lum_sum"))
+    orig.join(resized, "asset_id").orderBy(col("asset_id"))
+  }
+
   /** Frame sampling over binary payloads (generator on binary). */
   def q_mm_frames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(

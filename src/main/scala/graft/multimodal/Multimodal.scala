@@ -1,19 +1,29 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (north-star extension, BASELINE.json):
   * image/audio/video payloads as opaque `binary` columns with typed
-  * metadata structs. The actual codec libraries are not in this
-  * container, so the decode kernel is a clearly-marked deterministic
-  * stub — but the Spark-side contract (schema, batch iteration,
-  * partition-parallel execution, metadata extraction) is real and
-  * tested, and swapping the stub for a real decoder changes nothing
-  * upstream.
+  * metadata structs, decoded by a REAL codec — `javax.imageio` PNG
+  * (JDK built-in, no new dependency). The decode kernel runs inside
+  * `mapPartitions` (the JVM analog of a `mapInPandas` batch UDF):
+  * codec state is per-partition, rows stream through it, no shuffle.
+  *
+  * Payloads that are not decodable images (e.g. the text-derived
+  * fixture assets) keep their byte-level metadata (length, checksum)
+  * and carry NULL image fields — the honest contract for a mixed
+  * binary column.
   */
 object Multimodal {
+
+  // PNG encode buffers in memory, not a disk cache dir
+  ImageIO.setUseCache(false)
 
   val featureSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -22,12 +32,15 @@ object Multimodal {
     StructField("checksum", StringType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
+    StructField("lum_sum", LongType, nullable = true),
+    StructField("hist", ArrayType(IntegerType), nullable = true),
     StructField("feature", ArrayType(FloatType), nullable = true)))
 
   /** Build an assets table: opaque binary payload + metadata struct.
-    * (Fixture stand-in: payload = UTF-8 bytes of document text; in
+    * (Fixture stand-in: payload = UTF-8 bytes of document text — NOT
+    * a decodable image, so decode-derived fields come back NULL; in
     * production this is the `binaryFile` source or a parquet binary
-    * column.) */
+    * column. [[pngAssets]] is the decodable crafted set.) */
   def assetsFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("asset_id"),
@@ -37,31 +50,98 @@ object Multimodal {
         col("source").as("origin"),
         col("n_chars").cast("int").as("declared_size")).as("meta"))
 
-  /** STUB decode kernel — stands in for an image/audio codec.
-    * Deterministic fake: "dimensions" derived from byte length,
-    * "feature" = 8 coarse byte-histogram buckets, L1-normalized.
-    * Replace the body with a real codec (e.g. javax.imageio) without
-    * touching the operator contract. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val n = payload.length
-    val width = math.max(1, math.sqrt(n.toDouble).toInt)
-    val height = math.max(1, n / math.max(width, 1))
-    val hist = new Array[Float](8)
-    payload.foreach(b => hist((b & 0xff) / 32) += 1f)
-    val s = hist.sum
-    (width, height, if (s > 0) hist.map(_ / s) else hist)
+  /** Deterministic crafted PNG: width = 8 + id % 9, height =
+    * 5 + id % 7, grayscale pixel (x, y) = (x·7 + y·13 + id·31) mod 256
+    * — pure integer arithmetic, so an independent engine can predict
+    * every decoded statistic without decoding anything (the same
+    * crafted-fixture oracle recipe as FIXTURES.md's set). PNG is
+    * lossless, so the decode returns these exact values. */
+  private[multimodal] def craftedWidth(id: Long): Int = (8 + id % 9).toInt
+  private[multimodal] def craftedHeight(id: Long): Int = (5 + id % 7).toInt
+
+  def makePng(id: Long): Array[Byte] = {
+    val w = craftedWidth(id)
+    val h = craftedHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 7 + y * 13 + id * 31) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  /** One decoded asset row (the mapPartitions element type). */
+  /** Crafted decodable asset table: `n` real PNG payloads, generated
+    * executor-side (the driver ships only the id range). */
+  def pngAssets(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, makePng(id))))
+      .toDF("asset_id", "payload")
+      .withColumn("meta", struct(
+        lit("image/png").as("content_type"),
+        lit("crafted").as("origin"),
+        length(col("payload")).as("declared_size")))
+  }
+
+  /** A decoded image: dimensions, total luminance, 8-bucket luminance
+    * histogram. Luminance = (299·r + 587·g + 114·b) / 1000 integer
+    * arithmetic (the ITU-R 601 weights scaled to sum EXACTLY 1000, so
+    * grayscale pixels decode to their own value and the oracle can
+    * replay the math in SQL); bucket = lum / 32. */
+  case class Decoded(width: Int, height: Int, lumSum: Long, hist: Array[Int])
+
+  /** REAL image decode via javax.imageio. Undecodable bytes → None
+    * (ImageIO returns null or throws on non-image input). */
+  def decodeImage(payload: Array[Byte]): Option[Decoded] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Int](8)
+        var lum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val l = (r * 299 + g * 587 + b * 114) / 1000
+            hist(l / 32) += 1
+            lum += l
+            x += 1
+          }
+          y += 1
+        }
+        Some(Decoded(w, h, lum, hist))
+      }
+    } catch { case _: Throwable => None }
+
+  /** One decoded asset row (the mapPartitions element type). Image
+    * fields are None when the payload isn't a decodable image. */
   case class AssetFeature(asset_id: Long, media_type: String,
-      byte_length: Int, checksum: String, width: Int, height: Int,
-      feature: Array[Float])
+      byte_length: Int, checksum: String, width: Option[Int],
+      height: Option[Int], lum_sum: Option[Long], hist: Option[Array[Int]],
+      feature: Option[Array[Float]])
 
   /** Feature extraction over binary payloads as `mapPartitions` —
-    * the JVM analog of a `mapInPandas` batch UDF: the codec (here the
-    * stub) is instantiated ONCE per partition and streamed over the
-    * partition's rows; no shuffle, fan-in stays on the executor.
-    * Swapping `decodeStub` for a real library keeps this shape. */
+    * the JVM analog of a `mapInPandas` batch UDF: codec state (the
+    * digest; ImageIO readers are per-call) is instantiated ONCE per
+    * partition and streamed over the partition's rows; no shuffle,
+    * fan-in stays on the executor. `feature` is the L1-normalized
+    * luminance histogram — the tiny stand-in for an embedding
+    * vector. */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
@@ -70,39 +150,58 @@ object Multimodal {
         col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition codec state lives here (a real decoder would
-        // allocate its native context once per partition)
+        // per-partition codec state lives here
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (id, mediaType, payload) =>
           md.reset()
           val checksum = md.digest(payload).map(b => f"$b%02x").mkString
-          val (w, h, f) = decodeStub(payload)
-          AssetFeature(id, mediaType, payload.length, checksum, w, h, f)
+          decodeImage(payload) match {
+            case Some(d) =>
+              val n = d.hist.sum.toFloat
+              val feat = if (n > 0) d.hist.map(_ / n) else d.hist.map(_.toFloat)
+              AssetFeature(id, mediaType, payload.length, checksum,
+                Some(d.width), Some(d.height), Some(d.lumSum), Some(d.hist),
+                Some(feat))
+            case None =>
+              AssetFeature(id, mediaType, payload.length, checksum,
+                None, None, None, None, None)
+          }
         }
       }
       .toDF()
   }
 
-  /** STUB resize kernel — stands in for an image resampler. Maps the
-    * payload onto a w×h byte grid by nearest-neighbor index sampling
-    * (deterministic; a real codec would decode → resample → encode).
-    * Exercises the binary→binary transform contract. */
-  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = payload.length
-    if (n == 0) return Array.emptyByteArray
-    val out = new Array[Byte](w * h)
-    var i = 0
-    while (i < out.length) {
-      out(i) = payload((i.toLong * n / out.length).toInt)
-      i += 1
-    }
-    out
-  }
+  /** REAL image resize: decode → nearest-neighbor resample (explicit
+    * src = (x·srcW)/dstW integer sampling — deterministic and
+    * SQL-replayable, unlike Graphics2D's filtered scaling) → lossless
+    * PNG re-encode. Undecodable payloads → null. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    try {
+      val src = ImageIO.read(new ByteArrayInputStream(payload))
+      if (src == null) null
+      else {
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out.setRGB(x, y,
+              src.getRGB(x * src.getWidth / w, y * src.getHeight / h))
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bytes)
+        bytes.toByteArray
+      }
+    } catch { case _: Throwable => null }
 
-  /** Resize assets to target dimensions; payload replaced, metadata
-    * struct updated — per-row binary transform, no shuffle. */
+  /** Resize assets to target dimensions; payload replaced (null when
+    * not a decodable image), metadata struct updated — per-row binary
+    * transform, no shuffle. */
   def resize(assets: DataFrame, w: Int, h: Int): DataFrame = {
-    val f = udf((p: Array[Byte]) => resizeStub(p, w, h))
+    val f = udf((p: Array[Byte]) => resizeImage(p, w, h))
     assets
       .withColumn("payload", f(col("payload")))
       .withColumn("meta", struct(

