@@ -51,6 +51,39 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming chunker parity: FixedChunker over a MemoryStream equals batch") {
+    // the chunker is a stateless generate+project (no window, no
+    // aggregate), so the SAME transform runs unchanged on a stream in
+    // append mode — this pins that the chunking surface works under
+    // Structured Streaming, split across two micro-batches
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cols = Seq("doc_id", "chunk_index", "text", "start", "end",
+      "char_length", "token_length")
+    val batchDocs = Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), col("source"), col("text"),
+        col("n_chars").cast("long").as("n_chars"))
+    val rows = batchDocs.as[(Long, String, String, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val streamed = graft.text.chunk.FixedChunker()
+      .chunk(mem.toDF().toDF("doc_id", "source", "text", "n_chars"))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream_out").start()
+    try {
+      mem.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(20): _*)
+      q.processAllAvailable()
+      val got = spark.table("chunk_stream_out")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val batch = graft.text.chunk.FixedChunker().chunk(batchDocs)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(got == batch, "stream chunks must equal batch chunks")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark horizon: in-horizon re-delivery dropped, past-horizon re-admitted") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
