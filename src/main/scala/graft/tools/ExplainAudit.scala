@@ -28,7 +28,12 @@ object ExplainAudit {
     "q_chunk_semantic_crafted", "q_topk_ivf_crafted",
     // round 5b: repetition signals (explode + two-level agg) and the
     // composed corpus keep/drop decision
-    "q_repetition", "q_corpus_filter")
+    "q_repetition", "q_corpus_filter",
+    // round 6: the IVF saved-index serve (static cell IN (...)
+    // partition pruning on the loaded scan), the real-codec decode
+    // pipeline (mapPartitions, no shuffle), and the affix-kernel
+    // overlap join (doc_id-only shuffle, O(L) per pair)
+    "q_topk_ivf_indexed", "q_mm_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
