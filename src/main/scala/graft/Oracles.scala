@@ -813,6 +813,44 @@ object Oracles {
          |       CAST(FLOOR(prefix_tokens / 2000) AS INTEGER) AS shard
          |FROM p ORDER BY doc_id""".stripMargin,
 
+    // sequence packing: the engine's distributed two-pass prefix sum
+    // is value-identical to the single-window ORDER BY form
+    "q_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '$RE')) AS INTEGER) AS n_tokens
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |           AS tok_start
+         |  FROM t
+         |), s AS (
+         |  SELECT doc_id, n_tokens, tok_start,
+         |         CAST(tok_start // 512 AS BIGINT) AS first_seq,
+         |         CAST(tok_start % 512 AS INTEGER) AS first_off,
+         |         CAST(CASE WHEN n_tokens > 0
+         |              THEN (tok_start + n_tokens - 1) // 512
+         |              ELSE tok_start // 512 END AS BIGINT) AS last_seq
+         |  FROM p
+         |)
+         |SELECT doc_id, n_tokens, tok_start, first_seq, first_off, last_seq,
+         |       CAST(last_seq - first_seq + 1 AS INTEGER) AS n_seqs
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // global heavy-hitter bigrams, deterministic (count DESC, gram) cut
+    "q_top_ngrams" ->
+      s"""WITH tk AS (
+         |  SELECT regexp_extract_all(text, '$RE') AS ts FROM documents
+         |), bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+         |           i -> ts[i] || ' ' || ts[i + 1])) AS gram
+         |  FROM tk WHERE len(ts) >= 2
+         |)
+         |SELECT gram, count(*) AS n_occ FROM bg GROUP BY gram
+         |ORDER BY n_occ DESC, gram LIMIT 20""".stripMargin,
+
     // first 16 bits of md5(key) < 0.25 * 65536 — same bucket math as
     // graft.rel.Sampling (Spark conv(hex,16,10) == DuckDB 0x-cast)
     "q_sample_det" ->

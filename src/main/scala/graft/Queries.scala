@@ -615,6 +615,55 @@ object Queries {
       .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("shard"))
       .orderBy(col("doc_id"))
 
+  /** Sequence PACKING — the training-data step after token-budget
+    * sharding: concatenate the tokenized corpus in doc_id order and
+    * cut it into fixed-length training sequences (L = 512), letting
+    * documents STRADDLE sequence boundaries (the standard packed
+    * pretraining layout; q_token_shards is the never-split variant).
+    * Per document: its global token start, the first/last sequence it
+    * lands in, its offset in the first, and how many sequences it
+    * spans. The global token offsets come from the DISTRIBUTED
+    * two-pass prefix sum — no single-partition window at any scale;
+    * everything after is scan-stage arithmetic. Oracle = the
+    * single-window `sum() OVER (ORDER BY)` form. */
+  def q_seq_pack(s: SparkSession, dir: String): DataFrame = {
+    val L = 512
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), Tok.tokenCount(col("text")).as("n_tokens"))
+    graft.rel.PrefixSum.exclusivePrefixSum(
+        toks, col("doc_id"), col("n_tokens").cast("long"), "tok_start")
+      .withColumn("first_seq", floor(col("tok_start") / L).cast("long"))
+      .withColumn("first_off", (col("tok_start") % L).cast("int"))
+      .withColumn("last_seq",
+        when(col("n_tokens") > 0,
+          floor((col("tok_start") + col("n_tokens") - 1) / L))
+          .otherwise(floor(col("tok_start") / L)).cast("long"))
+      .withColumn("n_seqs", (col("last_seq") - col("first_seq") + 1).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        col("first_seq"), col("first_off"), col("last_seq"), col("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide heavy-hitter n-grams — the boilerplate/vocabulary
+    * probe every large corpus runs (repeated headers, navigation
+    * text, license blurbs surface as top bigrams): global top-20
+    * token 2-grams by occurrence count, deterministic (count DESC,
+    * gram) tiebreak. Partial+final hash aggregate bounded by
+    * vocabulary², then TakeOrderedAndProject — the corpus is never
+    * globally sorted. */
+  def q_top_ngrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(Tok.tokens(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), col("n") - 1),
+        slice(col("ts"), lit(2), col("n") - 1),
+        (a, b) => concat_ws(" ", a, b))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(desc("n_occ"), col("gram"))
+      .limit(20)
+
   /** Deterministic 25% sample of orders, keyed on md5(o_orderkey) —
     * reproducible across runs/partitionings, no rand(). */
   def q_sample_det(s: SparkSession, dir: String): DataFrame =

@@ -91,6 +91,8 @@ object SparkEntry {
     "q_redact" -> (Queries.q_redact _),
     "q_sample_det" -> (Queries.q_sample_det _),
     "q_token_shards" -> (Queries.q_token_shards _),
+    "q_seq_pack" -> (Queries.q_seq_pack _),
+    "q_top_ngrams" -> (Queries.q_top_ngrams _),
     // events
     "q_events_hourly" -> (Queries.q_events_hourly _),
     "q_events_sliding" -> (Queries.q_events_sliding _),
