@@ -141,10 +141,13 @@ object Oracles {
        |  FROM dots GROUP BY vec_id, p // 8
        |)""".stripMargin
 
-  /** IVF replay on the crafted two-cluster fixture (shared by
+  /** IVF replay on the crafted three-cluster fixture (shared by
     * q_topk_ivf_crafted AND q_topk_ivf_indexed — the saved-index
     * serve reads back bit-identical floats and shares the engine's
-    * probe/scoring Column trees, so one SQL checks both rows). */
+    * probe/scoring Column trees, so one SQL checks both rows). The
+    * 3-way nearest-cell CASE mirrors Ivf.nearest's first-index-wins
+    * tie rule (distances are well-separated by construction, so ties
+    * never actually fire). */
   private lazy val ivfCraftedSql: String = {
     val cv = Queries.ivfCraftedCorpus.map { case (id, v) =>
       s"(CAST($id AS BIGINT), " +
@@ -163,14 +166,20 @@ object Oracles {
        |  FROM (SELECT *, sqrt(e1*e1 + e2*e2 + e3*e3 + e4*e4) AS nrm FROM corpus)
        |), init0 AS (SELECT n1, n2, n3, n4 FROM nv WHERE vec_id = 0
        |), init1 AS (SELECT n1, n2, n3, n4 FROM nv WHERE vec_id = 4
-       |), a0 AS (
+       |), init2 AS (SELECT n1, n2, n3, n4 FROM nv WHERE vec_id = 8
+       |), d0s AS (
        |  SELECT v.vec_id,
-       |         CASE WHEN (v.n1-c1.n1)*(v.n1-c1.n1) + (v.n2-c1.n2)*(v.n2-c1.n2)
-       |                 + (v.n3-c1.n3)*(v.n3-c1.n3) + (v.n4-c1.n4)*(v.n4-c1.n4)
-       |               < (v.n1-c0.n1)*(v.n1-c0.n1) + (v.n2-c0.n2)*(v.n2-c0.n2)
-       |                 + (v.n3-c0.n3)*(v.n3-c0.n3) + (v.n4-c0.n4)*(v.n4-c0.n4)
-       |              THEN 1 ELSE 0 END AS cell
-       |  FROM nv v CROSS JOIN init0 c0 CROSS JOIN init1 c1
+       |         (v.n1-c0.n1)*(v.n1-c0.n1) + (v.n2-c0.n2)*(v.n2-c0.n2)
+       |           + (v.n3-c0.n3)*(v.n3-c0.n3) + (v.n4-c0.n4)*(v.n4-c0.n4) AS d0,
+       |         (v.n1-c1.n1)*(v.n1-c1.n1) + (v.n2-c1.n2)*(v.n2-c1.n2)
+       |           + (v.n3-c1.n3)*(v.n3-c1.n3) + (v.n4-c1.n4)*(v.n4-c1.n4) AS d1,
+       |         (v.n1-c2.n1)*(v.n1-c2.n1) + (v.n2-c2.n2)*(v.n2-c2.n2)
+       |           + (v.n3-c2.n3)*(v.n3-c2.n3) + (v.n4-c2.n4)*(v.n4-c2.n4) AS d2
+       |  FROM nv v CROSS JOIN init0 c0 CROSS JOIN init1 c1 CROSS JOIN init2 c2
+       |), a0 AS (
+       |  SELECT vec_id, CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+       |                      WHEN d1 <= d2 THEN 1 ELSE 2 END AS cell
+       |  FROM d0s
        |), cents AS (
        |  SELECT a0.cell,
        |         avg(v.n1) AS c1, avg(v.n2) AS c2, avg(v.n3) AS c3, avg(v.n4) AS c4,
@@ -179,16 +188,22 @@ object Oracles {
        |         CAST(CAST(avg(v.n3) AS FLOAT) AS DOUBLE) AS g3,
        |         CAST(CAST(avg(v.n4) AS FLOAT) AS DOUBLE) AS g4
        |  FROM a0 JOIN nv v USING (vec_id) GROUP BY a0.cell
-       |), assign AS (
+       |), ds AS (
        |  SELECT v.vec_id,
-       |         CASE WHEN (v.n1-k1.c1)*(v.n1-k1.c1) + (v.n2-k1.c2)*(v.n2-k1.c2)
-       |                 + (v.n3-k1.c3)*(v.n3-k1.c3) + (v.n4-k1.c4)*(v.n4-k1.c4)
-       |               < (v.n1-k0.c1)*(v.n1-k0.c1) + (v.n2-k0.c2)*(v.n2-k0.c2)
-       |                 + (v.n3-k0.c3)*(v.n3-k0.c3) + (v.n4-k0.c4)*(v.n4-k0.c4)
-       |              THEN 1 ELSE 0 END AS cell
+       |         (v.n1-k0.c1)*(v.n1-k0.c1) + (v.n2-k0.c2)*(v.n2-k0.c2)
+       |           + (v.n3-k0.c3)*(v.n3-k0.c3) + (v.n4-k0.c4)*(v.n4-k0.c4) AS d0,
+       |         (v.n1-k1.c1)*(v.n1-k1.c1) + (v.n2-k1.c2)*(v.n2-k1.c2)
+       |           + (v.n3-k1.c3)*(v.n3-k1.c3) + (v.n4-k1.c4)*(v.n4-k1.c4) AS d1,
+       |         (v.n1-k2.c1)*(v.n1-k2.c1) + (v.n2-k2.c2)*(v.n2-k2.c2)
+       |           + (v.n3-k2.c3)*(v.n3-k2.c3) + (v.n4-k2.c4)*(v.n4-k2.c4) AS d2
        |  FROM nv v
        |  CROSS JOIN (SELECT * FROM cents WHERE cell = 0) k0
        |  CROSS JOIN (SELECT * FROM cents WHERE cell = 1) k1
+       |  CROSS JOIN (SELECT * FROM cents WHERE cell = 2) k2
+       |), assign AS (
+       |  SELECT vec_id, CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+       |                      WHEN d1 <= d2 THEN 1 ELSE 2 END AS cell
+       |  FROM ds
        |), probe AS (
        |  SELECT query_id, cell FROM (
        |    SELECT q.query_id, c.cell,

@@ -193,28 +193,35 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Crafted IVF fixture: two well-separated integer clusters (A ≈ e1:
-    * vec 0–3, B ≈ e2: vec 4–7). The deterministic sorted-sample init
-    * picks vec 0 and vec 4 (indices 0 and n/2), the round-1 assignment
-    * is exactly the cluster split, and round 2 recomputes identical
-    * means — so Lloyd's lands on its fixpoint after ONE update round
-    * and the whole fit is plain SQL (one assignment + one per-cell
-    * mean). Integer components are exact in Float, keeping every
-    * engine/oracle double bit-comparable until the final round(6).
-    * Shared with [[Oracles]]. */
+  /** Crafted IVF fixture: THREE well-separated integer clusters
+    * (A ≈ e1: vec 0–3, B ≈ e2: vec 4–7, C ≈ e3: vec 8–11). The
+    * deterministic sorted-sample init picks vec 0, 4 and 8 (indices
+    * 0, n/3, 2n/3 — exactly the cluster heads), the round-1
+    * assignment is exactly the cluster split, and round 2 recomputes
+    * identical means — so Lloyd's lands on its fixpoint after ONE
+    * update round and the whole fit is plain SQL (one assignment +
+    * one per-cell mean). Integer components are exact in Float,
+    * keeping every engine/oracle double bit-comparable until the
+    * final round(6). The queries probe only cells A and B, so cell C
+    * is NEVER probed — on the saved-index serve the static partition
+    * filter visibly prunes a third of the index files. Shared with
+    * [[Oracles]]. */
   private[graft] val ivfCraftedCorpus: Seq[(Long, Seq[Float])] = Seq(
     0L -> Seq(10f, 1f, 0f, 0f), 1L -> Seq(10f, 0f, 1f, 0f),
     2L -> Seq(9f, 1f, 1f, 0f), 3L -> Seq(11f, 0f, 0f, 1f),
     4L -> Seq(0f, 10f, 1f, 0f), 5L -> Seq(1f, 10f, 0f, 0f),
-    6L -> Seq(0f, 9f, 1f, 1f), 7L -> Seq(0f, 11f, 0f, 1f))
+    6L -> Seq(0f, 9f, 1f, 1f), 7L -> Seq(0f, 11f, 0f, 1f),
+    8L -> Seq(0f, 0f, 10f, 1f), 9L -> Seq(1f, 0f, 10f, 0f),
+    10L -> Seq(0f, 1f, 9f, 1f), 11L -> Seq(0f, 0f, 11f, 0f))
 
   private[graft] val ivfCraftedQueries: Seq[(Long, Seq[Float])] = Seq(
     100L -> Seq(10f, 0f, 0f, 1f), 101L -> Seq(0f, 10f, 1f, 1f))
 
   /** IVF oracle-checked — coarse quantize → probe → fine search on the
     * crafted two-cluster fixture ([[ivfCraftedCorpus]]): nCells = 2,
-    * nProbe = 1, k = 3, so the probed fine search really prunes (only
-    * the winning cell's 4 vectors are scored per query). The
+    * nProbe = 1, k = 3 over nCells = 3, so the probed fine search
+    * really prunes (only the winning cell's 4 of 12 vectors are
+    * scored per query, and cell C is never probed at all). The
     * corpus-wide [[q_topk_ivf]] stays rows-only (iterative fit); this
     * entry hash-checks the same index/serve code path where the fit
     * is SQL-replayable. */
@@ -222,7 +229,7 @@ object Queries {
     import s.implicits._
     val corpus = ivfCraftedCorpus.toDF("vec_id", "embedding")
     val queries = ivfCraftedQueries.toDF("query_id", "q_embedding")
-    val (assigned, cents) = vector.Ivf.index(corpus, nCells = 2)
+    val (assigned, cents) = vector.Ivf.index(corpus, nCells = 3)
     vector.Ivf.topK(assigned, cents, queries, 3, nProbe = 1)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -242,8 +249,8 @@ object Queries {
     import s.implicits._
     val corpus = ivfCraftedCorpus.toDF("vec_id", "embedding")
     val queries = ivfCraftedQueries.toDF("query_id", "q_embedding")
-    val path = vector.Ivf.ensureSavedIndex(corpus, nCells = 2,
-      cacheKey = "ivf-crafted-two-cluster")
+    val path = vector.Ivf.ensureSavedIndex(corpus, nCells = 3,
+      cacheKey = "ivf-crafted-three-cluster")
     val (diskCorpus, cents) = vector.Ivf.loadIndex(s, path)
     vector.Ivf.topKIndexed(diskCorpus, cents, queries, 3, nProbe = 1)
       .orderBy(col("query_id"), col("rank"))
