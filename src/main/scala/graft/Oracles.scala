@@ -519,6 +519,34 @@ object Oracles {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
+    // the salted-join contract: output equals the PLAIN join
+    "q_join_salted" ->
+      """SELECT p_brand,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(row_number() OVER w_date AS INTEGER) AS seq,
+        |       CAST(rank() OVER w_price AS INTEGER) AS price_rank,
+        |       CAST(dense_rank() OVER w_price AS INTEGER) AS price_dense_rank,
+        |       coalesce(lag(o_totalprice, 1) OVER w_date, 0.0) AS prev_price,
+        |       CAST(ntile(4) OVER w_date AS INTEGER) AS quartile
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        |ORDER BY o_custkey, seq""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(o_orderpriority, '(all)') AS priority,
+        |       coalesce(o_orderstatus, '(all)') AS status,
+        |       count(*) AS n, round(sum(o_totalprice), 4) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+
     "q_semi_join" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -680,6 +680,63 @@ object Queries {
         graft.rel.Sampling.hashBucket(col("o_orderkey")).as("bucket"))
       .orderBy(col("o_orderkey"))
 
+  /** Skew-salted equi-join, value-identical to the plain join (the
+    * [[graft.rel.Skew.saltedJoin]] contract, now pinned by an oracle
+    * row): the big side's keys are split across 8 deterministic salt
+    * buckets (xxhash64 of a stable attribute — no rand()) and the
+    * small side replicated, so one hot key spreads over 8 reducers
+    * instead of stalling one. The DuckDB oracle is the PLAIN join —
+    * exactly the "output equals the unsalted join" guarantee. */
+  def q_join_salted(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").as("p_partkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val small = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    graft.rel.Skew.saltedJoin(big, small, "p_partkey",
+        saltSource = col("l_orderkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** O/W breadth — the window-function suite over per-customer order
+    * history: row_number and ntile by date order, value-rank by
+    * price (rank/dense_rank are value-determined, so no tiebreak
+    * column is needed for determinism), and the previous order's
+    * price via lag. One window partition key → one shuffle. */
+  def q_window_suite(s: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(byDate).as("seq"),
+        rank().over(byPrice).as("price_rank"),
+        dense_rank().over(byPrice).as("price_dense_rank"),
+        coalesce(lag(col("o_totalprice"), 1).over(byDate), lit(0.0))
+          .as("prev_price"),
+        ntile(4).over(byDate).as("quartile"))
+      .orderBy(col("o_custkey"), col("seq"))
+  }
+
+  /** A-series breadth — ROLLUP aggregate over priority × status with
+    * subtotal and grand-total rows ('(all)' labels instead of the
+    * rollup NULLs so both engines render and order identically). */
+  def q_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n"), col("total_price"))
+      .orderBy(col("priority"), col("status"))
+
   // ===== events / streaming-shape =====
 
   /** Tumbling-hour aggregate per event type. */

@@ -54,6 +54,9 @@ object SparkEntry {
     "q_join_multi" -> (Queries.q_join_multi _),
     "q_semi_join" -> (Queries.q_semi_join _),
     "q_anti_join" -> (Queries.q_anti_join _),
+    "q_join_salted" -> (Queries.q_join_salted _),
+    "q_window_suite" -> (Queries.q_window_suite _),
+    "q_rollup" -> (Queries.q_rollup _),
     "q_window_topk" -> (Queries.q_window_topk _),
     "q_running_sum" -> (Queries.q_running_sum _),
     "q_first_per_group" -> (Queries.q_first_per_group _),
