@@ -959,6 +959,58 @@ object Oracles {
          |       n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // BPE train+encode replay on the crafted corpus: two unrolled
+    // merge rounds (pair-count -> argmax with the (-count, left,
+    // right) tie rule; tuple-lex == lex on the space-joined pair
+    // since ' ' sorts below every symbol char), encoding = ordered
+    // replace on space-joined symbols (left-to-right non-overlapping,
+    // same as the engine's applyMerge)
+    "q_bpe_crafted" ->
+      """WITH docs(doc_id, text) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'aab ab aab cd'),
+        |  (CAST(2 AS BIGINT), 'ab ab cd aab'),
+        |  (CAST(3 AS BIGINT), 'aab bd')
+        |), words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs
+        |), wc AS (
+        |  SELECT w, count(*) AS c FROM words GROUP BY w
+        |), w0 AS (
+        |  SELECT w, c, array_to_string(list_transform(
+        |    generate_series(1, length(w)), i -> substr(w, i, 1)), ' ') AS seq
+        |  FROM wc
+        |), p1 AS (
+        |  SELECT pr, sum(c) AS pc FROM (
+        |    SELECT c, unnest(list_transform(
+        |      generate_series(1, len(string_split(seq, ' ')) - 1),
+        |      i -> string_split(seq, ' ')[i] || ' ' || string_split(seq, ' ')[i + 1]))
+        |      AS pr
+        |    FROM w0) GROUP BY pr
+        |), best1 AS (SELECT pr FROM p1 ORDER BY pc DESC, pr LIMIT 1
+        |), w1 AS (
+        |  SELECT w, c, replace(seq, (SELECT pr FROM best1),
+        |    replace((SELECT pr FROM best1), ' ', '')) AS seq
+        |  FROM w0
+        |), p2 AS (
+        |  SELECT pr, sum(c) AS pc FROM (
+        |    SELECT c, unnest(list_transform(
+        |      generate_series(1, len(string_split(seq, ' ')) - 1),
+        |      i -> string_split(seq, ' ')[i] || ' ' || string_split(seq, ' ')[i + 1]))
+        |      AS pr
+        |    FROM w1) GROUP BY pr
+        |), best2 AS (SELECT pr FROM p2 ORDER BY pc DESC, pr LIMIT 1
+        |), w2 AS (
+        |  SELECT w, replace(seq, (SELECT pr FROM best2),
+        |    replace((SELECT pr FROM best2), ' ', '')) AS seq
+        |  FROM w1
+        |), enc AS (
+        |  SELECT w, len(string_split(seq, ' ')) AS n_sub FROM w2
+        |)
+        |SELECT d.doc_id, CAST(sum(e.n_sub) AS INTEGER) AS n_bpe_tokens,
+        |       (SELECT replace(pr, ' ', '+') FROM best1) || ',' ||
+        |       (SELECT replace(pr, ' ', '+') FROM best2) AS merges
+        |FROM words d JOIN enc e ON d.w = e.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
     // Gopher-style repetition signals over token n-grams, n ∈ {2,3,4}
     // (the full MassiveText dup-n-gram family); docs with <n tokens
     // keep zeroed fractions for that n via the LEFT join + coalesce

@@ -569,6 +569,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE oracle-checked — merge LEARNING + encoding replayed in SQL
+    * on a crafted corpus (the corpus-wide [[q_bpe_tokens]] stays
+    * rows-only: unbounded merge rounds aren't SQL-expressible; its
+    * golden spec still pins the full path). Word multiset is built so
+    * both merge rounds have UNIQUE maxima — (a,b) at 7 then (a,ab) at
+    * 4 — and no learned pattern can false-match across symbol
+    * boundaries, so DuckDB replays train (two unrolled rounds of
+    * pair-count → argmax with the (-count, left, right) tie rule) and
+    * encode (ordered left-to-right non-overlapping merges = string
+    * replace on space-joined symbols) exactly. Emits the learned
+    * merge sequence alongside the per-doc subword counts, so the
+    * TRAINING decision itself is hash-checked, not just the counts. */
+  def q_bpe_crafted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = Seq(
+      (1L, "aab ab aab cd"),
+      (2L, "ab ab cd aab"),
+      (3L, "aab bd")).toDF("doc_id", "text")
+    val merges = graft.text.BpeLite.train(
+      graft.text.BpeLite.wordCounts(df), numMerges = 2)
+    val mergesStr = merges.map { case (a, b) => s"$a+$b" }.mkString(",")
+    df.select(col("doc_id"),
+        graft.text.BpeLite.tokenCountCol(merges).as("n_bpe_tokens"),
+        lit(mergesStr).as("merges"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint (normalized md5). */
   def q_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

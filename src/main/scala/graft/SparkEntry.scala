@@ -88,6 +88,7 @@ object SparkEntry {
     "q_quality_score" -> (Queries.q_quality_score _),
     "q_token_count" -> (Queries.q_token_count _),
     "q_bpe_tokens" -> (Queries.q_bpe_tokens _),
+    "q_bpe_crafted" -> (Queries.q_bpe_crafted _),
     "q_fingerprint" -> (Queries.q_fingerprint _),
     "q_repetition" -> (Queries.q_repetition _),
     "q_corpus_filter" -> (Queries.q_corpus_filter _),
