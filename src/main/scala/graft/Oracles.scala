@@ -903,6 +903,19 @@ object Oracles {
          |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INTEGER) < 16384
          |ORDER BY o_orderkey""".stripMargin,
 
+    // per-stratum quotas on the same md5-bucket math; absent strata
+    // (es, zh) threshold to 0 → dropped
+    "q_sample_stratified" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS INTEGER) AS bucket,
+         |         CASE lang WHEN 'en' THEN 32768 WHEN 'fr' THEN 16384
+         |                   WHEN 'de' THEN 6554 ELSE 0 END AS thr
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, bucket FROM b WHERE bucket < thr
+         |ORDER BY doc_id""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH sc AS (
          |  SELECT doc_id, text,

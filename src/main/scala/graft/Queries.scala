@@ -707,6 +707,19 @@ object Queries {
         graft.rel.Sampling.hashBucket(col("o_orderkey")).as("bucket"))
       .orderBy(col("o_orderkey"))
 
+  /** Stratified (per-language quota) deterministic sampling — the
+    * language-rebalancing step of corpus assembly: keep 50% of en,
+    * 25% of fr, 10% of de; strata absent from the quota map (es, zh)
+    * are dropped entirely. Same key-addressed md5 bucket as
+    * [[q_sample_det]], still a pure scan filter. */
+  def q_sample_stratified(s: SparkSession, dir: String): DataFrame =
+    graft.rel.Sampling.stratifiedSample(t(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.1))
+      .select(col("doc_id"), col("lang"),
+        graft.rel.Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .orderBy(col("doc_id"))
+
   /** Skew-salted equi-join, value-identical to the plain join (the
     * [[graft.rel.Skew.saltedJoin]] contract, now pinned by an oracle
     * row): the big side's keys are split across 8 deterministic salt

@@ -94,6 +94,7 @@ object SparkEntry {
     "q_corpus_filter" -> (Queries.q_corpus_filter _),
     "q_redact" -> (Queries.q_redact _),
     "q_sample_det" -> (Queries.q_sample_det _),
+    "q_sample_stratified" -> (Queries.q_sample_stratified _),
     "q_token_shards" -> (Queries.q_token_shards _),
     "q_seq_pack" -> (Queries.q_seq_pack _),
     "q_top_ngrams" -> (Queries.q_top_ngrams _),
