@@ -33,7 +33,10 @@ object ExplainAudit {
     // partition pruning on the loaded scan), the real-codec decode
     // pipeline (mapPartitions, no shuffle), and the affix-kernel
     // overlap join (doc_id-only shuffle, O(L) per pair)
-    "q_topk_ivf_indexed", "q_mm_decode")
+    "q_topk_ivf_indexed", "q_mm_decode",
+    // round 6b: salted-join spread, sequence packing on the prefix
+    // sum, and the global heavy-hitter cut (TakeOrderedAndProject)
+    "q_join_salted", "q_seq_pack", "q_top_ngrams")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
