@@ -667,6 +667,28 @@ object Oracles {
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY text_md5""".stripMargin,
 
+    // delta-ingest dedup: anti-join vs the historical fingerprint set,
+    // then first-occurrence within the batch
+    "q_dedup_incremental" ->
+      """WITH ex AS (
+        |  SELECT DISTINCT md5(text) AS text_md5 FROM documents WHERE doc_id < 400
+        |), inc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents
+        |  WHERE doc_id >= 400 AND doc_id < 410
+        |), f AS (
+        |  SELECT doc_id, md5(text) AS text_md5 FROM inc
+        |  WHERE md5(text) NOT IN (SELECT text_md5 FROM ex)
+        |), r AS (
+        |  SELECT doc_id, text_md5,
+        |         row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn
+        |  FROM f
+        |)
+        |SELECT doc_id, text_md5 FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q_minhash_sig" ->
       s"""${shingleCte("WHERE doc_id < 50")}
          |SELECT doc_id,

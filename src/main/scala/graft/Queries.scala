@@ -456,6 +456,26 @@ object Queries {
   def q_dedup_exact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDupGroups(t(s, dir, "documents")).orderBy(col("text_md5"))
 
+  /** Incremental (delta-ingest) exact dedup — a new batch against the
+    * existing corpus ([[Dedup.dedupAgainstExisting]]): re-deliveries
+    * of already-ingested content (docs 0–49 re-keyed at +10000) are
+    * dropped by the anti-join against the historical fingerprint set,
+    * intra-batch duplicates (docs 400–409 re-keyed at +20000) by the
+    * first-occurrence window; genuinely new docs survive. The
+    * production daily-delta shape: only (md5, doc_id) ever shuffles. */
+  def q_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val existing = docs.filter(col("doc_id") < 400)
+    val incoming = docs.filter(col("doc_id") >= 400)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      .unionByName(docs.filter(col("doc_id") >= 400 && col("doc_id") < 410)
+        .withColumn("doc_id", col("doc_id") + 20000))
+    Dedup.dedupAgainstExisting(existing, incoming)
+      .select(col("doc_id"), col("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signatures (md5-based, oracle-portable). */
   def q_minhash_sig(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

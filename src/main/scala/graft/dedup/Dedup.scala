@@ -51,6 +51,24 @@ object Dedup {
       .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_doc_id"))
       .filter(col("dup_count") > 1)
 
+  /** Incremental (delta-ingest) exact dedup — the production shape:
+    * a new batch arrives against an EXISTING corpus. A row of the
+    * batch survives iff its content fingerprint (md5 of text) is (a)
+    * absent from the existing corpus — an anti-join against the
+    * historical fingerprint set, which at 100 TB is the compact
+    * (md5, 16 bytes)-per-distinct-doc table, not the corpus — and
+    * (b) the first occurrence within its own batch (lowest doc_id).
+    * Both steps shuffle only fingerprints and ids, never text. */
+  def dedupAgainstExisting(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val seen = existing.select(md5(col("text")).as("text_md5")).distinct()
+    val w = Window.partitionBy(col("text_md5")).orderBy(col("doc_id"))
+    incoming.withColumn("text_md5", md5(col("text")))
+      .join(seen, Seq("text_md5"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Exact dedup keeping the lowest doc_id per text (last-write-wins
     * analog of the reference's id-keyed upsert, SURVEY §2.7). */
   def dropExactDuplicates(docs: DataFrame): DataFrame = {
@@ -116,6 +134,27 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** (doc_id, band, band_key) via the NARROW per-row signature form
+    * (array HOFs, no groupBy) — value-identical keys to the aggregate
+    * pipeline inside [[minhashCandidates]] (same min over
+    * md5(seed|shingle), same per-band concat), but computable on an
+    * unbounded STREAM row-by-row: this is the projection the
+    * stream-static near-dup join keys on
+    * ([[graft.streaming.DocStreams.nearDupCandidatesAgainstStatic]]).
+    * Batch callers building the static history side use it too, so
+    * both sides of that join share one key definition. */
+  def minhashBandKeys(docs: DataFrame, numHashes: Int = 8,
+      bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0)
+    val rpb = numHashes / bands
+    docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+      .select(col("doc_id"), minhashSignatureOf(col("sh"), numHashes).as("sig"))
+      .select(col("doc_id"), posexplode(array((0 until bands).map(b =>
+          concat_ws("", slice(col("sig"), b * rpb + 1, rpb))): _*))
+        .as(Seq("band", "band_key")))
   }
 
   private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](

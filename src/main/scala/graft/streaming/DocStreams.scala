@@ -40,6 +40,26 @@ object DocStreams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup candidates against a STATIC historical
+    * corpus — the continuous-ingest twin of the banded minhash
+    * pipeline: each incoming document is minhash-banded on the fly
+    * (narrow per-row signature, [[graft.dedup.Dedup.minhashBandKeys]]
+    * — no stateful aggregation) and equi-joined against the
+    * precomputed band table of the history (a stream-static inner
+    * join, stateless on the stream side). Emits one
+    * (doc_id, dup_of, band) row per colliding band — deliberately
+    * not `distinct()`ed, which would be a stateful op; downstream
+    * consumers (or the exact-cosine confirm) dedup pairs. At scale
+    * the static band table is the compact (doc_id, band, 64-hex key)
+    * index, not the corpus. */
+  def nearDupCandidatesAgainstStatic(incoming: DataFrame,
+      historyBands: DataFrame): DataFrame =
+    graft.dedup.Dedup.minhashBandKeys(incoming)
+      .join(historyBands
+          .select(col("doc_id").as("dup_of"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("doc_id"), col("dup_of"), col("band"))
+
   /** Watermarked event dedup: drops re-deliveries of the same
     * `event_id` arriving within `delay` of the watermark — bounded
     * state for at-least-once upstreams. */

@@ -51,6 +51,53 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("stream-static near-dup: banded stream doc collides with its historical twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val history = Tables.documents(spark, sf).filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("text"))
+    val historyBands = graft.dedup.Dedup.minhashBandKeys(history)
+    // an exact re-delivery of history doc 0 (all bands collide) and a
+    // clearly foreign text (no shared shingles → no collision)
+    val copiedText = history.filter(col("doc_id") === 0).head().getString(1)
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.nearDupCandidatesAgainstStatic(
+        mem.toDF().toDF("doc_id", "text"), historyBands)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream_out").start()
+    try {
+      mem.addData((5000L, copiedText),
+        (5001L, "zq wv xk pj mn bt zq wv xk pj mn bt zq wv"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream_out").collect()
+      val copied = got.filter(_.getLong(0) == 5000L)
+      assert(copied.nonEmpty && copied.forall(_.getLong(1) == 0L),
+        s"re-delivered content must band-collide with exactly doc 0; got ${got.toSeq}")
+      assert(copied.map(_.getInt(2)).distinct.length == 4,
+        "an exact copy collides in ALL four bands")
+      assert(!got.exists(_.getLong(0) == 5001L),
+        "foreign text must not collide with any historical band")
+    } finally q.stop()
+  }
+
+  test("minhashBandKeys (narrow) equals the aggregate pipeline's keys batch-side") {
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), col("text"))
+    // candidate pairs derived from the narrow keys must equal
+    // minhashCandidates' (same key definition, different plan shape)
+    val narrow = graft.dedup.Dedup.minhashBandKeys(docs)
+    val viaNarrow = narrow.as("x").join(narrow.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAgg = graft.dedup.Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaNarrow == viaAgg)
+  }
+
   test("streaming chunker parity: FixedChunker over a MemoryStream equals batch") {
     // the chunker is a stateless generate+project (no window, no
     // aggregate), so the SAME transform runs unchanged on a stream in
