@@ -829,6 +829,24 @@ object Oracles {
          |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // candidate/verify: banded candidates confirmed by exact
+    // shingle-Jaccard on just those pairs (union = na + nb − inter)
+    "q_minhash_verified" ->
+      s"""$minhashCandCte
+         |, v AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         |         len(a.shingles) AS na, len(b.shingles) AS nb
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+         |FROM v
+         |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""${shingleCte("WHERE doc_id < 100")}
          |, shr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),

@@ -490,6 +490,29 @@ object Queries {
     Dedup.minhashCandidates(t(s, dir, "documents"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** The complete minhash pipeline ending — banded candidates
+    * CONFIRMED by exact shingle-Jaccard (candidate/verify): the
+    * probabilistic band join proposes, the exact set overlap on just
+    * those pairs disposes (≥ 0.5 kept). Shingle arrays are fetched
+    * per side by equi-join, so the exact pass touches only candidate
+    * pairs — the shape that makes verification affordable at 100 TB.
+    * Union size via |A| + |B| − |A∩B| (arrays are distinct), the
+    * form both engines compute identically. */
+  def q_minhash_verified(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val shs = docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    Dedup.minhashCandidates(docs)
+      .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** n-gram Jaccard similarity above threshold. */
   def q_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents").filter(col("doc_id") < 100),

@@ -76,6 +76,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (Queries.q_dedup_incremental _),
     "q_minhash_sig" -> (Queries.q_minhash_sig _),
     "q_minhash_candidates" -> (Queries.q_minhash_candidates _),
+    "q_minhash_verified" -> (Queries.q_minhash_verified _),
     "q_ngram_jaccard" -> (Queries.q_ngram_jaccard _),
     "q_simhash_candidates" -> (Queries.q_simhash_candidates _),
     "q_dup_clusters" -> (Queries.q_dup_clusters _),
