@@ -500,8 +500,11 @@ object Queries {
     * form both engines compute identically. */
   def q_minhash_verified(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // persisted: consumed by BOTH pair sides (same rationale as
+    // q_contamination — tokenize+shingle once, not once per side)
     val shs = docs.filter(trim(col("text")) =!= "")
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.minhashCandidates(docs)
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -1138,13 +1141,10 @@ object Queries {
     * BM25 list and a token-set-Jaccard list — the standard
     * calibration-free way to combine a lexical and a similarity
     * ranking. */
-  def q_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    graft.text.Bm25.rrfFuse(
-      graft.text.Bm25.topK(docs, lexQueries(s), 10),
-      graft.text.Bm25.tokenJaccardTopK(docs, lexQueries(s), 10), 5)
+  def q_hybrid_rrf(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.hybridRrfTopK(t(s, dir, "documents"), lexQueries(s),
+        5, depth = 10)
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** Near-dup RESOLUTION — minhash candidate pairs clustered into
     * connected components (iterative min-label propagation,

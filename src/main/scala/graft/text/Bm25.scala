@@ -73,11 +73,14 @@ object Bm25 {
     rankMatched(matched, k, k1, b)
   }
 
-  /** Build the index frames from a document corpus: one explode + one
-    * aggregate for postings, two bounded aggregates for stats. */
-  def buildIndex(docs: DataFrame): Bm25Index = {
-    val postings = docs
-      .select(col("doc_id"), explode(Tok.tokens(lower(col("text")))).as("term"))
+  /** Shared corpus tokenization — the one regex pass both the BM25
+    * and Jaccard sides derive from. */
+  private def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Tok.tokens(lower(col("text"))).as("ts"))
+
+  private def buildIndexFromTokens(toks: DataFrame): Bm25Index = {
+    val postings = toks
+      .select(col("doc_id"), explode(col("ts")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val docLen = postings.groupBy(col("doc_id"))
@@ -88,6 +91,11 @@ object Bm25 {
       .agg(count(lit(1)).cast("double").as("df"))
     Bm25Index(postings, docLen, dfreq, stats)
   }
+
+  /** Build the index frames from a document corpus: one explode + one
+    * aggregate for postings, two bounded aggregates for stats. */
+  def buildIndex(docs: DataFrame): Bm25Index =
+    buildIndexFromTokens(tokensOf(docs))
 
   /** Top-k docs per query, building the index inline. `queries`:
     * (query_id, qtext). Output: (query_id, rank, doc_id, score). */
@@ -175,9 +183,13 @@ object Bm25 {
     * inverted-index access pattern (query terms broadcast, only
     * matching postings move); used as the second list in the RRF
     * fusion. */
-  def tokenJaccardTopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val dterms = docs
-      .select(col("doc_id"), array_distinct(Tok.tokens(lower(col("text")))).as("ts"))
+  def tokenJaccardTopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    tokenJaccardFromTokens(tokensOf(docs), queries, k)
+
+  private def tokenJaccardFromTokens(toks: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val dterms = toks
+      .select(col("doc_id"), array_distinct(col("ts")).as("ts"))
       .withColumn("n_d", size(col("ts")))
       .select(col("doc_id"), col("n_d"), explode(col("ts")).as("term"))
     val qterms = queries
@@ -194,6 +206,23 @@ object Bm25 {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** BM25 + token-Jaccard hybrid via RRF, with the corpus TOKENIZED
+    * ONCE: both ranked lists derive from one persisted (doc_id,
+    * tokens) frame instead of each re-running the regex pass over the
+    * corpus — same scores as fusing [[topK]] and [[tokenJaccardTopK]]
+    * built independently (identical downstream Column trees), one
+    * fewer corpus scan. `depth` is the per-list candidate depth
+    * before fusion (the usual deeper-than-k setup). */
+  def hybridRrfTopK(docs: DataFrame, queries: DataFrame, k: Int,
+      depth: Int): DataFrame = {
+    val toks = tokensOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = buildIndexFromTokens(toks)
+    val lex = serveFrom(idx.postings, idx.docLen, idx.dfreq, idx.stats,
+      queries, depth, 1.2, 0.75)
+    rrfFuse(lex, tokenJaccardFromTokens(toks, queries, depth), k)
   }
 
   /** Reciprocal-rank fusion of two ranked lists (SIGIR'09 form,

@@ -36,7 +36,7 @@ class RagPipelineSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("run: end-to-end context per query for every strategy") {
-    for (strategy <- Seq("simple", "recursive")) {
+    for (strategy <- Seq("simple", "recursive", "semantic")) {
       val out = RagPipeline.run(spark, docs.limit(50),
         Seq("table scan filter"), strategy).collect()
       assert(out.length == 1)
