@@ -943,6 +943,31 @@ object Oracles {
          |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INTEGER) < 16384
          |ORDER BY o_orderkey""".stripMargin,
 
+    // int8 quantization replay: maxabs is float→double exact, the
+    // quantized values integer — every output column is immune to
+    // accumulation order
+    "q_quantize_int8" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings WHERE vec_id < 500
+        |), qv AS (
+        |  SELECT vec_id, maxabs,
+        |         CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+        |              ELSE list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS INTEGER))
+        |         END AS q
+        |  FROM base
+        |), q0 AS (SELECT q AS q0 FROM qv WHERE vec_id = 0)
+        |SELECT v.vec_id, v.maxabs,
+        |       CAST(list_sum(v.q) AS BIGINT) AS qsum,
+        |       CAST(list_sum(list_transform(v.q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qnorm2,
+        |       CAST(list_min(v.q) AS INTEGER) AS qmin,
+        |       CAST(list_max(v.q) AS INTEGER) AS qmax,
+        |       CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+        |              i -> CAST(v.q[i] AS BIGINT) * z.q0[i])) AS BIGINT) AS dot_q0
+        |FROM qv v CROSS JOIN q0 z ORDER BY v.vec_id""".stripMargin,
+
     // per-stratum quotas on the same md5-bucket math; absent strata
     // (es, zh) threshold to 0 → dropped
     "q_sample_stratified" ->

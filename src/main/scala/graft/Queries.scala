@@ -174,6 +174,30 @@ object Queries {
     Ann.signLshTopK(emb, queries, 5).orderBy(col("query_id"), col("rank"))
   }
 
+  /** Symmetric int8 embedding quantization ([[vector.Quantize]]) —
+    * oracle-checked through integer-exact per-vector statistics: the
+    * quantized sum, squared norm, min and max are integers (immune to
+    * accumulation order), and maxabs is a float→double exact value,
+    * so DuckDB replays the whole quantization bit-for-bit. The
+    * quantized dot against vector 0 exercises the int8 first-pass
+    * scoring path (exact integer arithmetic, no float rerank here). */
+  def q_quantize_int8(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      .select(col("vec_id"), vector.Quantize.maxAbs(col("embedding")).as("maxabs"),
+        vector.Quantize.int8(col("embedding")).as("q"))
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("q").as("q0"))
+    emb.crossJoin(broadcast(q0))
+      .select(col("vec_id"), col("maxabs"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + (x * x).cast("long"))
+          .as("qnorm2"),
+        array_min(col("q")).as("qmin"),
+        array_max(col("q")).as("qmax"),
+        vector.Quantize.dotQ(col("q"), col("q0")).as("dot_q0"))
+      .orderBy(col("vec_id"))
+  }
+
   /** LSH ANN top-k (rows-only; exact counterpart is q_topk_cosine). */
   def q_topk_lsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")

@@ -43,6 +43,7 @@ object SparkEntry {
     "q_topk_lsh" -> (Queries.q_topk_lsh _),
     "q_topk_signlsh" -> (Queries.q_topk_signlsh _),
     "q_topk_ivf" -> (Queries.q_topk_ivf _),
+    "q_quantize_int8" -> (Queries.q_quantize_int8 _),
     "q_topk_ivf_crafted" -> (Queries.q_topk_ivf_crafted _),
     "q_topk_ivf_indexed" -> (Queries.q_topk_ivf_indexed _),
     // tabular surface

@@ -82,4 +82,49 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
   }
+
+  test("int8 quantization: range, sign, zero vector, dequantization error bound") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),      // zero vector → zeros
+      (3L, Seq(1e-8f, -1e-8f, 1e-8f, -1e-8f)), // tiny but nonzero scale
+      (4L, Seq(100f, -50f, 25f, -12.5f)))
+      .toDF("vec_id", "embedding")
+    val out = rows.select(col("vec_id"), col("embedding"),
+        Quantize.maxAbs(col("embedding")).as("m"),
+        Quantize.int8(col("embedding")).as("q"))
+      .orderBy("vec_id").collect()
+    out.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      val m = r.getDouble(2)
+      val q = r.getSeq[Int](3)
+      assert(q.length == emb.length)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      if (m == 0.0) assert(q.forall(_ == 0))
+      else {
+        val scale = 127.0 / m
+        emb.zip(q).foreach { case (x, qi) =>
+          assert(math.signum(qi.toDouble) == math.signum(math.round(x * scale).toDouble)
+            || qi == 0)
+          // dequantization error ≤ half a quantization step
+          assert(math.abs(x - qi / scale) <= 0.5 / scale + 1e-12,
+            s"deq error too large for x=$x q=$qi m=$m")
+        }
+        // the max-magnitude component hits ±127 exactly
+        assert(q.map(math.abs).max == 127)
+      }
+    }
+    // integer dot is exact: Column result equals the Scala-side sum
+    val two = rows.filter(col("vec_id").isin(1L, 4L))
+      .select(col("vec_id"), Quantize.int8(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val dot = two(1L).zip(two(4L)).map { case (a, b) => a.toLong * b }.sum
+    val viaCol = rows.filter(col("vec_id") === 1L)
+      .select(Quantize.int8(col("embedding")).as("qa"))
+      .crossJoin(rows.filter(col("vec_id") === 4L)
+        .select(Quantize.int8(col("embedding")).as("qb")))
+      .select(Quantize.dotQ(col("qa"), col("qb"))).head().getLong(0)
+    assert(viaCol == dot)
+  }
 }
