@@ -968,6 +968,46 @@ object Oracles {
         |              i -> CAST(v.q[i] AS BIGINT) * z.q0[i])) AS BIGINT) AS dot_q0
         |FROM qv v CROSS JOIN q0 z ORDER BY v.vec_id""".stripMargin,
 
+    // int8 first pass (exact integer dots) + float-cosine rerank of
+    // the top-20 candidates
+    "q_topk_int8_rerank" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings
+        |), qv AS (
+        |  SELECT vec_id, embedding,
+        |         CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0)
+        |              ELSE list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS INTEGER))
+        |         END AS q
+        |  FROM base
+        |), fs AS (
+        |  SELECT z.vec_id AS query_id, c.vec_id,
+        |         CAST(list_sum(list_transform(generate_series(1, len(c.q)),
+        |                i -> CAST(c.q[i] AS BIGINT) * z.q[i])) AS BIGINT) AS iscore
+        |  FROM qv c CROSS JOIN (SELECT vec_id, q FROM qv WHERE vec_id < 3) z
+        |), top AS (
+        |  SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY iscore DESC, vec_id) AS crank
+        |  FROM fs
+        |), rr AS (
+        |  SELECT t.query_id, t.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |           CAST(qe.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM top t
+        |  JOIN embeddings e ON e.vec_id = t.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = t.query_id
+        |  WHERE t.crank <= 20
+        |)
+        |SELECT query_id, rank, vec_id, cos_sim FROM (
+        |  SELECT query_id, vec_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM rr
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // per-stratum quotas on the same md5-bucket math; absent strata
     // (es, zh) threshold to 0 → dropped
     "q_sample_stratified" ->

@@ -198,6 +198,40 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** int8 first-pass ANN + float rerank — the quantized serving
+    * pattern [[q_quantize_int8]] exists for: every corpus vector is
+    * scored against the query by the EXACT integer dot of their int8
+    * codes (4× less memory traffic, SIMD-able at scale), the top-20
+    * integer-score candidates are reranked by true float cosine, and
+    * only the final 5 survive. Fully oracle-checked: integer scores
+    * are immune to accumulation order, and the rerank reuses the
+    * proven cosine arithmetic. */
+  def q_topk_int8_rerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.vector.FloatVecExpr
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      vector.Quantize.int8(col("embedding")).as("qv"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        vector.Quantize.int8(col("embedding")).as("qq"))
+    val wFirst = Window.partitionBy(col("query_id"))
+      .orderBy(desc("iscore"), col("vec_id"))
+    val wRerank = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("iscore", vector.Quantize.dotQ(col("qv"), col("qq")))
+      .withColumn("crank", row_number().over(wFirst))
+      .filter(col("crank") <= 20)
+      .withColumn("cos_sim",
+        round(FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
+          (FloatVecExpr.normF(col("embedding")) *
+            FloatVecExpr.normF(col("q_embedding"))), 6))
+      .withColumn("rank", row_number().over(wRerank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH ANN top-k (rows-only; exact counterpart is q_topk_cosine). */
   def q_topk_lsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")

@@ -83,6 +83,20 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
   }
 
+  test("int8 first-pass + float rerank: high recall@5 vs full float brute") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val brute = Ann.bruteTopK(emb, q, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val int8 = graft.Queries.q_topk_int8_rerank(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect int8).size.toDouble / brute.size
+    assert(recall >= 0.8, s"int8-rerank recall@5 too low: $recall")
+  }
+
   test("int8 quantization: range, sign, zero vector, dequantization error bound") {
     import spark.implicits._
     val rows = Seq(
