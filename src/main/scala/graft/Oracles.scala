@@ -943,6 +943,24 @@ object Oracles {
          |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INTEGER) < 16384
          |ORDER BY o_orderkey""".stripMargin,
 
+    // NFC normalization on the crafted multi-form fixture; chr codes
+    // mirror the engine's \u escapes exactly
+    "q_normalize_nfc" ->
+      """WITH docs(doc_id, text) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'cafe' || chr(769)),
+        |  (CAST(2 AS BIGINT), 'caf' || chr(233)),
+        |  (CAST(3 AS BIGINT), 'A' || chr(778) || 'ngstro' || chr(776) || 'm'),
+        |  (CAST(4 AS BIGINT), 'plain ascii text'),
+        |  (CAST(5 AS BIGINT), chr(64257) || 'le'),
+        |  (CAST(6 AS BIGINT), '')
+        |)
+        |SELECT doc_id,
+        |       CAST(length(text) AS INTEGER) AS n_chars_raw,
+        |       CAST(length(nfc_normalize(text)) AS INTEGER) AS n_chars_nfc,
+        |       md5(nfc_normalize(text)) AS nfc_md5,
+        |       CAST(text <> nfc_normalize(text) AS INTEGER) AS changed
+        |FROM docs ORDER BY doc_id""".stripMargin,
+
     // int8 quantization replay: maxabs is float→double exact, the
     // quantized values integer — every output column is immune to
     // accumulation order

@@ -700,6 +700,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode NFC normalization ([[graft.textan.Scrub.normalizeNfc]])
+    * on a crafted multi-form fixture: decomposed e+◌́ composes to é,
+    * A+◌̊ /o+◌̈ compose to Å/ö, composed text and plain ASCII pass
+    * through, the ﬁ ligature survives (NFC is canonical, not
+    * compatibility). The md5 of the normalized text proves composed
+    * and decomposed spellings now fingerprint identically — the
+    * pre-dedup normalization contract. DuckDB replays via
+    * `nfc_normalize` (same Unicode standard as java.text.Normalizer).
+    */
+  def q_normalize_nfc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = Seq(
+      (1L, "cafe\u0301"),          // decomposed: e + combining acute
+      (2L, "caf\u00e9"),           // composed form of the same word
+      (3L, "A\u030Angstro\u0308m"), // A+ring, o+diaeresis (decomposed)
+      (4L, "plain ascii text"),
+      (5L, "\uFB01le"),            // fi ligature: NFC keeps it
+      (6L, "")).toDF("doc_id", "text")
+    val norm = graft.textan.Scrub.normalizeNfc(col("text"))
+    df.select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        length(norm).as("n_chars_nfc"),
+        md5(norm).as("nfc_md5"),
+        (col("text") =!= norm).cast("int").as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint (normalized md5). */
   def q_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

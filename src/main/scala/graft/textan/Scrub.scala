@@ -28,4 +28,19 @@ object Scrub {
   def withRedacted(df: DataFrame, textCol: String = "text",
       out: String = "redacted"): DataFrame =
     df.withColumn(out, redact(col(textCol)))
+
+  /** Unicode NFC normalization — the canonical-composition pass every
+    * multilingual training pipeline runs before hashing/dedup (the
+    * same text in composed vs decomposed form must fingerprint
+    * identically). A UDF by necessity: Spark has no builtin Unicode
+    * normalizer, and `java.text.Normalizer` (JDK, Unicode-standard
+    * NFC) is the public implementation; still a pure per-row map in
+    * the scan stage, zero shuffle. DuckDB's `nfc_normalize` applies
+    * the identical standard, so the pass is oracle-checkable. */
+  val normalizeNfc: Column => Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    (c: Column) => f(c)
+  }
 }
