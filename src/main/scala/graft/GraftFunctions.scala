@@ -61,5 +61,11 @@ object GraftFunctions {
     shim.registerExpression(spark, "graft_affix_overlap",
       exprs => arity("graft_affix_overlap", 2, exprs)(
         graft.text.LongestAffixOverlap(exprs.head, exprs(1))))
+    shim.registerExpression(spark, "graft_int8",
+      exprs => arity("graft_int8", 1, exprs)(
+        shim.expression(graft.vector.Quantize.int8(shim.column(exprs.head)))))
+    spark.udf.register("graft_nfc", udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)))
   }
 }

@@ -36,7 +36,10 @@ object ExplainAudit {
     "q_topk_ivf_indexed", "q_mm_decode",
     // round 6b: salted-join spread, sequence packing on the prefix
     // sum, and the global heavy-hitter cut (TakeOrderedAndProject)
-    "q_join_salted", "q_seq_pack", "q_top_ngrams")
+    "q_join_salted", "q_seq_pack", "q_top_ngrams",
+    // round 6c: the quantized serving pattern (integer first pass,
+    // float rerank on candidates only) and the delta-ingest dedup
+    "q_topk_int8_rerank", "q_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
