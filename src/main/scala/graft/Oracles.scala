@@ -943,6 +943,37 @@ object Oracles {
          |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INTEGER) < 16384
          |ORDER BY o_orderkey""".stripMargin,
 
+    // unigram-LM quality proxy: ln(count/total) averaged per doc;
+    // zero-token docs drop out of the explode on both sides
+    "q_unigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$RE')) AS term
+         |  FROM documents
+         |), vocab AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM toks GROUP BY term
+         |), tot AS (SELECT sum(cnt) AS total FROM vocab)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(avg(ln(cnt / total)), 4) AS avg_logprob
+         |FROM toks JOIN vocab USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // tf·idf keywords over the shared BM25 index frames (the CTE's
+    // query-side members are simply unused here)
+    "q_tfidf_keywords" ->
+      s"""$bm25RankedCte
+         |, tscore AS (
+         |  SELECT p.doc_id, p.term,
+         |         round(p.tf * ln(s.n_docs / f.df), 6) AS score
+         |  FROM postings p JOIN dfreq f USING (term) CROSS JOIN stats s
+         |), tr AS (
+         |  SELECT doc_id, term, score,
+         |         CAST(row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY score DESC, term) AS INTEGER) AS rank
+         |  FROM tscore
+         |)
+         |SELECT doc_id, rank, term, score FROM tr WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
     // NFC normalization on the crafted multi-form fixture; chr codes
     // mirror the engine's \u escapes exactly
     "q_normalize_nfc" ->

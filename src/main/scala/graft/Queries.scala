@@ -727,6 +727,50 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM log-probability scoring — the CCNet-style quality
+    * proxy: score each document by the mean ln(count/total) of its
+    * tokens under the corpus's own unigram model. Model fit is ONE
+    * vocabulary aggregate (bounded by vocabulary, not corpus); the
+    * corpus total is a single broadcast row; scoring is a term-keyed
+    * join. Repetitive/templated docs full of frequent tokens score
+    * HIGH, rare-token noise scores LOW — threshold either tail.
+    * Rounded at 4 decimals before ordering (house determinism rule
+    * for double accumulation). */
+  def q_unigram_logprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Tok.tokens(lower(col("text")))).as("term"))
+    val vocab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    toks.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt") / col("total"))), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF keyword extraction — top-3 characteristic terms per
+    * document by tf·ln(N/df), rounded before ranking, (score desc,
+    * term) tiebreak: the classic per-document keyword surface.
+    * Reuses the BM25 index frames (postings/dfreq/stats), so the
+    * vocabulary work is the same bounded aggregates the lexical
+    * retriever builds. */
+  def q_tfidf_keywords(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.text.Bm25.buildIndex(t(s, dir, "documents"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), col("term"))
+    idx.postings
+      .join(idx.dfreq, "term")
+      .crossJoin(broadcast(idx.stats))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Content fingerprint (normalized md5). */
   def q_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -98,6 +98,8 @@ object SparkEntry {
     "q_corpus_filter" -> (Queries.q_corpus_filter _),
     "q_redact" -> (Queries.q_redact _),
     "q_normalize_nfc" -> (Queries.q_normalize_nfc _),
+    "q_unigram_logprob" -> (Queries.q_unigram_logprob _),
+    "q_tfidf_keywords" -> (Queries.q_tfidf_keywords _),
     "q_sample_det" -> (Queries.q_sample_det _),
     "q_sample_stratified" -> (Queries.q_sample_stratified _),
     "q_token_shards" -> (Queries.q_token_shards _),
