@@ -519,6 +519,21 @@ object Oracles {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
+    // as-of semantics via the independent naive form: range join +
+    // per-event argmax with the (date DESC, orderkey DESC) tie rule
+    "q_asof_join" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |)
+        |SELECT event_id, user_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+        |       o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     // the salted-join contract: output equals the PLAIN join
     "q_join_salted" ->
       """SELECT p_brand,

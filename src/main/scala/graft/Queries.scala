@@ -952,6 +952,30 @@ object Queries {
         col("n"), col("total_price"))
       .orderBy(col("priority"), col("status"))
 
+  /** As-of join ([[graft.rel.AsOf]]) — each event matched to the
+    * customer's LATEST order at-or-before the event time (inner
+    * flavor: events with no prior order drop, which also keeps every
+    * output column non-null for the cross-engine compare). The oracle
+    * is the independent naive form — range join + per-event argmax
+    * with the same (date DESC, orderkey DESC) tie rule — so the
+    * union-window implementation is checked against the semantics it
+    * optimizes. */
+  def q_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    graft.rel.AsOf.asOfJoin(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        tieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_time"),
+        col("matched.o_orderkey").as("o_orderkey"),
+        date_format(col("matched.o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .orderBy(col("event_id"))
+  }
+
   // ===== events / streaming-shape =====
 
   /** Tumbling-hour aggregate per event type. */
