@@ -520,19 +520,34 @@ object Oracles {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     // as-of semantics via the independent naive form: range join +
-    // per-event argmax with the (date DESC, orderkey DESC) tie rule
+    // per-event argmax with the (ts DESC, mark_id DESC) tie rule.
+    // date_trunc('microseconds', ...) mirrors the engine's one-time
+    // ns→µs source normalization (Tables.events), so the <= compare
+    // runs at the same precision in both engines
     "q_asof_join" ->
-      """WITH j AS (
-        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      """WITH ev AS (
+        |  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+        |  FROM events
+        |), j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, m.event_id AS mark_id,
         |         row_number() OVER (PARTITION BY e.event_id
-        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e
-        |  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |           ORDER BY m.ts DESC, m.event_id DESC) AS rn
+        |  FROM ev e
+        |  JOIN ev m ON m.event_id % 5 = 0
+        |    AND e.user_id = m.user_id AND m.ts <= e.ts
         |)
         |SELECT event_id, user_id,
-        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
-        |       o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time, mark_id
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // range-join semantics via the independent naive non-equi form
+    "q_range_join" ->
+      """SELECT e.event_id, w.event_id AS window_id
+        |FROM events e
+        |JOIN events w ON w.event_id < 200
+        |  AND e.ts >= w.ts
+        |  AND e.ts < w.ts + INTERVAL 2 HOUR
+        |ORDER BY e.event_id, window_id""".stripMargin,
 
     // the salted-join contract: output equals the PLAIN join
     "q_join_salted" ->

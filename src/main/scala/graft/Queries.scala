@@ -952,28 +952,52 @@ object Queries {
         col("n"), col("total_price"))
       .orderBy(col("priority"), col("status"))
 
-  /** As-of join ([[graft.rel.AsOf]]) — each event matched to the
-    * customer's LATEST order at-or-before the event time (inner
-    * flavor: events with no prior order drop, which also keeps every
-    * output column non-null for the cross-engine compare). The oracle
-    * is the independent naive form — range join + per-event argmax
-    * with the same (date DESC, orderkey DESC) tie rule — so the
-    * union-window implementation is checked against the semantics it
-    * optimizes. */
+  /** As-of join ([[graft.rel.AsOf]]) — each event matched to its
+    * user's LATEST "mark" event (every 5th event) at-or-before its
+    * own time: marks and probes genuinely interleave per user, so the
+    * matched mark CHANGES along each user's timeline — the real as-of
+    * shape (an orders-based build side would degenerate: the TPC-H
+    * dates all predate the event fixture). Inner flavor (probes
+    * before their user's first mark drop) keeps every output column
+    * non-null for the cross-engine compare. A probe that IS a mark
+    * matches itself — "at or before" includes equality, spec'd in
+    * AsOfSpec. The oracle is the independent naive form — range join
+    * + per-event argmax with the same (ts DESC, mark_id DESC) tie
+    * rule — so the union-window implementation is checked against the
+    * semantics it optimizes. */
   def q_asof_join(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
-    val ord = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    graft.rel.AsOf.asOfJoin(ev, ord,
-        leftKey = "user_id", rightKey = "o_custkey",
-        leftTime = "ts", rightTime = "o_orderdate",
-        tieBreak = "o_orderkey")
+    val marks = ev.filter(col("event_id") % 5 === 0)
+      .select(col("event_id").as("mark_id"), col("user_id").as("mark_user"),
+        col("ts").as("mark_ts"))
+    graft.rel.AsOf.asOfJoin(ev, marks,
+        leftKey = "user_id", rightKey = "mark_user",
+        leftTime = "ts", rightTime = "mark_ts",
+        tieBreak = "mark_id")
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_time"),
-        col("matched.o_orderkey").as("o_orderkey"),
-        date_format(col("matched.o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        col("matched.mark_id").as("mark_id"))
       .orderBy(col("event_id"))
+  }
+
+  /** Unkeyed point-in-interval range join ([[graft.rel.RangeJoin]]):
+    * every event inside any of the 200 two-hour windows opened by the
+    * first 200 events (sub-second boundaries — the exact case the
+    * bucket superset bound exists for). The binned implementation
+    * joins equi on an hour bucket with the exact predicate as
+    * residual — a hash join where the naive non-equi form
+    * nested-loops; the oracle IS that naive form, so the optimization
+    * is checked against the semantics it replaces. */
+  def q_range_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+    val iv = ev.filter(col("event_id") < 200)
+      .select(col("event_id").as("window_id"), col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    graft.rel.RangeJoin.pointInInterval(ev, iv, "ts", "start_ts", "end_ts",
+        bucketSeconds = 3600L)
+      .select(col("event_id"), col("window_id"))
+      .orderBy(col("event_id"), col("window_id"))
   }
 
   // ===== events / streaming-shape =====

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_anti_join" -> (Queries.q_anti_join _),
     "q_join_salted" -> (Queries.q_join_salted _),
     "q_asof_join" -> (Queries.q_asof_join _),
+    "q_range_join" -> (Queries.q_range_join _),
     "q_window_suite" -> (Queries.q_window_suite _),
     "q_rollup" -> (Queries.q_rollup _),
     "q_window_topk" -> (Queries.q_window_topk _),
