@@ -540,6 +540,23 @@ object Oracles {
         |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time, mark_id
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    // funnel: views converting to a purchase within the hour; µs
+    // truncation mirrors the engine's event-source normalization
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         date_trunc('microseconds', ts) AS ts
+        |  FROM events
+        |), v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |         FROM ev WHERE event_type = 'view'
+        |), b AS (SELECT user_id, ts AS buy_ts FROM ev WHERE event_type = 'purchase')
+        |SELECT v.user_id,
+        |       count(DISTINCT v.view_id) AS converted_views,
+        |       strftime(min(v.view_ts), '%Y-%m-%d %H:%M:%S') AS first_converted_view
+        |FROM v JOIN b ON v.user_id = b.user_id
+        |  AND b.buy_ts > v.view_ts AND b.buy_ts <= v.view_ts + INTERVAL 1 HOUR
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+
     // range-join semantics via the independent naive non-equi form
     "q_range_join" ->
       """SELECT e.event_id, w.event_id AS window_id

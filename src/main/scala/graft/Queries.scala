@@ -1002,6 +1002,29 @@ object Queries {
 
   // ===== events / streaming-shape =====
 
+  /** Funnel / sequential-pattern match — per user, how many `view`
+    * events are followed by a `purchase` within 1 hour, plus the
+    * first such conversion's timing: the A→B-within-t shape of event
+    * analytics. The pair join is keyed on user_id (the only shuffle)
+    * with the time window as residual, so per-user pair volume stays
+    * local; conversions are counted per triggering view (distinct
+    * views that converted), not per (view, purchase) pair. */
+  def q_funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"))
+    views.join(buys, "user_id")
+      .filter(col("buy_ts") > col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("view_id")).as("converted_views"),
+        date_format(min(col("view_ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("first_converted_view"))
+      .orderBy(col("user_id"))
+  }
+
   /** Tumbling-hour aggregate per event type. */
   def q_events_hourly(s: SparkSession, dir: String): DataFrame =
     EventStreams.hourlyByType(Tables.events(s, dir))

@@ -109,6 +109,7 @@ object SparkEntry {
     "q_top_ngrams" -> (Queries.q_top_ngrams _),
     // events
     "q_events_hourly" -> (Queries.q_events_hourly _),
+    "q_funnel" -> (Queries.q_funnel _),
     "q_events_sliding" -> (Queries.q_events_sliding _),
     "q_sessions" -> (Queries.q_sessions _),
     // multimodal

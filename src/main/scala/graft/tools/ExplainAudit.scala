@@ -39,7 +39,11 @@ object ExplainAudit {
     "q_join_salted", "q_seq_pack", "q_top_ngrams",
     // round 6c: the quantized serving pattern (integer first pass,
     // float rerank on candidates only) and the delta-ingest dedup
-    "q_topk_int8_rerank", "q_dedup_incremental")
+    "q_topk_int8_rerank", "q_dedup_incremental",
+    // round 6d: the two brief-named non-equi operators — as-of
+    // (union + per-key window, no range explosion) and the binned
+    // range join (equi on bucket + residual)
+    "q_asof_join", "q_range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
