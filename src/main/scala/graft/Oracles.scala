@@ -1021,6 +1021,57 @@ object Oracles {
          |SELECT doc_id, rank, term, score FROM tr WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
 
+    // KMV sketch replay: the k smallest distinct md5-uniform hashes
+    // are deterministic VALUES, not just an error bound
+    "q_kmv_distinct" ->
+      s"""${shingleCte("")}
+         |, vocab AS (
+         |  SELECT DISTINCT unnest(shingles) AS term FROM sh
+         |), h AS (
+         |  SELECT DISTINCT
+         |         CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) / 4294967296.0 AS u
+         |  FROM vocab
+         |), kth AS (
+         |  SELECT max(u) AS u_k, count(*) AS k_got
+         |  FROM (SELECT u FROM h ORDER BY u LIMIT 64)
+         |), ex AS (SELECT count(*) AS n_exact FROM vocab)
+         |SELECT n_exact, k_got, u_k,
+         |       round((k_got - 1) / u_k, 4) AS estimate,
+         |       round(abs((k_got - 1) / u_k - n_exact) / n_exact, 4) AS rel_error
+         |FROM ex CROSS JOIN kth""".stripMargin,
+
+    // Bloom membership replay: positions, hits and any deterministic
+    // false positives reproduce exactly
+    "q_bloom_filter" ->
+      s"""WITH vocab AS (
+         |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '$RE')) AS term
+         |  FROM documents
+         |), bits AS (
+         |  SELECT DISTINCT unnest(list_transform(generate_series(0, 2),
+         |    h -> CAST(CAST('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || term), 1, 8)
+         |      AS BIGINT) % 4096 AS INTEGER))) AS pos
+         |  FROM vocab
+         |), probes(probe) AS (VALUES
+         |  ('join'), ('window'), ('spark'), ('stream'),
+         |  ('zzyzx'), ('qwertyuiop'), ('nonexistentterm'), ('fleventy')
+         |), pp AS (
+         |  SELECT probe, unnest(list_transform(generate_series(0, 2),
+         |    h -> CAST(CAST('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || probe), 1, 8)
+         |      AS BIGINT) % 4096 AS INTEGER))) AS pos
+         |  FROM probes
+         |), t AS (
+         |  SELECT p.probe,
+         |         CAST(CASE WHEN count(*) =
+         |             sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+         |           THEN 1 ELSE 0 END AS INTEGER) AS maybe_present
+         |  FROM pp p LEFT JOIN bits b ON b.pos = p.pos GROUP BY p.probe
+         |)
+         |SELECT t.probe, t.maybe_present,
+         |       CAST(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         |         AS actually_present
+         |FROM t LEFT JOIN vocab v ON v.term = t.probe
+         |ORDER BY t.probe""".stripMargin,
+
     // NFC normalization on the crafted multi-form fixture; chr codes
     // mirror the engine's \u escapes exactly
     "q_normalize_nfc" ->

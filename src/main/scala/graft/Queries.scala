@@ -771,6 +771,69 @@ object Queries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** KMV distinct-count sketch ([[graft.rel.Sketches]]) vs the exact
+    * count, in one row: estimate = (k−1)/u_k over the k smallest
+    * distinct md5-uniform hashes of the corpus's token 3-SHINGLES
+    * (~16k distinct at sf0.01 — a population k = 64 genuinely
+    * sub-samples; the word vocabulary is only ~31 strings). Every
+    * value — including the sketch CONTENT u_k — is deterministic and
+    * DuckDB-replayable, unlike engine-private HLL registers. The
+    * sort+limit is bounded by k rows, never the corpus. */
+  def q_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
+    val k = graft.rel.Sketches.DefaultK
+    val vocab = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(Dedup.shingles(col("text"))).as("term"))
+      .distinct()
+    val hashes = vocab
+      .select(graft.rel.Sketches.uniformHash(col("term")).as("u"))
+      .distinct()
+    val kth = hashes.orderBy(col("u")).limit(k)
+      .agg(max(col("u")).as("u_k"), count(lit(1)).as("k_got"))
+    val exact = vocab.agg(count(lit(1)).as("n_exact"))
+    exact.crossJoin(kth)
+      .select(col("n_exact"), col("k_got"), col("u_k"),
+        round((col("k_got") - 1).cast("double") / col("u_k"), 4).as("estimate"),
+        round(abs((col("k_got") - 1).cast("double") / col("u_k")
+          - col("n_exact")) / col("n_exact"), 4).as("rel_error"))
+  }
+
+  /** Bloom-filter membership ([[graft.rel.Sketches.bloomPositions]]):
+    * the corpus vocabulary lands in a 4096-bit / 3-hash filter
+    * materialized as its DISTINCT position set (512 bytes broadcast
+    * regardless of vocabulary size); probe terms — corpus words and
+    * foreign words — test ALL their positions. `maybe_present`
+    * reproduces exactly in DuckDB (including any deterministic false
+    * positives), `actually_present` is the ground-truth semi join,
+    * and the contract maybe ⊇ actually (no false NEGATIVES ever) is
+    * what the spec asserts corpus-wide. */
+  def q_bloom_filter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = t(s, dir, "documents")
+      .select(explode(Tok.tokens(lower(col("text")))).as("term"))
+      .distinct()
+    val bits = vocab
+      .select(explode(graft.rel.Sketches.bloomPositions(col("term"))).as("pos"))
+      .distinct()
+    val probes = Seq("join", "window", "spark", "stream",
+      "zzyzx", "qwertyuiop", "nonexistentterm", "fleventy")
+      .toDF("probe")
+    val tested = probes
+      .select(col("probe"),
+        posexplode(graft.rel.Sketches.bloomPositions(col("probe")))
+          .as(Seq("h", "pos")))
+      .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+      .groupBy(col("probe"))
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0))))
+        .cast("int").as("maybe_present"))
+    tested.join(
+        vocab.select(col("term").as("probe")).withColumn("present", lit(1)),
+        Seq("probe"), "left")
+      .select(col("probe"), col("maybe_present"),
+        coalesce(col("present"), lit(0)).as("actually_present"))
+      .orderBy(col("probe"))
+  }
+
   /** Content fingerprint (normalized md5). */
   def q_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

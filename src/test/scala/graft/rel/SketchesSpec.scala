@@ -1,0 +1,56 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val vocab = spark.read.parquet(s"$sf/documents.parquet")
+    .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+    .filter(col("term") =!= "").distinct()
+
+  test("bloom: NO false negative over the entire corpus vocabulary") {
+    val bits = vocab
+      .select(explode(Sketches.bloomPositions(col("term"))).as("pos"))
+      .distinct()
+    // every member term must test maybe_present: all its positions set
+    val missing = vocab
+      .select(col("term"), explode(Sketches.bloomPositions(col("term"))).as("pos"))
+      .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+      .groupBy(col("term"))
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0)))).as("ok"))
+      .filter(!col("ok")).count()
+    assert(missing == 0, "a Bloom filter must never report a member absent")
+  }
+
+  test("kmv: estimate within 35% of the exact distinct count on the fixture") {
+    // the word vocabulary is tiny (~31) — estimate over 3-shingles
+    // (thousands), the same population the catalog row uses
+    val shingles = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(graft.dedup.Dedup.shingles(col("text"))).as("term"))
+      .distinct()
+    val exact = shingles.count().toDouble
+    val row = shingles
+      .select(Sketches.uniformHash(col("term")).as("u")).distinct()
+      .orderBy(col("u")).limit(Sketches.DefaultK)
+      .agg(max(col("u")).as("u_k"), count(lit(1)).as("k_got")).head()
+    val est = (row.getLong(1) - 1).toDouble / row.getDouble(0)
+    val relErr = math.abs(est - exact) / exact
+    // k = 64 → expected relative error ~ 1/sqrt(k-2) ≈ 0.13; 35% is a
+    // loose determinism-safe bound on this fixed fixture
+    assert(relErr < 0.35, s"KMV estimate $est vs exact $exact (err $relErr)")
+  }
+
+  test("uniformHash is deterministic and in [0, 1)") {
+    val u = vocab.select(Sketches.uniformHash(col("term")).as("u"))
+    assert(u.filter(col("u") < 0 || col("u") >= 1).count() == 0)
+    val a = u.orderBy("u").limit(5).collect().map(_.getDouble(0)).toSeq
+    val b = vocab.repartition(7)
+      .select(Sketches.uniformHash(col("term")).as("u"))
+      .orderBy("u").limit(5).collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
+}
