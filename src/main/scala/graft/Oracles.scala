@@ -1556,6 +1556,30 @@ object Oracles {
         |FROM hist h JOIN ragg r USING (asset_id)
         |ORDER BY h.asset_id""".stripMargin,
 
+    // real-audio replay: PCM is lossless and every statistic integer,
+    // so the sample formula predicts the decoded values exactly
+    "q_mm_audio" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 29)) AS asset_id),
+        |dims AS (
+        |  SELECT asset_id, CAST(160 + (asset_id % 5) * 40 AS INTEGER) AS n,
+        |         257 + (asset_id % 13) * 97 AS k
+        |  FROM ids),
+        |idx AS (SELECT unnest(generate_series(0, 319)) AS i),
+        |px AS (
+        |  SELECT d.asset_id, idx.i,
+        |         ((idx.i * d.k) % 65536) - 32768 AS s,
+        |         CASE WHEN idx.i > 0
+        |              THEN (((idx.i - 1) * d.k) % 65536) - 32768 END AS sp
+        |  FROM dims d CROSS JOIN idx WHERE idx.i < d.n)
+        |SELECT asset_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(count(*) AS INTEGER) AS n_samples,
+        |       CAST(sum(s) AS BIGINT) AS s_sum,
+        |       CAST(min(s) AS INTEGER) AS s_min,
+        |       CAST(max(s) AS INTEGER) AS s_max,
+        |       CAST(sum(CASE WHEN i > 0 AND ((s >= 0) <> (sp >= 0))
+        |                THEN 1 ELSE 0 END) AS INTEGER) AS zero_cross
+        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+
     "q_chunk_locate" ->
       s"""$chunkCte
          |SELECT ch.doc_id, chunk_index, start,

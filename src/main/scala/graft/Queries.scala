@@ -1150,6 +1150,20 @@ object Queries {
     orig.join(resized, "asset_id").orderBy(col("asset_id"))
   }
 
+  /** REAL audio decode, oracle-checked end to end — the WAV twin of
+    * [[q_mm_decode]]: 30 crafted 16-bit PCM clips (sample =
+    * ((i·k) mod 65536) − 32768) are encoded through the JDK codec
+    * (`AudioSystem.write`) and decoded back
+    * ([[Multimodal.decodeWav]]), emitting rate, sample count,
+    * integer signal stats and zero crossings. PCM is lossless and
+    * every statistic integer, so DuckDB predicts all of it from the
+    * sample formula with no audio library. */
+  def q_mm_audio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAudioFeatures(Multimodal.wavAssets(s, 30))
+      .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+        col("s_sum"), col("s_min"), col("s_max"), col("zero_cross"))
+      .orderBy(col("asset_id"))
+
   /** Frame sampling over binary payloads (generator on binary). */
   def q_mm_frames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(

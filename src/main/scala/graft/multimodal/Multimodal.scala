@@ -209,6 +209,108 @@ object Multimodal {
         lit(w * h).as("declared_size")))
   }
 
+  /** Deterministic crafted WAV: 16-bit PCM mono at 8 kHz, sample
+    * s_i = ((i · k) mod 65536) − 32768 with k = 257 + (id mod 13)·97
+    * and n = 160 + (id mod 5)·40 samples — pure integer arithmetic,
+    * so an independent engine predicts every decoded statistic.
+    * Encoded through the REAL JDK codec (`javax.sound.sampled
+    * .AudioSystem.write`), not hand-rolled bytes. */
+  private[multimodal] def craftedSamples(id: Long): Array[Short] = {
+    val n = 160 + (id % 5).toInt * 40
+    val k = 257 + (id % 13).toInt * 97
+    Array.tabulate(n)(i => (((i.toLong * k) % 65536) - 32768).toShort)
+  }
+
+  def makeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val samples = craftedSamples(id)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed, LE
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm.array()), fmt,
+        samples.length),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Crafted decodable audio asset table. */
+  def wavAssets(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, makeWav(id))))
+      .toDF("asset_id", "payload")
+      .withColumn("meta", struct(
+        lit("audio/wav").as("content_type"),
+        lit("crafted").as("origin"),
+        length(col("payload")).as("declared_size")))
+  }
+
+  /** A decoded audio clip: rate, sample count, integer signal stats
+    * and the zero-crossing count ((s_i ≥ 0) ≠ (s_{i−1} ≥ 0)) — the
+    * classic cheap audio feature, all integer-exact. */
+  case class DecodedAudio(sampleRate: Int, nSamples: Int, sSum: Long,
+      sMin: Int, sMax: Int, zeroCross: Int)
+
+  /** REAL audio decode via javax.sound.sampled (16-bit PCM mono
+    * only); undecodable or other formats → None. */
+  def decodeWav(payload: Array[Byte]): Option[DecodedAudio] =
+    try {
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var zc = 0
+        var prevNonNeg = false
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt
+          val s = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                  else ((hi << 8) | lo).toShort.toInt
+          sum += s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          val nonNeg = s >= 0
+          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          i += 1
+        }
+        Some(DecodedAudio(fmt.getSampleRate.toInt, n, sum, mn, mx, zc))
+      }
+    } catch { case _: Throwable => None }
+
+  /** One decoded audio row. */
+  case class AudioFeature(asset_id: Long, sample_rate: Option[Int],
+      n_samples: Option[Int], s_sum: Option[Long], s_min: Option[Int],
+      s_max: Option[Int], zero_cross: Option[Int])
+
+  /** Audio feature extraction — same mapPartitions batch shape as
+    * [[extractFeatures]]; non-audio payloads yield NULL fields. */
+  def extractAudioFeatures(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        decodeWav(payload) match {
+          case Some(d) => AudioFeature(id, Some(d.sampleRate), Some(d.nSamples),
+            Some(d.sSum), Some(d.sMin), Some(d.sMax), Some(d.zeroCross))
+          case None => AudioFeature(id, None, None, None, None, None, None)
+        }
+      })
+      .toDF()
+  }
+
   /** Frame-sampling stub for video-like payloads: emit every
     * `stride`-th 16-byte "frame" window with its offset — exercises
     * the one-row→many generator shape on binary columns. */

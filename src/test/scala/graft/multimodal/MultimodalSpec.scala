@@ -83,6 +83,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(nulls == 0)
   }
 
+  test("real WAV decode: stats match the sample formula; bad input rejected") {
+    val f = Multimodal.extractAudioFeatures(Multimodal.wavAssets(spark, 8))
+      .orderBy("asset_id").collect()
+    assert(f.length == 8)
+    f.foreach { row =>
+      val id = row.getAs[Long]("asset_id")
+      val samples = Multimodal.craftedSamples(id)
+      assert(row.getAs[Int]("sample_rate") == 8000)
+      assert(row.getAs[Int]("n_samples") == samples.length)
+      assert(row.getAs[Long]("s_sum") == samples.map(_.toLong).sum)
+      assert(row.getAs[Int]("s_min") == samples.min.toInt)
+      assert(row.getAs[Int]("s_max") == samples.max.toInt)
+      val zc = samples.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      assert(row.getAs[Int]("zero_cross") == zc)
+    }
+    // corrupt bytes and a PNG are not audio
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.makePng(1L)).isEmpty)
+    // and a WAV is not an image
+    assert(Multimodal.decodeImage(Multimodal.makeWav(1L)).isEmpty)
+  }
+
   test("frame sampling explodes payloads at the configured stride") {
     val frames = Multimodal.sampleFrames(assets, stride = 64)
     val perDoc = frames.groupBy("asset_id").count()
