@@ -1556,6 +1556,30 @@ object Oracles {
         |FROM hist h JOIN ragg r USING (asset_id)
         |ORDER BY h.asset_id""".stripMargin,
 
+    // real multi-frame replay: the GIF round-trip is lossless on the
+    // explicit gray palette, so the per-frame pixel formula predicts
+    // dims and luminance exactly (grayscale lum = pixel value)
+    "q_mm_video" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 23)) AS asset_id),
+        |dims AS (
+        |  SELECT asset_id,
+        |         CAST(2 + asset_id % 3 AS INTEGER) AS n_frames,
+        |         CAST(8 + asset_id % 5 AS INTEGER) AS w,
+        |         CAST(4 + asset_id % 4 AS INTEGER) AS h
+        |  FROM ids),
+        |fs AS (SELECT unnest(generate_series(0, 3)) AS f),
+        |xs AS (SELECT unnest(generate_series(0, 11)) AS x),
+        |ys AS (SELECT unnest(generate_series(0, 6)) AS y),
+        |px AS (
+        |  SELECT d.asset_id, d.n_frames, d.w, d.h, fs.f,
+        |         (xs.x * 7 + ys.y * 13 + fs.f * 31 + d.asset_id * 17) % 256 AS v
+        |  FROM dims d CROSS JOIN fs CROSS JOIN xs CROSS JOIN ys
+        |  WHERE fs.f < d.n_frames AND xs.x < d.w AND ys.y < d.h)
+        |SELECT asset_id, CAST(f AS INTEGER) AS frame_no, n_frames,
+        |       w AS width, h AS height, CAST(sum(v) AS BIGINT) AS lum_sum
+        |FROM px GROUP BY asset_id, f, n_frames, w, h
+        |ORDER BY asset_id, frame_no""".stripMargin,
+
     // real-audio replay: PCM is lossless and every statistic integer,
     // so the sample formula predicts the decoded values exactly
     "q_mm_audio" ->

@@ -1164,6 +1164,19 @@ object Queries {
         col("s_sum"), col("s_min"), col("s_max"), col("zero_cross"))
       .orderBy(col("asset_id"))
 
+  /** REAL multi-frame (video-like) decode, oracle-checked — the
+    * third modality: 24 crafted multi-frame GIFs (grayscale pixel =
+    * (x·7 + y·13 + f·31 + id·17) mod 256 on an explicit 256-gray
+    * palette, losslessly round-tripped by the JDK GIF codec) decode
+    * to one row PER FRAME with true dims and total luminance
+    * ([[Multimodal.extractVideoFrames]]); DuckDB predicts every value
+    * from the pixel formula. */
+  def q_mm_video(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractVideoFrames(Multimodal.gifAssets(s, 24))
+      .select(col("asset_id"), col("frame_no"), col("n_frames"),
+        col("width"), col("height"), col("lum_sum"))
+      .orderBy(col("asset_id"), col("frame_no"))
+
   /** Frame sampling over binary payloads (generator on binary). */
   def q_mm_frames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(

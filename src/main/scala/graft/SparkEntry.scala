@@ -118,6 +118,7 @@ object SparkEntry {
     "q_mm_features" -> (Queries.q_mm_features _),
     "q_mm_decode" -> (Queries.q_mm_decode _),
     "q_mm_audio" -> (Queries.q_mm_audio _),
+    "q_mm_video" -> (Queries.q_mm_video _),
     "q_mm_frames" -> (Queries.q_mm_frames _),
     // remaining SURVEY §2 coverage
     "q_chunk_locate" -> (Queries.q_chunk_locate _),

@@ -98,34 +98,35 @@ object Multimodal {
     * replay the math in SQL); bucket = lum / 32. */
   case class Decoded(width: Int, height: Int, lumSum: Long, hist: Array[Int])
 
+  private def imageStats(img: java.awt.image.BufferedImage): Decoded = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Int](8)
+    var lum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val l = (r * 299 + g * 587 + b * 114) / 1000
+        hist(l / 32) += 1
+        lum += l
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(w, h, lum, hist)
+  }
+
   /** REAL image decode via javax.imageio. Undecodable bytes → None
     * (ImageIO returns null or throws on non-image input). */
   def decodeImage(payload: Array[Byte]): Option[Decoded] =
     try {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val hist = new Array[Int](8)
-        var lum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            val l = (r * 299 + g * 587 + b * 114) / 1000
-            hist(l / 32) += 1
-            lum += l
-            x += 1
-          }
-          y += 1
-        }
-        Some(Decoded(w, h, lum, hist))
-      }
+      if (img == null) None else Some(imageStats(img))
     } catch { case _: Throwable => None }
 
   /** One decoded asset row (the mapPartitions element type). Image
@@ -307,6 +308,104 @@ object Multimodal {
             Some(d.sSum), Some(d.sMin), Some(d.sMax), Some(d.zeroCross))
           case None => AudioFeature(id, None, None, None, None, None, None)
         }
+      })
+      .toDF()
+  }
+
+  /** Deterministic crafted multi-frame GIF — the video-like payload:
+    * frames = 2 + id mod 3, width = 8 + id mod 5, height =
+    * 4 + id mod 4, grayscale pixel (x, y, frame f) =
+    * (x·7 + y·13 + f·31 + id·17) mod 256 on an EXPLICIT 256-gray
+    * indexed palette (the JDK GIF writer preserves it — verified
+    * lossless frame round-trip; per-frame metadata stays null so the
+    * writer derives each frame's table from the image itself). */
+  private[multimodal] def gifFrames(id: Long): Int = 2 + (id % 3).toInt
+  private[multimodal] def gifWidth(id: Long): Int = 8 + (id % 5).toInt
+  private[multimodal] def gifHeight(id: Long): Int = 4 + (id % 4).toInt
+
+  def makeGif(id: Long): Array[Byte] = {
+    val grays = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val wr = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    // interlaced (progressive) GIF rows round-trip scrambled for
+    // small heights through the JDK reader — write sequential rows
+    val wp = wr.getDefaultWriteParam
+    wp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    wr.prepareWriteSequence(null)
+    var f = 0
+    while (f < gifFrames(id)) {
+      val img = new BufferedImage(gifWidth(id), gifHeight(id),
+        BufferedImage.TYPE_BYTE_INDEXED, cm)
+      var y = 0
+      while (y < gifHeight(id)) {
+        var x = 0
+        while (x < gifWidth(id)) {
+          img.getRaster.setSample(x, y, 0,
+            ((x * 7 + y * 13 + f * 31 + id * 17) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), wp)
+      f += 1
+    }
+    wr.endWriteSequence()
+    ios.close()
+    wr.dispose()
+    bos.toByteArray
+  }
+
+  /** Crafted decodable multi-frame asset table. */
+  def gifAssets(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, makeGif(id))))
+      .toDF("asset_id", "payload")
+      .withColumn("meta", struct(
+        lit("image/gif").as("content_type"),
+        lit("crafted").as("origin"),
+        length(col("payload")).as("declared_size")))
+  }
+
+  /** REAL multi-frame decode via an ImageIO reader — each frame's
+    * full pixel statistics; None for undecodable payloads. */
+  def decodeFrames(payload: Array[Byte]): Option[Seq[Decoded]] =
+    try {
+      val it = ImageIO.getImageReaders(
+        ImageIO.createImageInputStream(new ByteArrayInputStream(payload)))
+      if (!it.hasNext) None
+      else {
+        val rd = it.next()
+        // the reader needs its OWN stream positioned at the start
+        rd.setInput(ImageIO.createImageInputStream(
+          new ByteArrayInputStream(payload)))
+        val n = rd.getNumImages(true)
+        val out = (0 until n).map(f => imageStats(rd.read(f)))
+        rd.dispose()
+        Some(out)
+      }
+    } catch { case _: Throwable => None }
+
+  /** One decoded frame row. */
+  case class FrameFeature(asset_id: Long, frame_no: Int, n_frames: Int,
+      width: Int, height: Int, lum_sum: Long)
+
+  /** Per-frame feature extraction over multi-frame payloads — the
+    * real frame-sampling shape (one asset row → one row per decoded
+    * frame), mapPartitions, no shuffle. */
+  def extractVideoFrames(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeFrames(payload).toSeq.flatMap(frames =>
+          frames.zipWithIndex.map { case (d, f) =>
+            FrameFeature(id, f, frames.length, d.width, d.height, d.lumSum)
+          })
       })
       .toDF()
   }

@@ -105,6 +105,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeImage(Multimodal.makeWav(1L)).isEmpty)
   }
 
+  test("real multi-frame GIF decode: per-frame stats match the pixel formula") {
+    val rows = Multimodal.extractVideoFrames(Multimodal.gifAssets(spark, 6))
+      .orderBy("asset_id", "frame_no").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val f = r.getAs[Int]("frame_no")
+      val w = Multimodal.gifWidth(id)
+      val h = Multimodal.gifHeight(id)
+      assert(r.getAs[Int]("n_frames") == Multimodal.gifFrames(id))
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      val want = (for (x <- 0 until w; y <- 0 until h)
+        yield (x * 7 + y * 13 + f * 31 + id * 17) % 256).sum
+      assert(r.getAs[Long]("lum_sum") == want,
+        s"frame $f of asset $id decoded wrong luminance")
+    }
+    // a GIF decodes as frames; corrupt bytes and audio do not
+    assert(Multimodal.decodeFrames(Multimodal.makeGif(2L)).get.length ==
+      Multimodal.gifFrames(2L))
+    assert(Multimodal.decodeFrames("junk".getBytes).isEmpty)
+    assert(Multimodal.decodeFrames(Multimodal.makeWav(1L)).isEmpty)
+  }
+
   test("frame sampling explodes payloads at the configured stride") {
     val frames = Multimodal.sampleFrames(assets, stride = 64)
     val perDoc = frames.groupBy("asset_id").count()
