@@ -43,7 +43,9 @@ object ExplainAudit {
     // round 6d: the two brief-named non-equi operators — as-of
     // (union + per-key window, no range explosion) and the binned
     // range join (equi on bucket + residual)
-    "q_asof_join", "q_range_join")
+    "q_asof_join", "q_range_join",
+    // round 6e: the other two real-codec modality pipelines
+    "q_mm_audio", "q_mm_video")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
