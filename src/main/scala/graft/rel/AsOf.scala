@@ -25,7 +25,12 @@ import org.apache.spark.sql.types.StructType
 object AsOf {
 
   /** @param tieBreak right-side column breaking equal-time ties
-    *                 (highest wins); must be non-null on the right. */
+    *                 (highest wins); must be non-null on the right.
+    *
+    * Caller contract: key and time columns are non-null on both
+    * sides. (Unlike a SQL equi-join, the window groups null keys
+    * TOGETHER — a null-keyed probe would match null-keyed builds;
+    * filter nulls out first if that is not the intended semantics.) */
   def asOfJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
