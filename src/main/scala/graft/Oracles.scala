@@ -990,6 +990,29 @@ object Oracles {
          |WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INTEGER) < 16384
          |ORDER BY o_orderkey""".stripMargin,
 
+    // sum pooling replay: pooled components = md5-bucket token counts
+    // summed across each doc's chunks — exact integers end to end
+    "q_embed_pool" -> {
+      def eCol(i: Int): String =
+        s"CAST(coalesce(sum(CASE WHEN b = $i THEN c END), 0) AS BIGINT) AS e$i"
+      s"""$chunkCte
+         |, tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$RE')) AS t FROM ch
+         |), bk AS (
+         |  SELECT doc_id,
+         |         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 8 AS INTEGER) AS b
+         |  FROM tok
+         |), counts AS (
+         |  SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2
+         |), nch AS (
+         |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks FROM ch GROUP BY 1
+         |)
+         |SELECT n.doc_id, n.n_chunks,
+         |       ${(0 until 8).map(eCol).mkString(",\n       ")}
+         |FROM nch n LEFT JOIN counts USING (doc_id)
+         |GROUP BY n.doc_id, n.n_chunks ORDER BY n.doc_id""".stripMargin
+    },
+
     // unigram-LM quality proxy: ln(count/total) averaged per doc;
     // zero-token docs drop out of the explode on both sides
     "q_unigram_logprob" ->

@@ -122,6 +122,22 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Chunk→document embedding POOLING ([[VectorOps.sumPool]]) over
+    * integer-lattice chunk embeddings: the per-doc pooled vector's
+    * components are token-bucket counts summed across the doc's
+    * chunks — exact integers, so DuckDB replays the whole pipeline
+    * (tokenize → md5 bucket → count → pool) value-for-value. The
+    * production path pools [[graft.vector.HashingEmbedder]] vectors
+    * the same way; the lattice variant makes the oracle exact. */
+  def q_embed_pool(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.vector.LatticeEmbedder(8).embed(fixedChunks(s, dir))
+    VectorOps.sumPool(emb, col("doc_id"), 8)
+      .select(Seq(col("doc_id"), col("n_chunks")) ++
+        (0 until 8).map(i =>
+          element_at(col("pooled"), i + 1).cast("long").as(s"e$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** V2 — pairwise cosine on a small id range (sanity surface). */
   def q_cosine_pairs(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").filter(col("vec_id") < 20)

@@ -36,6 +36,7 @@ object SparkEntry {
     "q_topk_many" -> (Queries.q_topk_many _),
     "q_topk_filtered" -> (Queries.q_topk_filtered _),
     "q_cosine_pairs" -> (Queries.q_cosine_pairs _),
+    "q_embed_pool" -> (Queries.q_embed_pool _),
     "q_near_dup_cosine" -> (Queries.q_near_dup_cosine _),
     "q_near_dup_lsh" -> (Queries.q_near_dup_lsh _),
     "q_near_dup_signlsh" -> (Queries.q_near_dup_signlsh _),

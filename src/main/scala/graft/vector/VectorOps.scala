@@ -68,4 +68,17 @@ object VectorOps {
           sort_array(collect_list(struct(col("rank"), col("cited")))),
           s => s.getField("cited"))).as("context"))
   }
+
+  /** Sum-pooling of chunk embeddings into one vector per key — the
+    * standard way a DOCUMENT representation is derived from its chunk
+    * embeddings (mean pooling = this divided by the count, which
+    * rescales cosine by nothing). One partial+final aggregate per
+    * dimension; no collect, no shuffle beyond the key. Emits
+    * `pooled: array<double>` plus `n_chunks`. */
+  def sumPool(df: DataFrame, key: Column, dim: Int,
+      embCol: String = "embedding"): DataFrame =
+    df.groupBy(key)
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        array((0 until dim).map(i =>
+          sum(element_at(col(embCol), i + 1))): _*).as("pooled"))
 }
