@@ -1013,18 +1013,24 @@ object Oracles {
          |GROUP BY n.doc_id, n.n_chunks ORDER BY n.doc_id""".stripMargin
     },
 
-    // unigram-LM quality proxy: ln(count/total) averaged per doc;
-    // zero-token docs drop out of the explode on both sides
+    // unigram-LM quality proxy: per-(doc,term) contributions scaled
+    // to integer microunits so the sum is order-independent (exact
+    // whole-double addition), mirroring the Spark side's fixed
+    // reduction; zero-token docs drop out of the explode on both sides
     "q_unigram_logprob" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$RE')) AS term
          |  FROM documents
          |), vocab AS (
          |  SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM toks GROUP BY term
-         |), tot AS (SELECT sum(cnt) AS total FROM vocab)
-         |SELECT doc_id, count(*) AS n_tokens,
-         |       round(avg(ln(cnt / total)), 4) AS avg_logprob
-         |FROM toks JOIN vocab USING (term) CROSS JOIN tot
+         |), tot AS (SELECT sum(cnt) AS total FROM vocab),
+         |pt AS (
+         |  SELECT doc_id, term, count(*) AS m FROM toks GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+         |       round(sum(round(m * ln(cnt / total) * 1e6))
+         |             / (sum(m) * 1e6), 4) AS avg_logprob
+         |FROM pt JOIN vocab USING (term) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // tf·idf keywords over the shared BM25 index frames (the CTE's

@@ -750,19 +750,29 @@ object Queries {
     * corpus total is a single broadcast row; scoring is a term-keyed
     * join. Repetitive/templated docs full of frequent tokens score
     * HIGH, rare-token noise scores LOW — threshold either tail.
-    * Rounded at 4 decimals before ordering (house determinism rule
-    * for double accumulation). */
+    *
+    * Determinism: a raw avg(ln(...)) accumulates doubles in
+    * partition- and engine-dependent order, which can flip the 4th
+    * decimal on a rounding boundary. Instead each (doc, term)
+    * contributes m·ln(cnt/total) scaled to an integer microunit —
+    * whole-valued doubles add EXACTLY in any order — and the mean is
+    * taken once at the end: a fixed reduction both engines replay
+    * bit-identically. */
   def q_unigram_logprob(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(Tok.tokens(lower(col("text")))).as("term"))
     val vocab = toks.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
-    toks.join(vocab, "term")
+    toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("m"))
+      .join(vocab, "term")
       .crossJoin(broadcast(total))
+      .withColumn("contrib_u",
+        round(col("m") * log(col("cnt") / col("total")) * 1e6))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt") / col("total"))), 4).as("avg_logprob"))
+      .agg(sum(col("m")).as("n_tokens"),
+        round(sum(col("contrib_u")) / (sum(col("m")) * 1e6), 4).as("avg_logprob"))
       .orderBy(col("doc_id"))
   }
 

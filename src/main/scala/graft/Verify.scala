@@ -32,6 +32,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // a few queries persist intermediates (hybrid RRF's tokenized
+      // corpus, minhash-verified's shingles); without this the cached
+      // frames of ALL such queries pin memory for the whole catalog run
+      spark.sharedState.cacheManager.clearCache()
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>

@@ -372,22 +372,31 @@ object Multimodal {
 
   /** REAL multi-frame decode via an ImageIO reader — each frame's
     * full pixel statistics; None for undecodable payloads. */
-  def decodeFrames(payload: Array[Byte]): Option[Seq[Decoded]] =
+  def decodeFrames(payload: Array[Byte]): Option[Seq[Decoded]] = {
+    var probe: javax.imageio.stream.ImageInputStream = null
+    var in: javax.imageio.stream.ImageInputStream = null
+    var rd: javax.imageio.ImageReader = null
     try {
-      val it = ImageIO.getImageReaders(
-        ImageIO.createImageInputStream(new ByteArrayInputStream(payload)))
+      probe = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val it = ImageIO.getImageReaders(probe)
       if (!it.hasNext) None
       else {
-        val rd = it.next()
+        rd = it.next()
         // the reader needs its OWN stream positioned at the start
-        rd.setInput(ImageIO.createImageInputStream(
-          new ByteArrayInputStream(payload)))
+        in = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        rd.setInput(in)
         val n = rd.getNumImages(true)
-        val out = (0 until n).map(f => imageStats(rd.read(f)))
-        rd.dispose()
-        Some(out)
+        Some((0 until n).map(f => imageStats(rd.read(f))))
       }
     } catch { case _: Throwable => None }
+    finally {
+      // per-row in mapPartitions — release native/stream resources
+      // eagerly on BOTH the success and exception paths, never via GC
+      if (rd != null) try rd.dispose() catch { case _: Throwable => () }
+      if (in != null) try in.close() catch { case _: Throwable => () }
+      if (probe != null) try probe.close() catch { case _: Throwable => () }
+    }
+  }
 
   /** One decoded frame row. */
   case class FrameFeature(asset_id: Long, frame_no: Int, n_frames: Int,

@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.StructType
 object AsOf {
 
   /** @param tieBreak right-side column breaking equal-time ties
-    *                 (highest wins); must be non-null on the right.
+    *                 (highest wins); must be non-null on the right
+    *                 AND UNIQUE per (key, time) — with duplicate
+    *                 (key, time, tieBreak) right rows the window's
+    *                 sort order between them is unspecified and the
+    *                 matched payload becomes nondeterministic.
     *
     * Caller contract: key and time columns are non-null on both
     * sides. (Unlike a SQL equi-join, the window groups null keys
@@ -35,6 +39,13 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       tieBreak: String): DataFrame = {
+    // the tag/union below introduces these working names; a caller
+    // column with the same name would be silently shadowed
+    val reserved = Set("__k", "__t", "__tb", "__p", "__lp", "__side", "__m")
+    val clash = ((left.columns ++ right.columns).filter(reserved) ++
+      left.columns.filter(_ == "matched")).distinct
+    require(clash.isEmpty,
+      s"asOfJoin: input columns collide with internal/output names: ${clash.mkString(", ")}")
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
     val tbType = right.schema(tieBreak).dataType

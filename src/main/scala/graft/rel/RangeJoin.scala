@@ -32,10 +32,16 @@ object RangeJoin {
     // sub-second `end`, a point can share end's truncated second and
     // still satisfy p < end — the extra bucket is a harmless superset
     // the residual filter prunes
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(unix_timestamp(col(startTs)) / b),
-        floor(unix_timestamp(col(endTs)) / b))))
+    // an inverted interval (end < start) can never contain a point,
+    // but `sequence` would auto-step -1 and fan it out DESCENDING —
+    // spurious candidates the residual filter has to prune; drop such
+    // rows before the explode instead
+    val iv = intervals
+      .filter(col(endTs) >= col(startTs))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(unix_timestamp(col(startTs)) / b),
+          floor(unix_timestamp(col(endTs)) / b))))
     val pt = points.withColumn("__bucket",
       floor(unix_timestamp(col(pointTs)) / b))
     pt.join(iv, "__bucket")
