@@ -1889,6 +1889,72 @@ object Oracles {
         |SELECT o.rn AS rn, o_orderkey, c_custkey FROM o JOIN c USING (rn)
         |ORDER BY rn""".stripMargin,
 
+    // flagship RAG pipeline END TO END: fixed chunk → id upsert
+    // (first occurrence by doc_id, chunk_index) → lattice embed
+    // (md5-bucket counts, dim 8) → exact-integer cosine vs 3 literal
+    // queries → top-5 per query (cos DESC, doc_id, chunk_index) →
+    // cited context. All dot/norm² values are exact BIGINTs, so the
+    // derived doubles — and hence the ranking — are bit-identical to
+    // the Spark side's
+    "q_rag_e2e" ->
+      s"""$chunkCte
+         |, ids AS (
+         |  SELECT doc_id, source, chunk_index, text,
+         |         source || '_chunk_' || CAST(chunk_index AS VARCHAR) AS id
+         |  FROM ch
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY source || '_chunk_' || CAST(chunk_index AS VARCHAR)
+         |    ORDER BY doc_id, chunk_index) = 1
+         |), cb AS (
+         |  SELECT doc_id, chunk_index,
+         |         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 8 AS INTEGER) AS bucket
+         |  FROM (SELECT doc_id, chunk_index,
+         |               unnest(regexp_extract_all(text, '$RE')) AS t FROM ids)
+         |), cnt AS (
+         |  SELECT doc_id, chunk_index, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM cb GROUP BY 1, 2, 3
+         |), cn AS (
+         |  SELECT doc_id, chunk_index, CAST(sum(c * c) AS BIGINT) AS nn
+         |  FROM cnt GROUP BY 1, 2
+         |), q AS (
+         |  SELECT * FROM (VALUES (CAST(0 AS INTEGER), 'join hash window stream'),
+         |                        (CAST(1 AS INTEGER), 'sort merge filter vector'),
+         |                        (CAST(2 AS INTEGER), 'spark query scan batch'))
+         |    AS v(query_id, qtext)
+         |), qb AS (
+         |  SELECT query_id,
+         |         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 8 AS INTEGER) AS bucket
+         |  FROM (SELECT query_id,
+         |               unnest(regexp_extract_all(qtext, '$RE')) AS t FROM q)
+         |), qc AS (
+         |  SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM qb GROUP BY 1, 2
+         |), qn AS (
+         |  SELECT query_id, CAST(sum(c * c) AS BIGINT) AS nn FROM qc GROUP BY 1
+         |), dt AS (
+         |  SELECT b.query_id, a.doc_id, a.chunk_index,
+         |         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         |  FROM cnt a JOIN qc b USING (bucket) GROUP BY 1, 2, 3
+         |), scored AS (
+         |  SELECT q.query_id, i.doc_id, i.chunk_index, i.source, i.text,
+         |         CAST(coalesce(dt.dot, 0) AS DOUBLE)
+         |           / (sqrt(cn.nn) * sqrt(qn.nn)) AS cos
+         |  FROM ids i CROSS JOIN q
+         |  JOIN cn ON cn.doc_id = i.doc_id AND cn.chunk_index = i.chunk_index
+         |  JOIN qn ON qn.query_id = q.query_id
+         |  LEFT JOIN dt ON dt.query_id = q.query_id
+         |    AND dt.doc_id = i.doc_id AND dt.chunk_index = i.chunk_index
+         |), r AS (
+         |  SELECT query_id, source, text,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, doc_id, chunk_index) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id,
+         |       string_agg('Source [' || CAST(rank AS VARCHAR) || '] (' || source
+         |                  || '): ' || text, e'\\n\\n' ORDER BY rank) AS context
+         |FROM r WHERE rank <= 5 GROUP BY query_id ORDER BY query_id""".stripMargin,
+
     "q_context_assembly" ->
       s"""$chunkCte
          |, r AS (

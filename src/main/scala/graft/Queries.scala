@@ -88,6 +88,31 @@ object Queries {
     SemanticChunker().chunk(t(s, dir, "documents"))
       .orderBy(col("doc_id"), col("chunk_index"))
 
+  /** Query texts for the end-to-end flagship row — shared verbatim
+    * with the oracle SQL's VALUES list. */
+  val ragE2eQueries: Seq[String] = Seq(
+    "join hash window stream", "sort merge filter vector",
+    "spark query scan batch")
+
+  /** The FLAGSHIP RAG pipeline end to end, hash-checked: chunk →
+    * embed → upsert store → top-5 cosine retrieve → cited context
+    * ([[graft.pipeline.RagPipeline.run]], mirroring the reference's
+    * `rag_pipeline`, `chromadb_rag.py:184-212`). Each stage is
+    * oracle-checked individually elsewhere; this row proves the
+    * COMPOSITION — id collisions resolved first-wins, the same
+    * embedder on both store and queries, ranks carried into the
+    * assembled context.
+    *
+    * Uses the integer-lattice embedder so every cosine is derived
+    * from exact integer dot/norm² arithmetic: the doubles are
+    * bit-identical across engines and the DuckDB oracle can replay
+    * ranking exactly (same trick as the crafted semantic-chunker
+    * oracle). */
+  def q_rag_e2e(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.RagPipeline.run(s, t(s, dir, "documents"),
+      ragE2eQueries, "simple", graft.vector.LatticeEmbedder(8), "brute")
+      .orderBy(col("query_id"))
+
   // ===== vector retrieval (V/J6/W1 series) =====
 
   /** Flagship: top-5 cosine neighbors for 3 query vectors taken from

@@ -31,6 +31,8 @@ object SparkEntry {
     "q_boundary_sweep" -> (Queries.q_boundary_sweep _),
     "q_chunk_recursive" -> (Queries.q_chunk_recursive _),
     "q_chunk_semantic" -> (Queries.q_chunk_semantic _),
+    // flagship pipeline, end to end
+    "q_rag_e2e" -> (Queries.q_rag_e2e _),
     // vector retrieval
     "q_topk_cosine" -> (Queries.q_topk_cosine _),
     "q_topk_many" -> (Queries.q_topk_many _),

@@ -24,10 +24,19 @@ object RagPipeline {
   def buildStore(docs: DataFrame, strategy: String,
       embedder: Embedder = HashingEmbedder(64)): DataFrame = {
     val chunks = Chunker(strategy).chunk(docs)
+    // upsert semantics (SURVEY §2.7): one row per id, FIRST occurrence
+    // by (doc_id, chunk_index) — dropDuplicates would keep a
+    // partition-order-dependent arbitrary row when two documents share
+    // a source (the fixture reuses sources), and a nondeterministic
+    // store can't be oracle-replayed; same first-wins convention as
+    // Dedup.dropExactDuplicates
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("doc_id"), col("chunk_index"))
     embedder.embed(chunks)
       .withColumn("id",
         concat(col("source"), lit("_chunk_"), col("chunk_index")))
-      .dropDuplicates("id") // upsert semantics, SURVEY §2.7
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Retrieve top-k chunks for query texts and assemble the cited
