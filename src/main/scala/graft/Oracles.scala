@@ -141,6 +141,45 @@ object Oracles {
        |  FROM dots GROUP BY vec_id, p // 8
        |)""".stripMargin
 
+  /** Shared CTE chain: BRP-LSH floor-bucket keys (mirrors
+    * [[graft.vector.Ann.brpKeys]] op for op): raw cube weights from
+    * md5("b<t>|<j>") mapped to [−1, 1), each table's direction
+    * L2-normalized (ordered sum of squares → sqrt → per-component
+    * division), vector projected onto it with an ordered fold, then
+    * `floor(dot / nrm / (0.4 / sqrt(dim)))` — every step an
+    * identically-rounded IEEE op, so keys can never disagree with the
+    * Scala while-loop's. 4 tables, dim 64 (the fixture embeddings). */
+  private def brpKeysCte(filter: String): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding FROM embeddings $filter
+       |), praw AS (
+       |  SELECT ts.t, js.j,
+       |         CAST('0x' || substr(md5('b' || CAST(ts.t AS VARCHAR) || '|' ||
+       |               CAST(js.j AS VARCHAR)), 1, 8) AS BIGINT)
+       |           / 2147483648.0 - 1.0 AS w
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS t) ts
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js
+       |), pn AS (
+       |  SELECT t, list(w ORDER BY j) AS ws FROM praw GROUP BY t
+       |), pw AS (
+       |  SELECT t, list_transform(ws,
+       |           x -> x / sqrt(list_sum(list_transform(ws, y -> y * y)))) AS w
+       |  FROM pn
+       |), vn AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum(list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM emb
+       |), keys AS (
+       |  SELECT v.vec_id, CAST(pw.t AS INTEGER) AS "table",
+       |         CASE WHEN v.nrm > 0 THEN CAST(floor(
+       |             list_sum(list_transform(generate_series(1, len(v.embedding)),
+       |               i -> pw.w[i] * CAST(v.embedding[i] AS DOUBLE)))
+       |             / v.nrm / (0.4 / sqrt(64.0))) AS INTEGER)
+       |           ELSE 0 END AS "key"
+       |  FROM vn v CROSS JOIN pw
+       |)""".stripMargin
+
   /** IVF replay on the crafted three-cluster fixture (shared by
     * q_topk_ivf_crafted AND q_topk_ivf_indexed — the saved-index
     * serve reads back bit-identical floats and shares the engine's
@@ -390,6 +429,57 @@ object Oracles {
          |  JOIN embeddings b ON b.vec_id = c.id_b
          |) WHERE cos_sim >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // full BRP-LSH replay: md5 unit directions → floor-bucket keys →
+    // bucket self-join → exact-cosine confirm (correctly empty on
+    // this fixture — max pairwise cosine ≈ 0.51; the key machinery
+    // itself is exercised by the candidate join, and the top-k twin
+    // q_topk_lsh value-pins the keys through its candidate sets)
+    "q_near_dup_lsh" ->
+      s"""${brpKeysCte("")}
+         |, cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM keys x JOIN keys y
+         |    ON x."table" = y."table" AND x."key" = y."key" AND x.vec_id < y.vec_id
+         |)
+         |SELECT id_a, id_b, cos_sim FROM (
+         |  SELECT c.id_a, c.id_b,
+         |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id_a
+         |  JOIN embeddings b ON b.vec_id = c.id_b
+         |) WHERE cos_sim >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // BRP-LSH ANN top-k: queries are corpus rows vec_id<3; candidates
+    // = any shared (table, floor-bucket) key, exact cosine re-rank
+    "q_topk_lsh" ->
+      s"""${brpKeysCte("")}
+         |, qk AS (
+         |  SELECT vec_id AS query_id, "table", "key" FROM keys WHERE vec_id < 3
+         |), cand AS (
+         |  SELECT DISTINCT qk.query_id, k2.vec_id
+         |  FROM keys k2 JOIN qk USING ("table", "key")
+         |), scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.vec_id
+         |  JOIN embeddings b ON b.vec_id = c.query_id
+         |)
+         |SELECT query_id, rank, vec_id, cos_sim FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scored
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_brp_keys" ->
+      s"""${brpKeysCte("WHERE vec_id < 200")}
+         |SELECT vec_id, "table", "key" FROM keys
+         |ORDER BY vec_id, "table"""".stripMargin,
 
     "q_signlsh_bands" ->
       s"""${signLshKeysCte("WHERE vec_id < 200")}

@@ -178,7 +178,10 @@ object Queries {
       threshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** LSH near-dup (MLlib bucketed random projection; rows-only). */
+  /** BRP-LSH near-dup — floor buckets of md5-plane projections,
+    * OR'd across 4 hash tables, exact-cosine confirm. Hash-checked:
+    * the oracle replays plane derivation, normalization, projection,
+    * floor bucketing, the bucket self-join and the confirm. */
   def q_near_dup_lsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshNearDup(t(s, dir, "embeddings"), cosThreshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
@@ -273,7 +276,17 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH ANN top-k (rows-only; exact counterpart is q_topk_cosine). */
+  /** Raw BRP floor-bucket keys for vec_id < 200 — the direct value
+    * pin of the projection/bucket kernel (the near-dup and top-k rows
+    * exercise it through joins; this row checks every key). Twin of
+    * q_signlsh_bands. */
+  def q_brp_keys(s: SparkSession, dir: String): DataFrame =
+    Ann.brpKeys(t(s, dir, "embeddings").filter(col("vec_id") < 200))
+      .orderBy(col("vec_id"), col("table"))
+
+  /** BRP-LSH ANN top-k (exact counterpart is q_topk_cosine) —
+    * hash-checked since the floor-bucket keys are md5-derived and
+    * engine-portable, like the sign-LSH twin q_topk_signlsh. */
   def q_topk_lsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 3)

@@ -43,6 +43,7 @@ object SparkEntry {
     "q_near_dup_lsh" -> (Queries.q_near_dup_lsh _),
     "q_near_dup_signlsh" -> (Queries.q_near_dup_signlsh _),
     "q_signlsh_bands" -> (Queries.q_signlsh_bands _),
+    "q_brp_keys" -> (Queries.q_brp_keys _),
     "q_topk_lsh" -> (Queries.q_topk_lsh _),
     "q_topk_signlsh" -> (Queries.q_topk_signlsh _),
     "q_topk_ivf" -> (Queries.q_topk_ivf _),

@@ -1,7 +1,5 @@
 package graft.vector
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,10 +9,13 @@ import org.apache.spark.sql.functions._
   *
   *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline.
   *    Query side broadcast; corpus never shuffles. O(|corpus|·|q|).
-  *  - [[lshTopK]] / [[lshNearDup]]: MLlib BucketedRandomProjectionLSH
-  *    (public Spark API) — candidate generation via hash buckets, so
-  *    the join is equi on bucket keys; the 100 TB path. LSH on
-  *    L2-normalized vectors approximates cosine (d² = 2−2cos).
+  *  - [[lshTopK]] / [[lshNearDup]]: bucketed random projection with
+  *    md5-derived unit directions — candidate generation via floor
+  *    buckets of scalar projections, equi-join on (table, key); the
+  *    100 TB path. Deterministic BY CONSTRUCTION (no seeded JVM
+  *    randomness) and DuckDB-replayable, like the sign-LSH family.
+  *  - [[signLshTopK]] / [[signLshNearDup]]: the cosine-native
+  *    hyperplane variant (sign bits packed into band keys).
   */
 object Ann {
 
@@ -39,22 +40,6 @@ object Ann {
     kept.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
-
-  // one-pass normalize straight to an ml Vector; an expression form
-  // would recompute the norm per element after CollapseProject inlines
-  // it into the transform lambda (O(dim²) per row)
-  private val normToVector = udf((a: Seq[Float]) => {
-    val n = math.sqrt(a.iterator.map(x => x.toDouble * x).sum)
-    org.apache.spark.ml.linalg.Vectors.dense(
-      if (n > 0) a.iterator.map(_ / n).toArray else new Array[Double](a.length))
-  })
-
-  private def l2normalized(df: DataFrame, in: String, out: String): DataFrame =
-    df.withColumn(out, normToVector(col(in)))
-
-  /** L2-normalized ml-Vector feature column (shared with [[Ivf]]). */
-  private[vector] def withFeatureVector(df: DataFrame, in: String): DataFrame =
-    l2normalized(df, in, "features")
 
   /** Bucket width for BRP-LSH over L2-NORMALIZED vectors. The
     * projection of a unit vector onto a random unit direction has
@@ -101,31 +86,119 @@ object Ann {
     if (bucketLength > 0) bucketLength
     else autoBucketLength(embeddingDim(df, embCol))
 
-  /** ANN top-k via LSH: normalize → hash to buckets → approx-join →
-    * exact re-rank of candidates. Deterministic given the fixed seed.
-    * `bucketLength ≤ 0` (the default) derives the width from the
-    * embedding dimension — see [[autoBucketLength]]. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bucketLength: Double = -1.0, numHashTables: Int = 4): DataFrame = {
-    val c = l2normalized(corpus, "embedding", "features")
-    val q = l2normalized(queries, "q_embedding", "features")
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(resolveBucketLength(corpus, "embedding", bucketLength))
-      .setNumHashTables(numHashTables)
-      .setSeed(42L)
-    val model = lsh.fit(c)
-    val joined = model.approxSimilarityJoin(
-        model.transform(c), model.transform(q), 2.0, "dist")
-      .select(col("datasetA.vec_id").as("vec_id"),
-        col("datasetB.query_id").as("query_id"),
-        // d² = 2 − 2·cos on unit vectors ⇒ cos = 1 − d²/2
-        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos_sim"))
+  /** md5-derived UNIT projection direction for BRP table `t`: raw
+    * cube weights from md5("b<t>|<j>") (the sign-LSH mapping with a
+    * "b"-prefixed namespace so the two families never share planes),
+    * then L2-normalized DRIVER-side — so the projection of a unit
+    * vector has std 1/√dim and [[autoBucketLength]]'s bucket math
+    * holds exactly as it did for MLlib's gaussian directions. Every
+    * arithmetic step (ordered sum of squares, sqrt, per-component
+    * division) is an identically-rounded IEEE op a DuckDB oracle
+    * replays bit for bit. */
+  private[vector] def brpPlane(t: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raw = Array.tabulate(dim) { j =>
+      val hex = md.digest(s"b$t|$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < raw.length) { ss += raw(j) * raw(j); j += 1 }
+    val n = math.sqrt(ss)
+    raw.map(_ / n)
+  }
+
+  /** Per-vector BRP keys `(vec_id, table, key)`: key = floor of the
+    * vector's scalar projection onto table `t`'s unit direction, in
+    * units of `bucketLength`, after normalizing the vector
+    * (`key = floor(dot / nrm / L)`). Left-to-right accumulation in
+    * ascending dimension order, like [[signLshKeys]], so the oracle's
+    * ordered `list_sum` lands on the bit-identical double and the
+    * floor can never disagree across engines. Zero vectors key to 0
+    * in every table (they have no direction; the exact confirm stage
+    * disposes of any spurious candidates). */
+  def brpKeys(embeddings: DataFrame, numHashTables: Int = 4,
+      bucketLength: Double = -1.0): DataFrame = {
+    val dim = embeddingDim(embeddings, "embedding")
+    val L = resolveBucketLength(embeddings, "embedding", bucketLength)
+    val planes: Array[Array[Double]] =
+      Array.tabulate(numHashTables)(brpPlane(_, dim))
+    val keysUdf = udf((v: Seq[Float]) => {
+      var ss = 0.0
+      var j = 0
+      while (j < v.length) { ss += v(j).toDouble * v(j).toDouble; j += 1 }
+      val nrm = math.sqrt(ss)
+      Array.tabulate(numHashTables) { t =>
+        val p = planes(t)
+        var d = 0.0
+        var i = 0
+        while (i < p.length && i < v.length) { d += p(i) * v(i); i += 1 }
+        if (nrm > 0) math.floor(d / nrm / L).toInt else 0
+      }
+    })
+    embeddings.select(col("vec_id"),
+      posexplode(keysUdf(col("embedding"))).as(Seq("table", "key")))
+  }
+
+  /** Exact-cosine confirm over candidate pairs `(id_a, id_b)` —
+    * vectors are fetched once per side by equi-join, so the exact
+    * pass touches only candidates (shared by the BRP and sign-LSH
+    * near-dup paths). */
+  private def confirmPairs(pairs: DataFrame, embeddings: DataFrame,
+      cosThreshold: Double): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("embedding"),
+      FloatVecExpr.normF(col("embedding")).as("nrm"))
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos_sim",
+        round(FloatVecExpr.dotF(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos_sim") >= cosThreshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Exact-cosine re-rank of `(query_id, vec_id)` candidates to
+    * top-k (shared by the BRP and sign-LSH top-k paths). */
+  private def rerankTopK(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val scored = cand
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        FloatVecExpr.normF(col("embedding")).as("nrm_c")), "vec_id")
+      .join(broadcast(queries.withColumn("nrm_q",
+        FloatVecExpr.normF(col("q_embedding")))), "query_id")
+      .withColumn("cos_sim",
+        round(FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
+          (col("nrm_c") * col("nrm_q")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_sim"), col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** ANN top-k via BRP-LSH: a corpus vector is a candidate iff it
+    * shares a (table, floor-bucket) key with the query in at least
+    * one of the OR'd hash tables; candidates are exactly re-ranked by
+    * cosine. Query keys broadcast (inverted-probe pattern — the
+    * corpus never shuffles for candidate generation). Deterministic
+    * and DuckDB-replayable end to end: md5 directions, ordered
+    * accumulation, floor buckets. `bucketLength ≤ 0` (the default)
+    * derives the width from the embedding dimension — see
+    * [[autoBucketLength]]. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bucketLength: Double = -1.0, numHashTables: Int = 4): DataFrame = {
+    val ck = brpKeys(corpus, numHashTables, bucketLength)
+    val qk = brpKeys(
+        queries.select(col("query_id").as("vec_id"),
+          col("q_embedding").as("embedding")), numHashTables, bucketLength)
+      .select(col("vec_id").as("query_id"), col("table"), col("key"))
+    val cand = ck.join(broadcast(qk), Seq("table", "key"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    rerankTopK(cand, corpus, queries, k)
   }
 
   /** md5-derived projection weight for sign-LSH plane `p`, dimension
@@ -207,18 +280,7 @@ object Ann {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
-    val emb = embeddings.select(col("vec_id"), col("embedding"),
-      FloatVecExpr.normF(col("embedding")).as("nrm"))
-    pairs
-      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-        col("nrm").as("nrm_a")), "id_a")
-      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-        col("nrm").as("nrm_b")), "id_b")
-      .withColumn("cos_sim",
-        round(FloatVecExpr.dotF(col("emb_a"), col("emb_b")) /
-          (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cos_sim") >= cosThreshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
+    confirmPairs(pairs, embeddings, cosThreshold)
   }
 
   /** ANN top-k via sign-LSH: a corpus vector is a candidate for a
@@ -240,39 +302,23 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("band"), col("key"))
     val cand = ck.join(broadcast(qk), Seq("band", "key"))
       .select(col("query_id"), col("vec_id")).distinct()
-    val scored = cand
-      .join(corpus.select(col("vec_id"), col("embedding"),
-        FloatVecExpr.normF(col("embedding")).as("nrm_c")), "vec_id")
-      .join(broadcast(queries.withColumn("nrm_q",
-        FloatVecExpr.normF(col("q_embedding")))), "query_id")
-      .withColumn("cos_sim",
-        round(FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
-          (col("nrm_c") * col("nrm_q")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos_sim"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+    rerankTopK(cand, corpus, queries, k)
   }
 
-  /** LSH near-duplicate pairs above a cosine threshold — the scale
-    * path behind [[graft.dedup.Dedup.cosineNearDup]]. */
+  /** BRP-LSH near-duplicate pairs above a cosine threshold — the
+    * scale path behind [[graft.dedup.Dedup.cosineNearDup]]. Same
+    * narrow candidate/verify shape as [[signLshNearDup]]: only
+    * (vec_id, table, key) moves through the self-join, vectors are
+    * joined back once per side for the exact confirm. */
   def lshNearDup(embeddings: DataFrame, cosThreshold: Double,
       bucketLength: Double = -1.0, numHashTables: Int = 4): DataFrame = {
-    val e = l2normalized(embeddings, "embedding", "features")
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(resolveBucketLength(embeddings, "embedding", bucketLength))
-      .setNumHashTables(numHashTables)
-      .setSeed(42L)
-    val model = lsh.fit(e)
-    val distThreshold = math.sqrt(math.max(0.0, 2.0 - 2.0 * cosThreshold))
-    model.approxSimilarityJoin(model.transform(e), model.transform(e),
-        distThreshold, "dist")
-      .select(col("datasetA.vec_id").as("id_a"),
-        col("datasetB.vec_id").as("id_b"),
-        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos_sim"))
-      .filter(col("id_a") < col("id_b"))
+    val keyed = brpKeys(embeddings, numHashTables, bucketLength)
+      .repartition(col("table"), col("key"))
+    val pairs = keyed.as("x").join(keyed.as("y"),
+        col("x.table") === col("y.table") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
+    confirmPairs(pairs, embeddings, cosThreshold)
   }
 }
