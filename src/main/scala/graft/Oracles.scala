@@ -1778,6 +1778,74 @@ object Oracles {
     // tokcum - toks, so the budget test S(hi) - S(lo-1) <= B needs no
     // extra lookup; the overlap backup is "smallest b in (lo, hi]
     // whose trailing token sum fits the overlap", else hi + 1.
+    // recursive chunker corpus-wide on derived multi-paragraph docs
+    // (25 groups of fixture texts joined by "\n\n"; fixture texts have
+    // no newlines, so pieces == source texts with the separator
+    // attached): the crafted row's split/merge/overlap recursive-CTE
+    // replay, per group
+    "q_chunk_recursive" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT CAST(doc_id % 25 AS BIGINT) AS gid, doc_id, text FROM documents
+         |), g AS (
+         |  SELECT gid, CAST(count(*) AS INTEGER) AS npieces FROM base GROUP BY gid
+         |), doc AS (
+         |  SELECT gid, string_agg(text, e'\\n\\n' ORDER BY doc_id) AS text
+         |  FROM base GROUP BY gid
+         |), f AS (
+         |  SELECT gid,
+         |         CAST(row_number() OVER (PARTITION BY gid ORDER BY doc_id) AS INTEGER) AS fi,
+         |         text || CASE WHEN row_number() OVER (PARTITION BY gid ORDER BY doc_id)
+         |                        < count(*) OVER (PARTITION BY gid)
+         |                      THEN e'\\n\\n' ELSE '' END AS ftext
+         |  FROM base
+         |), fcum AS (
+         |  SELECT gid, fi, ftext,
+         |         CAST(len(regexp_extract_all(ftext, '$RE')) AS INTEGER) AS toks,
+         |         CAST(length(ftext) AS INTEGER) AS flen,
+         |         CAST(coalesce(sum(length(ftext)) OVER (PARTITION BY gid ORDER BY fi
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS fstart,
+         |         CAST(sum(len(regexp_extract_all(ftext, '$RE')))
+         |           OVER (PARTITION BY gid ORDER BY fi) AS INTEGER) AS tokcum
+         |  FROM f
+         |), lohi AS (
+         |  SELECT l.gid, l.fi AS lo,
+         |         CAST(greatest(l.fi, coalesce((SELECT max(h.fi) FROM fcum h
+         |           WHERE h.gid = l.gid AND h.fi >= l.fi
+         |             AND h.tokcum - (l.tokcum - l.toks) <= 400), l.fi)) AS INTEGER) AS hi
+         |  FROM fcum l
+         |), nxt AS (
+         |  SELECT lh.gid, lh.lo, lh.hi,
+         |         CAST(greatest(coalesce(
+         |           (SELECT min(b.fi) FROM fcum b JOIN fcum h
+         |              ON h.gid = lh.gid AND h.fi = lh.hi
+         |            WHERE b.gid = lh.gid AND b.fi > lh.lo AND b.fi <= lh.hi
+         |              AND h.tokcum - (b.tokcum - b.toks) <= 50),
+         |           lh.hi + 1), lh.lo + 1) AS INTEGER) AS next_lo
+         |  FROM lohi lh
+         |), steps AS (
+         |  SELECT gid, CAST(0 AS INTEGER) AS chunk_index, CAST(1 AS INTEGER) AS lo FROM g
+         |  UNION ALL
+         |  SELECT s.gid, s.chunk_index + 1, n.next_lo
+         |  FROM steps s
+         |  JOIN nxt n ON n.gid = s.gid AND n.lo = s.lo
+         |  JOIN g ON g.gid = s.gid
+         |  WHERE n.hi < g.npieces
+         |)
+         |SELECT s.gid AS doc_id, 'group-' || CAST(s.gid AS VARCHAR) AS source,
+         |       s.chunk_index,
+         |       substr(d.text, lf.fstart + 1, (hf.fstart + hf.flen) - lf.fstart) AS text,
+         |       lf.fstart AS start, hf.fstart + hf.flen AS "end",
+         |       CAST((hf.fstart + hf.flen) - lf.fstart AS INTEGER) AS char_length,
+         |       CAST(len(regexp_extract_all(substr(d.text, lf.fstart + 1,
+         |         (hf.fstart + hf.flen) - lf.fstart), '$RE')) AS INTEGER) AS token_length,
+         |       'recursive' AS strategy
+         |FROM steps s
+         |JOIN nxt n ON n.gid = s.gid AND n.lo = s.lo
+         |JOIN fcum lf ON lf.gid = s.gid AND lf.fi = s.lo
+         |JOIN fcum hf ON hf.gid = s.gid AND hf.fi = n.hi
+         |JOIN doc d ON d.gid = s.gid
+         |ORDER BY doc_id, chunk_index""".stripMargin,
+
     "q_chunk_recursive_crafted" ->
       s"""WITH RECURSIVE doc AS (
          |  SELECT string_agg('p' || i || repeat(' w', (i * 7) % 5 + 1), e'\\n\\n' ORDER BY i) AS text

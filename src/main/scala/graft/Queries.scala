@@ -77,11 +77,29 @@ object Queries {
     ChunkStats.boundarySweep(fixedChunks(s, dir))
       .orderBy(col("doc_id"), col("seg_start"))
 
-  /** C2 — recursive chunker (flatMap; not SQL-expressible → rows-only
-    * driver check; correctness pinned by RecursiveChunkerSpec). */
-  def q_chunk_recursive(s: SparkSession, dir: String): DataFrame =
-    RecursiveChunker().chunk(t(s, dir, "documents"))
+  /** C2 — recursive chunker at the reference's 400/50 budget,
+    * hash-checked CORPUS-WIDE. Raw fixture docs are ≤ 100 tokens —
+    * every one takes the accept path (one chunk, no split, nothing to
+    * replay) — so the corpus row chunks DERIVED multi-paragraph docs:
+    * fixture texts concatenated with "\n\n" into 25 groups keyed by
+    * doc_id % 25 (~20 docs ≈ 1000+ tokens each at sf0.01), forcing
+    * real depth-1 splits, greedy merges and overlap re-seeding. The
+    * fixture has no newlines in any text (verified), so the "\n\n"
+    * split recovers exactly the source texts and the DuckDB
+    * recursive-CTE oracle (q_chunk_recursive_crafted's machinery,
+    * per-group) replays every offset. */
+  def q_chunk_recursive(s: SparkSession, dir: String): DataFrame = {
+    val derived = t(s, dir, "documents")
+      .groupBy((col("doc_id") % 25).as("gid"))
+      .agg(concat_ws("\n\n",
+        transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("text"))
+      .select(col("gid").as("doc_id"),
+        concat(lit("group-"), col("gid")).as("source"),
+        col("text"), length(col("text")).cast("long").as("n_chars"))
+    RecursiveChunker().chunk(derived)
       .orderBy(col("doc_id"), col("chunk_index"))
+  }
 
   /** C3 — semantic chunker (composite; rows-only check). */
   def q_chunk_semantic(s: SparkSession, dir: String): DataFrame =
