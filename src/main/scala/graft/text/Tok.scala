@@ -55,4 +55,27 @@ object Tok {
     while (m.find()) n += 1
     n
   }
+
+  /** Start offset of every token, ONE matcher pass — lets a caller
+    * that needs token counts for MANY regions of the same string
+    * (the recursive chunker probes ~|tokens| fragments per document)
+    * replace per-region matcher setups with binary searches. */
+  def tokenStarts(s: String): Array[Int] = {
+    val m = compiled.matcher(s)
+    val b = new scala.collection.mutable.ArrayBuilder.ofInt
+    while (m.find()) b += m.start()
+    b.result()
+  }
+
+  /** #tokens starting in `[from, to)` over a [[tokenStarts]] array —
+    * equals [[countRegion]] whenever region edges do not split a
+    * token (the chunker cut invariant: cuts land only at separator
+    * boundaries, and a token never spans a separator). */
+  def countStarts(starts: Array[Int], from: Int, to: Int): Int =
+    lowerBound(starts, to) - lowerBound(starts, from)
+
+  private def lowerBound(a: Array[Int], key: Int): Int = {
+    val i = java.util.Arrays.binarySearch(a, key)
+    if (i >= 0) i else -(i + 1)
+  }
 }

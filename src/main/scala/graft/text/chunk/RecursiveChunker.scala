@@ -37,17 +37,17 @@ case class RecursiveChunker(
 
   /** Split `[start,end)` of doc into fragments of ≤ chunkSize tokens,
     * trying separators coarse→fine; separator chars stay attached to
-    * the preceding fragment so concat(fragments) == original slice. */
-  private[chunk] def fragments(
-      text: String, start: Int, end: Int, seps: Seq[String]): Vector[(Int, Int)] = {
+    * the preceding fragment so concat(fragments) == original slice.
+    * `starts` is the document's one-pass [[Tok.tokenStarts]] array —
+    * every region count is a binary search, so the whole recursion
+    * tokenizes each character exactly once (the old per-fragment
+    * matcher regions were the measured kernel floor). */
+  private[chunk] def fragments(text: String, start: Int, end: Int,
+      seps: Seq[String], starts: Array[Int]): Vector[(Int, Int)] = {
     if (start >= end) return Vector.empty
     // ≤ chunkSize chars ⇒ ≤ chunkSize tokens (every token is ≥ 1
-    // char), so small fragments are accepted without tokenizing at
-    // all; only genuinely long spans pay the regex. countRegion scans
-    // in place — the old substring-per-recursion-level shape
-    // re-copied and re-tokenized the same characters once per
-    // separator depth.
-    if (end - start <= chunkSize || Tok.countRegion(text, start, end) <= chunkSize)
+    // char), so small fragments are accepted without counting at all
+    if (end - start <= chunkSize || Tok.countStarts(starts, start, end) <= chunkSize)
       return Vector((start, end))
     seps match {
       case sep +: rest =>
@@ -58,11 +58,11 @@ case class RecursiveChunker(
           i = text.indexOf(sep, i + sep.length)
         }
         val cutPoints = cuts.result().filter(c => c > start && c < end)
-        if (cutPoints.isEmpty) fragments(text, start, end, rest)
+        if (cutPoints.isEmpty) fragments(text, start, end, rest, starts)
         else {
           val bounds = (start +: cutPoints) :+ end
           bounds.sliding(2).flatMap {
-            case Seq(a, b) => fragments(text, a, b, rest)
+            case Seq(a, b) => fragments(text, a, b, rest, starts)
             case _         => Vector.empty
           }.toVector
         }
@@ -78,9 +78,10 @@ case class RecursiveChunker(
   /** Greedy merge of fragments up to the token budget with overlap
     * re-seeding. Guarantees forward progress (each chunk starts
     * strictly after the previous one). */
-  private[chunk] def merge(text: String, frags: Vector[(Int, Int)]): Vector[(Int, Int)] = {
+  private[chunk] def merge(text: String, frags: Vector[(Int, Int)],
+      starts: Array[Int]): Vector[(Int, Int)] = {
     if (frags.isEmpty) return Vector.empty
-    val tokCount = frags.map { case (a, b) => Tok.countRegion(text, a, b) }
+    val tokCount = frags.map { case (a, b) => Tok.countStarts(starts, a, b) }
     val out = Vector.newBuilder[(Int, Int)]
     var lo = 0
     while (lo < frags.length) {
@@ -107,19 +108,44 @@ case class RecursiveChunker(
 
   def chunkDoc(docId: Long, source: String, text: String): Seq[ChunkRow] = {
     if (text == null || text.isEmpty) return Seq.empty
-    val frags = fragments(text, 0, text.length, separators)
-    merge(text, frags).zipWithIndex.map { case ((a, b), i) =>
+    val starts = Tok.tokenStarts(text)
+    val frags = fragments(text, 0, text.length, separators, starts)
+    merge(text, frags, starts).zipWithIndex.map { case ((a, b), i) =>
       val t = text.substring(a, b)
-      ChunkRow(docId, source, i, t, a, b, t.length, Tok.count(t), strategy)
+      ChunkRow(docId, source, i, t, a, b, t.length,
+        Tok.countStarts(starts, a, b), strategy)
     }
   }
 
+  /** Offsets-only split+merge — the kernel of [[chunk]], one
+    * `(start, end)` pair per produced chunk. */
+  private[chunk] def mergedOffsets(text: String): Array[(Int, Int)] =
+    if (text == null || text.isEmpty) Array.empty
+    else {
+      val starts = Tok.tokenStarts(text)
+      merge(text, fragments(text, 0, text.length, separators, starts), starts).toArray
+    }
+
+  /** The recursion itself is imperative, but only the OFFSETS cross
+    * the UDF boundary: rows fan out through `posexplode` (a
+    * generator, same stage as the scan) and the chunk text is a
+    * columnar `substr` of the parent document — no Dataset encoder
+    * round-trip per chunk row, which was the measured cost floor of
+    * the old typed `flatMap` form (it decoded and re-encoded every
+    * ~50-token piece as a full 9-field case class). SemanticChunker's
+    * min-split rides this same path. */
   def chunk(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .flatMap { case (id, src, text) => chunkDoc(id, src, text) }
-      .toDF()
+    val offsUdf = udf((text: String) => mergedOffsets(text))
+    docs
+      .select(col("doc_id"), col("source"), col("text").as("__doc_text"))
+      .select(col("doc_id"), col("source"), col("__doc_text"),
+        posexplode(offsUdf(col("__doc_text"))).as(Seq("chunk_index", "__p")))
+      .select(col("doc_id"), col("source"), col("chunk_index"),
+        col("__doc_text").substr(col("__p._1") + lit(1),
+          col("__p._2") - col("__p._1")).as("text"),
+        col("__p._1").as("start"), col("__p._2").as("end"))
+      .withColumn("char_length", length(col("text")))
+      .withColumn("token_length", Tok.tokenCount(col("text")))
+      .withColumn("strategy", lit(strategy))
   }
 }
