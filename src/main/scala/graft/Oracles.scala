@@ -1212,6 +1212,96 @@ object Oracles {
     // int8 quantization replay: maxabs is float→double exact, the
     // quantized values integer — every output column is immune to
     // accumulation order
+    // IVF on REAL embeddings with the distributed bounded-rounds fit:
+    // int8-quantize (exact lattice), 2 unrolled k-means rounds whose
+    // centroid updates are exact-integer sum / count (order-free),
+    // assignment = argmin of ordered-fold squared distances with
+    // lowest-cell ties, then float-cast-centroid probe (top-2 cells)
+    // and exact-cosine fine search (round 6). Mirrors
+    // Ivf.boundedIndex + Ivf.topK op for op.
+    "q_topk_ivf" -> {
+      // one assignment CTE per round: argmin over the given centroid
+      // CTE by (ordered-fold distance, cell)
+      def assignCte(name: String, centCte: String) =
+        s"""$name AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, c.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |             list_sum(list_transform(generate_series(1, 64),
+           |               i -> (CAST(v.qv[i] AS DOUBLE) - c.cent[i])
+           |                  * (CAST(v.qv[i] AS DOUBLE) - c.cent[i]))), c.cell) AS rn
+           |    FROM qvt v CROSS JOIN $centCte c)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      // one update CTE pair per round: per-(cell, dim) exact integer
+      // sums -> double centroid; empty cells carry the previous one
+      def updateCte(sName: String, cName: String, aName: String, prev: String) =
+        s"""$sName AS (
+           |  SELECT a.cell, js.j, sum(v.qv[js.j]) AS sq, count(*) AS cnt
+           |  FROM $aName a JOIN qvt v USING (vec_id)
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+           |  GROUP BY 1, 2
+           |), $cName AS (
+           |  SELECT cell, list(CAST(sq AS DOUBLE) / cnt ORDER BY j) AS cent
+           |  FROM $sName GROUP BY cell
+           |  UNION ALL
+           |  SELECT p.cell, p.cent FROM $prev p
+           |  WHERE p.cell NOT IN (SELECT DISTINCT cell FROM $sName)
+           |)""".stripMargin
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), qvt AS (
+         |  SELECT vec_id, embedding,
+         |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+         |              ELSE list_transform(embedding,
+         |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
+         |         END AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM emb)
+         |), c0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell,
+         |         list_transform(qv, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM qvt WHERE vec_id < 8
+         |), ${assignCte("a1", "c0")}
+         |, ${updateCte("s1", "c1", "a1", "c0")}
+         |, ${assignCte("a2", "c1")}
+         |, ${updateCte("s2", "c2", "a2", "c1")}
+         |, ${assignCte("a3", "c2")}
+         |, gc AS (
+         |  SELECT cell, list_transform(cent, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS g
+         |  FROM c2
+         |), qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < 3
+         |), probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, g.cell,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(q.qe[i] AS DOUBLE) * g.g[i]))
+         |             / (sqrt(list_sum(list_transform(q.qe,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |                * sqrt(list_sum(list_transform(g.g, x -> x * x)))) DESC,
+         |             g.cell) AS crank
+         |    FROM qs q CROSS JOIN gc g)
+         |  WHERE crank <= 2
+         |), fine AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |               CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+         |  FROM probe p
+         |  JOIN a3 a USING (cell)
+         |  JOIN emb e ON e.vec_id = a.vec_id
+         |  JOIN qs q ON q.query_id = p.query_id
+         |)
+         |SELECT query_id, rank, vec_id, cos_sim FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM fine
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     "q_quantize_int8" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,

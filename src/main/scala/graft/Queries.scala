@@ -312,14 +312,19 @@ object Queries {
     Ann.lshTopK(emb, queries, 5).orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF ANN top-k — k-means coarse quantizer + probed fine search
-    * (rows-only; exact counterpart is q_topk_cosine). */
+  /** IVF ANN top-k on the REAL embeddings table, hash-checked: the
+    * coarse quantizer is [[vector.Ivf.boundedIndex]] — a distributed
+    * 2-round k-means over int8-quantized vectors whose centroid
+    * updates are exact-integer sums (order-free), so DuckDB unrolls
+    * the identical two rounds and replays probe + fine search bit for
+    * bit. The driver-sample Lloyd's fit ([[vector.Ivf.index]]) stays
+    * pinned by q_topk_ivf_crafted / q_topk_ivf_indexed. */
   def q_topk_ivf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-    val (assigned, centroids) = vector.Ivf.index(emb, nCells = 16)
-    vector.Ivf.topK(assigned, centroids, queries, 5, nProbe = 4)
+    val (assigned, centroids) = vector.Ivf.boundedIndex(emb, nCells = 8, rounds = 2)
+    vector.Ivf.topK(assigned, centroids, queries, 5, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
   }
 

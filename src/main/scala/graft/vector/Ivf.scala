@@ -102,6 +102,72 @@ object Ivf {
     best
   }
 
+  /** Nearest-cell column over LITERAL centroids: per row, squared
+    * Euclidean distance to every centroid via an ordered fold, argmin
+    * by `array_position` of the min (FIRST index wins ties — the same
+    * lowest-cell rule as [[nearest]]). Stays map-side: the centroid
+    * table is folded into the expression, no join, no shuffle. */
+  private def nearestCellExpr(qv: org.apache.spark.sql.Column,
+      cents: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val dists = transform(centLit, c =>
+      aggregate(zip_with(qv, c, (x, cj) => (x.cast("double") - cj) * (x.cast("double") - cj)),
+        lit(0.0), (s, x) => s + x))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** DISTRIBUTED bounded-rounds k-means over int8-QUANTIZED vectors —
+    * the fully oracle-replayable IVF fit (contrast [[index]]'s
+    * driver-sample Lloyd's, whose data-dependent iteration count and
+    * float accumulation order a SQL engine cannot replay):
+    *
+    *  - vectors are [[Quantize.int8]] lattice points, so every
+    *    centroid update is `exact-integer sum / count` — ONE
+    *    identically-rounded division per coordinate, order-free by
+    *    construction (the BPE two-round-unroll trick applied to
+    *    k-means);
+    *  - exactly `rounds` update rounds, unconditionally — no
+    *    convergence test, so the oracle unrolls the same fixed CTE
+    *    chain;
+    *  - each round is one narrow aggregate job (nCells × dim integer
+    *    sums); assignment is a map-side expression over broadcast-
+    *    literal centroids. At 100 TB: `rounds + 1` corpus scans and
+    *    nothing else — no driver sample cap, no per-round shuffle of
+    *    the embeddings.
+    *
+    * Init: the quantized vectors of the `nCells` lowest vec_ids.
+    * Empty cells keep their previous centroid. Returns the assigned
+    * corpus (with `qv` and `cell`) and the final centroids. */
+  def boundedIndex(corpus: DataFrame, nCells: Int = 8, rounds: Int = 2)
+      : (DataFrame, Array[Array[Double]]) = {
+    val qcorpus = corpus.withColumn("qv", Quantize.int8(col("embedding")))
+    var cents: Array[Array[Double]] = qcorpus
+      .filter(col("vec_id") < nCells).orderBy(col("vec_id"))
+      .select(col("qv")).collect()
+      .map(_.getAs[scala.collection.Seq[Int]](0).map(_.toDouble).toArray)
+    require(cents.nonEmpty, "boundedIndex needs vec_ids 0..nCells-1 present")
+    val dim = cents(0).length
+    for (_ <- 1 to rounds) {
+      // bounded driver aggregate: nCells rows × dim exact integer sums
+      val upd = qcorpus
+        .withColumn("cell", nearestCellExpr(col("qv"), cents))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"),
+          array((0 until dim).map(j =>
+            sum(element_at(col("qv"), j + 1)).cast("long")): _*).as("sums"))
+        .collect()
+      val next = cents.clone()
+      upd.foreach { r =>
+        val c = r.getInt(0)
+        val cnt = r.getLong(1)
+        next(c) = r.getAs[scala.collection.Seq[Long]]("sums")
+          .map(s => s.toDouble / cnt).toArray
+      }
+      cents = next
+    }
+    (qcorpus.withColumn("cell", nearestCellExpr(col("qv"), cents)), cents)
+  }
+
   /** Assign each corpus row to its quantizer cell.
     * Returns (assignedCorpus, centroids) — reuse across queries. */
   def index(corpus: DataFrame, nCells: Int = 16, sampleFraction: Double = 1.0,
