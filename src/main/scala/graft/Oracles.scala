@@ -1439,6 +1439,66 @@ object Oracles {
     // since ' ' sorts below every symbol char), encoding = ordered
     // replace on space-joined symbols (left-to-right non-overlapping,
     // same as the engine's applyMerge)
+    // BPE over the REAL corpus, 8 unrolled merge rounds. Symbol
+    // sequences are wrapped as ' s1  s2  ...  sn ' (double-space
+    // separators, single-space padding): the round pattern
+    // ' a  b ' -> ' ab ' consumes one space from each side run, so it
+    // (1) can only match a true adjacent symbol pair — symbols
+    // contain no spaces, so no cross-boundary false match exists for
+    // ANY vocabulary — and (2) leaves the neighbour's boundary space
+    // behind, making left-to-right non-overlapping replace() exactly
+    // applyMerge (verified: 'a a a a' merges to 'aa aa', 'a a a' to
+    // 'aa a'). Pair argmax ties: ORDER BY count DESC, 'a b' ASC ==
+    // (-count, left, right) since ' ' sorts below every word char.
+    "q_bpe_tokens" -> {
+      // AS MATERIALIZED on every round CTE: each w_k references
+      // w_{k-1} three times (the replace target and two argmax scalar
+      // subqueries) — inlined, the 8-round chain expands ~3^8-fold
+      def round(k: Int): String = {
+        val prev = if (k == 1) "w0" else s"w${k - 1}"
+        s"""p$k AS MATERIALIZED (
+           |  SELECT pr, sum(c) AS pc FROM (
+           |    SELECT c, unnest(list_transform(generate_series(1, len(sy) - 1),
+           |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
+           |    FROM (SELECT c, string_split(trim(seq), '  ') AS sy FROM $prev)
+           |  ) GROUP BY pr
+           |), best$k AS MATERIALIZED (SELECT pr FROM p$k ORDER BY pc DESC, pr LIMIT 1
+           |), w$k AS MATERIALIZED (
+           |  SELECT w, c, coalesce(replace(seq,
+           |      (SELECT ' ' || replace(pr, ' ', '  ') || ' ' FROM best$k),
+           |      (SELECT ' ' || replace(pr, ' ', '') || ' ' FROM best$k)),
+           |    seq) AS seq
+           |  FROM $prev
+           |)""".stripMargin
+      }
+      s"""WITH words AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''
+         |), wc AS (
+         |  SELECT w, count(*) AS c FROM words GROUP BY w
+         |), w0 AS MATERIALIZED (
+         |  SELECT w, c, ' ' || array_to_string(list_transform(
+         |    generate_series(1, length(w)), i -> substr(w, i, 1)), '  ') || ' ' AS seq
+         |  FROM wc
+         |), ${(1 to 8).map(round).mkString(",\n")}
+         |, enc AS (
+         |  SELECT w, CAST(len(string_split(trim(seq), '  ')) AS INTEGER) AS n_sub
+         |  FROM w8
+         |), mergestr AS (
+         |  SELECT ${(1 to 8).map(k => s"(SELECT replace(pr, ' ', '+') FROM best$k)")
+             .mkString(" || ',' || ")} AS merges
+         |)
+         |SELECT d.doc_id, CAST(sum(e.n_sub) AS INTEGER) AS n_bpe_tokens,
+         |       CAST(len(regexp_extract_all(any_value(dd.text), '$RE')) AS INTEGER) AS n_regex_tokens,
+         |       any_value(m.merges) AS merges
+         |FROM words d
+         |JOIN enc e ON d.w = e.w
+         |JOIN documents dd ON dd.doc_id = d.doc_id
+         |CROSS JOIN mergestr m
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
+
     "q_bpe_crafted" ->
       """WITH docs(doc_id, text) AS (VALUES
         |  (CAST(1 AS BIGINT), 'aab ab aab cd'),

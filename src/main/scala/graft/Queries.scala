@@ -686,16 +686,25 @@ object Queries {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
-  /** BPE-lite subword token counts (train-on-sample + broadcast
-    * encode; rows-only — merge learning isn't SQL-expressible).
-    * Emits regex-token counts alongside for comparison. */
+  /** BPE-lite subword token counts over the REAL corpus, hash-checked
+    * via a fixed-k merge unroll (k = 8): training runs exactly 8
+    * rounds — no convergence test — so the DuckDB oracle unrolls the
+    * same 8 pair-count → argmax((-count, left, right)) rounds and
+    * replays encoding with boundary-safe double-space patterns
+    * (' a  b ' can only ever match a true adjacent symbol pair,
+    * unlike the naive space-join which can false-match across symbol
+    * boundaries on an arbitrary vocabulary). The learned merge
+    * sequence is emitted alongside, so the training decisions
+    * themselves are hash-pinned, like q_bpe_crafted. */
   def q_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val merges = graft.text.BpeLite.train(
-      graft.text.BpeLite.wordCounts(docs), numMerges = 64)
+      graft.text.BpeLite.wordCounts(docs), numMerges = 8)
+    val mergesStr = merges.map { case (a, b) => s"$a+$b" }.mkString(",")
     docs.select(col("doc_id"),
         graft.text.BpeLite.tokenCountCol(merges).as("n_bpe_tokens"),
-        Tok.tokenCount(col("text")).as("n_regex_tokens"))
+        Tok.tokenCount(col("text")).as("n_regex_tokens"),
+        lit(mergesStr).as("merges"))
       .orderBy(col("doc_id"))
   }
 
