@@ -48,6 +48,77 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(stateful == batch)
   }
 
+  test("watermark late-data contract: beyond-watermark rows drop, within-watermark rows count") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: windows 10, 11, 12; post-batch watermark 12:00-1h = 11:00
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:25:00"), "click", 2.0),
+        (ts("2024-01-01 11:10:00"), "view", 3.0),
+        (ts("2024-01-01 12:00:00"), "view", 4.0))
+      q.processAllAvailable()
+      // batch 2 (wm 11:00): 10:30's window END (11:00) <= wm -> the row
+      // is DROPPED and window 10 emits WITHOUT its 100.0; 11:30 is
+      // out-of-order but within the watermark -> counts; 13:00 advances
+      mem.addData(
+        (ts("2024-01-01 10:30:00"), "click", 100.0),
+        (ts("2024-01-01 11:30:00"), "view", 5.0),
+        (ts("2024-01-01 13:00:00"), "click", 6.0))
+      q.processAllAvailable()
+      // two pure advancers flush windows 11, 12, 13 through data
+      // batches (each batch emits with its START-of-batch watermark,
+      // so the final emitted set is deterministic whether or not
+      // no-data micro-batches also fire in between)
+      mem.addData((ts("2024-01-01 15:00:00"), "noise", 0.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 16:00:00"), "noise", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("late_out")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      // the same contract, stated through the BATCH operator: hourly
+      // aggregate over the input MINUS the dropped row, restricted to
+      // the windows the final watermark (15:00) closed
+      val kept = Seq(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:25:00"), "click", 2.0),
+        (ts("2024-01-01 11:10:00"), "view", 3.0),
+        (ts("2024-01-01 12:00:00"), "view", 4.0),
+        (ts("2024-01-01 11:30:00"), "view", 5.0),
+        (ts("2024-01-01 13:00:00"), "click", 6.0))
+        .toDF("ts", "event_type", "value")
+      val expected = EventStreams.hourlyByType(kept)
+        .filter(col("hour") <= ts("2024-01-01 14:00:00"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got == expected)
+      assert(got.exists(r => r._1 == "2024-01-01 10:00:00" && r._3 == 2L && r._4 == 3.0),
+        s"window 10 must exclude the dropped 100.0 row: $got")
+      assert(got.exists(r => r._1 == "2024-01-01 11:00:00" && r._3 == 2L && r._4 == 8.0),
+        s"window 11 must include the within-watermark late row: $got")
+      // the engine's own counter confirms exactly ONE row died to lateness
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1, s"expected exactly 1 watermark-dropped row, got $dropped")
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions; counts are per user") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
