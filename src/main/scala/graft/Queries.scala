@@ -101,9 +101,32 @@ object Queries {
       .orderBy(col("doc_id"), col("chunk_index"))
   }
 
-  /** C3 — semantic chunker (composite; rows-only check). */
+  /** C3 — semantic chunker with the production embedder and reference
+    * params (composite; rows-only check — float-precision replay of
+    * the NORMALIZED embedder in SQL is genuinely fragile; the
+    * algorithm is hash-pinned at corpus scale by
+    * [[q_chunk_semantic_corpus]] and on the crafted doc by
+    * [[q_chunk_semantic_crafted]]). */
   def q_chunk_semantic(s: SparkSession, dir: String): DataFrame =
     SemanticChunker().chunk(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** C3 hash-checked CORPUS-WIDE: the full semantic pipeline
+    * (min-split → embed → adjacent cosine distances → one-pass
+    * histogram threshold → breakpoint segmentation → merge) over the
+    * real documents table with integer-lattice embeddings. Params are
+    * sized to the fixture so segmentation actually fires: fixture
+    * words are all single regex tokens, so minChunkTokens = 10 makes
+    * the min-split exactly 10-word blocks (SQL-trivial), and
+    * avgChunkTokens = 25 yields a positive break target (~580 at
+    * sf0.01) — the threshold search, break placement and merge all do
+    * real work and every double is derived from exact integer
+    * dot/norm² values, so DuckDB replays the whole pipeline bit for
+    * bit. */
+  def q_chunk_semantic_corpus(s: SparkSession, dir: String): DataFrame =
+    SemanticChunker(avgChunkTokens = 25, minChunkTokens = 10,
+      embedder = graft.vector.LatticeEmbedder(8))
+      .chunk(t(s, dir, "documents"))
       .orderBy(col("doc_id"), col("chunk_index"))
 
   /** Query texts for the end-to-end flagship row — shared verbatim

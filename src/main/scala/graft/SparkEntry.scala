@@ -31,6 +31,7 @@ object SparkEntry {
     "q_boundary_sweep" -> (Queries.q_boundary_sweep _),
     "q_chunk_recursive" -> (Queries.q_chunk_recursive _),
     "q_chunk_semantic" -> (Queries.q_chunk_semantic _),
+    "q_chunk_semantic_corpus" -> (Queries.q_chunk_semantic_corpus _),
     // flagship pipeline, end to end
     "q_rag_e2e" -> (Queries.q_rag_e2e _),
     // vector retrieval
