@@ -159,24 +159,28 @@ object Bm25 {
   /** One saved index per cache key per JVM: build-once-serve-many.
     * First call builds + saves (the expensive corpus pass); later
     * calls — e.g. Bench's min-of-3 or a query batch loop — only pay
-    * the pruned serve. Under contention two callers MAY both run the
-    * builder (TrieMap.getOrElseUpdate evaluates the thunk outside the
-    * CAS); exactly one build wins the map slot and the loser's dir is
-    * reclaimed by the same shutdown hook that cleans the winners —
-    * every created dir is registered below before any bytes land.
-    * Known tradeoff of any key-by-name memo (same as the Ann dim
-    * memo): if the corpus BEHIND a key is rewritten in the same JVM,
-    * the stale index keeps serving the old scores — callers must
-    * change the key when the data changes (the catalog keys by
-    * fixture directory, which is immutable per run). */
+    * the pruned serve. The builder runs SINGLE-FLIGHT: the memo is
+    * checked lock-free on the hit path, and the build itself runs
+    * under a lock so two concurrent first callers can never both pay
+    * the corpus pass (TrieMap.getOrElseUpdate alone evaluates its
+    * thunk outside the CAS). Known tradeoff of any key-by-name memo
+    * (same as the Ann dim memo): if the corpus BEHIND a key is
+    * rewritten in the same JVM, the stale index keeps serving the old
+    * scores — callers must change the key when the data changes (the
+    * catalog keys by fixture directory, which is immutable per run). */
   private val savedIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def ensureSavedIndex(docs: DataFrame, cacheKey: String): String =
-    savedIndexes.getOrElseUpdate(cacheKey, {
-      val p = graft.io.TempDirs.create("graft-bm25-idx")
-      saveIndex(docs, p)
-      p
-    })
+    savedIndexes.get(cacheKey) match {
+      case Some(p) => p
+      case None => savedIndexes.synchronized {
+        savedIndexes.getOrElseUpdate(cacheKey, {
+          val p = graft.io.TempDirs.create("graft-bm25-idx")
+          saveIndex(docs, p)
+          p
+        })
+      }
+    }
 
   /** Token-set Jaccard ranking — the unweighted lexical cousin of
     * BM25: |Q∩D| / |Q∪D| over distinct lowercase tokens. Same

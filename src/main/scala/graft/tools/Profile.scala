@@ -330,23 +330,11 @@ object Profile {
         time("q_near_dup_signlsh full") {
           noop(graft.Queries.q_near_dup_signlsh(spark, sfDir))
         }
-        // candidate volume inside the BRP approx join
-        import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-        val norm = udf((a: Seq[Float]) => {
-          val n = math.sqrt(a.iterator.map(x => x.toDouble * x).sum)
-          org.apache.spark.ml.linalg.Vectors.dense(
-            if (n > 0) a.iterator.map(_ / n).toArray else new Array[Double](a.length))
-        })
-        val e = emb.withColumn("features", norm(col("embedding")))
-        val lsh = new BucketedRandomProjectionLSH()
-          .setInputCol("features").setOutputCol("hashes")
-          .setBucketLength(0.25).setNumHashTables(4).setSeed(42L)
-        val model = lsh.fit(e)
-        val t1 = model.transform(e)
-          .select(col("vec_id"), posexplode(col("hashes")).as(Seq("tbl", "h")))
-          .withColumn("h0",
-            element_at(org.apache.spark.ml.functions.vector_to_array(col("h")), 1))
-        val buckets = t1.groupBy("tbl", "h0").count()
+        // candidate volume inside the deterministic BRP bucket join:
+        // pairs within a bucket grow quadratically, so the histogram
+        // is the early-warning for a degenerate bucket length
+        val buckets = graft.vector.Ann.brpKeys(emb)
+          .groupBy(col("table"), col("key")).count()
         time("bucket histogram") {
           buckets.orderBy(desc("count")).show(10, false)
           println("[profile] candidate pairs ≈ " +

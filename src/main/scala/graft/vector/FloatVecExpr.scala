@@ -73,6 +73,81 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd nearest-centroid assignment over an `array<int>`
+  * quantized vector and a CONSTANT centroid matrix (the k-means
+  * assignment step of [[Ivf.boundedIndex]]).
+  *
+  * The pure-SQL form (`transform(centroids, c -> aggregate(zip_with
+  * (...)))`) evaluates two interpreted lambdas per dimension per cell
+  * per row and allocates a zipped array per cell — measured as ~all
+  * of q_topk_ivf's runtime. This fused loop accumulates each cell's
+  * squared distance in ascending dimension order and keeps the FIRST
+  * minimum — bit-identical doubles and the same lowest-cell tie rule,
+  * so oracle parity is unaffected (the FloatVecDot precedent).
+  */
+case class IntVecNearestCell(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"IntVecNearestCell needs array<int>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val n = math.min(ct.length, v.numElements())
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val x = v.getInt(j).toDouble - ct(j); d += x * x; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (c, j, n, d, ct, best, bestD) =
+        (ctx.freshName("c"), ctx.freshName("j"), ctx.freshName("n"),
+          ctx.freshName("d"), ctx.freshName("ct"), ctx.freshName("best"),
+          ctx.freshName("bestD"))
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $matRef.length; $c++) {
+         |  double[] $ct = $matRef[$c];
+         |  int $n = java.lang.Math.min($ct.length, $v.numElements());
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double x = (double) $v.getInt($j) - $ct[$j];
+         |    $d += x * x;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IntVecNearestCell =
+    copy(child = newChild)
+}
+
 object FloatVecExpr {
   import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -82,4 +157,8 @@ object FloatVecExpr {
 
   def normF(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  /** Column wrapper: nearest-centroid index for an int-array column. */
+  def nearestCellF(qv: Column, cents: Array[Array[Double]]): Column =
+    ColumnShim.column(IntVecNearestCell(ColumnShim.expression(qv), cents))
 }

@@ -102,19 +102,15 @@ object Ivf {
     best
   }
 
-  /** Nearest-cell column over LITERAL centroids: per row, squared
-    * Euclidean distance to every centroid via an ordered fold, argmin
-    * by `array_position` of the min (FIRST index wins ties — the same
-    * lowest-cell rule as [[nearest]]). Stays map-side: the centroid
-    * table is folded into the expression, no join, no shuffle. */
+  /** Nearest-cell column over CONSTANT centroids: the codegen'd
+    * fused-loop expression [[IntVecNearestCell]] — per row, squared
+    * Euclidean distance to every centroid accumulated in ascending
+    * dimension order, FIRST minimum wins ties (the same lowest-cell
+    * rule as [[nearest]]). Stays map-side: the centroid matrix rides
+    * the expression's references, no join, no shuffle. */
   private def nearestCellExpr(qv: org.apache.spark.sql.Column,
-      cents: Array[Array[Double]]): org.apache.spark.sql.Column = {
-    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
-    val dists = transform(centLit, c =>
-      aggregate(zip_with(qv, c, (x, cj) => (x.cast("double") - cj) * (x.cast("double") - cj)),
-        lit(0.0), (s, x) => s + x))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+      cents: Array[Array[Double]]): org.apache.spark.sql.Column =
+    FloatVecExpr.nearestCellF(qv, cents)
 
   /** DISTRIBUTED bounded-rounds k-means over int8-QUANTIZED vectors —
     * the fully oracle-replayable IVF fit (contrast [[index]]'s
@@ -141,31 +137,40 @@ object Ivf {
   def boundedIndex(corpus: DataFrame, nCells: Int = 8, rounds: Int = 2)
       : (DataFrame, Array[Array[Double]]) = {
     val qcorpus = corpus.withColumn("qv", Quantize.int8(col("embedding")))
-    var cents: Array[Array[Double]] = qcorpus
-      .filter(col("vec_id") < nCells).orderBy(col("vec_id"))
-      .select(col("qv")).collect()
-      .map(_.getAs[scala.collection.Seq[Int]](0).map(_.toDouble).toArray)
-    require(cents.nonEmpty, "boundedIndex needs vec_ids 0..nCells-1 present")
-    val dim = cents(0).length
-    for (_ <- 1 to rounds) {
-      // bounded driver aggregate: nCells rows × dim exact integer sums
-      val upd = qcorpus
-        .withColumn("cell", nearestCellExpr(col("qv"), cents))
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("cnt"),
-          array((0 until dim).map(j =>
-            sum(element_at(col("qv"), j + 1)).cast("long")): _*).as("sums"))
-        .collect()
-      val next = cents.clone()
-      upd.foreach { r =>
-        val c = r.getInt(0)
-        val cnt = r.getLong(1)
-        next(c) = r.getAs[scala.collection.Seq[Long]]("sums")
-          .map(s => s.toDouble / cnt).toArray
+    // the fit reads the quantized corpus `rounds + 1` times (init
+    // collect + one aggregate per round); persist only the NARROW
+    // (vec_id, qv) projection for those passes, and release it before
+    // returning — the returned frame re-derives qv from the corpus in
+    // its own single pass, so it does not depend on this cache
+    val fit = qcorpus.select(col("vec_id"), col("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Double]] = fit
+        .filter(col("vec_id") < nCells).orderBy(col("vec_id"))
+        .select(col("qv")).collect()
+        .map(_.getAs[scala.collection.Seq[Int]](0).map(_.toDouble).toArray)
+      require(cents.nonEmpty, "boundedIndex needs vec_ids 0..nCells-1 present")
+      val dim = cents(0).length
+      for (_ <- 1 to rounds) {
+        // bounded driver aggregate: nCells rows × dim exact integer sums
+        val upd = fit
+          .withColumn("cell", nearestCellExpr(col("qv"), cents))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("cnt"),
+            array((0 until dim).map(j =>
+              sum(element_at(col("qv"), j + 1)).cast("long")): _*).as("sums"))
+          .collect()
+        val next = cents.clone()
+        upd.foreach { r =>
+          val c = r.getInt(0)
+          val cnt = r.getLong(1)
+          next(c) = r.getAs[scala.collection.Seq[Long]]("sums")
+            .map(s => s.toDouble / cnt).toArray
+        }
+        cents = next
       }
-      cents = next
-    }
-    (qcorpus.withColumn("cell", nearestCellExpr(col("qv"), cents)), cents)
+      (qcorpus.withColumn("cell", nearestCellExpr(col("qv"), cents)), cents)
+    } finally fit.unpersist(blocking = false)
   }
 
   /** Assign each corpus row to its quantizer cell.
@@ -279,18 +284,24 @@ object Ivf {
   }
 
   /** One saved index per cache key per JVM (build-once-serve-many,
-    * same memo contract and caveats as [[graft.text.Bm25
-    * .ensureSavedIndex]]): first call fits + assigns + persists, later
-    * calls serve cell-pruned reads only. Dirs are registered with
-    * [[graft.io.TempDirs]] for exit cleanup. */
+    * same single-flight memo contract and caveats as [[graft.text
+    * .Bm25.ensureSavedIndex]]): first call fits + assigns + persists
+    * under a lock, later calls serve cell-pruned reads lock-free.
+    * Dirs are registered with [[graft.io.TempDirs]] for exit
+    * cleanup. */
   private val savedIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def ensureSavedIndex(corpus: DataFrame, nCells: Int,
       cacheKey: String): String =
-    savedIndexes.getOrElseUpdate(cacheKey, {
-      val p = graft.io.TempDirs.create("graft-ivf-idx")
-      val (assigned, cents) = index(corpus, nCells)
-      saveIndex(assigned, cents, p)
-      p
-    })
+    savedIndexes.get(cacheKey) match {
+      case Some(p) => p
+      case None => savedIndexes.synchronized {
+        savedIndexes.getOrElseUpdate(cacheKey, {
+          val p = graft.io.TempDirs.create("graft-ivf-idx")
+          val (assigned, cents) = index(corpus, nCells)
+          saveIndex(assigned, cents, p)
+          p
+        })
+      }
+    }
 }
