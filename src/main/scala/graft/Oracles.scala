@@ -984,6 +984,42 @@ object Oracles {
          |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // ExactSubstr repeated spans: 10-gram md5s counted corpus-wide,
+    // duplicated positions merged per doc by gaps-and-islands, span
+    // re-sliced from the token array and hashed
+    "q_substr_spans" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$RE') AS ts FROM documents
+         |), tkf AS (
+         |  SELECT doc_id, ts FROM tk WHERE len(ts) >= 10
+         |), g AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |         md5(array_to_string(ts[i:i+9], ' ')) AS gh
+         |  FROM tkf, LATERAL (SELECT unnest(generate_series(1, len(ts) - 9)) AS i) u
+         |), dup AS (
+         |  SELECT gh FROM g GROUP BY gh HAVING count(*) > 1
+         |), cand AS (
+         |  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
+         |), br AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+         |              THEN 0 ELSE 1 END AS b
+         |  FROM cand
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM br
+         |), sp AS (
+         |  SELECT doc_id, min(pos) AS tok_start,
+         |         CAST(max(pos) - min(pos) + 10 AS INTEGER) AS tok_len
+         |  FROM isl GROUP BY doc_id, island
+         |)
+         |SELECT sp.doc_id, sp.tok_start, sp.tok_len,
+         |       md5(array_to_string(t2.ts[sp.tok_start + 1 : sp.tok_start + sp.tok_len], ' ')) AS span_md5
+         |FROM sp JOIN tkf t2 ON t2.doc_id = sp.doc_id
+         |ORDER BY sp.doc_id, sp.tok_start""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""${shingleCte("WHERE doc_id < 100")}
          |, shr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),

@@ -674,6 +674,15 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** ExactSubstr-style repeated spans ([[Dedup.repeatedSpans]]):
+    * maximal ≥10-token spans whose every 10-gram repeats corpus-wide
+    * — the removal unit for verbatim boilerplate that document-level
+    * near-dup can't see. Hash-checked end to end (grams and spans
+    * travel as md5). */
+  def q_substr_spans(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(t(s, dir, "documents"), n = 10)
+      .orderBy(col("doc_id"), col("tok_start"))
+
   /** n-gram Jaccard similarity above threshold. */
   def q_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents").filter(col("doc_id") < 100),

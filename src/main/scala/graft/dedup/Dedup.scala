@@ -77,6 +77,46 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Exact-substring repeated spans (the ExactSubstr dedup primitive,
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — public knowledge): every MAXIMAL token span of
+    * ≥ `n` tokens whose every n-gram occurs more than once corpus-
+    * wide. The canonical removal unit for verbatim boilerplate that
+    * document-level near-dup misses.
+    *
+    * Shape at 100 TB: grams travel as md5 hashes, never strings —
+    * one narrow (hash, doc, pos) shuffle to count, an equi-join back
+    * to the duplicated positions, then a per-document gaps-and-
+    * islands window merges overlapping duplicated grams into maximal
+    * spans. No all-pairs anything; cost is one token-fan-out scan
+    * plus two hash-keyed exchanges. */
+  def repeatedSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    val tk = docs.select(col("doc_id"), graft.text.Tok.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+    val grams = tk.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("ts")) - n),
+        i => md5(array_join(slice(col("ts"), i + 1, lit(n)), " ")))).as(Seq("pos", "gh")))
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("gh"))
+    val cand = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+    // gaps-and-islands: consecutive duplicated gram positions are one
+    // maximal span (positions p and p+1 overlap in n-1 tokens)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tk.join(
+        cand
+          .withColumn("brk",
+            when(col("pos") - lag(col("pos"), 1).over(w) === 1, 0).otherwise(1))
+          .withColumn("island",
+            sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("tok_start"),
+            (max(col("pos")) - min(col("pos")) + n).as("tok_len")),
+        "doc_id")
+      .select(col("doc_id"), col("tok_start"), col("tok_len"),
+        md5(array_join(slice(col("ts"), col("tok_start") + 1, col("tok_len")), " "))
+          .as("span_md5"))
+  }
+
   /** MinHash signature from a *materialized* shingles column: for each
     * seed, min over shingles of md5(seed ~ shingle). Keeping the
     * shingle array in its own projection matters: inlining

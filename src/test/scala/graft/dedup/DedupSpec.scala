@@ -9,6 +9,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
   private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
 
+  test("repeatedSpans: overlapping duplicated grams merge into ONE maximal span") {
+    // doc 1 and doc 3 are identical (all their 10-grams repeat → one
+    // whole-doc span each); doc 2 shares only the 10-token run
+    // "c..l" (one exact-length span); doc 4 shares nothing
+    val d = docs(
+      1L -> "a b c d e f g h i j k l",
+      2L -> "c d e f g h i j k l m n",
+      3L -> "a b c d e f g h i j k l",
+      4L -> "q r s t u v w x y z zz zzz")
+    val got = Dedup.repeatedSpans(d, n = 10)
+      .orderBy("doc_id", "tok_start")
+      .select("doc_id", "tok_start", "tok_len")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 0, 12), (2L, 0, 10), (3L, 0, 12)))
+    // the shared spans hash identically across documents
+    val hashes = Dedup.repeatedSpans(d, n = 10)
+      .select("doc_id", "span_md5").as[(Long, String)].collect().toMap
+    assert(hashes(1L) == hashes(3L))
+    assert(hashes(1L) != hashes(2L))
+  }
+
   test("exact dedup finds byte-identical groups and keeps min id") {
     val d = docs(1L -> "same text", 2L -> "same text", 3L -> "other")
     val g = Dedup.exactDupGroups(d).collect()
