@@ -1248,6 +1248,78 @@ object Oracles {
     // int8 quantization replay: maxabs is float→double exact, the
     // quantized values integer — every output column is immune to
     // accumulation order
+    // MMR greedy diversity re-rank, k=3 unrolled: seed = relevance
+    // argmax, each later round maximizes 0.5*rel - 0.5*max(sim to
+    // selected) over the remaining top-10 candidates; all scores
+    // round-6 before argmax, ties to lowest vec_id
+    "q_topk_mmr" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |), qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < 3
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |               CAST(q.qe AS DOUBLE[])), 6) AS rel
+        |  FROM emb e CROSS JOIN qs q
+        |), cand AS (
+        |  SELECT query_id, vec_id, rel FROM (
+        |    SELECT query_id, vec_id, rel,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY rel DESC, vec_id) AS rn
+        |    FROM scored) WHERE rn <= 10
+        |), sim AS (
+        |  SELECT c.query_id, c.vec_id AS a, s.vec_id AS b,
+        |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |               CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM cand c JOIN cand s USING (query_id)
+        |  JOIN emb ea ON ea.vec_id = c.vec_id
+        |  JOIN emb eb ON eb.vec_id = s.vec_id
+        |  WHERE c.vec_id <> s.vec_id
+        |), s1 AS (
+        |  SELECT query_id, vec_id, rel AS score FROM (
+        |    SELECT query_id, vec_id, rel,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY rel DESC, vec_id) AS rn
+        |    FROM cand) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT c.query_id, c.vec_id,
+        |         round(0.5 * c.rel - 0.5 * v.sim, 6) AS mmr
+        |  FROM cand c
+        |  JOIN s1 ON s1.query_id = c.query_id AND c.vec_id <> s1.vec_id
+        |  JOIN sim v ON v.query_id = c.query_id AND v.a = c.vec_id
+        |    AND v.b = s1.vec_id
+        |), s2 AS (
+        |  SELECT query_id, vec_id, mmr AS score FROM (
+        |    SELECT query_id, vec_id, mmr,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY mmr DESC, vec_id) AS rn
+        |    FROM m2) WHERE rn = 1
+        |), m3 AS (
+        |  SELECT c.query_id, c.vec_id,
+        |         round(0.5 * c.rel - 0.5 * greatest(va.sim, vb.sim), 6) AS mmr
+        |  FROM cand c
+        |  JOIN s1 ON s1.query_id = c.query_id
+        |  JOIN s2 ON s2.query_id = c.query_id
+        |  JOIN sim va ON va.query_id = c.query_id AND va.a = c.vec_id
+        |    AND va.b = s1.vec_id
+        |  JOIN sim vb ON vb.query_id = c.query_id AND vb.a = c.vec_id
+        |    AND vb.b = s2.vec_id
+        |  WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+        |), s3 AS (
+        |  SELECT query_id, vec_id, mmr AS score FROM (
+        |    SELECT query_id, vec_id, mmr,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY mmr DESC, vec_id) AS rn
+        |    FROM m3) WHERE rn = 1
+        |)
+        |SELECT query_id, CAST(1 AS INTEGER) AS rank, vec_id, score FROM s1
+        |UNION ALL
+        |SELECT query_id, CAST(2 AS INTEGER), vec_id, score FROM s2
+        |UNION ALL
+        |SELECT query_id, CAST(3 AS INTEGER), vec_id, score FROM s3
+        |ORDER BY query_id, rank""".stripMargin,
+
     // IVF on REAL embeddings with the distributed bounded-rounds fit:
     // int8-quantize (exact lattice), 2 unrolled k-means rounds whose
     // centroid updates are exact-integer sum / count (order-free),

@@ -335,6 +335,21 @@ object Queries {
     Ann.lshTopK(emb, queries, 5).orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR diversity re-ranking ([[Ann.mmrTopK]], λ = 0.5): top-3 of
+    * the 10 deepest cosine candidates per query, each greedy round
+    * penalizing similarity to the already-selected — the standard
+    * finisher that stops near-duplicate chunks crowding a RAG
+    * context. Hash-checked: scores round at 6 before every argmax and
+    * λ = 0.5 keeps both mix weights exactly representable, so DuckDB
+    * replays the greedy selection exactly. */
+  def q_topk_mmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    Ann.mmrTopK(emb, queries, k = 3, depth = 10, lambda = 0.5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF ANN top-k on the REAL embeddings table, hash-checked: the
     * coarse quantizer is [[vector.Ivf.boundedIndex]] — a distributed
     * 2-round k-means over int8-quantized vectors whose centroid

@@ -37,6 +37,7 @@ object SparkEntry {
     // vector retrieval
     "q_topk_cosine" -> (Queries.q_topk_cosine _),
     "q_topk_many" -> (Queries.q_topk_many _),
+    "q_topk_mmr" -> (Queries.q_topk_mmr _),
     "q_topk_filtered" -> (Queries.q_topk_filtered _),
     "q_cosine_pairs" -> (Queries.q_cosine_pairs _),
     "q_embed_pool" -> (Queries.q_embed_pool _),

@@ -305,6 +305,57 @@ object Ann {
     rerankTopK(cand, corpus, queries, k)
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98 — public knowledge): greedily pick `k` of the top
+    * `depth` candidates, each round taking the candidate maximizing
+    * `λ·relevance − (1−λ)·max similarity to the already-selected` —
+    * the standard diversity-aware finisher for RAG retrieval (near-
+    * duplicate chunks stop crowding the context window).
+    *
+    * Greedy selection is inherently sequential in k, so the rounds
+    * are unrolled as DataFrame ops — k is small by definition (it is
+    * the context budget) and each round touches only the ≤ depth
+    * candidates per query, never the corpus. All scores are rounded
+    * at 6 before every argmax (ties → lowest vec_id), making the
+    * whole selection DuckDB-replayable. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      depth: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && depth >= k, "need k >= 1 and depth >= k")
+    val compl = 1.0 - lambda
+    val cand = bruteTopK(corpus, queries, depth)
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        FloatVecExpr.normF(col("embedding")).as("nrm")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        col("cos_sim").as("rel"), col("embedding"), col("nrm"))
+    var selected = cand.filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id"),
+        lit(1).as("rank"), col("rel").as("score"))
+    for (r <- 2 to k) {
+      val selEmb = selected.select(col("query_id"), col("vec_id").as("s_vec"))
+        .join(cand.select(col("query_id"), col("vec_id").as("s_vec"),
+          col("embedding").as("s_emb"), col("nrm").as("s_nrm")),
+          Seq("query_id", "s_vec"))
+      val next = cand
+        .join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(selEmb, "query_id")
+        .withColumn("sim",
+          round(FloatVecExpr.dotF(col("embedding"), col("s_emb")) /
+            (col("nrm") * col("s_nrm")), 6))
+        .groupBy(col("query_id"), col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("max_sim"))
+        .withColumn("mmr",
+          round(lit(lambda) * col("rel") - lit(compl) * col("max_sim"), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(desc("mmr"), col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"),
+          lit(r).as("rank"), col("mmr").as("score"))
+      selected = selected.unionByName(next)
+    }
+    selected
+  }
+
   /** BRP-LSH near-duplicate pairs above a cosine threshold — the
     * scale path behind [[graft.dedup.Dedup.cosineNearDup]]. Same
     * narrow candidate/verify shape as [[signLshNearDup]]: only

@@ -141,6 +141,29 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
       s"no static cell IN (...) partition filter on the loaded index scan:\n${plan.take(2500)}")
   }
 
+  test("mmrTopK: a near-duplicate of the rank-1 hit is demoted below a diverse hit") {
+    import spark.implicits._
+    // A' is A scaled (same direction: sim(A, A') = 1 exactly, rel
+    // tied — broken to A by id); B is moderately relevant but mostly
+    // orthogonal to A, so mmr(B) = 0.5·0.48 − 0.5·0.30 beats
+    // mmr(A') = 0.5·rel − 0.5·1. Plain top-3 = (A, A', B); MMR must
+    // put B at rank 2.
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),            // A
+      (11L, Seq(0.9f, 0.0f, 0.0f, 0.0f)),            // A' = same direction
+      (12L, Seq(0.3f, 0.0f, 0.95f, 0.0f)),           // B diverse
+      (13L, Seq(0.0f, 0.1f, 0.0f, 0.9f)))            // noise
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.0f, 0.05f, 0.2f, 0.0f))).toDF("query_id", "q_embedding")
+    val plain = Ann.bruteTopK(corpus, q, 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(plain == Seq(10L, 11L, 12L))
+    val mmr = Ann.mmrTopK(corpus, q, k = 3, depth = 4, lambda = 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(mmr.head == 10L, s"rank 1 must stay the relevance argmax: $mmr")
+    assert(mmr(1) == 12L, s"rank 2 must be the diverse hit, not the near-dup: $mmr")
+  }
+
   test("lshNearDup with dim-derived bucket length matches brute on constructed dups") {
     val df = corpus(60, 10).toDF("vec_id", "embedding")
     val thr = 0.95
