@@ -45,7 +45,16 @@ object ExplainAudit {
     // range join (equi on bucket + residual)
     "q_asof_join", "q_range_join",
     // round 6e: the other two real-codec modality pipelines
-    "q_mm_audio", "q_mm_video")
+    "q_mm_audio", "q_mm_video",
+    // round 7: the flagship e2e pipeline, the deterministic BRP keys
+    // + candidate/confirm, the distributed bounded-rounds IVF (native
+    // nearest-cell expression, map-side assignment), the corpus
+    // recursive/semantic chunker rows (generator, no encoder
+    // round-trip), exact-substring spans (hash-keyed islands), and
+    // the MMR greedy re-rank
+    "q_rag_e2e", "q_brp_keys", "q_near_dup_lsh", "q_topk_ivf",
+    "q_chunk_recursive", "q_chunk_semantic_corpus", "q_substr_spans",
+    "q_topk_mmr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
