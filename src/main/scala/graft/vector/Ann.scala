@@ -322,11 +322,18 @@ object Ann {
       depth: Int, lambda: Double = 0.5): DataFrame = {
     require(k >= 1 && depth >= k, "need k >= 1 and depth >= k")
     val compl = 1.0 - lambda
-    val cand = bruteTopK(corpus, queries, depth)
+    val candPlan = bruteTopK(corpus, queries, depth)
       .join(corpus.select(col("vec_id"), col("embedding"),
         FloatVecExpr.normF(col("embedding")).as("nrm")), "vec_id")
       .select(col("query_id"), col("vec_id"), col("rank"),
         col("cos_sim").as("rel"), col("embedding"), col("nrm"))
+    // materialize the candidate set ONCE — it is BOUNDED by
+    // construction (≤ depth × |queries| rows, the context budget);
+    // left lazy, every greedy round's plan would re-run the
+    // corpus-wide seeding top-k (measured as ~all of the runtime)
+    val spark = corpus.sparkSession
+    val cand = spark.createDataFrame(
+      java.util.Arrays.asList(candPlan.collect(): _*), candPlan.schema)
     var selected = cand.filter(col("rank") === 1)
       .select(col("query_id"), col("vec_id"),
         lit(1).as("rank"), col("rel").as("score"))
