@@ -31,6 +31,23 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
       s"unexpected as-of matches: $out")
   }
 
+  test("asOfJoin rejects inputs whose columns collide with internal/output names") {
+    val probes = Seq((1L, ts("2026-01-01 00:00:00"), "x"))
+      .toDF("user_id", "ts", "__k") // __k is an internal working name
+    val builds = Seq((1L, ts("2026-01-01 00:00:00"), 1L))
+      .toDF("o_key", "o_time", "o_id")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(probes, builds, "user_id", "o_key", "ts", "o_time", "o_id")
+    }
+    assert(e.getMessage.contains("__k"))
+    val probes2 = Seq((1L, ts("2026-01-01 00:00:00"), "x"))
+      .toDF("user_id", "ts", "matched") // output alias collision
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(probes2, builds, "user_id", "o_key", "ts", "o_time", "o_id")
+    }
+    assert(e2.getMessage.contains("matched"))
+  }
+
   test("asOfJoin result is independent of partition layout") {
     val probes = (1 to 200).map(i =>
       (i.toLong, (i % 7).toLong, ts(f"2026-01-${i % 28 + 1}%02d 06:00:00")))
