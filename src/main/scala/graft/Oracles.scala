@@ -180,6 +180,39 @@ object Oracles {
        |  FROM vn v CROSS JOIN pw
        |)""".stripMargin
 
+  /** Shared CTE chain for the ExactSubstr family: token arrays →
+    * positioned 10-gram md5s → corpus-duplicated positions →
+    * per-doc gaps-and-islands → maximal spans (`sp`, with `tk`/`tkf`
+    * still in scope). */
+  private def substrSpansCte: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(text, '$RE') AS ts FROM documents
+       |), tkf AS (
+       |  SELECT doc_id, ts FROM tk WHERE len(ts) >= 10
+       |), g AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |         md5(array_to_string(ts[i:i+9], ' ')) AS gh
+       |  FROM tkf, LATERAL (SELECT unnest(generate_series(1, len(ts) - 9)) AS i) u
+       |), dup AS (
+       |  SELECT gh FROM g GROUP BY gh HAVING count(*) > 1
+       |), cand AS (
+       |  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
+       |), br AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+       |              THEN 0 ELSE 1 END AS b
+       |  FROM cand
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM br
+       |), sp AS (
+       |  SELECT doc_id, min(pos) AS tok_start,
+       |         CAST(max(pos) - min(pos) + 10 AS INTEGER) AS tok_len
+       |  FROM isl GROUP BY doc_id, island
+       |)""".stripMargin
+
   /** IVF replay on the crafted three-cluster fixture (shared by
     * q_topk_ivf_crafted AND q_topk_ivf_indexed — the saved-index
     * serve reads back bit-identical floats and shares the engine's
@@ -988,37 +1021,45 @@ object Oracles {
     // duplicated positions merged per doc by gaps-and-islands, span
     // re-sliced from the token array and hashed
     "q_substr_spans" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, regexp_extract_all(text, '$RE') AS ts FROM documents
-         |), tkf AS (
-         |  SELECT doc_id, ts FROM tk WHERE len(ts) >= 10
-         |), g AS (
-         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-         |         md5(array_to_string(ts[i:i+9], ' ')) AS gh
-         |  FROM tkf, LATERAL (SELECT unnest(generate_series(1, len(ts) - 9)) AS i) u
-         |), dup AS (
-         |  SELECT gh FROM g GROUP BY gh HAVING count(*) > 1
-         |), cand AS (
-         |  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)
-         |), br AS (
-         |  SELECT doc_id, pos,
-         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
-         |              THEN 0 ELSE 1 END AS b
-         |  FROM cand
-         |), isl AS (
-         |  SELECT doc_id, pos,
-         |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-         |           ROWS UNBOUNDED PRECEDING) AS island
-         |  FROM br
-         |), sp AS (
-         |  SELECT doc_id, min(pos) AS tok_start,
-         |         CAST(max(pos) - min(pos) + 10 AS INTEGER) AS tok_len
-         |  FROM isl GROUP BY doc_id, island
-         |)
+      s"""$substrSpansCte
          |SELECT sp.doc_id, sp.tok_start, sp.tok_len,
          |       md5(array_to_string(t2.ts[sp.tok_start + 1 : sp.tok_start + sp.tok_len], ' ')) AS span_md5
          |FROM sp JOIN tkf t2 ON t2.doc_id = sp.doc_id
          |ORDER BY sp.doc_id, sp.tok_start""".stripMargin,
+
+    // the removal half: rank each span group's occurrences globally
+    // by (doc_id, tok_start); every non-first occurrence's token
+    // range is cut, and the cleaned stream is re-hashed per document
+    "q_substr_dedup" ->
+      s"""$substrSpansCte
+         |, sph AS (
+         |  SELECT sp.doc_id, sp.tok_start, sp.tok_len,
+         |         md5(array_to_string(t2.ts[sp.tok_start + 1 : sp.tok_start + sp.tok_len], ' ')) AS span_md5
+         |  FROM sp JOIN tkf t2 ON t2.doc_id = sp.doc_id
+         |), rk AS (
+         |  SELECT doc_id, tok_start, tok_len,
+         |         row_number() OVER (PARTITION BY span_md5
+         |           ORDER BY doc_id, tok_start) AS rn
+         |  FROM sph
+         |), rm AS (
+         |  SELECT doc_id, tok_start, tok_len FROM rk WHERE rn > 1
+         |), tokp AS (
+         |  SELECT t.doc_id, u.i, t.ts[u.i] AS tok,
+         |         NOT EXISTS (SELECT 1 FROM rm r WHERE r.doc_id = t.doc_id
+         |           AND u.i - 1 >= r.tok_start
+         |           AND u.i - 1 < r.tok_start + r.tok_len) AS kept
+         |  FROM tkf t, LATERAL (SELECT unnest(generate_series(1, len(t.ts))) AS i) u
+         |), agg AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INTEGER) AS n_after,
+         |         md5(coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (kept), '')) AS clean_md5
+         |  FROM tokp GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(len(d.ts) AS INTEGER) AS n_tokens_before,
+         |       coalesce(a.n_after, CAST(len(d.ts) AS INTEGER)) AS n_tokens_after,
+         |       coalesce(a.clean_md5, md5(array_to_string(d.ts, ' '))) AS clean_md5
+         |FROM tk d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""${shingleCte("WHERE doc_id < 100")}

@@ -698,6 +698,15 @@ object Queries {
     Dedup.repeatedSpans(t(s, dir, "documents"), n = 10)
       .orderBy(col("doc_id"), col("tok_start"))
 
+  /** The removal half of ExactSubstr dedup
+    * ([[Dedup.removeRepeatedSpans]]): each repeated span keeps its
+    * globally first occurrence; every other document loses those
+    * tokens. One row per document with before/after counts and the
+    * cleaned-stream md5 — hash-checked. */
+  def q_substr_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpans(t(s, dir, "documents"), n = 10)
+      .orderBy(col("doc_id"))
+
   /** n-gram Jaccard similarity above threshold. */
   def q_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents").filter(col("doc_id") < 100),

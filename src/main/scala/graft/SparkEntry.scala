@@ -84,6 +84,7 @@ object SparkEntry {
     // dedup
     "q_dedup_exact" -> (Queries.q_dedup_exact _),
     "q_substr_spans" -> (Queries.q_substr_spans _),
+    "q_substr_dedup" -> (Queries.q_substr_dedup _),
     "q_dedup_incremental" -> (Queries.q_dedup_incremental _),
     "q_minhash_sig" -> (Queries.q_minhash_sig _),
     "q_minhash_candidates" -> (Queries.q_minhash_candidates _),

@@ -117,6 +117,38 @@ object Dedup {
           .as("span_md5"))
   }
 
+  /** The removal half of ExactSubstr dedup: every repeated span
+    * ([[repeatedSpans]]) keeps its GLOBALLY FIRST occurrence (lowest
+    * (doc_id, tok_start) per span hash) and is cut from every other
+    * document, token-wise. Output is one row per input document with
+    * before/after token counts and the md5 of the cleaned token
+    * stream — the shape a training-corpus materialization consumes.
+    *
+    * Per-doc spans are maximal islands, so removal ranges never
+    * overlap within a document; cutting is a scan-stage filter over
+    * the token array (no shuffle beyond the span ranking). */
+  def removeRepeatedSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("span_md5"))
+      .orderBy(col("doc_id"), col("tok_start"))
+    val remove = repeatedSpans(docs, n)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("tok_start"), col("tok_len"))).as("rm"))
+    docs.select(col("doc_id"), graft.text.Tok.tokens(col("text")).as("ts"))
+      .join(remove, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("rm").isNull, col("ts")).otherwise(
+          filter(col("ts"), (tok, i) =>
+            !exists(col("rm"), r =>
+              i >= r.getField("tok_start") &&
+                i < r.getField("tok_start") + r.getField("tok_len")))))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens_before"),
+        size(col("kept")).as("n_tokens_after"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"))
+  }
+
   /** MinHash signature from a *materialized* shingles column: for each
     * seed, min over shingles of md5(seed ~ shingle). Keeping the
     * shingle array in its own projection matters: inlining

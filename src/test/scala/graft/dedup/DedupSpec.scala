@@ -30,6 +30,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(hashes(1L) != hashes(2L))
   }
 
+  test("removeRepeatedSpans keeps the globally first occurrence and cuts the rest") {
+    val d = docs(
+      1L -> "a b c d e f g h i j k l",
+      2L -> "c d e f g h i j k l m n",  // 10-token span occurs ONCE as a
+                                        // maximal span → kept (removal is
+                                        // per identical span, not substring)
+      3L -> "a b c d e f g h i j k l",  // exact copy of doc 1 → fully cut
+      4L -> "q r s t u v w x y z zz zzz")
+    val got = Dedup.removeRepeatedSpans(d, n = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens_before", "n_tokens_after")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 12, 12), (2L, 12, 12), (3L, 12, 0), (4L, 12, 12)))
+    val md5s = Dedup.removeRepeatedSpans(d, n = 10)
+      .select("doc_id", "clean_md5").as[(Long, String)].collect().toMap
+    assert(md5s(3L) == java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes).map("%02x".format(_)).mkString)
+    assert(md5s(1L) != md5s(3L))
+  }
+
   test("exact dedup finds byte-identical groups and keeps min id") {
     val d = docs(1L -> "same text", 2L -> "same text", 3L -> "other")
     val g = Dedup.exactDupGroups(d).collect()
