@@ -68,4 +68,42 @@ object DocStreams {
     val schema = spark.read.parquet(path).schema
     dedupEvents(spark.readStream.schema(schema).parquet(path), delay)
   }
+
+  /** Incremental vector-store maintenance — the continuous-ingest
+    * twin of [[graft.pipeline.RagPipeline.buildStore]]: each
+    * micro-batch of documents is chunked + embedded, deduped within
+    * the batch (first occurrence per id by (doc_id, chunk_index)),
+    * ANTI-JOINED against the ids already in the store, and APPENDED —
+    * upsert-as-append, so an id that exists keeps its original row
+    * (the same first-wins contract, resolved by arrival order across
+    * batches) and the store parquet is never rewritten. At 100 TB the
+    * per-batch cost is the batch's own chunk/embed plus one id
+    * anti-join against the store's id column — no store-wide shuffle,
+    * no rewrite.
+    *
+    * Returns the StreamingQuery; the store lives at `storePath` as
+    * plain parquet readable by the batch retrieval surface. */
+  def upsertIntoStore(docs: DataFrame, storePath: String,
+      strategy: String = "simple",
+      embedder: graft.vector.Embedder = graft.vector.HashingEmbedder(64),
+      checkpoint: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cp = if (checkpoint.nonEmpty) checkpoint
+      else java.nio.file.Files.createTempDirectory("graft-store-cp").toString
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.pipeline.RagPipeline.buildStore(batch, strategy, embedder)
+        val toWrite =
+          if (new java.io.File(storePath).exists()) {
+            val existing = spark.read.parquet(storePath).select(col("id"))
+            fresh.join(existing, Seq("id"), "left_anti")
+          } else fresh
+        // one file per batch at spec scale; a real deployment would
+        // partition by a stable key and compact asynchronously
+        toWrite.write.mode("append").parquet(storePath)
+      }
+      .start()
+  }
 }

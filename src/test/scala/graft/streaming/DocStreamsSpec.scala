@@ -98,6 +98,48 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaNarrow == viaAgg)
   }
 
+  test("upsertIntoStore: first arrival wins per id, later batches only append new ids") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-store-inc").toString + "/store"
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source", "n_chars")
+    val q = DocStreams.upsertIntoStore(stream, storeDir)
+    try {
+      // batch 1: two docs under source A, one under B
+      mem.addData(
+        (1L, "alpha beta gamma delta", "srcA", 22L),
+        (2L, "epsilon zeta eta theta", "srcB", 22L))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(storeDir)
+        .select("id", "doc_id").as[(String, Long)].collect().toMap
+      assert(after1 == Map("srcA_chunk_0" -> 1L, "srcB_chunk_0" -> 2L))
+      // batch 2: doc 3 COLLIDES with srcA_chunk_0 (same source) →
+      // must NOT replace doc 1's row; doc 4 brings a new id
+      mem.addData(
+        (3L, "iota kappa lambda mu", "srcA", 20L),
+        (4L, "nu xi omicron pi", "srcC", 16L))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(storeDir)
+        .select("id", "doc_id").as[(String, Long)].collect().toMap
+      assert(after2 == Map(
+        "srcA_chunk_0" -> 1L,  // original row survived the collision
+        "srcB_chunk_0" -> 2L,
+        "srcC_chunk_0" -> 4L))
+      // the store serves the batch retrieval surface unchanged
+      val emb = graft.vector.HashingEmbedder(64)
+      val store = spark.read.parquet(storeDir)
+      val qdf = emb.embed(
+        Seq(("epsilon zeta", 0)).toDF("query_text", "query_id"),
+        textCol = "query_text", out = "q_embedding")
+      val top = graft.vector.VectorOps.topK(store, qdf, 1,
+          tiebreak = Seq(col("doc_id"), col("chunk_index")))
+        .select("doc_id").as[Long].head()
+      assert(top == 2L)
+    } finally q.stop()
+  }
+
   test("streaming chunker parity: FixedChunker over a MemoryStream equals batch") {
     // the chunker is a stateless generate+project (no window, no
     // aggregate), so the SAME transform runs unchanged on a stream in
