@@ -50,6 +50,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(md5s(1L) != md5s(3L))
   }
 
+  test("property: repeatedSpans equals an independent in-memory reference") {
+    // small vocab so 3-gram repeats actually occur; the reference
+    // recomputes duplicated positions and islands from scratch
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    for (_ <- 1 to 5) {
+      val corpus = (0 until 8).map { id =>
+        val n = 4 + rnd.nextInt(12)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val n = 3
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val gramCount = scala.collection.mutable.Map[Seq[String], Int]()
+      for ((_, ts) <- toks; g <- ts.sliding(n) if g.length == n)
+        gramCount(g) = gramCount.getOrElse(g, 0) + 1
+      val expected = (for ((id, ts) <- toks) yield {
+        val dupPos = (0 to ts.length - n)
+          .filter(p => gramCount(ts.slice(p, p + n)) > 1)
+        // islands of consecutive positions → (start, len)
+        val spans = dupPos.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+          case (acc, p)                          => (p, p) :: acc
+        }.map { case (s, e) => (id, s, e - s + n) }
+        spans
+      }).flatten.toSet
+      val got = Dedup.repeatedSpans(corpus.toDF("doc_id", "text"), n)
+        .select("doc_id", "tok_start", "tok_len")
+        .as[(Long, Int, Int)].collect().toSet
+      assert(got == expected, s"corpus: $corpus")
+    }
+  }
+
   test("exact dedup finds byte-identical groups and keeps min id") {
     val d = docs(1L -> "same text", 2L -> "same text", 3L -> "other")
     val g = Dedup.exactDupGroups(d).collect()
