@@ -1200,6 +1200,34 @@ object Oracles {
          |FROM pt JOIN vocab USING (term) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // windowed PMI collocations: +1/+2 offset joins for pairs, then
+    // ln((c_ab/Np) / ((c_a/Nt)*(c_b/Nt))) mirroring the Column tree
+    "q_pmi_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS tok
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '$RE') AS ts
+         |        FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u
+         |), pairs AS (
+         |  SELECT least(l.tok, r.tok) AS a, greatest(l.tok, r.tok) AS b
+         |  FROM toks l
+         |  JOIN (SELECT unnest([1, 2]) AS d) ds ON true
+         |  JOIN toks r ON r.doc_id = l.doc_id AND r.pos = l.pos + ds.d
+         |), pc AS (
+         |  SELECT a, b, CAST(count(*) AS DOUBLE) AS c_ab FROM pairs GROUP BY a, b
+         |), uc AS (
+         |  SELECT tok, CAST(count(*) AS DOUBLE) AS c_t FROM toks GROUP BY tok
+         |), np AS (SELECT sum(c_ab) AS n_pairs FROM pc
+         |), nt AS (SELECT sum(c_t) AS n_toks FROM uc)
+         |SELECT pc.a, pc.b, CAST(pc.c_ab AS BIGINT) AS n_cooc,
+         |       round(ln((pc.c_ab / np.n_pairs) /
+         |             ((ua.c_t / nt.n_toks) * (ub.c_t / nt.n_toks))), 6) AS pmi
+         |FROM pc
+         |JOIN uc ua ON ua.tok = pc.a
+         |JOIN uc ub ON ub.tok = pc.b
+         |CROSS JOIN np CROSS JOIN nt
+         |ORDER BY pc.a, pc.b""".stripMargin,
+
     // tf·idf keywords over the shared BM25 index frames (the CTE's
     // query-side members are simply unused here)
     "q_tfidf_keywords" ->

@@ -902,6 +902,43 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Windowed PMI collocations — pointwise mutual information of
+    * unordered token pairs co-occurring within ±2 positions (Church &
+    * Hanks 1990, public knowledge): the classic corpus-analysis
+    * signal for multi-word expressions and template boilerplate.
+    * Pair generation is an OFFSET JOIN, not a per-doc cross join:
+    * each position joins its +1 and +2 neighbors on (doc_id, pos+d) —
+    * two narrow equi-joins' worth of rows through one shuffle, the
+    * same binning discipline as the range join. PMI =
+    * ln((c_ab/Np) / ((c_a/Nt)·(c_b/Nt))), rounded before ordering. */
+  def q_pmi_pairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(Tok.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+    val right = toks.select(col("doc_id"), col("pos").as("rpos"),
+      col("tok").as("rtok"))
+    val pairs = toks
+      .withColumn("d", explode(sequence(lit(1), lit(2))))
+      .withColumn("rpos", col("pos") + col("d"))
+      .join(right, Seq("doc_id", "rpos"))
+      .select(least(col("tok"), col("rtok")).as("a"),
+        greatest(col("tok"), col("rtok")).as("b"))
+    val pc = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("double").as("c_ab"))
+    val uc = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("c_t"))
+    val np = pc.agg(sum(col("c_ab")).as("n_pairs"))
+    val nt = uc.agg(sum(col("c_t")).as("n_toks"))
+    pc.join(uc.select(col("tok").as("a"), col("c_t").as("c_a")), "a")
+      .join(uc.select(col("tok").as("b"), col("c_t").as("c_b")), "b")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nt))
+      .select(col("a"), col("b"), col("c_ab").cast("long").as("n_cooc"),
+        round(log((col("c_ab") / col("n_pairs")) /
+          ((col("c_a") / col("n_toks")) * (col("c_b") / col("n_toks")))), 6)
+          .as("pmi"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** TF-IDF keyword extraction — top-3 characteristic terms per
     * document by tf·ln(N/df), rounded before ranking, (score desc,
     * term) tiebreak: the classic per-document keyword surface.
