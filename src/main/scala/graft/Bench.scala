@@ -100,7 +100,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.map(JsonText.quote).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"errors":$errJson,"loadavg_before":${JsonText.quote(loadBefore)},"loadavg_after":${JsonText.quote(loadAfter)},"reruns":$rr,"queries":$qs,"sf":"$sfDir"}"""
+    // self_contained_runs: since r7 the cache is cleared between the
+    // min-of-3 runs, so queries that persist intermediates rebuild
+    // them EVERY run — numbers are comparable run-to-run but read
+    // higher than pre-r7 artifacts, where runs 2-3 reused run 1's
+    // cache (q_minhash_verified 1.26 -> 2.49 is this, not code)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"self_contained_runs":true,"errors":$errJson,"loadavg_before":${JsonText.quote(loadBefore)},"loadavg_after":${JsonText.quote(loadAfter)},"reruns":$rr,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also land the whole line in a file: the committed BENCH_r04.json
     // was a stdout `tail` capture that truncated away 10 queries and
