@@ -2529,6 +2529,113 @@ object Oracles {
          |                  || '): ' || text, e'\\n\\n' ORDER BY rank) AS context
          |FROM r WHERE rank <= 5 GROUP BY query_id ORDER BY query_id""".stripMargin,
 
+    // hybrid flagship: the q_rag_e2e store (first-wins upsert),
+    // enumerated by row_number over id (== the distributed prefix
+    // sum), then dense lattice-cosine and BM25-over-chunks candidate
+    // lists at depth 10, RRF-fused (1/(60+rank), round 6), top-5,
+    // cited context
+    "q_rag_e2e_hybrid" ->
+      s"""$chunkCte
+         |, ids AS (
+         |  SELECT doc_id, source, chunk_index, text,
+         |         source || '_chunk_' || CAST(chunk_index AS VARCHAR) AS id
+         |  FROM ch
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY source || '_chunk_' || CAST(chunk_index AS VARCHAR)
+         |    ORDER BY doc_id, chunk_index) = 1
+         |), st AS (
+         |  SELECT doc_id, source, chunk_index, text, id,
+         |         row_number() OVER (ORDER BY id) - 1 AS vec_id
+         |  FROM ids
+         |), cb AS (
+         |  SELECT vec_id,
+         |         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 8 AS INTEGER) AS bucket
+         |  FROM (SELECT vec_id, unnest(regexp_extract_all(text, '$RE')) AS t FROM st)
+         |), cnt AS (
+         |  SELECT vec_id, bucket, CAST(count(*) AS BIGINT) AS c FROM cb GROUP BY 1, 2
+         |), cn AS (
+         |  SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS nn FROM cnt GROUP BY 1
+         |), q AS (
+         |  SELECT * FROM (VALUES (CAST(0 AS INTEGER), 'join hash window stream'),
+         |                        (CAST(1 AS INTEGER), 'sort merge filter vector'),
+         |                        (CAST(2 AS INTEGER), 'spark query scan batch'))
+         |    AS v(query_id, qtext)
+         |), qb AS (
+         |  SELECT query_id,
+         |         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 8 AS INTEGER) AS bucket
+         |  FROM (SELECT query_id, unnest(regexp_extract_all(qtext, '$RE')) AS t FROM q)
+         |), qc AS (
+         |  SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS c FROM qb GROUP BY 1, 2
+         |), qn AS (
+         |  SELECT query_id, CAST(sum(c * c) AS BIGINT) AS nn FROM qc GROUP BY 1
+         |), dt AS (
+         |  SELECT b.query_id, a.vec_id, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         |  FROM cnt a JOIN qc b USING (bucket) GROUP BY 1, 2
+         |), dsc AS (
+         |  SELECT q.query_id, s.vec_id,
+         |         CAST(coalesce(dt.dot, 0) AS DOUBLE)
+         |           / (sqrt(cn.nn) * sqrt(qn.nn)) AS cos
+         |  FROM st s CROSS JOIN q
+         |  JOIN cn ON cn.vec_id = s.vec_id
+         |  JOIN qn ON qn.query_id = q.query_id
+         |  LEFT JOIN dt ON dt.query_id = q.query_id AND dt.vec_id = s.vec_id
+         |), dr AS (
+         |  SELECT query_id, vec_id, rn AS rank FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS rn
+         |    FROM dsc) WHERE rn <= 10
+         |), p0 AS (
+         |  SELECT vec_id AS doc_id, unnest(regexp_extract_all(lower(text), '$RE')) AS term
+         |  FROM st
+         |), postings AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM p0 GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+         |), dfreq AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1
+         |), qt AS (
+         |  SELECT DISTINCT query_id, term FROM (
+         |    SELECT query_id, unnest(regexp_extract_all(lower(qtext), '$RE')) AS term FROM q)
+         |), lsc AS (
+         |  SELECT qt.query_id, p.doc_id,
+         |         round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+         |           (p.tf * (1.2 + 1.0) /
+         |            (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)))), 6) AS score
+         |  FROM postings p
+         |  JOIN qt ON p.term = qt.term
+         |  JOIN dfreq f ON f.term = p.term
+         |  JOIN dl d ON d.doc_id = p.doc_id
+         |  CROSS JOIN stats s
+         |  GROUP BY 1, 2
+         |), lr AS (
+         |  SELECT query_id, doc_id, rn AS rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY score DESC, doc_id) AS rn
+         |    FROM lsc) WHERE rn <= 10
+         |), pooled AS (
+         |  SELECT query_id, vec_id AS doc_id, 1.0 / (60.0 + rank) AS contrib FROM dr
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM lr
+         |), fused AS (
+         |  SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+         |  FROM pooled GROUP BY 1, 2
+         |), fr AS (
+         |  SELECT query_id, doc_id, rn AS rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY rrf DESC, doc_id) AS rn
+         |    FROM fused) WHERE rn <= 5
+         |)
+         |SELECT fr.query_id,
+         |       string_agg('Source [' || CAST(fr.rank AS VARCHAR) || '] (' || s.source
+         |                  || '): ' || s.text, e'\\n\\n' ORDER BY fr.rank) AS context
+         |FROM fr JOIN st s ON s.vec_id = fr.doc_id
+         |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
     "q_context_assembly" ->
       s"""$chunkCte
          |, r AS (

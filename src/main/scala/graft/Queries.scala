@@ -154,6 +154,20 @@ object Queries {
       ragE2eQueries, "simple", graft.vector.LatticeEmbedder(8), "brute")
       .orderBy(col("query_id"))
 
+  /** The flagship pipeline with HYBRID retrieval hash-checked end to
+    * end: the same chunk → embed → upsert store slice as
+    * [[q_rag_e2e]], then dense (lattice cosine) and lexical (BM25
+    * over the chunk texts) candidate lists at depth 2k fused by
+    * reciprocal rank (1/(60+rank)), top-5, cited context. The oracle
+    * replays store enumeration (prefix sum ≡ row_number over id),
+    * both ranked lists and the fusion — every ranking either on
+    * exact-integer-derived doubles (dense) or round-6 scores
+    * (BM25, RRF). */
+  def q_rag_e2e_hybrid(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.RagPipeline.run(s, t(s, dir, "documents"),
+      ragE2eQueries, "simple", graft.vector.LatticeEmbedder(8), "hybrid")
+      .orderBy(col("query_id"))
+
   // ===== vector retrieval (V/J6/W1 series) =====
 
   /** Flagship: top-5 cosine neighbors for 3 query vectors taken from

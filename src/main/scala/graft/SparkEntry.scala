@@ -34,6 +34,7 @@ object SparkEntry {
     "q_chunk_semantic_corpus" -> (Queries.q_chunk_semantic_corpus _),
     // flagship pipeline, end to end
     "q_rag_e2e" -> (Queries.q_rag_e2e _),
+    "q_rag_e2e_hybrid" -> (Queries.q_rag_e2e_hybrid _),
     // vector retrieval
     "q_topk_cosine" -> (Queries.q_topk_cosine _),
     "q_topk_many" -> (Queries.q_topk_many _),
