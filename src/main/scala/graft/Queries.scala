@@ -687,12 +687,13 @@ object Queries {
     * form both engines compute identically. */
   def q_minhash_verified(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // persisted: consumed by BOTH pair sides (same rationale as
-    // q_contamination — tokenize+shingle once, not once per side)
+    // persisted: consumed by the candidate generator AND both verify
+    // sides (same rationale as q_contamination — tokenize+shingle
+    // once, not once per consumer)
     val shs = docs.filter(trim(col("text")) =!= "")
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.minhashCandidates(docs)
+    Dedup.minhashCandidatesOf(shs)
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

@@ -170,7 +170,21 @@ object Dedup {
     * emit candidate pairs from same-bucket docs. Bucket fan-out is
     * bounded by near-dup cluster size, not corpus size. */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 8,
-      bands: Int = 4, shingleN: Int = 3): DataFrame = {
+      bands: Int = 4, shingleN: Int = 3): DataFrame =
+    minhashCandidatesOf(
+      docs
+        // equivalent to tokenCount>0 (any non-space char tokenizes)
+        // but avoids a second regexp_extract_all pass per row
+        .filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), shingles(col("text"), shingleN).as("sh")),
+      numHashes, bands)
+
+  /** [[minhashCandidates]] over an already-shingled `(doc_id,
+    * sh: array<string>)` frame — lets a caller that ALSO needs the
+    * shingle arrays (the verify join, the KMV sketch) compute and
+    * persist the shingle pass once instead of once per consumer. */
+  def minhashCandidatesOf(shingled: DataFrame, numHashes: Int = 8,
+      bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0)
     val rpb = numHashes / bands
     // Row-wise shape instead of nested lambdas: explode shingles once,
@@ -180,11 +194,8 @@ object Dedup {
     // it spills, parallelizes per row, and avoids the multi-second
     // codegen compile that deep nested HOFs trigger (CollapseProject
     // re-inlines projection barriers, so staging selects don't help).
-    val sh = docs
-      // equivalent to tokenCount>0 (any non-space char tokenizes) but
-      // avoids a second regexp_extract_all pass per row
-      .filter(trim(col("text")) =!= "")
-      .select(col("doc_id"), explode(shingles(col("text"), shingleN)).as("shingle"))
+    val sh = shingled
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val minCols = (0 until numHashes).map(s =>
       min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"h$s"))
     val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
