@@ -61,11 +61,13 @@ object Bench {
           failed = true
           errors += s"$name: ${e.getClass.getName}: ${String.valueOf(e.getMessage)}"
         }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         // each run self-contained: queries that persist intermediates
         // must rebuild them per run, and the cache can't accumulate
-        // across the catalog sweep
+        // across the catalog sweep — but teardown happens OUTSIDE the
+        // timed region, so the artifact records query cost only
         spark.sharedState.cacheManager.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        elapsed
       }
       // a failing query's near-zero wall time must NOT enter the map or
       // the total — a partially-broken run would otherwise compare

@@ -1650,7 +1650,7 @@ object Oracles {
       }
       s"""WITH words AS (
          |  SELECT doc_id, w FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
          |  WHERE w <> ''
          |), wc AS (
          |  SELECT w, count(*) AS c FROM words GROUP BY w

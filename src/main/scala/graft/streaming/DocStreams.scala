@@ -81,6 +81,14 @@ object DocStreams {
     * anti-join against the store's id column — no store-wide shuffle,
     * no rewrite.
     *
+    * Store existence is resolved through the Hadoop FileSystem of
+    * `storePath` (not `java.io.File`), so the first-wins anti-join
+    * fires on HDFS/S3 paths too. Caveat: foreachBatch + parquet
+    * append is at-least-once — a batch RETRY after a partial write
+    * can re-append rows the failed attempt already landed (exactly-
+    * once needs a transactional table format underneath); re-reads of
+    * the store remain first-wins because consumers dedup on id.
+    *
     * Returns the StreamingQuery; the store lives at `storePath` as
     * plain parquet readable by the batch retrieval surface. */
   def upsertIntoStore(docs: DataFrame, storePath: String,
@@ -95,8 +103,10 @@ object DocStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val fresh = graft.pipeline.RagPipeline.buildStore(batch, strategy, embedder)
+        val hPath = new org.apache.hadoop.fs.Path(storePath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val toWrite =
-          if (new java.io.File(storePath).exists()) {
+          if (fs.exists(hPath)) {
             val existing = spark.read.parquet(storePath).select(col("id"))
             fresh.join(existing, Seq("id"), "left_anti")
           } else fresh

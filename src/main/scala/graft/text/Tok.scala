@@ -74,7 +74,7 @@ object Tok {
   def countStarts(starts: Array[Int], from: Int, to: Int): Int =
     lowerBound(starts, to) - lowerBound(starts, from)
 
-  private def lowerBound(a: Array[Int], key: Int): Int = {
+  private[text] def lowerBound(a: Array[Int], key: Int): Int = {
     val i = java.util.Arrays.binarySearch(a, key)
     if (i >= 0) i else -(i + 1)
   }

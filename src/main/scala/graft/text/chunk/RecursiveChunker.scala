@@ -67,11 +67,26 @@ case class RecursiveChunker(
           }.toVector
         }
       case _ =>
-        // terminal fallback: hard character windows (a "token" longer
-        // than the budget — cannot happen with Tok's 1-char symbols,
-        // kept for totality)
-        (start until end by math.max(chunkSize, 1))
-          .map(a => (a, math.min(a + chunkSize, end))).toVector
+        // terminal fallback: windows of chunkSize TOKENS whose edges
+        // SNAP to entries of `starts` — a raw character window could
+        // cut mid-token (e.g. a separator-free comma-joined region),
+        // and then chunkDoc's countStarts token_length and a
+        // re-tokenization of the substring would disagree for the
+        // same chunk. Cutting only at token starts keeps the cut
+        // invariant every other path guarantees. Unreachable with the
+        // default separator list (regions with > chunkSize of Tok's
+        // ≥1-char tokens always contain a space or symbol cut), kept
+        // total for custom separator lists.
+        val lo = Tok.lowerBound(starts, start)
+        val hi = Tok.lowerBound(starts, end)
+        val step = math.max(chunkSize, 1)
+        if (hi - lo <= step) Vector((start, end))
+        else {
+          val cuts = ((lo + step) until hi by step).map(starts(_)).toVector
+          ((start +: cuts) :+ end).sliding(2).collect {
+            case Seq(a, b) if a < b => (a, b)
+          }.toVector
+        }
     }
   }
 

@@ -149,7 +149,11 @@ object Ivf {
         .filter(col("vec_id") < nCells).orderBy(col("vec_id"))
         .select(col("qv")).collect()
         .map(_.getAs[scala.collection.Seq[Int]](0).map(_.toDouble).toArray)
-      require(cents.nonEmpty, "boundedIndex needs vec_ids 0..nCells-1 present")
+      // ALL of 0..nCells-1 must exist: a sparse id range would shift
+      // every later centroid index and silently mis-key cells (the
+      // oracle assumes cell c was seeded from vec_id c)
+      require(cents.length == nCells,
+        s"boundedIndex needs vec_ids 0..${nCells - 1} present, found ${cents.length}")
       val dim = cents(0).length
       for (_ <- 1 to rounds) {
         // bounded driver aggregate: nCells rows × dim exact integer sums

@@ -67,6 +67,27 @@ class RecursiveChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("terminal fallback cuts on token boundaries (separator-free text)") {
+    // > chunkSize tokens with NO listed separator (commas, no spaces)
+    // → the recursion exhausts every separator and hits the terminal
+    // fallback. Edges must snap to token starts so token_length
+    // (countStarts in chunkDoc) equals a re-tokenization of the text.
+    val text = (1 to 600).map(i => s"w$i").mkString(",")
+    val r = ck.chunkDoc(1, "s", text)
+    assert(r.length > 1, "fallback must still split an oversize region")
+    r.foreach { c =>
+      assert(c.text == text.substring(c.start, c.end))
+      assert(c.token_length == Tok.count(c.text),
+        s"chunk ${c.chunk_index}: countStarts ${c.token_length} != re-tokenized ${Tok.count(c.text)}")
+      assert(c.token_length <= ck.chunkSize)
+    }
+    assert(r.head.start == 0 && r.last.end == text.length)
+    r.sliding(2).foreach {
+      case Seq(a, b) => assert(b.start == a.end, "fallback windows are contiguous")
+      case _ =>
+    }
+  }
+
   test("property: random word docs — budget + offset invariants hold") {
     val wordGen = Gen.oneOf("spark", "table", "scan", "merge", "row",
       "key", "agg", "window.", "batch?", "stream!")
