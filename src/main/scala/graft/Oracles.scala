@@ -32,6 +32,101 @@ object Oracles {
        |)""".stripMargin
 
   /** Shared CTE: token 3-gram distinct shingles per doc. */
+  /** Corpus-wide semantic-chunker replay (engine pipeline op for op:
+    * `block`-word min-split → `dim`-bucket md5 integer-count
+    * embeddings → adjacent cosine distances (exact-integer dot/norm²)
+    * → one-pass 4096-bin histogram threshold with break target
+    * `totalToks // avg − nDocs` → lag-break → running-sum segments →
+    * min/max merge + re-slice). Valid whenever every fixture word is
+    * a single regex token joined by single spaces — then the engine's
+    * RecursiveChunker min-split at budget `block` is exactly
+    * `block`-word blocks (verified corpus-wide since r7). Shared by
+    * the lattice corpus twin (10/8/25) and, since r8, the PRODUCTION
+    * row (50/64/300) — the chunker now derives distances from the
+    * pre-normalization counts twin, so both rows are the same SQL at
+    * different parameters. */
+  private def semanticCorpusSql(block: Int, dim: Int, avg: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text FROM documents
+       |), wlist AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM d
+       |), w AS (
+       |  SELECT doc_id, wi, ws[wi] AS word, len(ws) AS nw,
+       |         CAST((wi - 1) // $block AS INTEGER) AS pi
+       |  FROM (SELECT doc_id, ws,
+       |          CAST(unnest(generate_series(1, len(ws))) AS INTEGER) AS wi
+       |        FROM wlist)
+       |), wo AS (
+       |  SELECT doc_id, wi, word, nw, pi,
+       |         CAST(coalesce(sum(length(word) + 1) OVER (PARTITION BY doc_id
+       |           ORDER BY wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS INTEGER) AS wstart,
+       |         CAST(coalesce(sum(length(word) + 1) OVER (PARTITION BY doc_id
+       |           ORDER BY wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           + length(word) + CASE WHEN wi < nw THEN 1 ELSE 0 END
+       |           AS INTEGER) AS wend
+       |  FROM w
+       |), pieces AS (
+       |  SELECT doc_id, pi, min(wstart) AS pstart, max(wend) AS pend,
+       |         CAST(count(*) AS INTEGER) AS toks,
+       |         max(pi) OVER (PARTITION BY doc_id) AS maxpi
+       |  FROM wo GROUP BY doc_id, pi
+       |), cnt AS (
+       |  SELECT doc_id, pi,
+       |         CAST(CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) % $dim AS INTEGER) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM w GROUP BY 1, 2, 3
+       |), n2 AS (
+       |  SELECT doc_id, pi, CAST(sum(c * c) AS BIGINT) AS nn FROM cnt GROUP BY 1, 2
+       |), dt AS (
+       |  SELECT a.doc_id, a.pi, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+       |  FROM cnt a JOIN cnt b ON b.doc_id = a.doc_id AND b.pi = a.pi + 1
+       |    AND b.bucket = a.bucket
+       |  GROUP BY 1, 2
+       |), dists AS (
+       |  SELECT p.doc_id, p.pi, p.pstart, p.pend, p.toks,
+       |         CASE WHEN p.pi < p.maxpi THEN
+       |           1.0 - coalesce(dt.dot, 0) / (sqrt(na.nn) * sqrt(nb.nn))
+       |         END AS dist
+       |  FROM pieces p
+       |  LEFT JOIN dt ON dt.doc_id = p.doc_id AND dt.pi = p.pi
+       |  JOIN n2 na ON na.doc_id = p.doc_id AND na.pi = p.pi
+       |  LEFT JOIN n2 nb ON nb.doc_id = p.doc_id AND nb.pi = p.pi + 1
+       |), tgt AS (
+       |  SELECT greatest(0, (SELECT sum(toks) FROM dists) // $avg
+       |                  - (SELECT count(*) FROM dists WHERE dist IS NULL)) AS target
+       |), thr AS (
+       |  SELECT min(ts.t) * (2.0 / 4096) AS threshold
+       |  FROM (SELECT unnest(generate_series(0, 4096)) AS t) ts
+       |  WHERE (SELECT count(*) FROM dists
+       |         WHERE dist IS NOT NULL
+       |           AND CAST(greatest(least(floor(dist / (2.0 / 4096)), 4095), 0) AS INTEGER) >= ts.t)
+       |        <= (SELECT target FROM tgt)
+       |), brk AS (
+       |  SELECT doc_id, pi, pstart, pend,
+       |         CASE WHEN lag(dist) OVER (PARTITION BY doc_id ORDER BY pi)
+       |                > (SELECT threshold FROM thr)
+       |              THEN 1 ELSE 0 END AS b
+       |  FROM dists
+       |), seg AS (
+       |  SELECT doc_id, pi, pstart, pend,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY pi
+       |           ROWS UNBOUNDED PRECEDING) AS segment
+       |  FROM brk
+       |), m AS (
+       |  SELECT doc_id, segment, min(pstart) AS mstart, max(pend) AS mend
+       |  FROM seg GROUP BY 1, 2
+       |)
+       |SELECT m.doc_id, d.source, CAST(m.segment AS INTEGER) AS chunk_index,
+       |       substr(d.text, m.mstart + 1, m.mend - m.mstart) AS text,
+       |       m.mstart AS start, m.mend AS "end",
+       |       CAST(length(substr(d.text, m.mstart + 1, m.mend - m.mstart)) AS INTEGER) AS char_length,
+       |       CAST(len(regexp_extract_all(
+       |         substr(d.text, m.mstart + 1, m.mend - m.mstart), '$RE')) AS INTEGER) AS token_length,
+       |       'semantic' AS strategy
+       |FROM m JOIN d ON d.doc_id = m.doc_id
+       |ORDER BY m.doc_id, chunk_index""".stripMargin
+
   private def shingleCte(filter: String): String =
     s"""WITH t AS (
        |  SELECT doc_id, regexp_extract_all(text, '$RE') AS toks
@@ -2244,87 +2339,15 @@ object Oracles {
     // the histogram threshold replays the engine's one-pass selection
     // corpus-wide (bins 4096 over [0,2], target = totalToks // 25 −
     // nDocs), then lag-break → running-sum segments → min/max merge
-    "q_chunk_semantic_corpus" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, source, text FROM documents
-         |), wlist AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM d
-         |), w AS (
-         |  SELECT doc_id, wi, ws[wi] AS word, len(ws) AS nw,
-         |         CAST((wi - 1) // 10 AS INTEGER) AS pi
-         |  FROM (SELECT doc_id, ws,
-         |          CAST(unnest(generate_series(1, len(ws))) AS INTEGER) AS wi
-         |        FROM wlist)
-         |), wo AS (
-         |  SELECT doc_id, wi, word, nw, pi,
-         |         CAST(coalesce(sum(length(word) + 1) OVER (PARTITION BY doc_id
-         |           ORDER BY wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |           AS INTEGER) AS wstart,
-         |         CAST(coalesce(sum(length(word) + 1) OVER (PARTITION BY doc_id
-         |           ORDER BY wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |           + length(word) + CASE WHEN wi < nw THEN 1 ELSE 0 END
-         |           AS INTEGER) AS wend
-         |  FROM w
-         |), pieces AS (
-         |  SELECT doc_id, pi, min(wstart) AS pstart, max(wend) AS pend,
-         |         CAST(count(*) AS INTEGER) AS toks,
-         |         max(pi) OVER (PARTITION BY doc_id) AS maxpi
-         |  FROM wo GROUP BY doc_id, pi
-         |), cnt AS (
-         |  SELECT doc_id, pi,
-         |         CAST(CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) % 8 AS INTEGER) AS bucket,
-         |         CAST(count(*) AS BIGINT) AS c
-         |  FROM w GROUP BY 1, 2, 3
-         |), n2 AS (
-         |  SELECT doc_id, pi, CAST(sum(c * c) AS BIGINT) AS nn FROM cnt GROUP BY 1, 2
-         |), dt AS (
-         |  SELECT a.doc_id, a.pi, CAST(sum(a.c * b.c) AS BIGINT) AS dot
-         |  FROM cnt a JOIN cnt b ON b.doc_id = a.doc_id AND b.pi = a.pi + 1
-         |    AND b.bucket = a.bucket
-         |  GROUP BY 1, 2
-         |), dists AS (
-         |  SELECT p.doc_id, p.pi, p.pstart, p.pend, p.toks,
-         |         CASE WHEN p.pi < p.maxpi THEN
-         |           1.0 - coalesce(dt.dot, 0) / (sqrt(na.nn) * sqrt(nb.nn))
-         |         END AS dist
-         |  FROM pieces p
-         |  LEFT JOIN dt ON dt.doc_id = p.doc_id AND dt.pi = p.pi
-         |  JOIN n2 na ON na.doc_id = p.doc_id AND na.pi = p.pi
-         |  LEFT JOIN n2 nb ON nb.doc_id = p.doc_id AND nb.pi = p.pi + 1
-         |), tgt AS (
-         |  SELECT greatest(0, (SELECT sum(toks) FROM dists) // 25
-         |                  - (SELECT count(*) FROM dists WHERE dist IS NULL)) AS target
-         |), thr AS (
-         |  SELECT min(ts.t) * (2.0 / 4096) AS threshold
-         |  FROM (SELECT unnest(generate_series(0, 4096)) AS t) ts
-         |  WHERE (SELECT count(*) FROM dists
-         |         WHERE dist IS NOT NULL
-         |           AND CAST(greatest(least(floor(dist / (2.0 / 4096)), 4095), 0) AS INTEGER) >= ts.t)
-         |        <= (SELECT target FROM tgt)
-         |), brk AS (
-         |  SELECT doc_id, pi, pstart, pend,
-         |         CASE WHEN lag(dist) OVER (PARTITION BY doc_id ORDER BY pi)
-         |                > (SELECT threshold FROM thr)
-         |              THEN 1 ELSE 0 END AS b
-         |  FROM dists
-         |), seg AS (
-         |  SELECT doc_id, pi, pstart, pend,
-         |         sum(b) OVER (PARTITION BY doc_id ORDER BY pi
-         |           ROWS UNBOUNDED PRECEDING) AS segment
-         |  FROM brk
-         |), m AS (
-         |  SELECT doc_id, segment, min(pstart) AS mstart, max(pend) AS mend
-         |  FROM seg GROUP BY 1, 2
-         |)
-         |SELECT m.doc_id, d.source, CAST(m.segment AS INTEGER) AS chunk_index,
-         |       substr(d.text, m.mstart + 1, m.mend - m.mstart) AS text,
-         |       m.mstart AS start, m.mend AS "end",
-         |       CAST(length(substr(d.text, m.mstart + 1, m.mend - m.mstart)) AS INTEGER) AS char_length,
-         |       CAST(len(regexp_extract_all(
-         |         substr(d.text, m.mstart + 1, m.mend - m.mstart), '$RE')) AS INTEGER) AS token_length,
-         |       'semantic' AS strategy
-         |FROM m JOIN d ON d.doc_id = m.doc_id
-         |ORDER BY m.doc_id, chunk_index""".stripMargin,
+    "q_chunk_semantic_corpus" -> semanticCorpusSql(block = 10, dim = 8, avg = 25),
+
+    // the PRODUCTION semantic row: since r8 the chunker derives its
+    // adjacent distances from the PRE-normalization integer counts of
+    // HashingEmbedder(64) (cosine is scale-invariant — no breakpoint
+    // moves), so the same corpus replay applies at the reference's
+    // params: min-split budget 50 → 50-word blocks on this fixture,
+    // 64 md5 buckets, avg 300
+    "q_chunk_semantic" -> semanticCorpusSql(block = 50, dim = 64, avg = 300),
 
     "q_chunk_semantic_crafted" -> {
       val n = Queries.semanticCraftedParas.length

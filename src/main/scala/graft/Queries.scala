@@ -102,11 +102,15 @@ object Queries {
   }
 
   /** C3 — semantic chunker with the production embedder and reference
-    * params (composite; rows-only check — float-precision replay of
-    * the NORMALIZED embedder in SQL is genuinely fragile; the
-    * algorithm is hash-pinned at corpus scale by
-    * [[q_chunk_semantic_corpus]] and on the crafted doc by
-    * [[q_chunk_semantic_crafted]]). */
+    * params, HASH-CHECKED since r8: the chunker derives its adjacent
+    * cosine distances from the PRE-normalization integer counts twin
+    * of [[graft.vector.HashingEmbedder]] (cosine is scale-invariant,
+    * so no breakpoint can move), which makes every distance
+    * exact-integer-derived — the same corpus replay as
+    * [[q_chunk_semantic_corpus]], at params (50, 64, 300). The
+    * lattice twins ([[q_chunk_semantic_corpus]],
+    * [[q_chunk_semantic_crafted]]) keep pinning the segmentation at
+    * parameters where breaks actually fire. */
   def q_chunk_semantic(s: SparkSession, dir: String): DataFrame =
     SemanticChunker().chunk(t(s, dir, "documents"))
       .orderBy(col("doc_id"), col("chunk_index"))
@@ -1754,10 +1758,10 @@ object Queries {
     * ([[graft.vector.LatticeEmbedder]]): raw md5-bucket counts, no
     * normalization, so every dot/norm² is exact integer arithmetic
     * and the cosine distances are bit-identical in DuckDB regardless
-    * of summation order. The corpus-wide [[q_chunk_semantic]] stays
-    * rows-only (float-precision replay of the NORMALIZED production
-    * embedder in SQL is genuinely fragile — r4 assessment stands);
-    * this entry hash-checks the same code path with exact arithmetic. */
+    * of summation order. Since r8 the production row rides the same
+    * trick (distances from the counts twin), so every semantic row is
+    * hash-checked; this crafted entry keeps a human-readable fixture
+    * where the topic transitions are visible by eye. */
   def q_chunk_semantic_crafted(s: SparkSession, dir: String): DataFrame = {
     val doc = semanticCraftedParas.mkString("\n\n")
     import s.implicits._

@@ -41,7 +41,12 @@ case class SemanticChunker(
     // from the parent document, so the cached distances frame stays
     // narrow — per ~50-token piece just ids, offsets, token count and
     // one double, not the piece text (which would dominate the cache).
-    val withDist = embedder.embed(pieces)
+    // Distances come from the PRE-normalization counts twin
+    // (countsEmbedder): cosine is scale-invariant, so no breakpoint
+    // can move — but with integer counts every dot/norm² is exact and
+    // the whole threshold/segmentation pipeline is bit-replayable in
+    // oracle SQL even for the normalized production embedder.
+    val withDist = embedder.countsEmbedder.embed(pieces)
       .withColumn("next_emb", lead(col("embedding"), 1).over(w))
       .withColumn("dist",
         when(col("next_emb").isNotNull,

@@ -16,6 +16,14 @@ import graft.text.Tok
 trait Embedder extends Serializable {
   def dim: Int
   def embedOne(text: String): Array[Float]
+  /** The PRE-normalization twin of this embedder, when one exists:
+    * same direction per vector, unscaled components. Consumers that
+    * only take cosine RATIOS (e.g. the semantic chunker's adjacent
+    * distances) may embed with this instead — the ratios are
+    * mathematically identical, and when the twin is integer-valued
+    * ([[LatticeEmbedder]]) they become exact-arithmetic-derived and
+    * bit-replayable in oracle SQL. Defaults to `this` (no twin). */
+  def countsEmbedder: Embedder = this
   /** Adds an `embedding: array<float>` column derived from `textCol`:
     * one default UDF wrapper over [[embedOne]] (null text → zero
     * vector) shared by every implementation, so null handling can
@@ -37,6 +45,10 @@ trait Embedder extends Serializable {
   */
 case class HashingEmbedder(dim: Int = 64) extends Embedder {
   def bucket(token: String): Int = HashingEmbedder.bucket(token, dim)
+
+  /** Dropping the L2 normalization leaves the raw integer counts —
+    * exactly [[LatticeEmbedder]] at the same dim. */
+  override def countsEmbedder: Embedder = LatticeEmbedder(dim)
 
   def embedOne(text: String): Array[Float] = {
     val v = new Array[Float](dim)
