@@ -327,13 +327,13 @@ object Ann {
         FloatVecExpr.normF(col("embedding")).as("nrm")), "vec_id")
       .select(col("query_id"), col("vec_id"), col("rank"),
         col("cos_sim").as("rel"), col("embedding"), col("nrm"))
-    // materialize the candidate set ONCE — it is BOUNDED by
-    // construction (≤ depth × |queries| rows, the context budget);
-    // left lazy, every greedy round's plan would re-run the
-    // corpus-wide seeding top-k (measured as ~all of the runtime)
-    val spark = corpus.sparkSession
-    val cand = spark.createDataFrame(
-      java.util.Arrays.asList(candPlan.collect(): _*), candPlan.schema)
+    // materialize the candidate set ONCE, but keep it DISTRIBUTED:
+    // localCheckpoint truncates the lineage so no greedy round
+    // re-runs the corpus-wide seeding top-k (measured as ~all of the
+    // runtime when left lazy), without collecting depth × |queries|
+    // embedding rows through the driver — at a 1M-query batch the
+    // old collect-to-LocalRelation form was a driver-memory wall
+    val cand = candPlan.localCheckpoint(eager = true)
     var selected = cand.filter(col("rank") === 1)
       .select(col("query_id"), col("vec_id"),
         lit(1).as("rank"), col("rel").as("score"))

@@ -158,10 +158,17 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
     val plain = Ann.bruteTopK(corpus, q, 3)
       .orderBy("rank").select("vec_id").as[Long].collect().toSeq
     assert(plain == Seq(10L, 11L, 12L))
-    val mmr = Ann.mmrTopK(corpus, q, k = 3, depth = 4, lambda = 0.5)
+    val mmrDf = Ann.mmrTopK(corpus, q, k = 3, depth = 4, lambda = 0.5)
+    val mmr = mmrDf
       .orderBy("rank").select("vec_id").as[Long].collect().toSeq
     assert(mmr.head == 10L, s"rank 1 must stay the relevance argmax: $mmr")
     assert(mmr(1) == 12L, s"rank 2 must be the diverse hit, not the near-dup: $mmr")
+    // the candidate set must stay DISTRIBUTED (localCheckpoint), not
+    // collected through the driver into a LocalTableScan of embeddings
+    // — at a 1M-query batch that collect is a driver-memory wall
+    val plan = mmrDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      s"mmr plan materializes candidates driver-side:\n${plan.take(2000)}")
   }
 
   test("lshNearDup with dim-derived bucket length matches brute on constructed dups") {
