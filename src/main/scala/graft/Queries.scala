@@ -373,14 +373,23 @@ object Queries {
     * 2-round k-means over int8-quantized vectors whose centroid
     * updates are exact-integer sums (order-free), so DuckDB unrolls
     * the identical two rounds and replays probe + fine search bit for
-    * bit. The driver-sample Lloyd's fit ([[vector.Ivf.index]]) stays
-    * pinned by q_topk_ivf_crafted / q_topk_ivf_indexed. */
+    * bit. Since r8 the row SERVES from the memoized saved index
+    * ([[vector.Ivf.ensureSavedBoundedIndex]]): the rounds+1-scan fit
+    * runs once per JVM, every later call is a cell-pruned read of the
+    * `partitionBy("cell")` layout — the build-once/serve-many split
+    * of a persistent vector store, now proven for the distributed fit
+    * too (scores bit-identical to the in-memory path, so the oracle
+    * is unchanged). The driver-sample Lloyd's fit
+    * ([[vector.Ivf.index]]) stays pinned by q_topk_ivf_crafted /
+    * q_topk_ivf_indexed. */
   def q_topk_ivf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-    val (assigned, centroids) = vector.Ivf.boundedIndex(emb, nCells = 8, rounds = 2)
-    vector.Ivf.topK(assigned, centroids, queries, 5, nProbe = 2)
+    val path = vector.Ivf.ensureSavedBoundedIndex(emb, nCells = 8,
+      rounds = 2, cacheKey = s"ivf-bounded-$dir")
+    val (diskCorpus, centroids) = vector.Ivf.loadIndex(s, path)
+    vector.Ivf.topKIndexed(diskCorpus, centroids, queries, 5, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
   }
 

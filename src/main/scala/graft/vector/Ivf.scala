@@ -308,4 +308,27 @@ object Ivf {
         })
       }
     }
+
+  /** [[ensureSavedIndex]] for the DISTRIBUTED [[boundedIndex]] fit:
+    * the `rounds + 1` corpus scans of the k-means run ONCE per cache
+    * key per JVM, then every serve is a cell-pruned read of the
+    * persisted `partitionBy("cell")` layout ([[topKIndexed]]) — the
+    * build/serve split a persistent vector store actually runs
+    * (fit offline, probe online), applied to the oracle-replayable
+    * fit. Floats and the double centroids round-trip parquet
+    * losslessly, and serve shares [[fineSearch]]'s Column trees with
+    * the in-memory path, so served scores are bit-identical. */
+  def ensureSavedBoundedIndex(corpus: DataFrame, nCells: Int,
+      rounds: Int, cacheKey: String): String =
+    savedIndexes.get(cacheKey) match {
+      case Some(p) => p
+      case None => savedIndexes.synchronized {
+        savedIndexes.getOrElseUpdate(cacheKey, {
+          val p = graft.io.TempDirs.create("graft-ivf-bidx")
+          val (assigned, cents) = boundedIndex(corpus, nCells, rounds)
+          saveIndex(assigned, cents, p)
+          p
+        })
+      }
+    }
 }

@@ -141,6 +141,29 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
       s"no static cell IN (...) partition filter on the loaded index scan:\n${plan.take(2500)}")
   }
 
+  test("ensureSavedBoundedIndex: served scores bit-identical to the in-memory bounded fit") {
+    // vec_ids 0..n-1 contiguous — boundedIndex seeds cells from the
+    // nCells lowest ids, so the corpus() helper fixture qualifies
+    val df = corpus(50, 0).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val (assigned, cents) = Ivf.boundedIndex(df, nCells = 4, rounds = 2)
+    val inMem = Ivf.topK(assigned, cents, q, 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val path = Ivf.ensureSavedBoundedIndex(df, nCells = 4, rounds = 2,
+      cacheKey = "annivf-spec-bounded")
+    // memo: same key serves the same path, no refit
+    assert(Ivf.ensureSavedBoundedIndex(df, nCells = 4, rounds = 2,
+      cacheKey = "annivf-spec-bounded") == path)
+    val (loaded, loadedCents) = Ivf.loadIndex(spark, path)
+    assert(loadedCents.zip(cents).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) },
+      "double centroids must round-trip parquet losslessly")
+    val served = Ivf.topKIndexed(loaded, loadedCents, q, 3, nProbe = 2)
+    assert(served.collect().map(_.toSeq).toSet == inMem,
+      "saved bounded-index serve must score bit-identically to the in-memory fit")
+  }
+
   test("mmrTopK: a near-duplicate of the rank-1 hit is demoted below a diverse hit") {
     import spark.implicits._
     // A' is A scaled (same direction: sim(A, A') = 1 exactly, rel
