@@ -67,6 +67,18 @@ object Tok {
     b.result()
   }
 
+  /** Tokens AND their start offsets in ONE matcher pass — for
+    * kernels that need both the strings (e.g. hash bucketing) and
+    * offset slicing ([[countStarts]]-style) without tokenizing the
+    * document twice. */
+  def tokensAndStarts(s: String): (Array[String], Array[Int]) = {
+    val m = compiled.matcher(s)
+    val ts = Array.newBuilder[String]
+    val st = new scala.collection.mutable.ArrayBuilder.ofInt
+    while (m.find()) { ts += m.group(); st += m.start() }
+    (ts.result(), st.result())
+  }
+
   /** #tokens starting in `[from, to)` over a [[tokenStarts]] array —
     * equals [[countRegion]] whenever region edges do not split a
     * token (the chunker cut invariant: cuts land only at separator

@@ -32,29 +32,49 @@ case class SemanticChunker(
   override val strategy = "semantic"
 
   def chunk(docs: DataFrame): DataFrame = {
-    val pieces = RecursiveChunker(chunkSize = minChunkTokens, overlap = 0)
-      .chunk(docs)
-      .select(col("doc_id"), col("source"), col("chunk_index"),
-        col("text"), col("start"), col("end"), col("token_length"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_index"))
-    // `text` is dropped before the cache: the merged output re-slices
-    // from the parent document, so the cached distances frame stays
-    // narrow — per ~50-token piece just ids, offsets, token count and
-    // one double, not the piece text (which would dominate the cache).
     // Distances come from the PRE-normalization counts twin
     // (countsEmbedder): cosine is scale-invariant, so no breakpoint
     // can move — but with integer counts every dot/norm² is exact and
     // the whole threshold/segmentation pipeline is bit-replayable in
     // oracle SQL even for the normalized production embedder.
-    val withDist = embedder.countsEmbedder.embed(pieces)
-      .withColumn("next_emb", lead(col("embedding"), 1).over(w))
-      .withColumn("dist",
-        when(col("next_emb").isNotNull,
-          lit(1.0) - FloatVecExpr.dotF(col("embedding"), col("next_emb")) /
-            (FloatVecExpr.normF(col("embedding")) * FloatVecExpr.normF(col("next_emb"))))
-          .otherwise(lit(null)))
-      .drop("embedding", "next_emb", "text")
-      .cache()
+    //
+    // For the md5-bucket count family the min-split, bucketing AND
+    // adjacent distances fuse into ONE per-document kernel
+    // ([[SemanticChunker.pieceDists]]): the document tokenizes once,
+    // each token buckets once, and no piece text, embedding array or
+    // pre-cache `lead` window exchange ever materializes — the old
+    // form re-tokenized every ~minChunkTokens-piece inside the embed
+    // UDF and shuffled the pieces just to pair neighbours that the
+    // kernel produces adjacently anyway. Other embedders keep the
+    // generic compose (min-split → embed UDF → lead window + V2).
+    // Either way the cached frame is narrow: per piece just ids,
+    // offsets, token count and one double.
+    val withDist = (embedder.countsEmbedder match {
+      case graft.vector.LatticeEmbedder(d) =>
+        val ck = RecursiveChunker(chunkSize = minChunkTokens, overlap = 0)
+        val f = udf((text: String) => SemanticChunker.pieceDists(ck, d, text))
+        docs
+          .select(col("doc_id"), col("source"),
+            posexplode(f(col("text"))).as(Seq("chunk_index", "__p")))
+          .select(col("doc_id"), col("source"), col("chunk_index"),
+            col("__p.start").as("start"), col("__p.end").as("end"),
+            col("__p.token_length").as("token_length"),
+            col("__p.dist").as("dist"))
+      case countsEmb =>
+        val pieces = RecursiveChunker(chunkSize = minChunkTokens, overlap = 0)
+          .chunk(docs)
+          .select(col("doc_id"), col("source"), col("chunk_index"),
+            col("text"), col("start"), col("end"), col("token_length"))
+        countsEmb.embed(pieces)
+          .withColumn("next_emb", lead(col("embedding"), 1).over(w))
+          .withColumn("dist",
+            when(col("next_emb").isNotNull,
+              lit(1.0) - FloatVecExpr.dotF(col("embedding"), col("next_emb")) /
+                (FloatVecExpr.normF(col("embedding")) * FloatVecExpr.normF(col("next_emb"))))
+              .otherwise(lit(null)))
+          .drop("embedding", "next_emb", "text")
+    }).cache()
 
     try {
       // Threshold selection in ONE distributed pass instead of a
@@ -126,5 +146,65 @@ case class SemanticChunker(
           Tok.tokenCount(col("text")).as("token_length"),
           lit(strategy).as("strategy"))
     } finally withDist.unpersist()
+  }
+}
+
+/** One min-split piece with its distance to the NEXT piece of the
+  * same document (None for the doc's last piece). */
+case class PieceDist(start: Int, end: Int, token_length: Int,
+    dist: Option[Double])
+
+object SemanticChunker {
+  import graft.vector.HashingEmbedder
+
+  /** The fused per-document kernel: min-split offsets (the C2
+    * split/merge at overlap 0), per-piece `dim`-bucket integer count
+    * vectors, and adjacent cosine distances — all from ONE
+    * tokenization pass. Arithmetic mirrors the Column form
+    * (`1.0 − dotF/(normF·normF)`) operation for operation: products
+    * and sums accumulate in Double in ascending dimension order over
+    * exactly-representable integer counts, so the distances are
+    * bit-identical to the generic embed-then-window path and to the
+    * DuckDB oracle replay. */
+  private[chunk] def pieceDists(ck: RecursiveChunker, dim: Int,
+      text: String): Seq[PieceDist] = {
+    if (text == null || text.isEmpty) return Nil
+    val (toks, starts) = Tok.tokensAndStarts(text)
+    val offs =
+      ck.merge(text, ck.fragments(text, 0, text.length, ck.separators, starts), starts)
+    if (offs.isEmpty) return Nil
+    val n = offs.length
+    // bucket each token ONCE (md5 memo-backed)
+    val buckets = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) { buckets(i) = HashingEmbedder.bucket(toks(i), dim); i += 1 }
+    val counts = Array.ofDim[Int](n, dim)
+    val tokLen = new Array[Int](n)
+    var p = 0
+    while (p < n) {
+      val (a, b) = offs(p)
+      val lo = Tok.lowerBound(starts, a)
+      val hi = Tok.lowerBound(starts, b)
+      tokLen(p) = hi - lo
+      var t = lo
+      while (t < hi) { counts(p)(buckets(t)) += 1; t += 1 }
+      p += 1
+    }
+    (0 until n).map { k =>
+      val dist =
+        if (k + 1 >= n) None
+        else {
+          val a = counts(k); val b = counts(k + 1)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var j = 0
+          while (j < dim) {
+            val x = a(j).toDouble; val y = b(j).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            j += 1
+          }
+          Some(1.0 - dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
+      PieceDist(offs(k)._1, offs(k)._2, tokLen(k), dist)
+    }
   }
 }
