@@ -1008,6 +1008,33 @@ object Oracles {
          |       round(CAST(shared AS DOUBLE) / (n_test + n_train - shared), 4) AS jaccard
          |FROM jn WHERE shared >= 2 ORDER BY test_id, train_id""".stripMargin,
 
+    // removal half: q_contamination's >= 2-shared pairs aggregated per
+    // train doc, left-joined back to the full train corpus — keep=0
+    // exactly for colliding docs, kept content pinned by md5
+    "q_decontaminate" ->
+      s"""${shingleCte("")}
+         |, ex AS (
+         |  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+         |), test AS (
+         |  SELECT doc_id AS test_id, shingle FROM ex WHERE doc_id % 50 = 0
+         |), train AS (
+         |  SELECT doc_id AS train_id, shingle FROM ex WHERE doc_id % 50 != 0
+         |), jn AS (
+         |  SELECT test_id, train_id, CAST(count(*) AS INTEGER) AS shared
+         |  FROM train JOIN test USING (shingle)
+         |  GROUP BY 1, 2
+         |), hits AS (
+         |  SELECT train_id AS doc_id, CAST(count(*) AS INTEGER) AS n_test_matches
+         |  FROM jn WHERE shared >= 2 GROUP BY 1
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(h.n_test_matches, 0) AS n_test_matches,
+         |       CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS keep,
+         |       CASE WHEN h.doc_id IS NULL THEN md5(d.text) ELSE '' END AS content_md5
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id % 50 != 0
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_bm25_topk" ->
       s"""$bm25RankedCte
          |SELECT query_id, rank, doc_id, score FROM ranked

@@ -1720,6 +1720,32 @@ object Queries {
       .orderBy(col("test_id"), col("train_id"))
   }
 
+  /** Decontamination REMOVAL — the q_substr_dedup analog for
+    * train/test overlap: detection ([[q_contamination]]'s ≥2-shared-
+    * shingle pairs) composed with the drop decision a pretraining
+    * pipeline actually executes. One row per TRAIN document: how many
+    * held-out documents it collides with, the keep/drop verdict, and
+    * the kept content's md5 ('' when dropped) — so the cleaned
+    * corpus is pinned byte for byte, not just counted. Scale shape is
+    * q_contamination's (eval side broadcast, corpus shingles never
+    * shuffle) plus one aggregate on the matching pairs and a
+    * left-anti-style join back to the corpus — the removal itself
+    * adds no corpus-wide exchange. */
+  def q_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val hits = q_contamination(s, dir)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_test_matches"))
+    t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_test_matches", coalesce(col("n_test_matches"), lit(0)))
+      .withColumn("keep", (col("n_test_matches") === 0).cast("int"))
+      .withColumn("content_md5",
+        when(col("keep") === 1, md5(col("text"))).otherwise(lit("")))
+      .select(col("doc_id"), col("n_test_matches"), col("keep"),
+        col("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C2 oracle-checked — the recursive chunker's split/merge/overlap
     * machinery on a crafted multi-paragraph document with a token
     * budget small enough to force real work (the corpus-wide

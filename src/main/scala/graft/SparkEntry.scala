@@ -95,6 +95,7 @@ object SparkEntry {
     "q_dup_clusters" -> (Queries.q_dup_clusters _),
     "q_dup_clusters_embedding" -> (Queries.q_dup_clusters_embedding _),
     "q_contamination" -> (Queries.q_contamination _),
+    "q_decontaminate" -> (Queries.q_decontaminate _),
     "q_bm25_topk" -> (Queries.q_bm25_topk _),
     "q_bm25_indexed" -> (Queries.q_bm25_indexed _),
     "q_hybrid_rrf" -> (Queries.q_hybrid_rrf _),
