@@ -140,6 +140,74 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("upsertIntoStore: TWO maintenance epochs with near-dup re-deliveries — store and retrieval equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-store-epoch").toString + "/store"
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source", "n_chars")
+    val q = DocStreams.upsertIntoStore(stream, storeDir)
+    try {
+      // epoch 1: two singleton batches
+      mem.addData((1L, "alpha beta gamma delta", "srcA", 22L))
+      q.processAllAvailable()
+      mem.addData((2L, "epsilon zeta eta theta", "srcB", 22L))
+      q.processAllAvailable()
+      // epoch 2: a NEAR-DUP re-delivery (id collision srcA_chunk_0,
+      // lightly edited text) interleaved with a genuinely new doc,
+      // then an EXACT re-delivery in a later batch — both collisions
+      // must lose to the epoch-1 first arrival
+      mem.addData(
+        (3L, "alpha beta gamma delt", "srcA", 21L),
+        (4L, "nu xi omicron pi", "srcC", 16L))
+      q.processAllAvailable()
+      mem.addData((5L, "alpha beta gamma delta", "srcA", 22L))
+      q.processAllAvailable()
+
+      // batch twin: buildStore over the first-arrival-per-id doc set
+      val kept = Seq(
+        (1L, "alpha beta gamma delta", "srcA", 22L),
+        (2L, "epsilon zeta eta theta", "srcB", 22L),
+        (4L, "nu xi omicron pi", "srcC", 16L))
+        .toDF("doc_id", "text", "source", "n_chars")
+      val batchStore = graft.pipeline.RagPipeline.buildStore(kept, "simple")
+      val colNames = batchStore.columns.sorted.toSeq
+      val incStore = spark.read.parquet(storeDir)
+      val inc = incStore.select(colNames.map(col): _*)
+        .collect().map(_.toSeq).toSet
+      val bat = batchStore.select(colNames.map(col): _*)
+        .collect().map(_.toSeq).toSet
+      assert(inc == bat,
+        s"incremental store after two epochs must equal the batch store:\ninc=$inc\nbat=$bat")
+
+      // retrieval parity on the serving surfaces: brute cosine AND the
+      // ANN path over the enumerated store (the saved-index fit's
+      // deterministic twin) must rank identically from either store
+      val emb = graft.vector.HashingEmbedder(64)
+      val qdf = emb.embed(
+        Seq(("epsilon zeta", 0), ("omicron pi nu", 1))
+          .toDF("query_text", "query_id"),
+        textCol = "query_text", out = "q_embedding")
+      def bruteTop(store: org.apache.spark.sql.DataFrame) =
+        graft.vector.VectorOps.topK(store, qdf, 2,
+            tiebreak = Seq(col("doc_id"), col("chunk_index")))
+          .select("query_id", "rank", "id", "cos_sim")
+          .collect().map(_.toSeq).toSet
+      assert(bruteTop(incStore) == bruteTop(batchStore))
+      def annTop(store: org.apache.spark.sql.DataFrame) = {
+        val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
+          store, col("id"), lit(1L), "vec_id")
+        val (assigned, cents) = graft.vector.Ivf.boundedIndex(
+          indexed, nCells = 2, rounds = 1)
+        graft.vector.Ivf.topK(assigned, cents, qdf, 2, nProbe = 2)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(annTop(incStore) == annTop(batchStore),
+        "IVF retrieval over the maintained store must match the batch store")
+    } finally q.stop()
+  }
+
   test("streaming chunker parity: FixedChunker over a MemoryStream equals batch") {
     // the chunker is a stateless generate+project (no window, no
     // aggregate), so the SAME transform runs unchanged on a stream in
