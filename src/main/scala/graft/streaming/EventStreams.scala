@@ -81,6 +81,33 @@ object EventStreams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Stream-stream EVENT-TIME join — [[graft.Queries.q_funnel]]'s
+    * A→B-within-t pair stage as a watermarked join of two live
+    * streams (the one Structured Streaming surface the aggregation /
+    * dedup / mapGroupsWithState operators don't cover): views ⋈
+    * purchases on `user_id`, the purchase constrained to
+    * `(view_ts, view_ts + windowed interval]`. BOTH sides carry
+    * watermarks and the time bound is two-sided, so Spark can compute
+    * how long a buffered row can still find a partner — state is
+    * bounded by watermark delay + join interval, and a row arriving
+    * past that horizon is DROPPED rather than buffered forever (the
+    * bounded-state trade, pinned in StreamingSpec). The same
+    * function runs unchanged on batch frames (watermarks are no-ops
+    * there), which is how the spec proves stream == batch. Emits one
+    * row per qualifying (view, purchase) pair; the per-user
+    * conversion rollup is a downstream aggregate. */
+  def funnelPairs(views: DataFrame, purchases: DataFrame,
+      delay: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("view_ts", delay)
+    val b = purchases.withColumnRenamed("user_id", "buy_user_id")
+      .withWatermark("buy_ts", delay)
+    v.join(b,
+        col("user_id") === col("buy_user_id") &&
+          col("buy_ts") > col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .drop("buy_user_id")
+  }
+
   /** Structured Streaming form of [[hourlyByType]]: parquet-backed
     * stream with a watermark over a directory of (µs-timestamped)
     * event parquet. The caller starts/controls the query (memory sink

@@ -119,6 +119,90 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream funnel join: pairs equal batch; past-horizon rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val vMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val bMem = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = EventStreams.funnelPairs(
+      vMem.toDF().toDF("user_id", "view_id", "view_ts"),
+      bMem.toDF().toDF("user_id", "buy_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_join_out").start()
+    try {
+      // batch 1: u1 converts within the hour; u2's purchase is 90 min
+      // out — inside no join window, so no pair
+      vMem.addData((1L, 101L, ts("2024-01-01 10:00:00")),
+        (2L, 102L, ts("2024-01-01 10:00:00")))
+      bMem.addData((1L, ts("2024-01-01 10:30:00")),
+        (2L, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      // batch 2: a second conversion much later — advances the global
+      // watermark (min of both sides) to 13:00/13:10 − 1 h
+      vMem.addData((3L, 103L, ts("2024-01-01 14:00:00")))
+      bMem.addData((3L, ts("2024-01-01 14:10:00")))
+      q.processAllAvailable()
+      // batch 3: a LATE re-delivery of a 10:00-era view and a
+      // matching purchase — both sit hours behind the watermark's
+      // join horizon, so the engine DROPS them instead of buffering:
+      // no third pair may appear
+      vMem.addData((1L, 109L, ts("2024-01-01 10:00:00")))
+      bMem.addData((1L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_join_out")
+        .select(col("user_id"), col("view_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("vt"),
+          date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("bt"))
+        .as[(Long, Long, String, String)].collect().toSet
+      // the same contract through the BATCH form: funnelPairs over the
+      // ON-TIME rows (watermarks are no-ops on batch frames)
+      val expected = EventStreams.funnelPairs(
+          Seq((1L, 101L, ts("2024-01-01 10:00:00")),
+            (2L, 102L, ts("2024-01-01 10:00:00")),
+            (3L, 103L, ts("2024-01-01 14:00:00")))
+            .toDF("user_id", "view_id", "view_ts"),
+          Seq((1L, ts("2024-01-01 10:30:00")),
+            (2L, ts("2024-01-01 11:30:00")),
+            (3L, ts("2024-01-01 14:10:00")))
+            .toDF("user_id", "buy_ts"))
+        .select(col("user_id"), col("view_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("vt"),
+          date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("bt"))
+        .as[(Long, Long, String, String)].collect().toSet
+      assert(got == expected, s"stream pairs $got != batch pairs $expected")
+      assert(got.map(_._2) == Set(101L, 103L),
+        s"exactly the two on-time conversions must pair: $got")
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1, s"the past-horizon re-deliveries must be dropped, got $dropped")
+    } finally q.stop()
+  }
+
+  test("batch funnelPairs rolls up to exactly q_funnel on the fixture") {
+    // ties the streaming join's batch twin to the ORACLE-checked
+    // funnel row: rolling the pair stage up per user reproduces
+    // q_funnel byte for byte on the real events table
+    val ev = Tables.events(spark, sf)
+    val pairs = EventStreams.funnelPairs(
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("buy_ts")))
+    val rolled = pairs.groupBy(col("user_id"))
+      .agg(countDistinct(col("view_id")).as("converted_views"),
+        date_format(min(col("view_ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("first_converted_view"))
+      .orderBy(col("user_id"))
+      .collect().map(_.toSeq).toSeq
+    val funnel = graft.Queries.q_funnel(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(rolled == funnel && rolled.nonEmpty)
+  }
+
   test("sessionize: gap splits sessions; counts are per user") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
