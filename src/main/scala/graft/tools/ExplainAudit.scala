@@ -54,7 +54,12 @@ object ExplainAudit {
     // the MMR greedy re-rank
     "q_rag_e2e", "q_brp_keys", "q_near_dup_lsh", "q_topk_ivf",
     "q_chunk_recursive", "q_chunk_semantic_corpus", "q_substr_spans",
-    "q_topk_mmr")
+    "q_topk_mmr",
+    // round 8: the production semantic row (fused per-doc kernel —
+    // min-split + bucket + distance in ONE generator, no pre-cache
+    // window exchange), and the decontamination removal (broadcast
+    // eval side, pair aggregate, left join back)
+    "q_chunk_semantic", "q_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
