@@ -775,6 +775,24 @@ object Oracles {
         |  AND b.buy_ts > v.view_ts AND b.buy_ts <= v.view_ts + INTERVAL 1 HOUR
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
 
+    // the pair stage of the funnel (the stream-stream join's batch
+    // twin) — same join predicate as q_funnel, no rollup
+    "q_funnel_pairs" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         date_trunc('microseconds', ts) AS ts
+        |  FROM events
+        |), v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |         FROM ev WHERE event_type = 'view'
+        |), b AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts
+        |         FROM ev WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.view_id, b.buy_id,
+        |       strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+        |       strftime(b.buy_ts, '%Y-%m-%d %H:%M:%S') AS buy_time
+        |FROM v JOIN b ON v.user_id = b.user_id
+        |  AND b.buy_ts > v.view_ts AND b.buy_ts <= v.view_ts + INTERVAL 1 HOUR
+        |ORDER BY v.user_id, v.view_id, b.buy_id""".stripMargin,
+
     // range-join semantics via the independent naive non-equi form
     "q_range_join" ->
       """SELECT e.event_id, w.event_id AS window_id

@@ -1308,6 +1308,30 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** The funnel PAIR stage as its own hash row — the batch twin of
+    * [[graft.streaming.EventStreams.funnelPairs]], the stream-stream
+    * event-time join whose watermarked form StreamingSpec pins
+    * (stream == batch, past-horizon drops): one row per
+    * (view, purchase-within-1h) pair. [[q_funnel]] checks the
+    * rollup; this row checks the join stage itself, so the streaming
+    * operator's exact output surface is oracle-pinned too. Same
+    * scale shape: the only shuffle keys on user_id, the time window
+    * rides as a residual predicate. */
+  def q_funnel_pairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.streaming.EventStreams.funnelPairs(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("buy_id"),
+            col("ts").as("buy_ts")))
+      .select(col("user_id"), col("view_id"), col("buy_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_time"),
+        date_format(col("buy_ts"), "yyyy-MM-dd HH:mm:ss").as("buy_time"))
+      .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
   /** Tumbling-hour aggregate per event type. */
   def q_events_hourly(s: SparkSession, dir: String): DataFrame =
     EventStreams.hourlyByType(Tables.events(s, dir))

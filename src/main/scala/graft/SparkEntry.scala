@@ -123,6 +123,7 @@ object SparkEntry {
     // events
     "q_events_hourly" -> (Queries.q_events_hourly _),
     "q_funnel" -> (Queries.q_funnel _),
+    "q_funnel_pairs" -> (Queries.q_funnel_pairs _),
     "q_events_sliding" -> (Queries.q_events_sliding _),
     "q_sessions" -> (Queries.q_sessions _),
     // multimodal

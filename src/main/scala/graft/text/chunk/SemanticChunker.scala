@@ -74,9 +74,15 @@ case class SemanticChunker(
                 (FloatVecExpr.normF(col("embedding")) * FloatVecExpr.normF(col("next_emb"))))
               .otherwise(lit(null)))
           .drop("embedding", "next_emb", "text")
-    }).cache()
+      // MEMORY_AND_DISK persist, freed by Spark's LRU (q_contamination
+      // precedent): the frame is consumed TWICE — the eager histogram
+      // collect below and the lazily-returned segmentation plan — and
+      // an eager unpersist on return (the pre-r8 form) un-cached it
+      // between the two, silently re-running the whole split+distance
+      // kernel at consume time
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    try {
+    {
       // Threshold selection in ONE distributed pass instead of a
       // maxIter-deep binary search (each probe was a full count job):
       // histogram the distances on a fixed grid of 2^maxIter bins over
@@ -145,7 +151,7 @@ case class SemanticChunker(
           length(col("text")).as("char_length"),
           Tok.tokenCount(col("text")).as("token_length"),
           lit(strategy).as("strategy"))
-    } finally withDist.unpersist()
+    }
   }
 }
 
