@@ -685,10 +685,19 @@ object Queries {
         concat_ws("", Dedup.minhashSignatureOf(col("sh"), 4)).as("sig"))
       .orderBy(col("doc_id"))
 
-  /** MinHash LSH candidate pairs. */
-  def q_minhash_candidates(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(t(s, dir, "documents"))
+  /** MinHash LSH candidate pairs, served from the saved signature
+    * index ([[Dedup.ensureSavedSignatureIndex]]): the tokenize →
+    * shingle → md5-min corpus pass runs ONCE per corpus per JVM and
+    * lands as a (doc_id, band keys, shingles) parquet; every serve
+    * after is the band-key self-join over the saved keys — the same
+    * build/serve split as q_bm25_indexed and q_topk_ivf, applied to
+    * dedup. Values (and the DuckDB oracle) are identical to the
+    * recomputing [[Dedup.minhashCandidates]] form. */
+  def q_minhash_candidates(s: SparkSession, dir: String): DataFrame = {
+    val path = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir)
+    Dedup.candidatesFromIndex(s.read.parquet(path))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** The complete minhash pipeline ending — banded candidates
     * CONFIRMED by exact shingle-Jaccard (candidate/verify): the
@@ -699,14 +708,13 @@ object Queries {
     * Union size via |A| + |B| − |A∩B| (arrays are distinct), the
     * form both engines compute identically. */
   def q_minhash_verified(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    // persisted: consumed by the candidate generator AND both verify
-    // sides (same rationale as q_contamination — tokenize+shingle
-    // once, not once per consumer)
-    val shs = docs.filter(trim(col("text")) =!= "")
-      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.minhashCandidatesOf(shs)
+    // served from the saved signature index: candidates come from the
+    // stored band keys, the exact-Jaccard verify fetches the STORED
+    // shingle arrays per side — the whole row runs without a single
+    // tokenize pass (the index pays it once per corpus)
+    val path = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir)
+    val shs = s.read.parquet(path)
+    Dedup.candidatesFromIndex(shs)
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -1080,8 +1088,10 @@ object Queries {
   def q_corpus_filter(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val scored = TextAnalysis.withQuality(TextAnalysis.withDetectedLang(docs))
+    val sigPath = Dedup.ensureSavedSignatureIndex(docs, dir)
     val clusters = graft.dedup.Clusters
-      .canonicalize(docs, Dedup.minhashCandidates(docs))
+      .canonicalize(docs,
+        Dedup.candidatesFromIndex(s.read.parquet(sigPath)))
       .select(col("doc_id"), col("is_canonical"))
     scored.join(clusters, Seq("doc_id"), "left")
       .withColumn("reason",
@@ -1689,7 +1699,9 @@ object Queries {
     * by recursive transitive closure. */
   def q_dup_clusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    graft.dedup.Clusters.canonicalize(docs, Dedup.minhashCandidates(docs))
+    val path = Dedup.ensureSavedSignatureIndex(docs, dir)
+    graft.dedup.Clusters.canonicalize(docs,
+        Dedup.candidatesFromIndex(s.read.parquet(path)))
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 

@@ -219,6 +219,86 @@ object Dedup {
       .distinct()
   }
 
+  // ===== saved signature index (build-once / serve-many) =====
+
+  /** Materialize the MinHash signature index: one row per non-blank
+    * document with its distinct shingle array (`sh`) and its `bands`
+    * LSH band keys (`bks`). The tokenize → shingle → md5-min
+    * signature pass is the expensive part of every minhash consumer
+    * (candidates, verify, clustering, corpus filter); a real corpus
+    * computes it ONCE per ingest and serves every downstream dedup
+    * decision from the saved table — the same build/serve split as
+    * [[graft.text.Bm25.saveIndex]] and [[graft.vector.Ivf]].
+    *
+    * Band keys are value-identical to [[minhashCandidatesOf]]'s
+    * aggregate pipeline (same min over md5(seed|shingle), same
+    * per-band concat), so candidates served from the index hash-match
+    * the recomputing form and the DuckDB oracle. At 100 TB the index
+    * is a (doc_id, shingle hashes, 4 short keys) table — a small
+    * constant factor of the corpus, append-mergeable per ingest
+    * batch. */
+  def saveSignatureIndex(docs: DataFrame, path: String, numHashes: Int = 8,
+      bands: Int = 4, shingleN: Int = 3): Unit = {
+    require(numHashes % bands == 0)
+    val rpb = numHashes / bands
+    val shingled = docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sh = shingled.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val minCols = (0 until numHashes).map(s =>
+        min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"h$s"))
+      val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bandKeys = (0 until bands).map(b =>
+        concat((b * rpb until (b + 1) * rpb).map(s => col(s"h$s")): _*))
+      sig.select(col("doc_id"), array(bandKeys: _*).as("bks"))
+        .join(shingled, "doc_id")
+        .write.mode("overwrite").parquet(path)
+    } finally shingled.unpersist()
+  }
+
+  /** Single-flight memo over [[saveSignatureIndex]], keyed by caller
+    * key + parameters (same contract and staleness caveat as
+    * [[graft.text.Bm25.ensureSavedIndex]]: callers must change the
+    * key when the corpus behind it changes; the catalog keys by the
+    * immutable fixture directory). First caller pays the corpus
+    * pass; every later consumer — candidate generation, verify,
+    * clustering, the corpus filter — reads the parquet. */
+  private val savedSigIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureSavedSignatureIndex(docs: DataFrame, cacheKey: String,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3): String = {
+    val key = s"$cacheKey|$numHashes|$bands|$shingleN"
+    savedSigIndexes.get(key) match {
+      case Some(p) => p
+      case None => savedSigIndexes.synchronized {
+        savedSigIndexes.getOrElseUpdate(key, {
+          val p = graft.io.TempDirs.create("graft-minhash-idx")
+          saveSignatureIndex(docs, p, numHashes, bands, shingleN)
+          p
+        })
+      }
+    }
+  }
+
+  /** Candidate pairs served from a saved signature index (`doc_id`,
+    * `bks`, `sh`): posexplode the band keys and self-join — the
+    * identical join to [[minhashCandidatesOf]], minus the signature
+    * recompute. Column pruning drops `sh` from this branch, so the
+    * scan reads two thin columns. */
+  def candidatesFromIndex(idx: DataFrame): DataFrame = {
+    val banded = idx.select(col("doc_id"),
+        posexplode(col("bks")).as(Seq("band", "band_key")))
+      .repartition(col("band"), col("band_key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** (doc_id, band, band_key) via the NARROW per-row signature form
     * (array HOFs, no groupBy) — value-identical keys to the aggregate
     * pipeline inside [[minhashCandidates]] (same min over

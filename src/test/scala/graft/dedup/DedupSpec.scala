@@ -132,6 +132,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)))
   }
 
+  test("saved signature index serves the exact recomputed candidate set") {
+    // the build/serve split must be invisible in the values: pairs
+    // from candidatesFromIndex over a saved index == the recomputing
+    // minhashCandidates pipeline, and the stored shingle arrays match
+    // the live shingles() column (the verify join depends on both)
+    val base = "spark table scan merge row key agg window batch stream " * 5
+    val d = docs(
+      1L -> base, 2L -> (base + "tail"),
+      3L -> "totally different content here x y z", 4L -> " ")
+    val dir = java.nio.file.Files.createTempDirectory("sigidx").toString
+    Dedup.saveSignatureIndex(d, dir)
+    val idx = spark.read.parquet(dir)
+    val served = Dedup.candidatesFromIndex(idx)
+      .as[(Long, Long)].collect().toSet
+    val recomputed = Dedup.minhashCandidates(d).as[(Long, Long)].collect().toSet
+    assert(served == recomputed)
+    val storedSh = idx.select(col("doc_id"), col("sh")).as[(Long, Seq[String])]
+      .collect().toMap
+    val liveSh = d.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(storedSh == liveSh)
+    assert(!storedSh.contains(4L)) // blank docs excluded, like the live path
+  }
+
   test("ngram jaccard: identical docs → 1.0; disjoint docs absent") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y z w v u")
     val j = Dedup.ngramJaccard(d).collect()
