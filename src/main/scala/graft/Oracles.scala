@@ -1694,6 +1694,32 @@ object Oracles {
          |SELECT doc_id, lang, bucket FROM b WHERE bucket < thr
          |ORDER BY doc_id""".stripMargin,
 
+    // α=0.5 temperature mixing: integer microweights m=floor(√n·1e6)
+    // sum exactly (order-free), weight/quota are one IEEE double op
+    // each from exact ints, selection is md5-ranked per language
+    "q_temperature_mix" ->
+      """WITH src AS (
+        |  SELECT lang, count(*) AS n_lang,
+        |         CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS m
+        |  FROM documents GROUP BY lang
+        |), tot AS (SELECT CAST(sum(m) AS BIGINT) AS mm FROM src),
+        |wq AS (
+        |  SELECT lang, CAST(n_lang AS INTEGER) AS n_lang,
+        |         round(CAST(m AS DOUBLE) / mm, 6) AS weight,
+        |         CAST(floor((250.0 * m) / mm) AS INTEGER) AS quota
+        |  FROM src, tot
+        |), ranked AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS INTEGER) AS rk
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.lang, w.n_lang, w.weight, w.quota, r.rk
+        |FROM ranked r JOIN wq w USING (lang)
+        |WHERE r.rk <= w.quota
+        |ORDER BY r.lang, r.rk""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH sc AS (
          |  SELECT doc_id, text,

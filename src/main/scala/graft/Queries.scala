@@ -1188,6 +1188,51 @@ object Queries {
         graft.rel.Sampling.hashBucket(col("doc_id")).as("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-weighted corpus mixing — the rebalancing step a
+    * multilingual pretraining corpus runs before tokenization:
+    * sampling weights w_i ∝ n_i^α with α = 0.5 (exponentiated
+    * smoothing from the multilingual-LM literature — head languages
+    * flattened, tail boosted), a fixed total budget T split into
+    * per-language quotas, each quota filled by deterministic
+    * md5-ranked selection.
+    *
+    * Determinism without float accumulation: per-language
+    * microweights m_i = floor(sqrt(n_i)·1e6) are summed as EXACT
+    * integers (order-free — the same integer-microunit recipe as the
+    * unigram-logprob reduction), and quota/weight are each ONE
+    * IEEE double op from exact ints, so both engines compute
+    * identical bits.
+    *
+    * Scale shape: the per-language table is tiny (broadcast both
+    * ways); the corpus passes ONCE through the bounded-heap
+    * [[graft.plans.TopKPerKey]] (k = T), so no language ever fully
+    * sorts; the rank window then sees ≤ T survivors per language. */
+  def q_temperature_mix(s: SparkSession, dir: String): DataFrame = {
+    val T = 250
+    val docs = t(s, dir, "documents")
+    val byLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+      .withColumn("m", floor(sqrt(col("n_lang")) * 1e6).cast("long"))
+    val tot = byLang.agg(sum(col("m")).as("mm"))
+    val wq = byLang.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("m").cast("double") / col("mm"), 6))
+      .withColumn("quota",
+        floor((lit(T.toLong) * col("m")).cast("double") / col("mm")).cast("int"))
+      .select(col("lang"), col("n_lang").cast("int").as("n_lang"),
+        col("weight"), col("quota"))
+    val ranked = graft.plans.TopKPerKey(
+      docs.select(col("doc_id"), col("lang"),
+        md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("h")),
+      Seq(col("lang")), Seq(col("h"), col("doc_id")), T)
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    ranked.withColumn("rk", row_number().over(w))
+      .join(broadcast(wq), "lang")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("weight"),
+        col("quota"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Skew-salted equi-join, value-identical to the plain join (the
     * [[graft.rel.Skew.saltedJoin]] contract, now pinned by an oracle
     * row): the big side's keys are split across 8 deterministic salt

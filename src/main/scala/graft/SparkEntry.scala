@@ -117,6 +117,7 @@ object SparkEntry {
     "q_tfidf_keywords" -> (Queries.q_tfidf_keywords _),
     "q_sample_det" -> (Queries.q_sample_det _),
     "q_sample_stratified" -> (Queries.q_sample_stratified _),
+    "q_temperature_mix" -> (Queries.q_temperature_mix _),
     "q_token_shards" -> (Queries.q_token_shards _),
     "q_seq_pack" -> (Queries.q_seq_pack _),
     "q_top_ngrams" -> (Queries.q_top_ngrams _),
