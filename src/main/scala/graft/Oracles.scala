@@ -1404,6 +1404,48 @@ object Oracles {
          |       round(abs((k_got - 1) / u_k - n_exact) / n_exact, 4) AS rel_error
          |FROM ex CROSS JOIN kth""".stripMargin,
 
+    // HLL sketch replay: 256 md5-derived registers, exact-integer
+    // register sum (bigint shifts), one final float division — the
+    // alpha constant round-trips through Double.toString exactly
+    "q_hll_distinct" ->
+      s"""${shingleCte("")}
+         |, vocab AS (
+         |  SELECT DISTINCT unnest(shingles) AS term FROM sh
+         |), r AS (
+         |  SELECT CAST(CAST('0x' || substr(md5(term), 1, 2) AS BIGINT) AS INTEGER) AS idx,
+         |         CASE WHEN ltrim(substr(md5(term), 3, 13), '0') = '' THEN 53
+         |              ELSE 4 * (13 - length(ltrim(substr(md5(term), 3, 13), '0')))
+         |                   + CASE WHEN substr(ltrim(substr(md5(term), 3, 13), '0'), 1, 1) = '1' THEN 3
+         |                          WHEN substr(ltrim(substr(md5(term), 3, 13), '0'), 1, 1) IN ('2', '3') THEN 2
+         |                          WHEN substr(ltrim(substr(md5(term), 3, 13), '0'), 1, 1) IN ('4', '5', '6', '7') THEN 1
+         |                          ELSE 0 END + 1
+         |         END AS rho
+         |  FROM vocab
+         |), regs AS (
+         |  SELECT idx, max(rho) AS mrho FROM r GROUP BY idx
+         |), agg AS (
+         |  SELECT count(*) AS n_nonzero,
+         |         CAST(sum(mrho) AS BIGINT) AS rho_sum,
+         |         CAST(sum(CAST(1 AS BIGINT) << (53 - mrho)) AS BIGINT) AS s_scaled
+         |  FROM regs
+         |), ex AS (SELECT count(*) AS n_exact FROM vocab
+         |), e AS (
+         |  SELECT n_exact, n_nonzero, rho_sum,
+         |         ${rel.Sketches.HllAlphaM2Scaled}
+         |           / CAST(s_scaled + (256 - n_nonzero) * 9007199254740992 AS DOUBLE) AS raw
+         |  FROM ex CROSS JOIN agg
+         |), f AS (
+         |  SELECT *, CASE WHEN raw <= 640.0 AND n_nonzero < 256
+         |                 THEN 256.0 * ln(256.0 / CAST(256 - n_nonzero AS DOUBLE))
+         |                 ELSE raw END AS est
+         |  FROM e
+         |)
+         |SELECT n_exact, 256 AS m,
+         |       CAST(256 - n_nonzero AS INTEGER) AS zero_registers,
+         |       rho_sum, round(est, 4) AS estimate,
+         |       round(abs(est - n_exact) / n_exact, 4) AS rel_error
+         |FROM f""".stripMargin,
+
     // Bloom membership replay: positions, hits and any deterministic
     // false positives reproduce exactly
     "q_bloom_filter" ->

@@ -1026,6 +1026,53 @@ object Queries {
           - col("n_exact")) / col("n_exact"), 4).as("rel_error"))
   }
 
+  /** HyperLogLog distinct-count sketch ([[graft.rel.Sketches]]) vs
+    * the exact count, one row — the 256-register companion to
+    * [[q_kmv_distinct]] over the same 3-shingle population. Unlike
+    * Spark's builtin `approx_count_distinct` (engine-private HLL++
+    * registers), every register here is md5-derived and therefore
+    * engine-replayable: `rho_sum` pins the full sketch CONTENT, and
+    * the estimate is computed from an EXACT integer register sum
+    * (Σ 2^(53−ρ_j) via bigint shifts — no float accumulation order
+    * to diverge across partitions or engines; the one float op is
+    * the final α·m²·2^53 / S division). At 100 TB this is the
+    * one-pass / 256-int-state cardinality path: a partial+final
+    * max-per-register aggregate, mergeable across any number of
+    * executors, vs KMV's k-row sort. Small-range correction
+    * m·ln(m/V) (Flajolet et al. 2007) is guarded identically on
+    * both engines (not triggered at this population). */
+  def q_hll_distinct(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.rel.Sketches.HllRegisters
+    val twoP53 = 9007199254740992L
+    val vocab = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(Dedup.shingles(col("text"))).as("term"))
+      .distinct()
+    val regs = vocab
+      .select(graft.rel.Sketches.hllIndex(col("term")).as("idx"),
+        graft.rel.Sketches.hllRho(col("term")).as("rho"))
+      .groupBy(col("idx"))
+      .agg(max(col("rho")).as("mrho"))
+    val agg = regs.agg(
+      count(lit(1)).as("n_nonzero"),
+      sum(col("mrho")).cast("long").as("rho_sum"),
+      sum(expr("shiftleft(cast(1 as bigint), 53 - mrho)")).as("s_scaled"))
+    val exact = vocab.agg(count(lit(1)).as("n_exact"))
+    val sTotal = (col("s_scaled")
+      + (lit(m.toLong) - col("n_nonzero")) * lit(twoP53)).cast("double")
+    val raw = lit(graft.rel.Sketches.HllAlphaM2Scaled) / sTotal
+    val est = when(raw <= lit(2.5 * m) && col("n_nonzero") < m,
+        lit(m.toDouble) * log(lit(m.toDouble)
+          / (lit(m.toLong) - col("n_nonzero")).cast("double")))
+      .otherwise(raw)
+    exact.crossJoin(agg)
+      .select(col("n_exact"), lit(m).as("m"),
+        (lit(m.toLong) - col("n_nonzero")).cast("int").as("zero_registers"),
+        col("rho_sum"),
+        round(est, 4).as("estimate"),
+        round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_error"))
+  }
+
   /** Bloom-filter membership ([[graft.rel.Sketches.bloomPositions]]):
     * the corpus vocabulary lands in a 4096-bit / 3-hash filter
     * materialized as its DISTINCT position set (512 bytes broadcast

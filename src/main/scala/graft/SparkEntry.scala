@@ -113,6 +113,7 @@ object SparkEntry {
     "q_unigram_logprob" -> (Queries.q_unigram_logprob _),
     "q_pmi_pairs" -> (Queries.q_pmi_pairs _),
     "q_kmv_distinct" -> (Queries.q_kmv_distinct _),
+    "q_hll_distinct" -> (Queries.q_hll_distinct _),
     "q_bloom_filter" -> (Queries.q_bloom_filter _),
     "q_tfidf_keywords" -> (Queries.q_tfidf_keywords _),
     "q_sample_det" -> (Queries.q_sample_det _),

@@ -44,6 +44,36 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(relErr < 0.35, s"KMV estimate $est vs exact $exact (err $relErr)")
   }
 
+  test("hll rho matches a JVM bit-scan of the same md5 window") {
+    // the hex-string-inspection rho (oracle-replayable) must agree
+    // with an independent bit-level leading-zero count
+    val rows = vocab
+      .select(col("term"), Sketches.hllRho(col("term")).as("rho"))
+      .collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val hex = md.digest(r.getString(0).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val window = BigInt(hex.substring(2, 15), 16) // 13 hex = 52 bits
+      val expected = if (window == 0) 53 else 52 - window.bitLength + 1
+      assert(r.getInt(1) == expected,
+        s"rho mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("hll: estimate within 20% of exact on the shingle population") {
+    val out = graft.Queries.q_hll_distinct(spark, sf).head()
+    val est = out.getAs[Double]("estimate")
+    val exact = out.getAs[Long]("n_exact").toDouble
+    // m = 256 → expected relative error ~ 1.04/sqrt(256) ≈ 6.5%; 20%
+    // is a loose determinism-safe bound on this fixed fixture
+    assert(math.abs(est - exact) / exact < 0.20,
+      s"HLL estimate $est vs exact $exact")
+    // with ~16k distinct over 256 registers every register is hit
+    assert(out.getAs[Int]("zero_registers") == 0)
+  }
+
   test("uniformHash is deterministic and in [0, 1)") {
     val u = vocab.select(Sketches.uniformHash(col("term")).as("u"))
     assert(u.filter(col("u") < 0 || col("u") >= 1).count() == 0)
