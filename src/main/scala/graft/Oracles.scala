@@ -1478,6 +1478,31 @@ object Oracles {
          |FROM t LEFT JOIN vocab v ON v.term = t.probe
          |ORDER BY t.probe""".stripMargin,
 
+    // CMS heavy-hitter replay: the integer counter grid itself is
+    // md5-derived, so estimates AND collisions reproduce exactly
+    "q_cms_topk" ->
+      s"""WITH tf AS (
+         |  SELECT term, count(*) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '$RE')) AS term
+         |    FROM documents) GROUP BY term
+         |), keyed AS (
+         |  SELECT term, cnt, h,
+         |         CAST(CAST('0x' || substr(md5(CAST(h AS VARCHAR) || '|' || term), 1, 8)
+         |           AS BIGINT) % 64 AS INTEGER) AS pos
+         |  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS h)
+         |), counters AS (
+         |  SELECT h, pos, CAST(sum(cnt) AS BIGINT) AS counter
+         |  FROM keyed GROUP BY h, pos
+         |), est AS (
+         |  SELECT k.term, min(c.counter) AS cms_count
+         |  FROM keyed k JOIN counters c ON c.h = k.h AND c.pos = k.pos
+         |  GROUP BY k.term
+         |)
+         |SELECT t.term, t.cnt AS exact_count, e.cms_count,
+         |       e.cms_count - t.cnt AS overcount
+         |FROM tf t JOIN est e ON e.term = t.term
+         |ORDER BY e.cms_count DESC, t.term LIMIT 20""".stripMargin,
+
     // NFC normalization on the crafted multi-form fixture; chr codes
     // mirror the engine's \u escapes exactly
     "q_normalize_nfc" ->

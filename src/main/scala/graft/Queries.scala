@@ -1109,6 +1109,39 @@ object Queries {
       .orderBy(col("probe"))
   }
 
+  /** Count-Min Sketch heavy hitters ([[graft.rel.Sketches
+    * .bloomPositions]] reused as the d row-hashes): term frequencies
+    * compressed into a d=4 × w=64 integer counter grid (md5-derived
+    * positions), point-estimate = min over the d counters (Cormode &
+    * Muthukrishnan 2005, public), top-20 terms by estimate vs their
+    * exact counts. 64 columns against a ~31-word vocabulary forces
+    * real collisions, so `overcount` exercises the one-sided error:
+    * the spec asserts cms_count ≥ exact for EVERY term corpus-wide
+    * (CMS never undercounts) and that the top heavy hitter survives
+    * sketching. Pure integer arithmetic end to end — the counter
+    * GRID, not just the estimates, replays in DuckDB. At 100 TB the
+    * sketch is a 256-cell partial+final aggregate (mergeable across
+    * executors, broadcastable in bytes); only the bounded probe set
+    * joins it. */
+  def q_cms_topk(s: SparkSession, dir: String): DataFrame = {
+    val w = 64; val d = 4
+    val tf = t(s, dir, "documents")
+      .select(explode(Tok.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val keyed = tf.select(col("term"), col("cnt"),
+      posexplode(graft.rel.Sketches.bloomPositions(col("term"), w, d))
+        .as(Seq("h", "pos")))
+    val counters = keyed.groupBy(col("h"), col("pos"))
+      .agg(sum(col("cnt")).as("counter"))
+    val est = keyed.select(col("term"), col("h"), col("pos"))
+      .join(counters, Seq("h", "pos"))
+      .groupBy(col("term")).agg(min(col("counter")).as("cms_count"))
+    tf.join(est, Seq("term"))
+      .select(col("term"), col("cnt").as("exact_count"), col("cms_count"),
+        (col("cms_count") - col("cnt")).as("overcount"))
+      .orderBy(col("cms_count").desc, col("term")).limit(20)
+  }
+
   /** Content fingerprint (normalized md5). */
   def q_fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

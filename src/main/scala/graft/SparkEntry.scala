@@ -114,6 +114,7 @@ object SparkEntry {
     "q_pmi_pairs" -> (Queries.q_pmi_pairs _),
     "q_kmv_distinct" -> (Queries.q_kmv_distinct _),
     "q_hll_distinct" -> (Queries.q_hll_distinct _),
+    "q_cms_topk" -> (Queries.q_cms_topk _),
     "q_bloom_filter" -> (Queries.q_bloom_filter _),
     "q_tfidf_keywords" -> (Queries.q_tfidf_keywords _),
     "q_sample_det" -> (Queries.q_sample_det _),

@@ -74,6 +74,33 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.getAs[Int]("zero_registers") == 0)
   }
 
+  test("cms: never undercounts any term, and the top hitter survives") {
+    val w = 64; val d = 4
+    val tf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val keyed = tf.select(col("term"), col("cnt"),
+      posexplode(Sketches.bloomPositions(col("term"), w, d))
+        .as(Seq("h", "pos")))
+    val counters = keyed.groupBy(col("h"), col("pos"))
+      .agg(sum(col("cnt")).as("counter"))
+    val joined = tf.join(
+      keyed.select(col("term"), col("h"), col("pos"))
+        .join(counters, Seq("h", "pos"))
+        .groupBy(col("term")).agg(min(col("counter")).as("est")),
+      Seq("term"))
+    // one-sided error: a CMS point estimate is NEVER below the truth
+    assert(joined.filter(col("est") < col("cnt")).count() == 0)
+    // the heaviest term must still rank first under the sketch
+    val exactTop = joined.orderBy(col("cnt").desc, col("term"))
+      .head().getString(0)
+    val cmsTop = joined.orderBy(col("est").desc, col("term"))
+      .head().getString(0)
+    assert(cmsTop == exactTop,
+      s"heavy hitter lost in sketch: exact=$exactTop cms=$cmsTop")
+  }
+
   test("uniformHash is deterministic and in [0, 1)") {
     val u = vocab.select(Sketches.uniformHash(col("term")).as("u"))
     assert(u.filter(col("u") < 0 || col("u") >= 1).count() == 0)
