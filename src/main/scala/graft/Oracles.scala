@@ -1342,6 +1342,37 @@ object Oracles {
 
     // windowed PMI collocations: +1/+2 offset joins for pairs, then
     // ln((c_ab/Np) / ((c_a/Nt)*(c_b/Nt))) mirroring the Column tree
+    // interpolated bigram LM: pos/pos+1 offset join for bigrams, the
+    // same integer-microunit order-free reduction as the unigram row;
+    // double math mirrors the Column tree's association exactly
+    "q_bigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS tok
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '$RE') AS ts
+         |        FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u
+         |), uc AS (
+         |  SELECT tok, CAST(count(*) AS DOUBLE) AS c_t FROM toks GROUP BY tok
+         |), nt AS (SELECT sum(c_t) AS n_toks FROM uc
+         |), bi AS (
+         |  SELECT l.doc_id, l.tok AS a, r.tok AS b
+         |  FROM toks l JOIN toks r ON r.doc_id = l.doc_id AND r.pos = l.pos + 1
+         |), bc AS (
+         |  SELECT a, b, CAST(count(*) AS DOUBLE) AS c_ab FROM bi GROUP BY a, b
+         |), pm AS (
+         |  SELECT doc_id, a, b, count(*) AS m FROM bi GROUP BY 1, 2, 3
+         |)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |       round(sum(round(m * ln(0.7 * (bc.c_ab / ua.c_t)
+         |               + 0.3 * (ub.c_t / nt.n_toks)) * 1e6))
+         |             / (sum(m) * 1e6), 4) AS avg_logprob
+         |FROM pm
+         |JOIN bc USING (a, b)
+         |JOIN uc ua ON ua.tok = pm.a
+         |JOIN uc ub ON ub.tok = pm.b
+         |CROSS JOIN nt
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_pmi_pairs" ->
       s"""WITH toks AS (
          |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS tok

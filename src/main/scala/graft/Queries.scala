@@ -941,6 +941,49 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated bigram language-model scoring — the perplexity-
+    * style quality filter CCNet-class pipelines run (Wenzek et al.
+    * 2020, public): per document, the mean log-probability of its
+    * bigrams under a corpus-trained interpolated model
+    * p(b|a) = 0.7·c_ab/c_a + 0.3·c_b/N (Jelinek-Mercer smoothing —
+    * closed-form counts, no EM, so fully oracle-replayable). Bigrams
+    * come from a pos/pos+1 OFFSET equi-join (the q_pmi_pairs
+    * discipline — never a per-doc cross join); the per-doc mean uses
+    * the q_unigram_logprob integer-microunit trick: each
+    * (doc, bigram-type) contribution is rounded to an integer at 1e6
+    * scale, so the final sum is order-free across partitions and
+    * engines. Model state is vocabulary-bounded (V + V² counts, in
+    * practice the observed-bigram set); docs with fewer than 2
+    * tokens have no bigrams and drop out, matching the oracle's
+    * GROUP BY. */
+  def q_bigram_logprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(Tok.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+    val uc = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("c_t"))
+    val nt = uc.agg(sum(col("c_t")).as("n_toks"))
+    val right = toks.select(col("doc_id"),
+      (col("pos") - 1).as("pos"), col("tok").as("b"))
+    val bi = toks.join(right, Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("tok").as("a"), col("b"))
+    val bc = bi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("double").as("c_ab"))
+    bi.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("m"))
+      .join(bc, Seq("a", "b"))
+      .join(uc.select(col("tok").as("a"), col("c_t").as("c_a")), "a")
+      .join(uc.select(col("tok").as("b"), col("c_t").as("c_b")), "b")
+      .crossJoin(broadcast(nt))
+      .withColumn("contrib",
+        round(col("m") * log(lit(0.7) * (col("c_ab") / col("c_a"))
+          + lit(0.3) * (col("c_b") / col("n_toks"))) * 1e6))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("contrib")) / (sum(col("m")) * 1e6), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Windowed PMI collocations — pointwise mutual information of
     * unordered token pairs co-occurring within ±2 positions (Church &
     * Hanks 1990, public knowledge): the classic corpus-analysis

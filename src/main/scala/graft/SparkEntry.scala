@@ -111,6 +111,7 @@ object SparkEntry {
     "q_redact" -> (Queries.q_redact _),
     "q_normalize_nfc" -> (Queries.q_normalize_nfc _),
     "q_unigram_logprob" -> (Queries.q_unigram_logprob _),
+    "q_bigram_logprob" -> (Queries.q_bigram_logprob _),
     "q_pmi_pairs" -> (Queries.q_pmi_pairs _),
     "q_kmv_distinct" -> (Queries.q_kmv_distinct _),
     "q_hll_distinct" -> (Queries.q_hll_distinct _),

@@ -69,6 +69,23 @@ object DocStreams {
     dedupEvents(spark.readStream.schema(schema).parquet(path), delay)
   }
 
+  /** Streaming HLL cardinality-sketch maintenance — the continuous
+    * twin of [[graft.Queries.q_hll_distinct]]'s register build. The
+    * register update (max ρ per register index) is an order-free,
+    * re-delivery-immune merge, so the SAME declarative aggregate
+    * serves batch and stream: on a stream it is a stateful agg whose
+    * entire state is ≤256 ints per sketch — the poster case for
+    * mergeable-sketch state vs the unbounded distinct-set a naive
+    * streaming COUNT(DISTINCT) would need. DocStreamsSpec pins
+    * stream == batch register-for-register across multi-batch
+    * arrival orders WITH duplicate re-deliveries. */
+  def hllRegisters(terms: DataFrame): DataFrame =
+    terms
+      .select(graft.rel.Sketches.hllIndex(col("term")).as("idx"),
+        graft.rel.Sketches.hllRho(col("term")).as("rho"))
+      .groupBy(col("idx"))
+      .agg(max(col("rho")).as("mrho"))
+
   /** Incremental vector-store maintenance — the continuous-ingest
     * twin of [[graft.pipeline.RagPipeline.buildStore]]: each
     * micro-batch of documents is chunked + embedded, deduped within

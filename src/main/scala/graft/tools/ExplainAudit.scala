@@ -59,7 +59,10 @@ object ExplainAudit {
     // min-split + bucket + distance in ONE generator, no pre-cache
     // window exchange), and the decontamination removal (broadcast
     // eval side, pair aggregate, left join back)
-    "q_chunk_semantic", "q_decontaminate")
+    "q_chunk_semantic", "q_decontaminate",
+    // round 8 late adds: mergeable sketches (HLL exact-integer
+    // register sum; CMS counter grid) and the bigram-LM offset join
+    "q_hll_distinct", "q_cms_topk", "q_bigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

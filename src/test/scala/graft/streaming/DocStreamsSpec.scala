@@ -51,6 +51,36 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming HLL registers equal batch register-for-register across batches with re-deliveries") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val terms = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .collect().map(_.getString(0)).toSeq
+    val (a, b) = terms.splitAt(terms.length / 3)
+
+    val mem = MemoryStream[String]
+    val q = DocStreams.hllRegisters(mem.toDF().toDF("term"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream_out").start()
+    try {
+      mem.addData(a)
+      q.processAllAvailable()
+      mem.addData(b)
+      q.processAllAvailable()
+      mem.addData(a.take(200)) // re-deliver: max-merge must not move
+      q.processAllAvailable()
+      val got = spark.table("hll_stream_out")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val expected = DocStreams.hllRegisters(terms.toDF("term"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got == expected,
+        "streaming register state must merge to the batch sketch")
+    } finally q.stop()
+  }
+
   test("stream-static near-dup: banded stream doc collides with its historical twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
