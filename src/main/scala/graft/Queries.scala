@@ -1052,9 +1052,13 @@ object Queries {
     * sort+limit is bounded by k rows, never the corpus. */
   def q_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
     val k = graft.rel.Sketches.DefaultK
-    val vocab = t(s, dir, "documents")
-      .filter(trim(col("text")) =!= "")
-      .select(explode(Dedup.shingles(col("text"))).as("term"))
+    // the shingle vocabulary is served from the saved minhash
+    // signature index (its `sh` column IS the per-doc shingle array
+    // over the same non-blank docs) — the corpus tokenize+shingle
+    // pass runs once per corpus, shared with every dedup consumer
+    val sigPath = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir)
+    val vocab = s.read.parquet(sigPath)
+      .select(explode(col("sh")).as("term"))
       .distinct()
     val hashes = vocab
       .select(graft.rel.Sketches.uniformHash(col("term")).as("u"))
@@ -1087,9 +1091,11 @@ object Queries {
   def q_hll_distinct(s: SparkSession, dir: String): DataFrame = {
     val m = graft.rel.Sketches.HllRegisters
     val twoP53 = 9007199254740992L
-    val vocab = t(s, dir, "documents")
-      .filter(trim(col("text")) =!= "")
-      .select(explode(Dedup.shingles(col("text"))).as("term"))
+    // shingle vocabulary served from the saved signature index —
+    // same set, same hashes, shared corpus pass (see q_kmv_distinct)
+    val sigPath = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir)
+    val vocab = s.read.parquet(sigPath)
+      .select(explode(col("sh")).as("term"))
       .distinct()
     val regs = vocab
       .select(graft.rel.Sketches.hllIndex(col("term")).as("idx"),
@@ -1899,14 +1905,14 @@ object Queries {
     * side's shingles stream past it, and only matching pairs reach
     * the aggregation. */
   def q_contamination(s: SparkSession, dir: String): DataFrame = {
-    // both the test and train side read the shingled corpus; persist
-    // so the tokenize+shingle pass runs once, not once per side
-    // (MEMORY_AND_DISK; Spark's LRU frees it — an eager unpersist
-    // would un-cache before the caller consumes the lazy result)
-    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
-      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    // both sides read the shingled corpus from the saved signature
+    // index (`sh` = the same per-doc distinct shingle arrays over the
+    // same non-blank docs) — the tokenize+shingle pass is the shared
+    // build, and each side is a thin two-column parquet scan
+    val sigPath = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir)
+    val docs = s.read.parquet(sigPath)
+      .select(col("doc_id"), col("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val test = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("test_id"), col("n_sh").as("n_test"),
         explode(col("sh")).as("shingle"))

@@ -86,6 +86,21 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"unpartitioned windows in: $offenders")
   }
 
+  test("catalog-wide schema gate: no DATE/TIMESTAMP columns in oracle-checked outputs") {
+    // raw temporal values round-trip differently through the Spark
+    // parquet dump vs DuckDB's reading of the same fixtures (tz,
+    // unit, nanos) — a proven hash-compare footgun (FIXTURES.md).
+    // Checked rows must emit epoch numerics or formatted strings.
+    import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+    val offenders = SparkEntry.oracleSql.keySet.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, sf).schema.fields.collect {
+        case f if f.dataType == DateType || f.dataType == TimestampType
+            || f.dataType == TimestampNTZType => s"$name.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty, s"temporal columns in checked outputs: $offenders")
+  }
+
   test("q_chunk_occurrences: exact rows cover birth offsets; perturbed docs go fuzzy") {
     val occ = Queries.q_chunk_occurrences(spark, sf).collect()
     val byType = occ.groupBy(_.getString(4))
