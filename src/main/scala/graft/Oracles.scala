@@ -1342,6 +1342,84 @@ object Oracles {
 
     // windowed PMI collocations: +1/+2 offset joins for pairs, then
     // ln((c_ab/Np) / ((c_a/Nt)*(c_b/Nt))) mirroring the Column tree
+    // content-defined chunking: local 3-gram md5 cut decisions, per-
+    // doc lag/running-sum windows split into separate CTEs (DuckDB
+    // rejects nested window calls), ordered string_agg for block md5
+    "q_chunk_cdc" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS tok
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '$RE') AS ts
+         |        FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u
+         |), f AS (
+         |  SELECT doc_id, pos, tok,
+         |         lag(tok, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS g3,
+         |         lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g2,
+         |         lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g1
+         |  FROM toks
+         |), c AS (
+         |  SELECT doc_id, pos, tok,
+         |         CASE WHEN g3 IS NULL THEN 0
+         |              WHEN CAST('0x' || substr(md5(g3 || ' ' || g2 || ' ' || g1), 1, 8)
+         |                     AS BIGINT) % 8 = 0 THEN 1
+         |              ELSE 0 END AS cut_before
+         |  FROM f
+         |), ids AS (
+         |  SELECT doc_id, pos, tok,
+         |         CAST(sum(cut_before) OVER (PARTITION BY doc_id ORDER BY pos)
+         |           AS INTEGER) AS block_index
+         |  FROM c
+         |)
+         |SELECT doc_id, block_index,
+         |       CAST(min(pos) AS INTEGER) AS token_start,
+         |       CAST(count(*) AS INTEGER) AS n_tokens,
+         |       md5(string_agg(tok, ' ' ORDER BY pos)) AS block_md5
+         |FROM ids GROUP BY doc_id, block_index
+         |ORDER BY doc_id, block_index""".stripMargin,
+
+    // CDC block-level near-dup pairs: distinct (doc, block) set,
+    // >50-doc boilerplate blocks dropped, >=2 shared blocks kept
+    "q_cdc_shared" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS tok
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '$RE') AS ts
+         |        FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u
+         |), f AS (
+         |  SELECT doc_id, pos, tok,
+         |         lag(tok, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS g3,
+         |         lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g2,
+         |         lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g1
+         |  FROM toks
+         |), c AS (
+         |  SELECT doc_id, pos, tok,
+         |         CASE WHEN g3 IS NULL THEN 0
+         |              WHEN CAST('0x' || substr(md5(g3 || ' ' || g2 || ' ' || g1), 1, 8)
+         |                     AS BIGINT) % 8 = 0 THEN 1
+         |              ELSE 0 END AS cut_before
+         |  FROM f
+         |), ids AS (
+         |  SELECT doc_id, pos, tok,
+         |         sum(cut_before) OVER (PARTITION BY doc_id ORDER BY pos) AS block_index
+         |  FROM c
+         |), blocks0 AS (
+         |  SELECT doc_id, block_index,
+         |         md5(string_agg(tok, ' ' ORDER BY pos)) AS block_md5
+         |  FROM ids GROUP BY doc_id, block_index
+         |), blocks AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, block_md5 FROM blocks0
+         |), rare AS (
+         |  SELECT block_md5 FROM blocks GROUP BY block_md5 HAVING count(*) <= 50
+         |), b AS (
+         |  SELECT doc_id, block_md5 FROM blocks JOIN rare USING (block_md5)
+         |)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       CAST(count(*) AS INTEGER) AS shared_blocks
+         |FROM b x JOIN b y ON y.block_md5 = x.block_md5 AND x.doc_id < y.doc_id
+         |GROUP BY x.doc_id, y.doc_id
+         |HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // interpolated bigram LM: pos/pos+1 offset join for bigrams, the
     // same integer-microunit order-free reduction as the unigram row;
     // double math mirrors the Column tree's association exactly

@@ -1956,6 +1956,49 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking over the corpus
+    * ([[graft.text.chunk.CdcChunker]]): one row per CDC block with
+    * its token start, length and content md5. Cut decisions are
+    * local 3-gram md5 conditions — position-independent, so edits
+    * only disturb blocks touching the edit (CdcSpec pins the
+    * insertion-robustness contract); expected block length 8 tokens.
+    * Scan-stage hashing plus ONE per-doc window + the same-keyed
+    * block aggregate — no global window, no corpus-wide exchange
+    * beyond the doc_id shuffle. */
+  def q_chunk_cdc(s: SparkSession, dir: String): DataFrame =
+    graft.text.chunk.CdcChunker.blocks(t(s, dir, "documents"))
+      .select(col("doc_id"), col("block_index"), col("token_start"),
+        col("n_tokens"), col("block_md5"))
+      .orderBy(col("doc_id"), col("block_index"))
+
+  /** Block-level near-dup pairs over the CDC blocks — the storage-
+    * dedup view of document similarity: two documents are related by
+    * every identical content block they share. Blocks occurring in
+    * more than 50 documents are dropped as boilerplate before the
+    * pair join (the same common-key cap discipline as the ANN band
+    * joins — bucket fan-out stays bounded by real near-dup cluster
+    * size, not by corpus-wide common phrases); pairs sharing ≥ 2
+    * blocks survive. Complements shingle-Jaccard (q_minhash_*) and
+    * embedding cosine (q_near_dup_*) with an exact-run signal that
+    * localizes WHERE documents overlap. */
+  def q_cdc_shared(s: SparkSession, dir: String): DataFrame = {
+    val blocks = graft.text.chunk.CdcChunker.blocks(t(s, dir, "documents"))
+      .select(col("doc_id"), col("block_md5")).distinct()
+    val rare = blocks.groupBy(col("block_md5"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") <= 50)
+      .select(col("block_md5"))
+    val b = blocks.join(rare, "block_md5")
+      .repartition(col("block_md5"))
+    b.as("x").join(b.as("y"),
+        col("x.block_md5") === col("y.block_md5") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("int").as("shared_blocks"))
+      .filter(col("shared_blocks") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** C2 oracle-checked — the recursive chunker's split/merge/overlap
     * machinery on a crafted multi-paragraph document with a token
     * budget small enough to force real work (the corpus-wide
