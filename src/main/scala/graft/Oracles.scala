@@ -1531,18 +1531,18 @@ object Oracles {
          |         END AS rho
          |  FROM vocab
          |), regs AS (
-         |  SELECT idx, max(rho) AS mrho FROM r GROUP BY idx
+         |  SELECT idx, max(rho) AS mrho, count(*) AS n_terms FROM r GROUP BY idx
          |), agg AS (
-         |  SELECT count(*) AS n_nonzero,
+         |  SELECT CAST(sum(n_terms) AS BIGINT) AS n_exact,
+         |         count(*) AS n_nonzero,
          |         CAST(sum(mrho) AS BIGINT) AS rho_sum,
          |         CAST(sum(CAST(1 AS BIGINT) << (53 - mrho)) AS BIGINT) AS s_scaled
          |  FROM regs
-         |), ex AS (SELECT count(*) AS n_exact FROM vocab
          |), e AS (
          |  SELECT n_exact, n_nonzero, rho_sum,
          |         ${rel.Sketches.HllAlphaM2Scaled}
          |           / CAST(s_scaled + (256 - n_nonzero) * 9007199254740992 AS DOUBLE) AS raw
-         |  FROM ex CROSS JOIN agg
+         |  FROM agg
          |), f AS (
          |  SELECT *, CASE WHEN raw <= 640.0 AND n_nonzero < 256
          |                 THEN 256.0 * ln(256.0 / CAST(256 - n_nonzero AS DOUBLE))

@@ -1097,16 +1097,20 @@ object Queries {
     val vocab = s.read.parquet(sigPath)
       .select(explode(col("sh")).as("term"))
       .distinct()
+    // the register index PARTITIONS the vocabulary, so the exact
+    // count rides the same aggregate as the registers: one distinct
+    // pass, one 256-group rollup — the vocabulary is never scanned
+    // twice (the plan's only corpus-sized exchange is the distinct)
     val regs = vocab
       .select(graft.rel.Sketches.hllIndex(col("term")).as("idx"),
         graft.rel.Sketches.hllRho(col("term")).as("rho"))
       .groupBy(col("idx"))
-      .agg(max(col("rho")).as("mrho"))
+      .agg(max(col("rho")).as("mrho"), count(lit(1)).as("n_terms"))
     val agg = regs.agg(
+      sum(col("n_terms")).cast("long").as("n_exact"),
       count(lit(1)).as("n_nonzero"),
       sum(col("mrho")).cast("long").as("rho_sum"),
       sum(expr("shiftleft(cast(1 as bigint), 53 - mrho)")).as("s_scaled"))
-    val exact = vocab.agg(count(lit(1)).as("n_exact"))
     val sTotal = (col("s_scaled")
       + (lit(m.toLong) - col("n_nonzero")) * lit(twoP53)).cast("double")
     val raw = lit(graft.rel.Sketches.HllAlphaM2Scaled) / sTotal
@@ -1114,7 +1118,7 @@ object Queries {
         lit(m.toDouble) * log(lit(m.toDouble)
           / (lit(m.toLong) - col("n_nonzero")).cast("double")))
       .otherwise(raw)
-    exact.crossJoin(agg)
+    agg
       .select(col("n_exact"), lit(m).as("m"),
         (lit(m.toLong) - col("n_nonzero")).cast("int").as("zero_registers"),
         col("rho_sum"),

@@ -62,7 +62,9 @@ object ExplainAudit {
     "q_chunk_semantic", "q_decontaminate",
     // round 8 late adds: mergeable sketches (HLL exact-integer
     // register sum; CMS counter grid) and the bigram-LM offset join
-    "q_hll_distinct", "q_cms_topk", "q_bigram_logprob")
+    "q_hll_distinct", "q_cms_topk", "q_bigram_logprob",
+    // content-defined chunking: per-doc window only + block self-join
+    "q_chunk_cdc", "q_cdc_shared")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
