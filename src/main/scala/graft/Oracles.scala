@@ -1377,6 +1377,49 @@ object Oracles {
          |FROM ids GROUP BY doc_id, block_index
          |ORDER BY doc_id, block_index""".stripMargin,
 
+    // CDC block-level dedup removal: per-block_md5 first-occurrence
+    // window, per-doc ordered reassembly of the kept blocks
+    "q_cdc_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS tok
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '$RE') AS ts
+         |        FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u
+         |), f AS (
+         |  SELECT doc_id, pos, tok,
+         |         lag(tok, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS g3,
+         |         lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g2,
+         |         lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g1
+         |  FROM toks
+         |), c AS (
+         |  SELECT doc_id, pos, tok,
+         |         CASE WHEN g3 IS NULL THEN 0
+         |              WHEN CAST('0x' || substr(md5(g3 || ' ' || g2 || ' ' || g1), 1, 8)
+         |                     AS BIGINT) % 8 = 0 THEN 1
+         |              ELSE 0 END AS cut_before
+         |  FROM f
+         |), ids AS (
+         |  SELECT doc_id, pos, tok,
+         |         sum(cut_before) OVER (PARTITION BY doc_id ORDER BY pos) AS block_index
+         |  FROM c
+         |), blocks0 AS (
+         |  SELECT doc_id, block_index,
+         |         string_agg(tok, ' ' ORDER BY pos) AS block_text
+         |  FROM ids GROUP BY doc_id, block_index
+         |), rk AS (
+         |  SELECT doc_id, block_index, block_text,
+         |         row_number() OVER (PARTITION BY md5(block_text)
+         |           ORDER BY doc_id, block_index) AS rn
+         |  FROM blocks0
+         |)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_blocks,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+         |       CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) = 0 THEN ''
+         |            ELSE md5(string_agg(CASE WHEN rn = 1 THEN block_text END,
+         |                     ' ' ORDER BY block_index))
+         |       END AS cleaned_md5
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // CDC block-level near-dup pairs: distinct (doc, block) set,
     // >50-doc boilerplate blocks dropped, >=2 shared blocks kept
     "q_cdc_shared" ->

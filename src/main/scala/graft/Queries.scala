@@ -2003,6 +2003,39 @@ object Queries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Block-level dedup REMOVAL over the CDC blocks — the
+    * [[q_substr_dedup]] analog at content-defined granularity (and
+    * the complete detect→remove pair with [[q_cdc_shared]]): every
+    * block keeps only its globally FIRST occurrence (smallest
+    * (doc_id, block_index) — a per-block_md5 window, never global),
+    * later occurrences are dropped, and each document re-emerges as
+    * its kept blocks in order, pinned by md5 ('' when nothing
+    * survives). This is how storage-style dedup trims a corpus
+    * whose documents share long exact runs without dropping whole
+    * near-dup documents. Scale: one block_md5-partitioned window
+    * over the block table + the per-doc ordered concat — both
+    * shuffle thin block rows, never the corpus text. */
+  def q_cdc_dedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = graft.text.chunk.CdcChunker.blocks(t(s, dir, "documents"))
+    val w = Window.partitionBy(col("block_md5"))
+      .orderBy(col("doc_id"), col("block_index"))
+    val kept = blocks
+      .withColumn("rn", row_number().over(w))
+      .withColumn("keep", (col("rn") === 1).cast("int"))
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_blocks"),
+        sum(col("keep")).cast("int").as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep") === 1,
+            struct(col("block_index"), col("block_text"))))),
+          x => x.getField("block_text"))).as("cleaned_text"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        when(col("n_kept") === 0, lit(""))
+          .otherwise(md5(col("cleaned_text"))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C2 oracle-checked — the recursive chunker's split/merge/overlap
     * machinery on a crafted multi-paragraph document with a token
     * budget small enough to force real work (the corpus-wide

@@ -32,6 +32,7 @@ object SparkEntry {
     "q_chunk_recursive" -> (Queries.q_chunk_recursive _),
     "q_chunk_cdc" -> (Queries.q_chunk_cdc _),
     "q_cdc_shared" -> (Queries.q_cdc_shared _),
+    "q_cdc_dedup" -> (Queries.q_cdc_dedup _),
     "q_chunk_semantic" -> (Queries.q_chunk_semantic _),
     "q_chunk_semantic_corpus" -> (Queries.q_chunk_semantic_corpus _),
     // flagship pipeline, end to end

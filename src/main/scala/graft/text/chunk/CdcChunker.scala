@@ -66,8 +66,9 @@ object CdcChunker {
     ids.groupBy(col("doc_id"), col("block_index"))
       .agg(min(col("pos")).as("token_start"),
         count(lit(1)).cast("int").as("n_tokens"),
-        md5(concat_ws(" ", transform(
+        concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")))).as("block_md5"))
+          x => x.getField("tok"))).as("block_text"))
+      .withColumn("block_md5", md5(col("block_text")))
   }
 }

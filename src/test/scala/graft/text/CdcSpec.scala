@@ -63,6 +63,18 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cdc dedup conserves content: each distinct block survives exactly once") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val distinctBlocks = CdcChunker.blocks(docs)
+      .select(col("block_md5")).distinct().count()
+    val dedup = graft.Queries.q_cdc_dedup(spark, sf)
+    val totals = dedup.agg(sum(col("n_kept")), sum(col("n_blocks"))).head()
+    // kept multiset == distinct block set (no block lost, none kept twice)
+    assert(totals.getLong(0) == distinctBlocks)
+    assert(totals.getLong(1) >= totals.getLong(0))
+  }
+
   test("crafted cuts: block boundaries sit exactly where the gram hash says") {
     val text = (1 to 60).map(i => s"w${i % 13}").mkString(" ")
     val blocks = CdcChunker.blocks(docsOf(1L -> text)).collect()
