@@ -1991,8 +1991,15 @@ object Queries {
     val rare = blocks.groupBy(col("block_md5"))
       .agg(count(lit(1)).as("nd")).filter(col("nd") <= 50)
       .select(col("block_md5"))
+    // SHUFFLE_HASH pin + shared explicit repartition: the static
+    // planner would broadcast one side off its size estimate, which
+    // both re-runs the whole block computation for the other side
+    // (no ReusedExchange across a BroadcastExchange) and is the
+    // wrong physical shape once the block table outgrows a single
+    // executor — same discipline as Dedup.candidatesFromIndex
     val b = blocks.join(rare, "block_md5")
       .repartition(col("block_md5"))
+      .hint("shuffle_hash")
     b.as("x").join(b.as("y"),
         col("x.block_md5") === col("y.block_md5") &&
           col("x.doc_id") < col("y.doc_id"))
