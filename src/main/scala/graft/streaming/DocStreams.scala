@@ -86,6 +86,23 @@ object DocStreams {
       .groupBy(col("idx"))
       .agg(max(col("rho")).as("mrho"))
 
+  /** Streaming Count-Min counter maintenance — the frequency-sketch
+    * twin of [[hllRegisters]] with the OPPOSITE delivery contract:
+    * counter updates are SUMS, so while the merge is order-free it is
+    * NOT re-delivery-immune — an at-least-once upstream inflates
+    * counts unless an exactly-once stage (watermarked id-dedup, as in
+    * [[dedupEvents]]) runs first. DocStreamsSpec pins both halves:
+    * raw re-delivery OVERcounts (still never undercounts — the CMS
+    * one-sided bound survives), and dedup-then-sum equals batch cell
+    * for cell. State is the d×w counter grid (≤256 longs) plus the
+    * dedup stage's horizon-bounded ids. */
+  def cmsCounters(terms: DataFrame, w: Int = 64, d: Int = 4): DataFrame =
+    terms
+      .select(posexplode(graft.rel.Sketches.bloomPositions(col("term"), w, d))
+        .as(Seq("h", "pos")))
+      .groupBy(col("h"), col("pos"))
+      .agg(count(lit(1)).as("counter"))
+
   /** Incremental vector-store maintenance — the continuous-ingest
     * twin of [[graft.pipeline.RagPipeline.buildStore]]: each
     * micro-batch of documents is chunked + embedded, deduped within

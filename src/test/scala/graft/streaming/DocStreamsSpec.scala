@@ -81,6 +81,56 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CMS counters: re-delivery overcounts, dedup-then-sum equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val terms = Tables.documents(spark, sf).limit(60)
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .collect().map(_.getString(0)).toSeq
+    val batch = DocStreams.cmsCounters(terms.toDF("term"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    // raw sum-merge with a duplicated slice: one-sided error only
+    val mem = MemoryStream[String]
+    val q = DocStreams.cmsCounters(mem.toDF().toDF("term"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_raw_out").start()
+    try {
+      mem.addData(terms)
+      q.processAllAvailable()
+      mem.addData(terms.take(100)) // at-least-once re-delivery
+      q.processAllAvailable()
+      val got = spark.table("cms_raw_out")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got.keySet == batch.keySet)
+      assert(batch.forall { case (k, v) => got(k) >= v },
+        "a CMS must never undercount, even under re-delivery")
+      assert(got.values.sum > batch.values.sum,
+        "the duplicated slice must visibly inflate the raw sum-merge")
+    } finally q.stop()
+
+    // the correct at-least-once shape: id-dedup before the sum
+    val mem2 = MemoryStream[(Long, String)]
+    val deduped = mem2.toDF().toDF("term_id", "term")
+      .dropDuplicates("term_id")
+    val q2 = DocStreams.cmsCounters(deduped)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_dedup_out").start()
+    try {
+      val ided = terms.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      mem2.addData(ided)
+      q2.processAllAvailable()
+      mem2.addData(ided.take(100))
+      q2.processAllAvailable()
+      val got = spark.table("cms_dedup_out")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got == batch,
+        "dedup-then-sum must rebuild the batch counter grid exactly")
+    } finally q2.stop()
+  }
+
   test("stream-static near-dup: banded stream doc collides with its historical twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
