@@ -963,10 +963,14 @@ object Queries {
     val uc = toks.groupBy(col("tok"))
       .agg(count(lit(1)).cast("double").as("c_t"))
     val nt = uc.agg(sum(col("c_t")).as("n_toks"))
-    val right = toks.select(col("doc_id"),
-      (col("pos") - 1).as("pos"), col("tok").as("b"))
-    val bi = toks.join(right, Seq("doc_id", "pos"))
-      .select(col("doc_id"), col("tok").as("a"), col("b"))
+    // bigrams via a per-doc lag window — one doc_id exchange, vs the
+    // positional self-join's two shuffles of the whole token table
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("a", lag(col("tok"), 1).over(wDoc))
+      .filter(col("a").isNotNull)
+      .select(col("doc_id"), col("a"), col("tok").as("b"))
     val bc = bi.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("double").as("c_ab"))
     bi.groupBy(col("doc_id"), col("a"), col("b"))
@@ -997,14 +1001,21 @@ object Queries {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(Tok.tokens(lower(col("text")))).as(Seq("pos", "tok")))
-    val right = toks.select(col("doc_id"), col("pos").as("rpos"),
-      col("tok").as("rtok"))
-    val pairs = toks
-      .withColumn("d", explode(sequence(lit(1), lit(2))))
-      .withColumn("rpos", col("pos") + col("d"))
-      .join(right, Seq("doc_id", "rpos"))
-      .select(least(col("tok"), col("rtok")).as("a"),
-        greatest(col("tok"), col("rtok")).as("b"))
+    // ±1/±2 co-occurrence via per-doc lag windows — each pair
+    // (p−d, p) is emitted once at its right member, identical rows
+    // to the offset self-join but with ONE doc_id exchange instead
+    // of two token-table shuffles
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val lagged = toks
+      .withColumn("l1", lag(col("tok"), 1).over(wDoc))
+      .withColumn("l2", lag(col("tok"), 2).over(wDoc))
+    val pairs = lagged
+      .select(col("tok").as("rtok"),
+        explode(array(col("l1"), col("l2"))).as("ltok"))
+      .filter(col("ltok").isNotNull)
+      .select(least(col("ltok"), col("rtok")).as("a"),
+        greatest(col("ltok"), col("rtok")).as("b"))
     val pc = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("double").as("c_ab"))
     val uc = toks.groupBy(col("tok"))
