@@ -399,7 +399,7 @@ object Oracles {
        |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     "q_chunk_fixed" ->
       s"""$chunkCte
@@ -3002,4 +3002,28 @@ object Oracles {
         |SELECT asset_id, frame_off, substr(text, frame_off + 1, 16) AS frame_text
         |FROM f ORDER BY asset_id, frame_off""".stripMargin
   )
+
+  /** Catalog oracle SQL. Composed rows (the ANN recall evaluation)
+    * embed constituent oracles as derived tables, so the truth and
+    * approx rankings replay from EXACTLY the SQL the driver already
+    * hash-checks for those rows. */
+  val sql: Map[String, String] = base ++ Map(
+    "q_ann_recall" ->
+      s"""WITH truth AS (
+         |  SELECT query_id, vec_id FROM (${base("q_topk_cosine")}) t
+         |), approx AS (
+         |  SELECT query_id, vec_id FROM (${base("q_topk_ivf")}) a
+         |), hits AS (
+         |  SELECT t.query_id, count(*) AS n_hit
+         |  FROM truth t
+         |  JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+         |  GROUP BY t.query_id
+         |), ks AS (
+         |  SELECT query_id, count(*) AS k FROM truth GROUP BY query_id
+         |)
+         |SELECT ks.query_id, CAST(ks.k AS INTEGER) AS k,
+         |       CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
+         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ks.k, 4) AS recall
+         |FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
+         |ORDER BY ks.query_id""".stripMargin)
 }

@@ -393,6 +393,29 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN recall evaluation — the measurement row every approximate
+    * index needs before it replaces the exact path: recall@5 of the
+    * served IVF tier ([[q_topk_ivf]], saved index, nProbe=2) against
+    * the brute-force truth ([[q_topk_cosine]]), per query. Composes
+    * the two oracle-checked retrieval rows, so the DuckDB replay
+    * embeds EXACTLY their SQL as derived tables — the eval loop is
+    * itself hash-checked. Scale shape: both inputs are k-bounded
+    * top-k outputs (rows = |queries|·k), so the recall join is
+    * trivially small no matter the corpus size. */
+  def q_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    val truth = q_topk_cosine(s, dir).select(col("query_id"), col("vec_id"))
+    val approx = q_topk_ivf(s, dir).select(col("query_id"), col("vec_id"))
+    val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("kc"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("kc").cast("int").as("k"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("kc"), 4)
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Crafted IVF fixture: THREE well-separated integer clusters
     * (A ≈ e1: vec 0–3, B ≈ e2: vec 4–7, C ≈ e3: vec 8–11). The
     * deterministic sorted-sample init picks vec 0, 4 and 8 (indices

@@ -53,6 +53,7 @@ object SparkEntry {
     "q_topk_lsh" -> (Queries.q_topk_lsh _),
     "q_topk_signlsh" -> (Queries.q_topk_signlsh _),
     "q_topk_ivf" -> (Queries.q_topk_ivf _),
+    "q_ann_recall" -> (Queries.q_ann_recall _),
     "q_quantize_int8" -> (Queries.q_quantize_int8 _),
     "q_topk_int8_rerank" -> (Queries.q_topk_int8_rerank _),
     "q_topk_ivf_crafted" -> (Queries.q_topk_ivf_crafted _),
