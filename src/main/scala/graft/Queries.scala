@@ -814,10 +814,10 @@ object Queries {
   def q_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // the ORACLE-checked row trains on the FULL vocabulary (the DuckDB
-    // side has no top-N sample), bounded here by the corpus' distinct
-    // words; the production default stays the top-10000 bounded sample
-    val merges = graft.text.BpeLite.train(
-      graft.text.BpeLite.wordCounts(docs, topN = Int.MaxValue), numMerges = 8)
+    // side has no top-N sample) with the fully distributed trainer:
+    // per round one pair-count aggregate, one argmax row to the driver
+    // — the vocabulary itself never leaves the executors
+    val merges = graft.text.BpeLite.trainDistributed(docs, numMerges = 8)
     val mergesStr = merges.map { case (a, b) => s"$a+$b" }.mkString(",")
     docs.select(col("doc_id"),
         graft.text.BpeLite.tokenCountCol(merges).as("n_bpe_tokens"),

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * ACL 2016): greedily merge the most frequent adjacent symbol pair,
   * ties broken lexicographically.
   *
-  * Scale shape: merges are TRAINED on a driver-side word-frequency
-  * sample (bounded — top-N words via one distributed aggregate),
-  * then BROADCAST; encoding is a narrow per-row map. The corpus is
-  * never collected.
+  * Scale shape: [[trainDistributed]] keeps the word-frequency table
+  * on the executors end to end — each merge round is one distributed
+  * pair-count aggregate whose single argmax row is all that reaches
+  * the driver; [[train]]+[[wordCounts]] is the bounded-sample
+  * (top-N, driver-side) alternative for small fixtures. Either way
+  * the learned merges (≤ numMerges pairs) are BROADCAST and encoding
+  * is a narrow per-row map. The corpus is never collected.
   */
 object BpeLite {
 
@@ -87,14 +90,90 @@ object BpeLite {
       .flatMap(encodeWord(_, merges))
 
   /** Distributed training sample: top-N words by frequency (one
-    * aggregate; deterministic order (−count, word)). */
+    * aggregate; deterministic order (−count, word)). `topN` must be an
+    * explicit bound — for full-vocabulary training use
+    * [[trainDistributed]], which never collects the vocabulary. */
   def wordCounts(docs: DataFrame, textCol: String = "text",
-      topN: Int = 10000): Map[String, Long] =
+      topN: Int = 10000): Map[String, Long] = {
+    require(topN <= (1 << 20),
+      s"wordCounts collects topN=$topN words to the driver; " +
+        "full-vocabulary training must use trainDistributed")
     docs.select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), col("w")).limit(topN)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Distinct-word frequency frame `(syms: array<string>, c: long)`
+    * with each word pre-split into single-character symbols — the
+    * distributed twin of the `words` map inside [[train]]. */
+  private[text] def wordFrame(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(split(col("w"), "").as("syms"), col("c"))
+
+  /** Adjacent-pair counts of `words` after re-applying the merges
+    * learned so far, reduced to the single argmax row with the
+    * deterministic (−count, left, right) tie rule — one distributed
+    * aggregate per merge round, ONE row to the driver (the
+    * `Ivf.boundedIndex` bounded-argmax pattern). Exposed for the spec
+    * that pins "no vocabulary-sized LocalRelation in the training
+    * plan". */
+  private[text] def pairArgmax(words: DataFrame, sofar: Seq[Merge]): DataFrame = {
+    val ms = sofar.toVector
+    val remergedSyms =
+      if (ms.isEmpty) col("syms")
+      else udf((syms: Seq[String]) =>
+        ms.foldLeft(syms.toVector)(applyMerge)).apply(col("syms"))
+    words.select(remergedSyms.as("syms"), col("c"))
+      .select(col("c"), explode(when(size(col("syms")) >= 2,
+        expr("transform(sequence(0, size(syms)-2), " +
+          "i -> struct(syms[i] as a, syms[i+1] as b))"))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .groupBy(col("p.a"), col("p.b")).agg(sum(col("c")).as("cnt"))
+      .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+  }
+
+  /** Fully distributed merge training over the FULL vocabulary: the
+    * word-frequency table stays a DataFrame end to end; each of the
+    * `numMerges` unrolled rounds runs one distributed pair-count
+    * aggregate and collects only the single argmax row. Driver state
+    * is the ≤ `numMerges` learned merge pairs — at web scale
+    * (10⁸–10⁹ distinct words) nothing vocabulary-sized ever leaves
+    * the executors, unlike [[wordCounts]]+[[train]] which is the
+    * bounded-sample path. Produces the identical merge sequence to
+    * `train(wordCounts(docs, topN = ∞), numMerges)`: same pair
+    * weights (per distinct word × frequency), same (−count, left,
+    * right) tie rule, same early stop when no pair remains. */
+  def trainDistributed(docs: DataFrame, textCol: String = "text",
+      numMerges: Int = 8): Vector[Merge] = {
+    // each round is its own action over the same distinct-word frame:
+    // persist the narrow (syms, c) projection for the rounds, release
+    // it before returning (round k re-applies the k merges learned so
+    // far inside the scan — numMerges² symbol work per word, trivial
+    // for the ≤16-round regimes BPE-lite targets, and it keeps every
+    // round's lineage one InMemoryRelation scan deep)
+    val words = wordFrame(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = Vector.newBuilder[Merge]
+      var sofar = Vector.empty[Merge]
+      var i = 0
+      while (i < numMerges) {
+        val top = pairArgmax(words, sofar).collect()
+        if (top.isEmpty) i = numMerges
+        else {
+          val best = (top(0).getString(0), top(0).getString(1))
+          merges += best
+          sofar = sofar :+ best
+          i += 1
+        }
+      }
+      merges.result()
+    } finally words.unpersist(blocking = false)
+  }
 
   /** Column: BPE token count of `textCol` under broadcast merges. */
   def tokenCountCol(merges: Seq[Merge]): Column = {

@@ -55,4 +55,51 @@ class BpeLiteSpec extends AnyFunSuite {
     val c2 = scala.collection.immutable.ListMap(c1.toSeq.reverse: _*).toMap
     assert(BpeLite.train(c1, 5) == BpeLite.train(c2, 5))
   }
+
+  test("trainDistributed == driver train on the full vocabulary (real corpus)") {
+    val spark = graft.SparkTestBase.spark
+    val docs = spark.read.parquet(graft.SparkTestBase.sf + "/documents.parquet")
+    val distributed = BpeLite.trainDistributed(docs, numMerges = 8)
+    val driver = BpeLite.train(
+      BpeLite.wordCounts(docs, topN = 1 << 20), numMerges = 8)
+    assert(distributed == driver)
+    assert(distributed.length == 8)
+  }
+
+  test("trainDistributed stops early when the vocabulary exhausts, matching train") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq("low low lower", "low lowest").toDF("text")
+    val d = BpeLite.trainDistributed(docs, numMerges = 100)
+    val t = BpeLite.train(BpeLite.wordCounts(docs), numMerges = 100)
+    assert(d == t)
+    assert(d.nonEmpty && d.length < 100) // merged to whole words, stopped
+  }
+
+  test("training plan never materializes the vocabulary on the driver (no LocalRelation)") {
+    val spark = graft.SparkTestBase.spark
+    val docs = spark.read.parquet(graft.SparkTestBase.sf + "/documents.parquet")
+    val words = BpeLite.wordFrame(docs, "text")
+    // round 3's argmax frame: vocabulary flows parquet scan → agg →
+    // re-merge UDF → pair explode → agg → single-row limit; a driver
+    // round-trip would surface as a LocalRelation/LocalTableScan leaf
+    val round = BpeLite.pairArgmax(words, Vector("t" -> "h", "e" -> "r"))
+    val leaves = round.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      assert(!leaf.getClass.getSimpleName.contains("LocalRelation"),
+        s"vocabulary-sized local leaf in training plan: $leaf")
+    }
+    // and the argmax really is a single row
+    assert(round.count() == 1)
+  }
+
+  test("wordCounts refuses an unbounded driver collect") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq("a b").toDF("text")
+    intercept[IllegalArgumentException] {
+      BpeLite.wordCounts(docs, topN = Int.MaxValue)
+    }
+  }
 }
