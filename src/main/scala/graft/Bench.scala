@@ -74,10 +74,21 @@ object Bench {
       // "faster" than a clean one; errors[] + exit 1 carry the failure
       if (failed) None else Some(times.min)
     }
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
+    // optional arg: comma-separated query-name filter (same convention
+    // as Verify) for focused local iteration; the driver passes none.
+    // A filtered sweep defaults its artifact AWAY from BENCH_LOCAL.json
+    // so a partial run can never overwrite the committed full artifact.
+    val only: Set[String] =
+      if (args.nonEmpty) args(0).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      if (only.isEmpty) "BENCH_LOCAL.json" else "/tmp/bench_filtered.json")
     val prev = prevTimes(outFile)
     val loadBefore = loadavg()
-    val firstPass = SparkEntry.queries.flatMap { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val firstPass = selected.flatMap { case (name, fn) =>
       minOf3(name, fn).map(name -> _)
     }
     // outlier re-run: min-of-3 doesn't survive a multi-second external

@@ -163,10 +163,12 @@ object Queries {
     * [[q_rag_e2e]], then dense (lattice cosine) and lexical (BM25
     * over the chunk texts) candidate lists at depth 2k fused by
     * reciprocal rank (1/(60+rank)), top-5, cited context. The oracle
-    * replays store enumeration (prefix sum ≡ row_number over id),
-    * both ranked lists and the fusion — every ranking either on
-    * exact-integer-derived doubles (dense) or round-6 scores
-    * (BM25, RRF). */
+    * replays both ranked lists and the fusion — every ranking either
+    * on exact-integer-derived doubles (dense) or round-6 scores
+    * (BM25, RRF), ties on the store's id total order (the identical
+    * permutation its row_number-over-id enumeration CTE assigns). One
+    * shared materialization: dense, lexical and the citation join all
+    * read a single persisted embedded-chunk frame. */
   def q_rag_e2e_hybrid(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.RagPipeline.run(s, t(s, dir, "documents"),
       ragE2eQueries, "simple", graft.vector.LatticeEmbedder(8), "hybrid")

@@ -99,24 +99,28 @@ object RagPipeline {
             "vec_id")
           .select(col("query_id"), col("rank"), col("source"), col("text"))
       case "hybrid" =>
-        // dense + lexical over the same enumerated store, fused by RRF
-        // (deeper candidate lists than the final k, the usual fusion
-        // setup); persisted because three consumers read it
-        val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
-            store, col("id"), lit(1L), "vec_id")
+        // dense + lexical candidate lists at depth 2k fused by RRF
+        // (deeper lists than the final k, the usual fusion setup).
+        // ONE materialization of the embedded-chunk stage: dense,
+        // lexical, and the citation join-back all read this single
+        // InMemoryRelation — no enumeration pass runs, because the
+        // store's string `id` is already the total order the ANN
+        // paths' prefix-sum enumeration would assign (vec_id is
+        // id-ordered, so every doc_id tiebreak below yields the
+        // identical permutation the enumerated form produced)
+        val shared = store
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dense = VectorOps.topK(indexed, queries, TopK * 2,
-            tiebreak = Seq(col("vec_id")))
-          .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+        val dense = VectorOps.topK(shared, queries, TopK * 2,
+            tiebreak = Seq(col("id")))
+          .select(col("query_id"), col("rank"), col("id").as("doc_id"))
         val lex = graft.text.Bm25.topK(
-            indexed.select(col("vec_id").as("doc_id"), col("text")),
+            shared.select(col("id").as("doc_id"), col("text")),
             queries.select(col("query_id"), col("query_text").as("qtext")),
             TopK * 2)
           .select(col("query_id"), col("rank"), col("doc_id"))
         graft.text.Bm25.rrfFuse(dense, lex, TopK)
-          .withColumnRenamed("doc_id", "vec_id")
-          .join(indexed.select(col("vec_id"), col("source"), col("text")),
-            "vec_id")
+          .withColumnRenamed("doc_id", "id")
+          .join(shared.select(col("id"), col("source"), col("text")), "id")
           .select(col("query_id"), col("rank"), col("source"), col("text"))
       case "bm25_indexed" =>
         // lexical retrieval from a PERSISTED inverted index — the
