@@ -258,26 +258,33 @@ object Dedup {
   }
 
   /** Single-flight memo over [[saveSignatureIndex]], keyed by caller
-    * key + parameters (same contract and staleness caveat as
-    * [[graft.text.Bm25.ensureSavedIndex]]: callers must change the
-    * key when the corpus behind it changes; the catalog keys by the
-    * immutable fixture directory). First caller pays the corpus
-    * pass; every later consumer — candidate generation, verify,
-    * clustering, the corpus filter — reads the parquet. */
+    * key + parameters, with the same staleness contract as
+    * [[graft.text.Bm25.ensureSavedIndex]]: every call fingerprints
+    * the offered corpus ([[graft.io.Fingerprint]], one narrow scan)
+    * against the fingerprint recorded at build, rebuilding into a
+    * fresh directory on mismatch — a changed corpus can never serve
+    * pre-change signatures. First caller pays the corpus pass; every
+    * later consumer — candidate generation, verify, clustering, the
+    * corpus filter — reads the parquet. */
   private val savedSigIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   def ensureSavedSignatureIndex(docs: DataFrame, cacheKey: String,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3): String = {
     val key = s"$cacheKey|$numHashes|$bands|$shingleN"
+    val fp = graft.io.Fingerprint.of(docs)
     savedSigIndexes.get(key) match {
-      case Some(p) => p
-      case None => savedSigIndexes.synchronized {
-        savedSigIndexes.getOrElseUpdate(key, {
-          val p = graft.io.TempDirs.create("graft-minhash-idx")
-          saveSignatureIndex(docs, p, numHashes, bands, shingleN)
-          p
-        })
+      case Some((p, f)) if f == fp => p
+      case _ => savedSigIndexes.synchronized {
+        savedSigIndexes.get(key) match {
+          case Some((p, f)) if f == fp => p
+          case _ =>
+            val p = graft.io.TempDirs.create("graft-minhash-idx")
+            saveSignatureIndex(docs, p, numHashes, bands, shingleN)
+            graft.io.Fingerprint.write(p, fp)
+            savedSigIndexes.put(key, (p, fp))
+            p
+        }
       }
     }
   }

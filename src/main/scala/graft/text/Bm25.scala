@@ -159,28 +159,39 @@ object Bm25 {
   /** One saved index per cache key per JVM: build-once-serve-many.
     * First call builds + saves (the expensive corpus pass); later
     * calls — e.g. Bench's min-of-3 or a query batch loop — only pay
-    * the pruned serve. The builder runs SINGLE-FLIGHT: the memo is
+    * a [[graft.io.Fingerprint]] scan of the offered corpus plus the
+    * pruned serve. The builder runs SINGLE-FLIGHT: the memo is
     * checked lock-free on the hit path, and the build itself runs
     * under a lock so two concurrent first callers can never both pay
-    * the corpus pass (TrieMap.getOrElseUpdate alone evaluates its
-    * thunk outside the CAS). Known tradeoff of any key-by-name memo
-    * (same as the Ann dim memo): if the corpus BEHIND a key is
-    * rewritten in the same JVM, the stale index keeps serving the old
-    * scores — callers must change the key when the data changes (the
-    * catalog keys by fixture directory, which is immutable per run). */
-  private val savedIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+    * the corpus pass.
+    *
+    * STALENESS CONTRACT (r9): the memo records the corpus fingerprint
+    * (row count + order-free content-md5 rollup) at build and
+    * re-checks it on every serve — if the corpus behind a key changed
+    * (an upsert epoch, a rewritten fixture), the index REBUILDS into
+    * a fresh directory instead of silently serving stale scores. The
+    * fingerprint also lands beside the index (`_FINGERPRINT`) for
+    * cross-JVM audit. */
+  private val savedIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  def ensureSavedIndex(docs: DataFrame, cacheKey: String): String =
+  def ensureSavedIndex(docs: DataFrame, cacheKey: String): String = {
+    val fp = graft.io.Fingerprint.of(docs)
     savedIndexes.get(cacheKey) match {
-      case Some(p) => p
-      case None => savedIndexes.synchronized {
-        savedIndexes.getOrElseUpdate(cacheKey, {
-          val p = graft.io.TempDirs.create("graft-bm25-idx")
-          saveIndex(docs, p)
-          p
-        })
+      case Some((p, f)) if f == fp => p
+      case _ => savedIndexes.synchronized {
+        savedIndexes.get(cacheKey) match {
+          case Some((p, f)) if f == fp => p
+          case _ =>
+            val p = graft.io.TempDirs.create("graft-bm25-idx")
+            saveIndex(docs, p)
+            graft.io.Fingerprint.write(p, fp)
+            savedIndexes.put(cacheKey, (p, fp))
+            p
+        }
       }
     }
+  }
 
   /** Token-set Jaccard ranking — the unweighted lexical cousin of
     * BM25: |Q∩D| / |Q∪D| over distinct lowercase tokens. Same

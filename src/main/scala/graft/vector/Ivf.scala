@@ -288,26 +288,40 @@ object Ivf {
   }
 
   /** One saved index per cache key per JVM (build-once-serve-many,
-    * same single-flight memo contract and caveats as [[graft.text
+    * same single-flight memo AND staleness contract as [[graft.text
     * .Bm25.ensureSavedIndex]]): first call fits + assigns + persists
-    * under a lock, later calls serve cell-pruned reads lock-free.
-    * Dirs are registered with [[graft.io.TempDirs]] for exit
+    * under a lock; every call fingerprints the offered corpus
+    * ([[graft.io.Fingerprint]], one narrow scan) and a mismatch with
+    * the recorded build fingerprint rebuilds into a fresh directory —
+    * an upserted corpus can never be served from the pre-upsert
+    * index. Dirs are registered with [[graft.io.TempDirs]] for exit
     * cleanup. */
-  private val savedIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val savedIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def ensureWith(cacheKey: String, corpus: DataFrame,
+      prefix: String)(build: () => (DataFrame, Array[Array[Double]])): String = {
+    val fp = graft.io.Fingerprint.of(corpus)
+    savedIndexes.get(cacheKey) match {
+      case Some((p, f)) if f == fp => p
+      case _ => savedIndexes.synchronized {
+        savedIndexes.get(cacheKey) match {
+          case Some((p, f)) if f == fp => p
+          case _ =>
+            val p = graft.io.TempDirs.create(prefix)
+            val (assigned, cents) = build()
+            saveIndex(assigned, cents, p)
+            graft.io.Fingerprint.write(p, fp)
+            savedIndexes.put(cacheKey, (p, fp))
+            p
+        }
+      }
+    }
+  }
 
   def ensureSavedIndex(corpus: DataFrame, nCells: Int,
       cacheKey: String): String =
-    savedIndexes.get(cacheKey) match {
-      case Some(p) => p
-      case None => savedIndexes.synchronized {
-        savedIndexes.getOrElseUpdate(cacheKey, {
-          val p = graft.io.TempDirs.create("graft-ivf-idx")
-          val (assigned, cents) = index(corpus, nCells)
-          saveIndex(assigned, cents, p)
-          p
-        })
-      }
-    }
+    ensureWith(cacheKey, corpus, "graft-ivf-idx")(() => index(corpus, nCells))
 
   /** [[ensureSavedIndex]] for the DISTRIBUTED [[boundedIndex]] fit:
     * the `rounds + 1` corpus scans of the k-means run ONCE per cache
@@ -320,15 +334,6 @@ object Ivf {
     * the in-memory path, so served scores are bit-identical. */
   def ensureSavedBoundedIndex(corpus: DataFrame, nCells: Int,
       rounds: Int, cacheKey: String): String =
-    savedIndexes.get(cacheKey) match {
-      case Some(p) => p
-      case None => savedIndexes.synchronized {
-        savedIndexes.getOrElseUpdate(cacheKey, {
-          val p = graft.io.TempDirs.create("graft-ivf-bidx")
-          val (assigned, cents) = boundedIndex(corpus, nCells, rounds)
-          saveIndex(assigned, cents, p)
-          p
-        })
-      }
-    }
+    ensureWith(cacheKey, corpus, "graft-ivf-bidx")(() =>
+      boundedIndex(corpus, nCells, rounds))
 }
