@@ -137,6 +137,45 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("LM scoring queries tokenize the corpus once (r10 single-pass gate)") {
+    // q_unigram_logprob: the scoring join, the vocab rollup, and the
+    // corpus total all read the persisted per-(doc, term) count frame
+    // — the explode lives only inside that InMemoryRelation, so the
+    // outer plan must show cache scans and ZERO Generate nodes. AQE
+    // is disabled for the assertion only (stable static plans).
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val uni = Queries.q_unigram_logprob(spark, sf).queryExecution.executedPlan
+      val uniScans = uni.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+      val uniGens = uni.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(uniScans.size >= 3, s"expected >=3 InMemoryTableScan, plan:\n$uni")
+      assert(uniGens.isEmpty,
+        s"explode must live inside the cached frame only, plan:\n$uni")
+
+      // q_bigram_logprob: the vocabulary counts (read 3x) and the
+      // per-(doc, a, b) bigram counts (read 2x) are each persisted —
+      // every multi-consumer frame reads an InMemoryRelation, so no
+      // explode or window may remain in the outer plan (each runs
+      // exactly once, inside its cached frame).
+      val bi = Queries.q_bigram_logprob(spark, sf).queryExecution.executedPlan
+      val biScans = bi.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+      val biGens = bi.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      val biWins = bi.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(biScans.size >= 4, s"expected >=4 InMemoryTableScan, plan:\n$bi")
+      assert(biGens.isEmpty && biWins.isEmpty,
+        s"explode/window must live inside the cached frames only, plan:\n$bi")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("q_ocr_nested: zero-image pages survive explode_outer; data-URI on odd images") {
     val rows = Queries.q_ocr_nested(spark, sf).collect()
     val zeroImg = rows.filter(_.getInt(2) == 0)
