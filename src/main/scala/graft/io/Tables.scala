@@ -80,12 +80,25 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "embeddings")
 
-  /** The fixture `events.ts` is parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses by default. Read it as nanos-since-epoch LONG
-    * (legacy conf) and convert to a micros TimestampType with integer
-    * `div` (never double division — ns epoch values exceed double's
-    * exact integer range). The µs floor matches what any µs engine
-    * sees; oracle-checked queries additionally never emit raw `ts`.
+  /** Events reader with a STABLE `ts: TimestampType` contract across
+    * fixture encodings. The driver has generated `events.ts` two
+    * ways across rounds:
+    *
+    *  - parquet TIMESTAMP(NANOS), which Spark 4 refuses by default —
+    *    read as nanos-since-epoch LONG (legacy conf) and convert to
+    *    a micros TimestampType with integer `div` (never double
+    *    division — ns epoch values exceed double's exact integer
+    *    range);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (r10
+    *    fixtures), which Spark infers as TIMESTAMP_NTZ — cast to
+    *    TimestampType. Every engine entry point pins the session
+    *    time zone to UTC, so the cast re-labels the same wall clock
+    *    as the same instant the nanos path produced, and downstream
+    *    consumers that genuinely need an instant (streaming
+    *    watermarks, unix_micros) keep working.
+    *
+    * Either way the µs value matches what any µs engine sees;
+    * oracle-checked queries additionally never emit raw `ts`.
     *
     * The legacy conf is consulted ONLY during schema inference (the
     * eager `spark.read.parquet` below; there is no per-read option
@@ -109,6 +122,9 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

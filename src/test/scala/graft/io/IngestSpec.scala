@@ -146,7 +146,7 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(!z.exists(), "archive removed either way")
   }
 
-  test("events reader does not leak the nanosAsLong conf into the session") {
+  test("events reader: stable TIMESTAMP contract, no conf leak into the session") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val before = spark.conf.getOption(key) // Some(default) for registered confs
     assert(!before.contains("true"))
@@ -156,13 +156,12 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
       "reader must not mutate session state")
     // ...yet the returned frame still executes (schema was captured)
     assert(ev.limit(3).count() == 3)
-    // and a raw read of the same nanos parquet still gets the
-    // session's own (strict) behavior: Spark 4 refuses NANOS
-    val err = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.read.parquet(s"$sf/events.parquet")
-    }
-    assert(err.getMessage.contains("PARQUET_TYPE_ILLEGAL")
-      || err.getErrorClass == "PARQUET_TYPE_ILLEGAL")
+    // the contract every consumer (streaming watermarks, unix_micros)
+    // relies on: whatever the fixture encoding — TIMESTAMP(NANOS)
+    // rounds 1-9, TIMESTAMP_NTZ micros since r10 — ts surfaces as a
+    // session-tz TimestampType instant, never NTZ or raw LONG
+    assert(ev.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      s"ts must normalize to TimestampType, got ${ev.schema("ts").dataType}")
   }
 
   test("filter specs push down to the parquet scan (SURVEY §4 pushdown)") {
