@@ -21,11 +21,54 @@ object BpeLite {
 
   type Merge = (String, String)
 
+  /** Initial symbol split of a word: one symbol per CODE POINT, not
+    * per UTF-16 code unit — the same split Spark's `split(w, "")`
+    * produces (Java regex is code-point aware), so the driver and
+    * distributed trainers see identical symbol streams on
+    * supplementary-plane text (emoji, rare CJK); `w.map(_.toString)`
+    * would shear surrogate pairs into unmatched halves. */
+  private[text] def codePointSyms(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = w.offsetByCodePoints(i, 1)
+      out += w.substring(i, n)
+      i = n
+    }
+    out.result()
+  }
+
+  /** UTF-8 byte order — Spark's binary string ordering. Java's
+    * `String.compareTo` (UTF-16 code units) disagrees on
+    * supplementary-plane code points (surrogates 0xD800-0xDFFF sort
+    * BELOW 0xE000-0xFFFF, while their code points sort above all of
+    * the BMP), so driver-side tie-breaks must compare this way to
+    * replay the distributed argmax's `orderBy`. */
+  private[text] val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  private val argmaxOrdering: Ordering[(Long, String, String)] =
+    Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering)
+
   /** Learn `numMerges` merge rules from word frequencies. Pure and
-    * deterministic: highest pair count wins, ties by (left, right). */
+    * deterministic: highest pair count wins, ties by (left, right)
+    * in UTF-8 byte order — bit-identical to [[trainDistributed]] on
+    * any text, including non-BMP. */
   def train(wordCounts: Map[String, Long], numMerges: Int): Vector[Merge] = {
     var words: Map[Vector[String], Long] = wordCounts.map {
-      case (w, c) => w.map(_.toString).toVector -> c
+      case (w, c) => codePointSyms(w) -> c
     }.groupMapReduce(_._1)(_._2)(_ + _)
     val merges = Vector.newBuilder[Merge]
     var i = 0
@@ -41,7 +84,7 @@ object BpeLite {
       if (pairCounts.isEmpty) i = numMerges
       else {
         val best = pairCounts.toSeq
-          .minBy { case ((a, b), c) => (-c, a, b) }._1
+          .minBy { case ((a, b), c) => (-c, a, b) }(argmaxOrdering)._1
         merges += best
         words = words.map { case (syms, c) => applyMerge(syms, best) -> c }
           .groupMapReduce(_._1)(_._2)(_ + _)
@@ -77,7 +120,7 @@ object BpeLite {
     val hit = encodeMemo.get(key)
     if (hit != null) hit
     else {
-      val v = merges.foldLeft(word.map(_.toString).toVector)(applyMerge)
+      val v = merges.foldLeft(codePointSyms(word))(applyMerge)
       if (encodeMemo.size < MaxMemo) encodeMemo.putIfAbsent(key, v)
       v
     }
@@ -121,13 +164,21 @@ object BpeLite {
     * `Ivf.boundedIndex` bounded-argmax pattern). Exposed for the spec
     * that pins "no vocabulary-sized LocalRelation in the training
     * plan". */
-  private[text] def pairArgmax(words: DataFrame, sofar: Seq[Merge]): DataFrame = {
+  /** `words` with `sofar` merges folded into the symbol column —
+    * identity when no merges are pending. Folding commutes with
+    * later merges: applyMerge composes sequentially, so re-applying
+    * pending merges on a folded base equals replaying every merge
+    * from the raw split. */
+  private[text] def remerged(words: DataFrame, sofar: Seq[Merge]): DataFrame = {
     val ms = sofar.toVector
-    val remergedSyms =
-      if (ms.isEmpty) col("syms")
-      else udf((syms: Seq[String]) =>
-        ms.foldLeft(syms.toVector)(applyMerge)).apply(col("syms"))
-    words.select(remergedSyms.as("syms"), col("c"))
+    if (ms.isEmpty) words
+    else words.select(udf((syms: Seq[String]) =>
+      ms.foldLeft(syms.toVector)(applyMerge)).apply(col("syms")).as("syms"),
+      col("c"))
+  }
+
+  private[text] def pairArgmax(words: DataFrame, sofar: Seq[Merge]): DataFrame = {
+    remerged(words, sofar)
       .select(col("c"), explode(when(size(col("syms")) >= 2,
         expr("transform(sequence(0, size(syms)-2), " +
           "i -> struct(syms[i] as a, syms[i+1] as b))"))
@@ -148,27 +199,41 @@ object BpeLite {
     * weights (per distinct word × frequency), same (−count, left,
     * right) tie rule, same early stop when no pair remains. */
   def trainDistributed(docs: DataFrame, textCol: String = "text",
-      numMerges: Int = 8): Vector[Merge] = {
-    // each round is its own action over the same distinct-word frame:
-    // persist the narrow (syms, c) projection for the rounds, release
-    // it before returning (round k re-applies the k merges learned so
-    // far inside the scan — numMerges² symbol work per word, trivial
-    // for the ≤16-round regimes BPE-lite targets, and it keeps every
-    // round's lineage one InMemoryRelation scan deep)
-    val words = wordFrame(docs, textCol)
+      numMerges: Int = 8, foldEvery: Int = 4): Vector[Merge] = {
+    // each round is its own action over the distinct-word frame:
+    // persist the narrow (syms, c) projection, release it before
+    // returning. Round k re-applies only the merges PENDING since the
+    // last fold: every `foldEvery` rounds the learned merges are
+    // folded into a fresh persisted frame (r10 — the unfolded loop
+    // replayed all k merges from the raw split each round, O(k²)
+    // symbol work across training; folding caps the replay at
+    // O(k·foldEvery) for one extra materialization per fold). Folding
+    // preserves the merge sequence exactly: applyMerge composes
+    // sequentially, so pending merges on a folded base replay the
+    // same stream. The folded frame is an InMemoryRelation, never a
+    // LocalRelation — the vocabulary still never reaches the driver.
+    var words = wordFrame(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val merges = Vector.newBuilder[Merge]
-      var sofar = Vector.empty[Merge]
+      var pending = Vector.empty[Merge]
       var i = 0
       while (i < numMerges) {
-        val top = pairArgmax(words, sofar).collect()
+        val top = pairArgmax(words, pending).collect()
         if (top.isEmpty) i = numMerges
         else {
           val best = (top(0).getString(0), top(0).getString(1))
           merges += best
-          sofar = sofar :+ best
+          pending = pending :+ best
           i += 1
+          if (pending.length >= foldEvery && i < numMerges) {
+            val folded = remerged(words, pending)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            folded.count() // materialize before releasing the parent
+            words.unpersist(blocking = false)
+            words = folded
+            pending = Vector.empty
+          }
         }
       }
       merges.result()

@@ -66,6 +66,46 @@ class BpeLiteSpec extends AnyFunSuite {
     assert(distributed.length == 8)
   }
 
+  test("trainDistributed == driver train on non-BMP text (code-point symbols, UTF-8 ties)") {
+    // supplementary-plane stress: emoji words shear into surrogate
+    // halves under a UTF-16 split, and Java String order disagrees
+    // with UTF-8 byte order between U+E000..U+FFFF and U+10000+ —
+    // both trainers must split by code point and tie-break in UTF-8
+    // byte order to produce one merge sequence
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val e = "😀" // U+1F600 emoji (supplementary plane)
+    val g = "𝄞" // U+1D11E musical clef (supplementary plane)
+    val f = "ﬀ"       // U+FB00 ff-ligature (BMP, sorts ABOVE the
+                           // supplementary chars in UTF-16 units but
+                           // BELOW them in UTF-8 bytes / code points)
+    val docs = Seq(
+      s"$e${e}a a$e $f$e",
+      s"$e${e}a ${f}z ${g}z z${e}a",
+      s"$e$e $g$f z${e}a").toDF("text")
+    val d = BpeLite.trainDistributed(docs, numMerges = 6)
+    val t = BpeLite.train(BpeLite.wordCounts(docs), numMerges = 6)
+    assert(d == t)
+    // symbols are whole code points: encoding an emoji word yields
+    // concatenable, well-formed tokens (no lone surrogates — a lone
+    // surrogate would not survive a UTF-8 round-trip)
+    val toks = BpeLite.encodeWord(s"${e}z$e", d)
+    assert(toks.mkString == s"${e}z$e")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    assert(toks.forall(s => new String(s.getBytes(utf8), utf8) == s))
+  }
+
+  test("trainDistributed folds pending merges without changing the sequence") {
+    // foldEvery=1 (fold after every round) and foldEvery=100 (never
+    // fold) must produce the exact same merges as the driver trainer
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq("low low lower", "low lowest wide wider").toDF("text")
+    val t = BpeLite.train(BpeLite.wordCounts(docs), numMerges = 7)
+    assert(BpeLite.trainDistributed(docs, numMerges = 7, foldEvery = 1) == t)
+    assert(BpeLite.trainDistributed(docs, numMerges = 7, foldEvery = 100) == t)
+  }
+
   test("trainDistributed stops early when the vocabulary exhausts, matching train") {
     val spark = graft.SparkTestBase.spark
     import spark.implicits._
