@@ -258,36 +258,22 @@ object Dedup {
   }
 
   /** Single-flight memo over [[saveSignatureIndex]], keyed by caller
-    * key + parameters, with the same staleness contract as
-    * [[graft.text.Bm25.ensureSavedIndex]]: every call fingerprints
-    * the offered corpus ([[graft.io.Fingerprint]], one narrow scan)
-    * against the fingerprint recorded at build, rebuilding into a
-    * fresh directory on mismatch — a changed corpus can never serve
-    * pre-change signatures. First caller pays the corpus pass; every
-    * later consumer — candidate generation, verify, clustering, the
-    * corpus filter — reads the parquet. */
-  private val savedSigIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    * key + parameters, with the same [[graft.io.SavedIndex]]
+    * staleness contract as [[graft.text.Bm25.ensureSavedIndex]]:
+    * every call re-checks the offered corpus (content fingerprint
+    * scan, or an O(1) caller `epoch` token) and a mismatch rebuilds
+    * into a fresh directory, reclaiming the superseded one — a
+    * changed corpus can never serve pre-change signatures. First
+    * caller pays the corpus pass; every later consumer — candidate
+    * generation, verify, clustering, the corpus filter — reads the
+    * parquet. */
+  private val savedSigIndexes = new graft.io.SavedIndex("graft-minhash-idx")
 
   def ensureSavedSignatureIndex(docs: DataFrame, cacheKey: String,
-      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3): String = {
-    val key = s"$cacheKey|$numHashes|$bands|$shingleN"
-    val fp = graft.io.Fingerprint.of(docs)
-    savedSigIndexes.get(key) match {
-      case Some((p, f)) if f == fp => p
-      case _ => savedSigIndexes.synchronized {
-        savedSigIndexes.get(key) match {
-          case Some((p, f)) if f == fp => p
-          case _ =>
-            val p = graft.io.TempDirs.create("graft-minhash-idx")
-            saveSignatureIndex(docs, p, numHashes, bands, shingleN)
-            graft.io.Fingerprint.write(p, fp)
-            savedSigIndexes.put(key, (p, fp))
-            p
-        }
-      }
-    }
-  }
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      epoch: Option[String] = None): String =
+    savedSigIndexes.ensure(s"$cacheKey|$numHashes|$bands|$shingleN", docs,
+      epoch)(p => saveSignatureIndex(docs, p, numHashes, bands, shingleN))
 
   /** Candidate pairs served from a saved signature index (`doc_id`,
     * `bks`, `sh`): posexplode the band keys and self-join — the

@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * with 2⁻⁶⁰-scale collision odds. Cost at serve time is a single scan
   * of the corpus being checked — orders cheaper than the index rebuild
   * it guards, and the scan reads only the claimed corpus, never the
-  * index.
+  * index. Callers that serve many query batches against a versioned
+  * corpus skip even that via [[SavedIndex]]'s O(1) epoch tokens.
   */
 object Fingerprint {
 
@@ -43,6 +44,12 @@ object Fingerprint {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_FINGERPRINT"), fp + "\n")
 
+  /** Audit accessor for the `_FINGERPRINT` written beside an index.
+    * Deliberately NOT consulted by [[SavedIndex.ensure]]: index dirs
+    * are JVM-lifetime temp dirs ([[TempDirs]]), so no fresh JVM can
+    * legitimately reuse one — the on-disk record exists for humans
+    * and for the staleness specs, which assert a rebuild really
+    * changed it. */
   def read(path: String): Option[String] =
     try Some(java.nio.file.Files.readString(
       java.nio.file.Paths.get(path, "_FINGERPRINT")).trim)

@@ -1,0 +1,77 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Single-flight, staleness-checked memo for build-once-serve-many
+  * saved indexes — the shared machinery behind
+  * [[graft.text.Bm25.ensureSavedIndex]],
+  * [[graft.vector.Ivf.ensureSavedIndex]], and
+  * [[graft.dedup.Dedup.ensureSavedSignatureIndex]]. The reference's
+  * analog is the persistent ChromaDB collection
+  * (`/root/reference/Chunking_Strats/chromadb_rag.py:96-107`), which
+  * likewise builds once and serves many queries.
+  *
+  * STALENESS CONTRACT: the memo records the corpus fingerprint
+  * ([[Fingerprint.of]] — row count + order-free content-md5 rollup)
+  * at build time. A later call whose corpus fingerprints differently
+  * REBUILDS into a fresh directory and best-effort deletes the
+  * superseded one (no caller can reach the old path once the memo
+  * entry is replaced, so a long-lived JVM serving an upserting corpus
+  * holds at most one index copy per key). The fingerprint also lands
+  * beside the index (`_FINGERPRINT`, [[Fingerprint.write]]) so a
+  * later JVM or a human can audit which corpus built it.
+  *
+  * SERVE-COST POLICY: the default check is a [[Fingerprint.of]] scan
+  * of the offered corpus on EVERY serve — orders cheaper than the
+  * rebuild it guards, but still O(corpus) per call, which at the
+  * 100 TB target is the wrong place to spend a scan per query batch.
+  * Callers that track corpus versions pass an `epoch` token instead:
+  * when the offered epoch equals the recorded one the serve is O(1)
+  * (no scan, no job). The token is the CALLER'S promise — a caller
+  * that reuses an epoch across a corpus edit is served the old index
+  * by design, exactly like a versioned table read. A changed (or
+  * absent) epoch falls back to the content scan, so the content
+  * fingerprint stays the ground truth at every epoch boundary.
+  */
+final class SavedIndex(prefix: String) {
+
+  private final case class Entry(path: String, fp: String,
+      epoch: Option[String])
+
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, Entry]
+
+  /** Path of the up-to-date index for `key`, building via `build`
+    * (which receives the destination directory) when absent or stale.
+    * The build runs single-flight: the hit paths are lock-free, and
+    * two concurrent first callers can never both pay the corpus pass. */
+  def ensure(key: String, corpus: DataFrame,
+      epoch: Option[String] = None)(build: String => Unit): String = {
+    memo.get(key) match {
+      // O(1) epoch hit: the caller vouches the corpus is unchanged
+      case Some(e) if epoch.isDefined && e.epoch == epoch => e.path
+      case _ =>
+        val fp = Fingerprint.of(corpus)
+        memo.get(key) match {
+          case Some(e) if e.fp == fp =>
+            // content unchanged: adopt the caller's (new) epoch token
+            // so the next same-epoch serve takes the O(1) path
+            if (epoch.isDefined && e.epoch != epoch)
+              memo.put(key, e.copy(epoch = epoch))
+            e.path
+          case _ => memo.synchronized {
+            memo.get(key) match {
+              case Some(e) if e.fp == fp => e.path
+              case prev =>
+                val p = TempDirs.create(prefix)
+                build(p)
+                Fingerprint.write(p, fp)
+                memo.put(key, Entry(p, fp, epoch))
+                // the superseded index is unreachable now — reclaim it
+                prev.foreach(e => TempDirs.discard(e.path))
+                p
+            }
+          }
+        }
+    }
+  }
+}

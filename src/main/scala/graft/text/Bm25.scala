@@ -156,42 +156,18 @@ object Bm25 {
       idx.stats, queries, k, k1, b)
   }
 
-  /** One saved index per cache key per JVM: build-once-serve-many.
-    * First call builds + saves (the expensive corpus pass); later
-    * calls — e.g. Bench's min-of-3 or a query batch loop — only pay
-    * a [[graft.io.Fingerprint]] scan of the offered corpus plus the
-    * pruned serve. The builder runs SINGLE-FLIGHT: the memo is
-    * checked lock-free on the hit path, and the build itself runs
-    * under a lock so two concurrent first callers can never both pay
-    * the corpus pass.
-    *
-    * STALENESS CONTRACT (r9): the memo records the corpus fingerprint
-    * (row count + order-free content-md5 rollup) at build and
-    * re-checks it on every serve — if the corpus behind a key changed
-    * (an upsert epoch, a rewritten fixture), the index REBUILDS into
-    * a fresh directory instead of silently serving stale scores. The
-    * fingerprint also lands beside the index (`_FINGERPRINT`) for
-    * cross-JVM audit. */
-  private val savedIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  /** One saved index per cache key per JVM: build-once-serve-many,
+    * with the [[graft.io.SavedIndex]] staleness contract — every
+    * serve re-checks the offered corpus (content fingerprint scan,
+    * or an O(1) caller-supplied `epoch` token; see SavedIndex's
+    * serve-cost policy) and a mismatch rebuilds into a fresh
+    * directory, reclaiming the superseded one. A changed corpus can
+    * never be served from the pre-change index. */
+  private val savedIndexes = new graft.io.SavedIndex("graft-bm25-idx")
 
-  def ensureSavedIndex(docs: DataFrame, cacheKey: String): String = {
-    val fp = graft.io.Fingerprint.of(docs)
-    savedIndexes.get(cacheKey) match {
-      case Some((p, f)) if f == fp => p
-      case _ => savedIndexes.synchronized {
-        savedIndexes.get(cacheKey) match {
-          case Some((p, f)) if f == fp => p
-          case _ =>
-            val p = graft.io.TempDirs.create("graft-bm25-idx")
-            saveIndex(docs, p)
-            graft.io.Fingerprint.write(p, fp)
-            savedIndexes.put(cacheKey, (p, fp))
-            p
-        }
-      }
-    }
-  }
+  def ensureSavedIndex(docs: DataFrame, cacheKey: String,
+      epoch: Option[String] = None): String =
+    savedIndexes.ensure(cacheKey, docs, epoch)(p => saveIndex(docs, p))
 
   /** Token-set Jaccard ranking — the unweighted lexical cousin of
     * BM25: |Q∩D| / |Q∪D| over distinct lowercase tokens. Same

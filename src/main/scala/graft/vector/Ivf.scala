@@ -288,40 +288,26 @@ object Ivf {
   }
 
   /** One saved index per cache key per JVM (build-once-serve-many,
-    * same single-flight memo AND staleness contract as [[graft.text
+    * same [[graft.io.SavedIndex]] staleness contract as [[graft.text
     * .Bm25.ensureSavedIndex]]): first call fits + assigns + persists
-    * under a lock; every call fingerprints the offered corpus
-    * ([[graft.io.Fingerprint]], one narrow scan) and a mismatch with
-    * the recorded build fingerprint rebuilds into a fresh directory —
-    * an upserted corpus can never be served from the pre-upsert
-    * index. Dirs are registered with [[graft.io.TempDirs]] for exit
-    * cleanup. */
-  private val savedIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    * single-flight; every call re-checks the offered corpus (content
+    * fingerprint scan, or an O(1) caller `epoch` token — see
+    * SavedIndex's serve-cost policy) and a mismatch rebuilds into a
+    * fresh directory, reclaiming the superseded one — an upserted
+    * corpus can never be served from the pre-upsert index. */
+  private val savedIndexes = new graft.io.SavedIndex("graft-ivf-idx")
 
   private def ensureWith(cacheKey: String, corpus: DataFrame,
-      prefix: String)(build: () => (DataFrame, Array[Array[Double]])): String = {
-    val fp = graft.io.Fingerprint.of(corpus)
-    savedIndexes.get(cacheKey) match {
-      case Some((p, f)) if f == fp => p
-      case _ => savedIndexes.synchronized {
-        savedIndexes.get(cacheKey) match {
-          case Some((p, f)) if f == fp => p
-          case _ =>
-            val p = graft.io.TempDirs.create(prefix)
-            val (assigned, cents) = build()
-            saveIndex(assigned, cents, p)
-            graft.io.Fingerprint.write(p, fp)
-            savedIndexes.put(cacheKey, (p, fp))
-            p
-        }
-      }
+      epoch: Option[String])(
+      build: () => (DataFrame, Array[Array[Double]])): String =
+    savedIndexes.ensure(cacheKey, corpus, epoch) { p =>
+      val (assigned, cents) = build()
+      saveIndex(assigned, cents, p)
     }
-  }
 
   def ensureSavedIndex(corpus: DataFrame, nCells: Int,
-      cacheKey: String): String =
-    ensureWith(cacheKey, corpus, "graft-ivf-idx")(() => index(corpus, nCells))
+      cacheKey: String, epoch: Option[String] = None): String =
+    ensureWith(cacheKey, corpus, epoch)(() => index(corpus, nCells))
 
   /** [[ensureSavedIndex]] for the DISTRIBUTED [[boundedIndex]] fit:
     * the `rounds + 1` corpus scans of the k-means run ONCE per cache
@@ -333,7 +319,7 @@ object Ivf {
     * losslessly, and serve shares [[fineSearch]]'s Column trees with
     * the in-memory path, so served scores are bit-identical. */
   def ensureSavedBoundedIndex(corpus: DataFrame, nCells: Int,
-      rounds: Int, cacheKey: String): String =
-    ensureWith(cacheKey, corpus, "graft-ivf-bidx")(() =>
+      rounds: Int, cacheKey: String, epoch: Option[String] = None): String =
+    ensureWith(cacheKey, corpus, epoch)(() =>
       boundedIndex(corpus, nCells, rounds))
 }

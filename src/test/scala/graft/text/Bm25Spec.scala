@@ -60,6 +60,53 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     assert(p2 == p1 && graft.io.TempDirs.registeredCount == before)
   }
 
+  test("staleness: an upserted corpus rebuilds the saved index (new dir, new fingerprint, fresh scores)") {
+    import spark.implicits._
+    val key = "bm25-spec-staleness-key"
+    val q = Seq((0L, "spark join")).toDF("query_id", "qtext")
+    val p1 = Bm25.ensureSavedIndex(docsDf, key)
+    val fp1 = graft.io.Fingerprint.read(p1)
+    assert(fp1.isDefined)
+    // append one doc under the SAME key: the serve must notice
+    val upserted = docsDf.unionByName(
+      Seq((6L, "spark join spark join")).toDF("doc_id", "text"))
+    val p2 = Bm25.ensureSavedIndex(upserted, key)
+    assert(p2 != p1, "changed corpus must rebuild into a fresh directory")
+    assert(graft.io.Fingerprint.read(p2) != fp1,
+      "rebuilt index must carry the new corpus fingerprint")
+    // the superseded dir is unreachable — it must be reclaimed
+    assert(!new java.io.File(p1).exists(),
+      "superseded index dir must be deleted after the memo swap")
+    assert(!graft.io.TempDirs.isRegistered(p1))
+    // retrieval parity: the rebuilt index serves the scores a fresh
+    // inline build over the upserted corpus produces
+    val served = Bm25.topKIndexed(Bm25.loadIndex(spark, p2), q, 5)
+      .collect().map(_.toSeq).toSet
+    val fresh = Bm25.topK(upserted, q, 5).collect().map(_.toSeq).toSet
+    assert(served == fresh)
+    assert(served.exists(_(2) == 6L), "new doc must be retrievable")
+  }
+
+  test("staleness: epoch tokens are the caller's promise (O(1) hit, boundary re-check)") {
+    import spark.implicits._
+    val key = "bm25-spec-epoch-key"
+    val p1 = Bm25.ensureSavedIndex(docsDf, key, epoch = Some("e1"))
+    // same epoch: O(1) serve — by CONTRACT the corpus is not even
+    // looked at, so offering different data under an unchanged epoch
+    // serves the recorded index (a versioned-table read)
+    val changed = docsDf.unionByName(
+      Seq((7L, "entirely new content")).toDF("doc_id", "text"))
+    assert(Bm25.ensureSavedIndex(changed, key, epoch = Some("e1")) == p1)
+    // epoch moved: content re-checked, mismatch rebuilds
+    val p2 = Bm25.ensureSavedIndex(changed, key, epoch = Some("e2"))
+    assert(p2 != p1)
+    // epoch moved but content identical: no rebuild, token adopted —
+    // the NEXT e3 serve is O(1) again
+    val p3 = Bm25.ensureSavedIndex(changed, key, epoch = Some("e3"))
+    assert(p3 == p2)
+    assert(Bm25.ensureSavedIndex(changed, key, epoch = Some("e3")) == p2)
+  }
+
   test("bm25: rarer term contributes more than common term (idf)") {
     import spark.implicits._
     // 'spark' appears in 2 docs, 'window' in 1 -> same tf, window doc wins

@@ -141,6 +141,35 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
       s"no static cell IN (...) partition filter on the loaded index scan:\n${plan.take(2500)}")
   }
 
+  test("staleness: an upserted corpus rebuilds the saved IVF index (new dir, new fingerprint, parity)") {
+    val df = corpus(50, 0).toDF("vec_id", "embedding")
+    val key = "annivf-spec-staleness"
+    val p1 = Ivf.ensureSavedIndex(df, nCells = 4, cacheKey = key)
+    val fp1 = graft.io.Fingerprint.read(p1)
+    assert(fp1.isDefined)
+    // upsert one vector under the SAME key — the serve must notice
+    val extra = corpus(51, 0).filter(_._1 == 50L)
+    val upserted = df.unionByName(extra.toDF("vec_id", "embedding"))
+    val p2 = Ivf.ensureSavedIndex(upserted, nCells = 4, cacheKey = key)
+    assert(p2 != p1, "changed corpus must rebuild into a fresh directory")
+    assert(graft.io.Fingerprint.read(p2) != fp1,
+      "rebuilt index must carry the new corpus fingerprint")
+    assert(!new java.io.File(p1).exists(),
+      "superseded index dir must be reclaimed after the memo swap")
+    // retrieval parity vs a FRESH fit of the upserted corpus: same
+    // deterministic quantizer, so centroids and scores must agree
+    val (assigned, cents) = Ivf.index(upserted, nCells = 4)
+    val q = upserted.filter(col("vec_id") >= 48)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val fresh = Ivf.topK(assigned, cents, q, 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val (loaded, loadedCents) = Ivf.loadIndex(spark, p2)
+    val served = Ivf.topKIndexed(loaded, loadedCents, q, 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(served == fresh)
+    assert(served.exists(_(2) == 50L), "upserted vector must be retrievable")
+  }
+
   test("ensureSavedBoundedIndex: served scores bit-identical to the in-memory bounded fit") {
     // vec_ids 0..n-1 contiguous — boundedIndex seeds cells from the
     // nCells lowest ids, so the corpus() helper fixture qualifies
