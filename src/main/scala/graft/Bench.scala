@@ -81,6 +81,15 @@ object Bench {
     val only: Set[String] =
       if (args.nonEmpty) args(0).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
+    // fail loud on a typo'd filter: an unknown name would silently
+    // yield an empty (or partial) sweep whose total-0 artifact reads
+    // as an instant pass instead of an error
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
       if (only.isEmpty) "BENCH_LOCAL.json" else "/tmp/bench_filtered.json")
     val prev = prevTimes(outFile)
