@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_chunk_recursive"),
+      new ExpressionInfo(
+        classOf[graft.text.chunk.RecursiveChunkGenerator].getName,
+        "graft_chunk_recursive"),
+      (exprs: Seq[Expression]) =>
+        graft.text.chunk.RecursiveChunkGenerator(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectOptimizerRule(_ => graft.plans.RewriteTopKWindow)
   }

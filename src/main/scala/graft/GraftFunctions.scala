@@ -67,5 +67,8 @@ object GraftFunctions {
     spark.udf.register("graft_nfc", udf((s: String) =>
       if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)))
+    // C2 as a SQL generator: LATERAL VIEW graft_chunk_recursive(text[, size, overlap])
+    shim.registerExpression(spark, "graft_chunk_recursive",
+      exprs => graft.text.chunk.RecursiveChunkGenerator(exprs))
   }
 }

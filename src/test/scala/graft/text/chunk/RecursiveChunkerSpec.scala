@@ -88,6 +88,36 @@ class RecursiveChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL generator graft_chunk_recursive row-matches the DataFrame chunker") {
+    val spark = graft.SparkTestBase.spark
+    graft.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(graft.SparkTestBase.sf + "/documents.parquet")
+      .limit(50)
+    docs.createOrReplaceTempView("rc_docs")
+    val sql = spark.sql(
+      """SELECT doc_id, c.chunk_index, c.chunk_text AS text,
+        |       c.start, c.end
+        |FROM rc_docs LATERAL VIEW graft_chunk_recursive(text) c
+        |""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val df = RecursiveChunker().chunk(docs)
+      .select("doc_id", "chunk_index", "text", "start", "end")
+      .collect().map(_.toSeq).toSet
+    assert(sql == df, "SQL and DataFrame forms must be row-identical")
+    assert(sql.nonEmpty)
+    // explicit budgets route through the 3-arg form
+    val small = spark.sql(
+      """SELECT count(*) AS n
+        |FROM rc_docs LATERAL VIEW graft_chunk_recursive(text, 20, 5) c
+        |""".stripMargin).head().getLong(0)
+    assert(small > sql.size, "smaller budget must yield more chunks")
+    // malformed arity fails analysis cleanly, not at runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT c.* FROM rc_docs LATERAL VIEW graft_chunk_recursive(text, 100) c")
+        .collect()
+    }
+  }
+
   test("property: random word docs — budget + offset invariants hold") {
     val wordGen = Gen.oneOf("spark", "table", "scan", "merge", "row",
       "key", "agg", "window.", "batch?", "stream!")
