@@ -64,7 +64,11 @@ object ExplainAudit {
     // register sum; CMS counter grid) and the bigram-LM offset join
     "q_hll_distinct", "q_cms_topk", "q_bigram_logprob",
     // content-defined chunking: per-doc window only + block self-join
-    "q_chunk_cdc", "q_cdc_shared")
+    "q_chunk_cdc", "q_cdc_shared",
+    // round 10: the single-pass LM scorers — explode/window live
+    // inside ONE InMemoryRelation per query, every consumer is an
+    // InMemoryTableScan (QueriesSpec pins the shape)
+    "q_unigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
