@@ -14,7 +14,7 @@ import graft.vector.FloatVecDot
   *  - `graft_dot(a, b)` — native codegen'd float-vector dot product
   *    (Catalyst expression, not a UDF);
   *  - `graft_token_count(s)` — the engine tokenizer (F7);
-  *  - `graft_simhash(s)` — 32-bit SimHash;
+  *  - `graft_simhash(s)` — 60-bit SimHash;
   *  - `graft_lang_id(s)` / `graft_quality(s)` /
   *    `graft_fingerprint(s)` — the text-analysis suite as plain
   *    Catalyst expression trees (registered via [[graft.textan
@@ -42,7 +42,7 @@ object GraftFunctions {
       exprs => arity("graft_dot", 2, exprs)(FloatVecDot(exprs.head, exprs(1))))
     spark.udf.register("graft_token_count", udf((s: String) =>
       if (s == null) 0 else Tok.count(s)))
-    spark.udf.register("graft_simhash", udf((s: String) => Dedup.simhash32(s)))
+    spark.udf.register("graft_simhash", udf((s: String) => Dedup.simhash60(s)))
     shim.registerExpression(spark, "graft_lang_id",
       exprs => shim.expression(TextAnalysis.detectLang(shim.column(exprs.head))))
     shim.registerExpression(spark, "graft_quality",

@@ -1103,10 +1103,13 @@ object Oracles {
 
     // SimHash is md5-derived bit math, so it IS oracle-expressible:
     // byte j of the digest is hex chars 2j,2j+1 (strpos into the hex
-    // alphabet), bit k of the 32-bit hash is bit 7−k%8 of byte k/8.
-    // Mirrors Dedup.simhash32 exactly: +1/−1 vote per token per bit,
+    // alphabet), bit k of the 60-bit hash is bit 7−k%8 of byte k/8.
+    // Mirrors Dedup.simhash60 exactly: +1/−1 vote per token per bit,
     // h |= 1<<k when the vote is positive, token-less docs hash to 0
-    // (LEFT JOIN + COALESCE), 8-bit banding, hamming = bit_count(xor).
+    // (LEFT JOIN + COALESCE), 15-bit banding, hamming = bit_count(xor).
+    // (60 bits / 15-bit bands since r10 — the 8-bit bands capped the
+    // bucket space at 256 per band, a quadratic-occupancy scale bug;
+    // threshold 11 ≈ the old 6/32 selectivity on the wider hash.)
     "q_simhash_candidates" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(regexp_extract_all(text, '$RE')) AS t
@@ -1118,7 +1121,7 @@ object Oracles {
          |    SUM(CASE WHEN (((strpos('0123456789abcdef', substr(h, (k//8)*2+1, 1)) - 1) * 16
          |               + (strpos('0123456789abcdef', substr(h, (k//8)*2+2, 1)) - 1))
          |               >> (7 - (k % 8))) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k) ks
+         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS k) ks
          |  GROUP BY doc_id, k
          |), shp AS (
          |  SELECT doc_id,
@@ -1128,7 +1131,7 @@ object Oracles {
          |  SELECT d.doc_id, COALESCE(shp.simhash, 0) AS simhash
          |  FROM documents d LEFT JOIN shp ON d.doc_id = shp.doc_id
          |), banded AS (
-         |  SELECT doc_id, simhash, b AS band, (simhash >> (b*8)) & 255 AS band_key
+         |  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) & 32767 AS band_key
          |  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
          |), pairs AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -1136,7 +1139,7 @@ object Oracles {
          |  FROM banded x JOIN banded y
          |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
          |)
-         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 11
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // candidate/verify: banded candidates confirmed by exact

@@ -777,7 +777,8 @@ object Queries {
   /** SimHash near-dup candidates (md5 bit math — oracle-checked; the
     * DuckDB side reconstructs the digest bits from the hex string). */
   def q_simhash_candidates(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidates(t(s, dir, "documents"), maxHamming = 6)
+    // 11/60 bits ≈ the old 6/32 selectivity on the pre-r10 hash width
+    Dedup.simhashCandidates(t(s, dir, "documents"), maxHamming = 11)
       .orderBy(col("doc_a"), col("doc_b"))
 
   // ===== text analysis =====

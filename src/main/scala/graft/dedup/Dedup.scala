@@ -316,59 +316,76 @@ object Dedup {
   private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
-  // token → its 32 digest bits packed into an int (bit k of the hash
-  // at position k). Corpora repeat tokens heavily, so the per-token
-  // md5 becomes a map hit on the executor hot path; bounded like
-  // HashingEmbedder's memo.
+  // token → its first 60 digest bits packed into a long (bit k of
+  // the hash at position k). Corpora repeat tokens heavily, so the
+  // per-token md5 becomes a map hit on the executor hot path; bounded
+  // like HashingEmbedder's memo. 60 bits (not 64): the top nibble
+  // stays clear so the value — and every SUM/shift the DuckDB oracle
+  // replays — lives comfortably inside a signed BIGINT.
   private val bitsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val MaxMemo = 1 << 20
 
-  private def tokenBits(t: String): Int = {
+  private def tokenBits(t: String): Long = {
     val hit = bitsMemo.get(t)
-    if (hit != null) return hit.intValue()
+    if (hit != null) return hit.longValue()
     val md = md5Local.get()
     md.reset()
     val d = md.digest(t.getBytes("UTF-8"))
-    var bits = 0
+    var bits = 0L
     var k = 0
-    while (k < 32) {
-      if (((d(k / 8) >> (7 - k % 8)) & 1) == 1) bits |= (1 << k)
+    while (k < 60) {
+      if (((d(k / 8) >> (7 - k % 8)) & 1) == 1) bits |= (1L << k)
       k += 1
     }
-    if (bitsMemo.size < MaxMemo) bitsMemo.putIfAbsent(t, Integer.valueOf(bits))
+    if (bitsMemo.size < MaxMemo)
+      bitsMemo.putIfAbsent(t, java.lang.Long.valueOf(bits))
     bits
   }
 
-  /** 32-bit SimHash over tokens (md5-derived bit planes). Fully
+  /** 60-bit SimHash over tokens (md5-derived bit planes). Fully
     * deterministic, and oracle-expressible after all: the DuckDB side
     * ([[graft.Oracles]] q_simhash_candidates) rebuilds each digest bit
-    * from the md5 hex string, so this UDF is hash-checked end-to-end. */
-  def simhash32(text: String): Long = {
+    * from the md5 hex string, so this UDF is hash-checked end-to-end.
+    *
+    * 60 bits (was 32 through round 9) for the BANDING keyspace, not
+    * the hash quality: with 4 bands the per-band key is now 15 bits
+    * (32,768 buckets) instead of 8 (256). A fixed 256-bucket band
+    * means bucket occupancy grows linearly with the corpus and the
+    * banded self-join's pair comparisons grow as O(N²/256) — invisible
+    * at sf0.1, fatal at the 100 TB target (the 10x ScaleStress run
+    * flagged q_simhash_candidates as its worst ratio). 4 bands are
+    * kept because ceil((maxHamming+1)/4) ≥ 1 flipped band can never
+    * cover 4 bands at hamming ≤ 3 — the pigeonhole recall guarantee
+    * band-partitioned SimHash relies on. */
+  def simhash60(text: String): Long = {
     if (text == null) return 0L
-    val acc = new Array[Int](32)
+    val acc = new Array[Int](60)
     Tok.tokenize(text).foreach { t =>
       val bits = tokenBits(t)
       var k = 0
-      while (k < 32) {
+      while (k < 60) {
         acc(k) += (if (((bits >>> k) & 1) == 1) 1 else -1)
         k += 1
       }
     }
     var h = 0L
     var k = 0
-    while (k < 32) { if (acc(k) > 0) h |= (1L << k); k += 1 }
+    while (k < 60) { if (acc(k) > 0) h |= (1L << k); k += 1 }
     h
   }
 
-  private val simhashUdf = udf((s: String) => simhash32(s))
+  private val simhashUdf = udf((s: String) => simhash60(s))
 
   def withSimhash(docs: DataFrame): DataFrame =
     docs.withColumn("simhash", simhashUdf(col("text")))
 
-  /** SimHash near-dup candidates: block on 8-bit sub-bands (any of 4
+  /** SimHash near-dup candidates: block on 15-bit sub-bands (any of 4
     * bands equal → candidate), then confirm hamming ≤ maxHamming.
-    * Banding keeps this an equi-join: no all-pairs pass at scale. */
+    * Banding keeps this an equi-join: no all-pairs pass at scale —
+    * and the 15-bit keys keep the bucket space (4 x 32,768) wide
+    * enough that occupancy, and with it the per-bucket pair count,
+    * stays flat as the corpus grows (see [[simhash60]]). */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = withSimhash(docs).select(col("doc_id"), col("simhash"))
     // shared repartition on the join key → ReuseExchange runs the
@@ -376,8 +393,8 @@ object Dedup {
     // rationale as minhashCandidates above)
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", col("simhash"), (b * 8).cast("int"))
-            .bitwiseAND(lit(255L))))
+          b => call_function("shiftright", col("simhash"), (b * 15).cast("int"))
+            .bitwiseAND(lit(32767L))))
           .as(Seq("band", "band_key")))
       .repartition(col("band"), col("band_key"))
     banded.as("x").join(banded.as("y"),

@@ -260,7 +260,19 @@ object Ann {
     * probability while the bucket join stays equi on short int keys.
     * Preferable to bucketed random projection on unit vectors (whose
     * 1-D floor buckets degenerate to a near-cross-join). Fully
-    * deterministic and DuckDB-replayable end to end. */
+    * deterministic and DuckDB-replayable end to end.
+    *
+    * SCALING KNOB (100 TB note): `bitsPerBand` bounds the band
+    * keyspace at 2^bitsPerBand buckets, and this is a SELF-join — at
+    * fixed defaults (8, 8) bucket occupancy grows linearly with the
+    * corpus and per-band pair comparisons grow O(N²/256). Unlike the
+    * simhash bands (width-independent pigeonhole recall — see
+    * [[graft.dedup.Dedup.simhash60]]), widening a sign-LSH band CUTS
+    * recall (P[band] = (1−θ/π)^bits), so bits and bands must scale
+    * TOGETHER: e.g. (bands 24, bitsPerBand 16) keeps detection ≈ 0.88
+    * at cos 0.9 while widening the keyspace 256x. The (8, 8) defaults
+    * are sized (and oracle-pinned) for the fixture scales; pass both
+    * parameters up for corpus-scale runs. */
   def signLshNearDup(embeddings: DataFrame, cosThreshold: Double,
       bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     // Candidate generation stays NARROW: only (vec_id, band, key) goes

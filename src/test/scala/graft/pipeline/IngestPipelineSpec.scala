@@ -48,7 +48,7 @@ class IngestPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql("SELECT graft_token_count('a b c!') AS n")
       .head().getInt(0) == 4)
     assert(spark.sql("SELECT graft_simhash('x') AS h").head().getLong(0) ==
-      graft.dedup.Dedup.simhash32("x"))
+      graft.dedup.Dedup.simhash60("x"))
   }
 
   test("SQL text-analysis surface: graft_lang_id / graft_quality / graft_fingerprint") {
