@@ -90,12 +90,27 @@ object Dedup {
     * islands window merges overlapping duplicated grams into maximal
     * spans. No all-pairs anything; cost is one token-fan-out scan
     * plus two hash-keyed exchanges. */
-  def repeatedSpans(docs: DataFrame, n: Int = 10): DataFrame = {
-    val tk = docs.select(col("doc_id"), graft.text.Tok.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= n)
+  def repeatedSpans(docs: DataFrame, n: Int = 10): DataFrame =
+    repeatedSpansFrom(persistedTokens(docs), n)
+
+  /** Tokenized corpus `(doc_id, ts)`, persisted because both the gram
+    * fan-out and the span re-slice (and, in [[removeRepeatedSpans]],
+    * the removal filter) read it — one regexp pass instead of three.
+    * Compact (token arrays ≈ corpus bytes, not the exploded stream);
+    * Bench/Verify clear the cache between runs. */
+  private def persistedTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.text.Tok.tokens(col("text")).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def repeatedSpansFrom(tkAll: DataFrame, n: Int): DataFrame = {
+    val tk = tkAll.filter(size(col("ts")) >= n)
+    // the gram fan-out — one md5 per token position, the dominant
+    // kernel cost — feeds both the duplicate count and the candidate
+    // join-back; persist it once instead of hashing the corpus twice
     val grams = tk.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), size(col("ts")) - n),
         i => md5(array_join(slice(col("ts"), i + 1, lit(n)), " ")))).as(Seq("pos", "gh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select(col("gh"))
     val cand = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
@@ -130,12 +145,14 @@ object Dedup {
   def removeRepeatedSpans(docs: DataFrame, n: Int = 10): DataFrame = {
     val w = Window.partitionBy(col("span_md5"))
       .orderBy(col("doc_id"), col("tok_start"))
-    val remove = repeatedSpans(docs, n)
+    // ONE tokenize shared by detection and removal (persistedTokens)
+    val tkAll = persistedTokens(docs)
+    val remove = repeatedSpansFrom(tkAll, n)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("tok_start"), col("tok_len"))).as("rm"))
-    docs.select(col("doc_id"), graft.text.Tok.tokens(col("text")).as("ts"))
+    tkAll
       .join(remove, Seq("doc_id"), "left")
       .withColumn("kept",
         when(col("rm").isNull, col("ts")).otherwise(

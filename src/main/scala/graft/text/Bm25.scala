@@ -79,10 +79,21 @@ object Bm25 {
     docs.select(col("doc_id"), Tok.tokens(lower(col("text"))).as("ts"))
 
   private def buildIndexFromTokens(toks: DataFrame): Bm25Index = {
+    // every index consumer reads 2-4 of the frames below, and docLen /
+    // stats / dfreq all roll up from `postings` — without the persist
+    // the tokenize + explode + (doc_id, term) aggregate replays once
+    // per frame (the corpus loader pre-partitions by doc_id, so the
+    // aggregate is exchange-free and exchange reuse can't bridge the
+    // branches; same finding as the r10 LM-scorer rewrite). The
+    // persisted frame is the compact aggregate, not the token stream;
+    // Bench/Verify clear the cache between runs, and long-lived
+    // serving goes through ensureSavedIndex, which materializes to
+    // parquet instead.
     val postings = toks
       .select(col("doc_id"), explode(col("ts")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docLen = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
     val stats = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
