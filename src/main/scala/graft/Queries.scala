@@ -1068,10 +1068,17 @@ object Queries {
       .filter(col("ltok").isNotNull)
       .select(least(col("ltok"), col("rtok")).as("a"),
         greatest(col("ltok"), col("rtok")).as("b"))
+    // pair counts are read twice (PMI join + corpus pair total) and
+    // unigram counts three times (c_a, c_b, n_toks) — persist both
+    // compact aggregates once or the tokenize/lag-window pipeline
+    // replays per consumer (the r10 LM-scorer discipline; values and
+    // hashes unchanged)
     val pc = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("double").as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uc = toks.groupBy(col("tok"))
       .agg(count(lit(1)).cast("double").as("c_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val np = pc.agg(sum(col("c_ab")).as("n_pairs"))
     val nt = uc.agg(sum(col("c_t")).as("n_toks"))
     pc.join(uc.select(col("tok").as("a"), col("c_t").as("c_a")), "a")
