@@ -66,7 +66,7 @@ object Bench {
         // must rebuild them per run, and the cache can't accumulate
         // across the catalog sweep — but teardown happens OUTSIDE the
         // timed region, so the artifact records query cost only
-        spark.sharedState.cacheManager.clearCache()
+        graft.io.Caches.clearAll(spark)
         elapsed
       }
       // a failing query's near-zero wall time must NOT enter the map or

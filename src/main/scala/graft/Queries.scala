@@ -30,6 +30,18 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Epoch token handed to every saved-index serve over a fixture
+    * table ([[Tables.epochOf]]): sourced from the table's storage
+    * listing, so repeat serves of an unchanged fixture take
+    * [[graft.io.SavedIndex]]'s O(1) path instead of re-scanning the
+    * corpus for a content fingerprint — the serve-cost policy the
+    * 100 TB target demands (one scan per CORPUS VERSION, not one per
+    * query). A rewritten fixture moves the token, which falls back
+    * to the content check and rebuilds if the data really changed. */
+  private def tableEpoch(s: SparkSession, dir: String,
+      name: String): Option[String] =
+    Some(Tables.epochOf(s, dir, name))
+
   def fixedChunks(s: SparkSession, dir: String): DataFrame =
     FixedChunker().chunk(t(s, dir, "documents"))
 
@@ -442,6 +454,19 @@ object Queries {
   private[graft] val ivfCraftedQueries: Seq[(Long, Seq[Float])] = Seq(
     100L -> Seq(10f, 0f, 0f, 1f), 101L -> Seq(0f, 10f, 1f, 1f))
 
+  /** Epoch token for serves over [[ivfCraftedCorpus]] — the corpus is
+    * a compile-time literal, so its version IS its content: an md5 of
+    * the rows computed once, driver-side, at class init (no Spark
+    * job). Editing the literal moves the token, which falls back to
+    * SavedIndex's content re-check; unchanged code serves O(1). */
+  private[graft] val ivfCraftedEpoch: Option[String] = Some {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = ivfCraftedCorpus
+      .map { case (id, v) => s"$id:${v.mkString(",")}" }
+      .mkString("|").getBytes("UTF-8")
+    md.digest(bytes).map("%02x".format(_)).mkString
+  }
+
   /** IVF oracle-checked — coarse quantize → probe → fine search on the
     * crafted two-cluster fixture ([[ivfCraftedCorpus]]): nCells = 2,
     * nProbe = 1, k = 3 over nCells = 3, so the probed fine search
@@ -475,7 +500,7 @@ object Queries {
     val corpus = ivfCraftedCorpus.toDF("vec_id", "embedding")
     val queries = ivfCraftedQueries.toDF("query_id", "q_embedding")
     val path = vector.Ivf.ensureSavedIndex(corpus, nCells = 3,
-      cacheKey = "ivf-crafted-three-cluster")
+      cacheKey = "ivf-crafted-three-cluster", epoch = ivfCraftedEpoch)
     val (diskCorpus, cents) = vector.Ivf.loadIndex(s, path)
     vector.Ivf.topKIndexed(diskCorpus, cents, queries, 3, nProbe = 1)
       .orderBy(col("query_id"), col("rank"))
@@ -719,7 +744,8 @@ object Queries {
     * dedup. Values (and the DuckDB oracle) are identical to the
     * recomputing [[Dedup.minhashCandidates]] form. */
   def q_minhash_candidates(s: SparkSession, dir: String): DataFrame = {
-    val path = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir)
+    val path = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir,
+      epoch = tableEpoch(s, dir, "documents"))
     Dedup.candidatesFromIndex(s.read.parquet(path))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -737,7 +763,8 @@ object Queries {
     // stored band keys, the exact-Jaccard verify fetches the STORED
     // shingle arrays per side — the whole row runs without a single
     // tokenize pass (the index pays it once per corpus)
-    val path = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir)
+    val path = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir,
+      epoch = tableEpoch(s, dir, "documents"))
     val shs = s.read.parquet(path)
     Dedup.candidatesFromIndex(shs)
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -836,47 +863,72 @@ object Queries {
     * repeats (`dup_{n}gram_frac`) and the most-frequent-n-gram share
     * (`top_{n}gram_frac`), plus the distinct-token ratio — the full
     * dup-n-gram family Gopher thresholds on, not just its smallest
-    * member. STILL one corpus scan: all three gram sizes explode from
-    * the same tokenized row as (n, gram) pairs, then a two-level
-    * aggregate — shuffles on (doc_id, n, gram) then doc_id, so the
-    * corpus scales like any token-statistics pass. */
+    * member. ONE corpus scan and ZERO aggregation state: every signal
+    * is a function of a single document's own tokens, so each
+    * n-gram's occurrence counts are taken per ROW — sort the doc's
+    * gram array, then one run-length fold (`aggregate`) yields the
+    * duplicated-occurrence count and the longest run (= the max gram
+    * frequency). The r10 form exploded 3 gram sizes into a corpus ×3
+    * stream and hash-aggregated it per (doc, n, gram); that per-
+    * partition hash map grows with the corpus and was the engine's
+    * worst 10× ScaleStress ratio (4.41×). The per-row fold carries
+    * only O(doc) state, keeps the plan a pure scan → project (the
+    * only exchange left is the output sort), and emits the SAME
+    * counts — run lengths on a sorted array ARE the gram
+    * frequencies — so values, the oracle, and hashes are unchanged.
+    * Per-row cost is O(L log L) in doc length: see the giant-doc
+    * row-skew policy measured in SCALE_STRESS.json. */
   def q_repetition(s: SparkSession, dir: String): DataFrame = {
-    // per-size gram arrays from one token array; array_join(slice)
-    // renders the same string DuckDB's ts[i] || ' ' || … does
+    // sorted per-size gram array; array_join(slice) renders the same
+    // string DuckDB's ts[i] || ' ' || … does. Any total order works:
+    // sorting only has to group equal grams into runs.
     def grams(n: Int): Column =
       when(col("n_tokens") >= n,
-        transform(sequence(lit(1), col("n_tokens") - (n - 1)),
-          i => struct(lit(n).as("n"),
-            array_join(slice(col("ts"), i, lit(n)), " ").as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-    // ONE corpus scan: explode_outer keeps a null-gram row for
-    // token-poor docs, so no join-back (which would tokenize the
-    // corpus a second time) is needed to emit their zeroed fractions
-    def fracs(n: Int): Seq[Column] = Seq(
-      round(
-        sum(when(col("g.n") === n && col("cnt") > 1, col("cnt")).otherwise(lit(0L)))
-          .cast("double") /
-        greatest(sum(when(col("g.n") === n, col("cnt")).otherwise(lit(0L))), lit(1L)),
-        6).as(s"dup_${n}gram_frac"),
-      round(
-        coalesce(max(when(col("g.n") === n, col("cnt"))), lit(0L)).cast("double") /
-        greatest(sum(when(col("g.n") === n, col("cnt")).otherwise(lit(0L))), lit(1L)),
-        6).as(s"top_${n}gram_frac"))
+        array_sort(transform(sequence(lit(1), col("n_tokens") - (n - 1)),
+          i => array_join(slice(col("ts"), i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+    // run-length fold over the sorted grams: `singles` counts runs of
+    // length 1 closed so far, `run`/`max_run` track the open run. A
+    // gram occurring c times is one run of length c, so
+    // dup-occurrences = total − singletons and top frequency =
+    // longest run — exactly the per-(doc,gram) COUNT(*) family the
+    // exploded form aggregated for.
+    def fracs(n: Int): Seq[Column] = {
+      val gs = col(s"g$n")
+      val total = size(gs).cast("long")
+      val folded = aggregate(
+        gs,
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("max_run"), lit(0L).as("singles")),
+        (acc, x) => {
+          val cont = x === acc.getField("prev") && acc.getField("run") > 0
+          val run = when(cont, acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("max_run"), run).as("max_run"),
+            when(!cont && acc.getField("run") === 1L,
+              acc.getField("singles") + 1L)
+              .otherwise(acc.getField("singles")).as("singles"))
+        },
+        acc => struct(acc.getField("max_run").as("max_run"),
+          // close the final open run
+          when(acc.getField("run") === 1L, acc.getField("singles") + 1L)
+            .otherwise(acc.getField("singles")).as("singles")))
+      Seq(
+        round((total - folded.getField("singles")).cast("double") /
+          greatest(total, lit(1L)), 6).as(s"dup_${n}gram_frac"),
+        round(folded.getField("max_run").cast("double") /
+          greatest(total, lit(1L)), 6).as(s"top_${n}gram_frac"))
+    }
     t(s, dir, "documents")
       .select(col("doc_id"), Tok.tokens(col("text")).as("ts"))
       .withColumn("n_tokens", size(col("ts")))
       .withColumn("n_distinct", size(array_distinct(col("ts"))))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        explode_outer(concat(grams(2), grams(3), grams(4))).as("g"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
-      .agg(fracs(2).head, fracs(2).tail ++ fracs(3) ++ fracs(4): _*)
+      .withColumn("g2", grams(2)).withColumn("g3", grams(3))
+      .withColumn("g4", grams(4))
       .select(Seq(col("doc_id"), col("n_tokens"),
         round(col("n_distinct").cast("double") /
           greatest(col("n_tokens"), lit(1)), 6).as("distinct_ratio")) ++
-        (2 to 4).flatMap(n =>
-          Seq(col(s"dup_${n}gram_frac"), col(s"top_${n}gram_frac"))): _*)
+        (2 to 4).flatMap(fracs): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -1096,13 +1148,23 @@ object Queries {
     * term) tiebreak: the classic per-document keyword surface.
     * Reuses the BM25 index frames (postings/dfreq/stats), so the
     * vocabulary work is the same bounded aggregates the lexical
-    * retriever builds. */
+    * retriever builds.
+    *
+    * PLAN: the persisted postings frame is doc_id-partitioned (its
+    * aggregate rode the corpus loader's spread), and both the df join
+    * and the per-doc window are arranged to KEEP that layout — dfreq
+    * is broadcast (vocabulary ≪ postings; at a true web-scale
+    * vocabulary swap for a term-bucketed shuffle join), so postings
+    * never reshuffles by term and the doc_id window runs
+    * exchange-free on the existing partitioning. One compact shuffle
+    * total (dfreq's own term aggregate), vs two full-postings
+    * exchanges for the naive join-then-window. */
   def q_tfidf_keywords(s: SparkSession, dir: String): DataFrame = {
     val idx = graft.text.Bm25.buildIndex(t(s, dir, "documents"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("score"), col("term"))
     idx.postings
-      .join(idx.dfreq, "term")
+      .join(broadcast(idx.dfreq), "term")
       .crossJoin(broadcast(idx.stats))
       .withColumn("score",
         round(col("tf") * log(col("n_docs") / col("df")), 6))
@@ -1126,7 +1188,8 @@ object Queries {
     // signature index (its `sh` column IS the per-doc shingle array
     // over the same non-blank docs) — the corpus tokenize+shingle
     // pass runs once per corpus, shared with every dedup consumer
-    val sigPath = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir)
+    val sigPath = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir,
+      epoch = tableEpoch(s, dir, "documents"))
     val vocab = s.read.parquet(sigPath)
       .select(explode(col("sh")).as("term"))
       .distinct()
@@ -1163,7 +1226,8 @@ object Queries {
     val twoP53 = 9007199254740992L
     // shingle vocabulary served from the saved signature index —
     // same set, same hashes, shared corpus pass (see q_kmv_distinct)
-    val sigPath = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir)
+    val sigPath = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir,
+      epoch = tableEpoch(s, dir, "documents"))
     val vocab = s.read.parquet(sigPath)
       .select(explode(col("sh")).as("term"))
       .distinct()
@@ -1291,7 +1355,8 @@ object Queries {
   def q_corpus_filter(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val scored = TextAnalysis.withQuality(TextAnalysis.withDetectedLang(docs))
-    val sigPath = Dedup.ensureSavedSignatureIndex(docs, dir)
+    val sigPath = Dedup.ensureSavedSignatureIndex(docs, dir,
+      epoch = tableEpoch(s, dir, "documents"))
     val clusters = graft.dedup.Clusters
       .canonicalize(docs,
         Dedup.candidatesFromIndex(s.read.parquet(sigPath)))
@@ -1923,7 +1988,8 @@ object Queries {
     * only. Same scores as q_bm25_topk (shared scoring tree), same
     * oracle SQL. */
   def q_bm25_indexed(s: SparkSession, dir: String): DataFrame = {
-    val path = graft.text.Bm25.ensureSavedIndex(t(s, dir, "documents"), dir)
+    val path = graft.text.Bm25.ensureSavedIndex(t(s, dir, "documents"), dir,
+      epoch = tableEpoch(s, dir, "documents"))
     graft.text.Bm25.topKIndexed(
         graft.text.Bm25.loadIndex(s, path), lexQueries(s), 5)
       .orderBy(col("query_id"), col("rank"))
@@ -1947,7 +2013,8 @@ object Queries {
     * by recursive transitive closure. */
   def q_dup_clusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val path = Dedup.ensureSavedSignatureIndex(docs, dir)
+    val path = Dedup.ensureSavedSignatureIndex(docs, dir,
+      epoch = tableEpoch(s, dir, "documents"))
     graft.dedup.Clusters.canonicalize(docs,
         Dedup.candidatesFromIndex(s.read.parquet(path)))
       .orderBy(col("cluster_id"), col("doc_id"))
@@ -1983,7 +2050,8 @@ object Queries {
     // index (`sh` = the same per-doc distinct shingle arrays over the
     // same non-blank docs) — the tokenize+shingle pass is the shared
     // build, and each side is a thin two-column parquet scan
-    val sigPath = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir)
+    val sigPath = Dedup.ensureSavedSignatureIndex(t(s, dir, "documents"), dir,
+      epoch = tableEpoch(s, dir, "documents"))
     val docs = s.read.parquet(sigPath)
       .select(col("doc_id"), col("sh"))
       .withColumn("n_sh", size(col("sh")))

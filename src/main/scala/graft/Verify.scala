@@ -35,7 +35,7 @@ object Verify {
       // a few queries persist intermediates (hybrid RRF's tokenized
       // corpus, minhash-verified's shingles); without this the cached
       // frames of ALL such queries pin memory for the whole catalog run
-      spark.sharedState.cacheManager.clearCache()
+      graft.io.Caches.clearAll(spark)
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>

@@ -96,8 +96,11 @@ object Dedup {
   /** Tokenized corpus `(doc_id, ts)`, persisted because both the gram
     * fan-out and the span re-slice (and, in [[removeRepeatedSpans]],
     * the removal filter) read it — one regexp pass instead of three.
-    * Compact (token arrays ≈ corpus bytes, not the exploded stream);
-    * Bench/Verify clear the cache between runs. */
+    * Compact (token arrays ≈ corpus bytes, not the exploded stream).
+    * The persist outlives this call by design (the returned frame is
+    * lazy); [[graft.io.Caches.clearAll]] is the documented cleanup
+    * path — Bench/Verify call it between runs, long-lived consumers
+    * at their own batch boundaries. */
   private def persistedTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.text.Tok.tokens(col("text")).as("ts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -372,9 +375,13 @@ object Dedup {
     * banded self-join's pair comparisons grow as O(N²/256) — invisible
     * at sf0.1, fatal at the 100 TB target (the 10x ScaleStress run
     * flagged q_simhash_candidates as its worst ratio). 4 bands are
-    * kept because ceil((maxHamming+1)/4) ≥ 1 flipped band can never
-    * cover 4 bands at hamming ≤ 3 — the pigeonhole recall guarantee
-    * band-partitioned SimHash relies on. */
+    * kept for the pigeonhole recall guarantee AT THE DEFAULT
+    * maxHamming = 3: three flipped bits can touch at most 3 of 4
+    * bands, so one band always survives intact and every true pair is
+    * a candidate. At looser thresholds (q_simhash_candidates runs
+    * maxHamming = 11, where 11 flips can cover all 4 bands) banded
+    * recall is heuristic — same as the pre-r10 6-band/32-bit config,
+    * and the Spark and DuckDB sides stay in lockstep either way. */
   def simhash60(text: String): Long = {
     if (text == null) return 0L
     val acc = new Array[Int](60)

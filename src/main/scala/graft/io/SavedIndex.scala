@@ -14,12 +14,17 @@ import org.apache.spark.sql.DataFrame
   * STALENESS CONTRACT: the memo records the corpus fingerprint
   * ([[Fingerprint.of]] — row count + order-free content-md5 rollup)
   * at build time. A later call whose corpus fingerprints differently
-  * REBUILDS into a fresh directory and best-effort deletes the
-  * superseded one (no caller can reach the old path once the memo
-  * entry is replaced, so a long-lived JVM serving an upserting corpus
-  * holds at most one index copy per key). The fingerprint also lands
-  * beside the index (`_FINGERPRINT`, [[Fingerprint.write]]) so a
-  * later JVM or a human can audit which corpus built it.
+  * REBUILDS into a fresh directory; NEW serves can only reach the
+  * fresh path. The superseded directory is deliberately NOT deleted
+  * at swap time: `loadIndex`-style callers hold LAZY DataFrames over
+  * the old path (unexecuted parquet reads), and deleting under an
+  * in-flight serve would turn an upsert race into a
+  * FileNotFoundException. Reclamation is deferred to the [[TempDirs]]
+  * exit hook, so a long-lived JVM retains one directory per
+  * superseded corpus VERSION (bounded by rebuild count, not by serve
+  * count — versions are rare next to serves). The fingerprint also
+  * lands beside the index (`_FINGERPRINT`, [[Fingerprint.write]]) so
+  * a later JVM or a human can audit which corpus built it.
   *
   * SERVE-COST POLICY: the default check is a [[Fingerprint.of]] scan
   * of the offered corpus on EVERY serve — orders cheaper than the
@@ -54,20 +59,28 @@ final class SavedIndex(prefix: String) {
         memo.get(key) match {
           case Some(e) if e.fp == fp =>
             // content unchanged: adopt the caller's (new) epoch token
-            // so the next same-epoch serve takes the O(1) path
+            // so the next same-epoch serve takes the O(1) path. CAS,
+            // not put: a concurrent rebuild may have replaced the
+            // entry since our get, and a blind put would resurrect
+            // the superseded entry over the fresh one. On CAS failure
+            // e.path is still a correct serve (its content matches
+            // the corpus this caller offered, and superseded dirs
+            // live until JVM exit); only the token adoption is lost.
             if (epoch.isDefined && e.epoch != epoch)
-              memo.put(key, e.copy(epoch = epoch))
+              memo.replace(key, e, e.copy(epoch = epoch))
             e.path
           case _ => memo.synchronized {
             memo.get(key) match {
               case Some(e) if e.fp == fp => e.path
-              case prev =>
+              case _ =>
                 val p = TempDirs.create(prefix)
                 build(p)
                 Fingerprint.write(p, fp)
                 memo.put(key, Entry(p, fp, epoch))
-                // the superseded index is unreachable now — reclaim it
-                prev.foreach(e => TempDirs.discard(e.path))
+                // The superseded index is unreachable for NEW serves,
+                // but an in-flight caller may still hold a lazy read
+                // over it — leave the directory to the TempDirs exit
+                // hook instead of deleting under that reader.
                 p
             }
           }

@@ -80,6 +80,33 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "embeddings")
 
+  /** Caller-version token for [[SavedIndex]] epoch serves, sourced
+    * from the table's storage listing (path + file count + total
+    * bytes + max mtime). O(file listing) on the driver — no Spark
+    * job, no data scan — which is the whole point: a serve that
+    * offers the same fixture under the same epoch takes SavedIndex's
+    * O(1) hit instead of the per-serve O(corpus) content-fingerprint
+    * scan. Any rewrite of the table's files (new file, appended file,
+    * touched mtime) moves the token and forces the content re-check,
+    * so the fingerprint stays the ground truth at every storage
+    * change — exactly the "caller tracks corpus versions" contract
+    * SavedIndex documents. */
+  def epochOf(spark: SparkSession, sfDir: String, name: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var files = 0L; var bytes = 0L; var mtime = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        files += 1L; bytes += f.getLen
+        mtime = math.max(mtime, f.getModificationTime)
+      }
+    }
+    s"$path:$files:$bytes:$mtime"
+  }
+
   /** Events reader with a STABLE `ts: TimestampType` contract across
     * fixture encodings. The driver has generated `events.ts` two
     * ways across rounds:

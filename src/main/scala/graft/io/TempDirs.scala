@@ -28,16 +28,6 @@ object TempDirs {
     p
   }
 
-  /** Best-effort immediate reclaim of a registered directory — used
-    * when a staleness rebuild supersedes an index dir that no caller
-    * can reach anymore ([[SavedIndex]]). Also drops it from the exit
-    * registry so the shutdown hook doesn't re-delete. */
-  def discard(path: String): Unit = {
-    try Zips.deleteRecursively(new java.io.File(path))
-    catch { case _: Throwable => () }
-    created.remove(path)
-  }
-
   /** Spec hook: is the path registered for exit cleanup? */
   def isRegistered(path: String): Boolean = created.contains(path)
 

@@ -118,7 +118,7 @@ object ScaleStress {
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val e = (System.nanoTime() - t0) / 1e9
-      spark.sharedState.cacheManager.clearCache()
+      graft.io.Caches.clearAll(spark)
       e
     }
     (ts.head, ts.min)

@@ -67,6 +67,9 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     val p1 = Bm25.ensureSavedIndex(docsDf, key)
     val fp1 = graft.io.Fingerprint.read(p1)
     assert(fp1.isDefined)
+    // an in-flight serve: a LAZY load over p1 taken before the upsert
+    val inFlight = Bm25.topKIndexed(Bm25.loadIndex(spark, p1),
+      Seq((0L, "spark join")).toDF("query_id", "qtext"), 5)
     // append one doc under the SAME key: the serve must notice
     val upserted = docsDf.unionByName(
       Seq((6L, "spark join spark join")).toDF("doc_id", "text"))
@@ -74,10 +77,15 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     assert(p2 != p1, "changed corpus must rebuild into a fresh directory")
     assert(graft.io.Fingerprint.read(p2) != fp1,
       "rebuilt index must carry the new corpus fingerprint")
-    // the superseded dir is unreachable — it must be reclaimed
-    assert(!new java.io.File(p1).exists(),
-      "superseded index dir must be deleted after the memo swap")
-    assert(!graft.io.TempDirs.isRegistered(p1))
+    // the superseded dir is unreachable for NEW serves but must stay
+    // readable for in-flight ones (lazy reads taken pre-rebuild) —
+    // reclamation is deferred to the TempDirs exit hook, not swap time
+    assert(new java.io.File(p1).exists(),
+      "superseded index dir must survive the swap for in-flight readers")
+    assert(graft.io.TempDirs.isRegistered(p1),
+      "superseded index dir must stay registered for exit cleanup")
+    assert(inFlight.collect().nonEmpty,
+      "a lazy serve planned before the rebuild must still execute")
     // retrieval parity: the rebuilt index serves the scores a fresh
     // inline build over the upserted corpus produces
     val served = Bm25.topKIndexed(Bm25.loadIndex(spark, p2), q, 5)

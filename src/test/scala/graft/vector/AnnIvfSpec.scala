@@ -154,8 +154,12 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
     assert(p2 != p1, "changed corpus must rebuild into a fresh directory")
     assert(graft.io.Fingerprint.read(p2) != fp1,
       "rebuilt index must carry the new corpus fingerprint")
-    assert(!new java.io.File(p1).exists(),
-      "superseded index dir must be reclaimed after the memo swap")
+    // deferred reclamation: the superseded dir must stay readable for
+    // in-flight lazy serves (TempDirs exit hook reclaims it, not swap)
+    assert(new java.io.File(p1).exists(),
+      "superseded index dir must survive the swap for in-flight readers")
+    assert(graft.io.TempDirs.isRegistered(p1),
+      "superseded index dir must stay registered for exit cleanup")
     // retrieval parity vs a FRESH fit of the upserted corpus: same
     // deterministic quantizer, so centroids and scores must agree
     val (assigned, cents) = Ivf.index(upserted, nCells = 4)
