@@ -2126,22 +2126,11 @@ object Queries {
   def q_cdc_shared(s: SparkSession, dir: String): DataFrame = {
     val blocks = graft.text.chunk.CdcChunker.blocks(t(s, dir, "documents"))
       .select(col("doc_id"), col("block_md5")).distinct()
-    val rare = blocks.groupBy(col("block_md5"))
-      .agg(count(lit(1)).as("nd")).filter(col("nd") <= 50)
-      .select(col("block_md5"))
-    // SHUFFLE_HASH pin + shared explicit repartition: the static
-    // planner would broadcast one side off its size estimate, which
-    // both re-runs the whole block computation for the other side
-    // (no ReusedExchange across a BroadcastExchange) and is the
-    // wrong physical shape once the block table outgrows a single
-    // executor — same discipline as Dedup.candidatesFromIndex
-    val b = blocks.join(rare, "block_md5")
-      .repartition(col("block_md5"))
-      .hint("shuffle_hash")
-    b.as("x").join(b.as("y"),
-        col("x.block_md5") === col("y.block_md5") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // the shuffle-hash pin, shared exchange and the nd <= 50
+    // boilerplate guard (pair fan-out bounded by real cluster size,
+    // not corpus-wide common blocks) all live in Banded
+    graft.dedup.Banded.candidatePairs(blocks, Seq("block_md5"),
+        maxKeyOccupancy = Some(50))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).cast("int").as("shared_blocks"))
       .filter(col("shared_blocks") >= 2)

@@ -221,21 +221,13 @@ object Dedup {
     val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bandKeys = (0 until bands).map(b =>
       concat((b * rpb until (b + 1) * rpb).map(s => col(s"h$s")): _*))
-    // Both self-join sides share ONE explicit repartition on the join
-    // key, so they canonicalize to the same exchange and ReuseExchange
-    // computes the shingle+md5+signature pipeline once. Left to AQE,
-    // the small side becomes a BroadcastExchange, which cannot be
-    // reused against the other side's plan — the whole heavy upstream
-    // ran twice (measured 2.1s vs 1.4s at sf0.1; at scale the join is
-    // shuffle-partitioned on band_key anyway, so this costs nothing).
+    // shared-exchange self-join discipline lives in Banded (measured
+    // here first: without the shared repartition the whole
+    // shingle+md5+signature pipeline ran once PER SIDE, 2.1s vs 1.4s
+    // at sf0.1)
     val banded = sig.select(col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-      .repartition(col("band"), col("band_key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    Banded.candidatePairs(banded, Seq("band", "band_key"))
       .distinct()
   }
 
@@ -300,17 +292,12 @@ object Dedup {
     * identical join to [[minhashCandidatesOf]], minus the signature
     * recompute. Column pruning drops `sh` from this branch, so the
     * scan reads two thin columns. */
-  def candidatesFromIndex(idx: DataFrame): DataFrame = {
-    val banded = idx.select(col("doc_id"),
-        posexplode(col("bks")).as(Seq("band", "band_key")))
-      .repartition(col("band"), col("band_key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+  def candidatesFromIndex(idx: DataFrame): DataFrame =
+    Banded.candidatePairs(
+        idx.select(col("doc_id"),
+          posexplode(col("bks")).as(Seq("band", "band_key"))),
+        Seq("band", "band_key"))
       .distinct()
-  }
 
   /** (doc_id, band, band_key) via the NARROW per-row signature form
     * (array HOFs, no groupBy) — value-identical keys to the aggregate
@@ -412,24 +399,20 @@ object Dedup {
     * stays flat as the corpus grows (see [[simhash60]]). */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = withSimhash(docs).select(col("doc_id"), col("simhash"))
-    // shared repartition on the join key → ReuseExchange runs the
-    // per-token md5 simhash UDF once, not once per join side (same
-    // rationale as minhashCandidates above)
+    // the shared exchange in Banded runs the per-token md5 simhash
+    // UDF once, not once per join side; simhash rides along as a
+    // carried column so the hamming confirm needs no corpus re-join
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(transform(sequence(lit(0), lit(3)),
           b => call_function("shiftright", col("simhash"), (b * 15).cast("int"))
             .bitwiseAND(lit(32767L))))
           .as(Seq("band", "band_key")))
-      .repartition(col("band"), col("band_key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
+    Banded.candidatePairs(banded, Seq("band", "band_key"),
+        carry = Seq("simhash"))
       .withColumn("hamming",
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))))
+        bit_count(col("a_simhash").bitwiseXOR(col("b_simhash"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
   }
 
