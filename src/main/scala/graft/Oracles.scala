@@ -2722,6 +2722,7 @@ object Oracles {
          |  SELECT a.doc_id, a.chunk_index AS i, b.chunk_index AS j,
          |         a.text AS ta, b.text AS tb
          |  FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND a.chunk_index < b.chunk_index
+         |    AND b.chunk_index - a.chunk_index <= 64
          |), s AS (
          |  SELECT doc_id, i, j,
          |         greatest(

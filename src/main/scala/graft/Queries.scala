@@ -2230,25 +2230,47 @@ object Queries {
       .orderBy(col("chunk_index"))
   }
 
-  /** J5 closed — all-pairs text-overlap scorer: for every chunk pair
-    * (i < j) of a document, the longest L where one chunk's L-char
-    * suffix equals the other's L-char prefix, keeping non-trivial
-    * overlaps (> 10 chars) — the character branch of
+  /** J5 closed — WINDOW-BOUNDED pairwise text-overlap scorer: for
+    * every chunk pair (i < j, j − i ≤ [[OverlapPairWindow]]) of a
+    * document, the longest L where one chunk's L-char suffix equals
+    * the other's L-char prefix, keeping non-trivial overlaps
+    * (> 10 chars) — the character branch of
     * `chunk_visualizer.py:445-453`, which needs no birth offsets (the
     * interval variants in [[ChunkStats]] do). The per-pair scorer is
     * the KMP-automaton kernel [[graft.text.StrOps.longestAffixOverlap]]
     * — one linear pass per pair instead of the old HOF form's O(L²)
-    * substring compares + materialized length-L int array (the r5
-    * audit's last hot spot); the DuckDB oracle stays the independent
-    * HOF scan, and StrExprSpec pins kernel==HOF on adversarial
-    * strings. The self-join shuffles on doc_id only, so pair count is
-    * bounded per document, never cross-corpus. */
+    * substring compares (the r5 audit's last hot spot); StrExprSpec
+    * pins kernel==HOF on adversarial strings.
+    *
+    * The window bound is the giant-document policy the r11 row-skew
+    * harness forced: UNBOUNDED all-pairs within a document is
+    * O(chunks²) by definition, and since the self-join keys on
+    * doc_id alone, one 50 MB document became ONE quadratic task no
+    * partitioning could split (measured: the rowskew probe stalled
+    * here for 100+ s at just 2 MB). Bounding to j − i ≤ 64 keeps the
+    * entire J5 use case (stride/adjacency verification — overlap
+    * between DISTANT chunks of a sliding-window chunker is
+    * structurally meaningless) while making the scan O(chunks × 64),
+    * and pair generation is BANDED on (doc_id, ⌊i/64⌋) — each j
+    * probes its own and the previous band — so a giant document's
+    * pairs spread across partitions instead of forming one straggler
+    * task. The DuckDB oracle applies the identical window, and the
+    * fixture (≤ 577-char docs, ≤ 64 chunks each) is unaffected:
+    * hashes unchanged. */
+  val OverlapPairWindow = 64
   def q_text_overlap_pairs(s: SparkSession, dir: String): DataFrame = {
+    val W = OverlapPairWindow
     val ch = fixedChunks(s, dir)
       .select(col("doc_id"), col("chunk_index"), col("text"))
-    val a = ch.select(col("doc_id"), col("chunk_index").as("i"), col("text").as("ta"))
-    val b = ch.select(col("doc_id"), col("chunk_index").as("j"), col("text").as("tb"))
-    a.join(b, Seq("doc_id")).filter(col("i") < col("j"))
+    val a = ch.select(col("doc_id"), col("chunk_index").as("i"),
+        col("text").as("ta"))
+      .withColumn("band", floor(col("i") / W))
+    val b = ch.select(col("doc_id"), col("chunk_index").as("j"),
+        col("text").as("tb"))
+      .withColumn("band",
+        explode(array(floor(col("j") / W), floor(col("j") / W) - 1)))
+    a.join(b, Seq("doc_id", "band"))
+      .filter(col("i") < col("j") && col("j") - col("i") <= W)
       .withColumn("max_overlap",
         graft.text.StrExpr.longestAffixOverlap(col("ta"), col("tb")))
       .filter(col("max_overlap") > 10)

@@ -147,7 +147,30 @@ object DocStreams {
         // one file per batch at spec scale; a real deployment would
         // partition by a stable key and compact asynchronously
         toWrite.write.mode("append").parquet(storePath)
+        // the commit IS the version boundary: bump the store's epoch
+        // so saved-index serves re-check content exactly once per
+        // micro-batch instead of once per query (SavedIndex's
+        // serve-cost policy — the stream is the caller that "tracks
+        // corpus versions")
+        storeEpochs.merge(storePath, 1L, (a, b) => a + b)
+        () // foreachBatch wants Unit, not the merged counter
       }
       .start()
   }
+
+  // ===== store version tokens (SavedIndex epoch integration) =====
+
+  private val storeEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The store's current version token for [[graft.io.SavedIndex]]
+    * epoch serves: bumped once per committed [[upsertIntoStore]]
+    * micro-batch, so a serve loop over a streaming-maintained store
+    * pays ONE content re-check (and rebuild, if the batch landed new
+    * rows) per micro-batch and O(1) for every serve in between —
+    * never a per-serve corpus scan. None before the first commit (or
+    * in a JVM that hasn't streamed into the store): the serve falls
+    * back to the content fingerprint, which stays the ground truth. */
+  def storeEpoch(storePath: String): Option[String] =
+    Option(storeEpochs.get(storePath)).map(v => s"$storePath@$v")
 }

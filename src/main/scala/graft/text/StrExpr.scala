@@ -144,6 +144,75 @@ case class LongestAffixOverlap(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `codePointSlices(text, bounds)` — array<string>: for each
+  * `(start, end)` CODE-POINT offset pair in `bounds`, the slice
+  * `text[start, end)`, value-identical to
+  * `substr(text, start + 1, end − start)` per element.
+  *
+  * WHY a native expression: `UTF8String.substring` locates its start
+  * by scanning code points from offset 0, so per-chunk `substr` over
+  * one parent document costs O(start) EACH — chunking a document
+  * into k windows is O(L²/stride) in ONE task, invisible on 600-char
+  * fixture docs and fatal on a giant one (the r11 row-skew harness
+  * measured the chunkers ~quadratic in doc length: 2 MB of text took
+  * 10-180 s single-task). This kernel walks the document ONCE with a
+  * forward cursor (ascending starts; an out-of-order start rescans,
+  * correct but slow), so extracting all chunks is
+  * O(L + total output) regardless of chunk count. Evaluated per
+  * document row (CodegenFallback — the O(L) walk dwarfs the virtual
+  * call), exploded afterward, exactly where the quadratic substr
+  * projection used to sit. */
+case class CodePointSlices(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StructType(fs), _))
+          if fs.length == 2 && fs.forall(_.dataType == IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "codePointSlices needs (string, array<struct<int,int>>), got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(t: Any, b: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString
+    val bounds = b.asInstanceOf[ArrayData]
+    val n = bounds.numElements()
+    val len = s.length
+    val totalCp = s.codePointCount(0, len)
+    val out = new Array[Any](n)
+    var cp = 0 // code-point cursor
+    var ci = 0 // UTF-16 char cursor at code point `cp`
+    var i = 0
+    while (i < n) {
+      val row = bounds.getStruct(i, 2)
+      val sCp = math.min(math.max(row.getInt(0), 0), totalCp)
+      val eCp = math.max(sCp, math.min(row.getInt(1), totalCp))
+      if (sCp < cp) { cp = 0; ci = 0 } // out-of-order: restart
+      val cs = s.offsetByCodePoints(ci, sCp - cp)
+      val ce = s.offsetByCodePoints(cs, eCp - sCp)
+      out(i) = UTF8String.fromString(s.substring(cs, ce))
+      // cursor parks at the slice START so overlapping ascending
+      // windows (the fixed chunker's stride < size) stay forward
+      cp = sCp; ci = cs
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CodePointSlices =
+    copy(left = newLeft, right = newRight)
+}
+
 object StrExpr {
   import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -158,4 +227,11 @@ object StrExpr {
   def longestAffixOverlap(a: Column, b: Column): Column =
     ColumnShim.column(LongestAffixOverlap(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column wrapper: one-pass extraction of every `[start, end)`
+    * code-point slice of `text` — the linear replacement for
+    * per-chunk `substr` over one parent document. */
+  def codePointSlices(text: Column, bounds: Column): Column =
+    ColumnShim.column(CodePointSlices(
+      ColumnShim.expression(text), ColumnShim.expression(bounds)))
 }

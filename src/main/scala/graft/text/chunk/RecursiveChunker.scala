@@ -153,12 +153,21 @@ case class RecursiveChunker(
     val offsUdf = udf((text: String) => mergedOffsets(text))
     docs
       .select(col("doc_id"), col("source"), col("text").as("__doc_text"))
-      .select(col("doc_id"), col("source"), col("__doc_text"),
-        posexplode(offsUdf(col("__doc_text"))).as(Seq("chunk_index", "__p")))
+      .select(col("doc_id"), col("source"),
+        offsUdf(col("__doc_text")).as("__offs"), col("__doc_text"))
+      // one-pass slice extraction (CodePointSlices) instead of a
+      // per-chunk substr over the parent doc — O(start) each made a
+      // giant document's chunking quadratic in ONE task (r11 row-skew
+      // harness); offsets are ascending so the slicer walks forward
+      .select(col("doc_id"), col("source"), col("__offs"),
+        graft.text.StrExpr.codePointSlices(col("__doc_text"),
+          col("__offs")).as("__chunks"))
+      .select(col("doc_id"), col("source"),
+        posexplode(arrays_zip(col("__offs"), col("__chunks")))
+          .as(Seq("chunk_index", "__z")))
       .select(col("doc_id"), col("source"), col("chunk_index"),
-        col("__doc_text").substr(col("__p._1") + lit(1),
-          col("__p._2") - col("__p._1")).as("text"),
-        col("__p._1").as("start"), col("__p._2").as("end"))
+        col("__z.__chunks").as("text"),
+        col("__z.__offs._1").as("start"), col("__z.__offs._2").as("end"))
       .withColumn("char_length", length(col("text")))
       .withColumn("token_length", Tok.tokenCount(col("text")))
       .withColumn("strategy", lit(strategy))

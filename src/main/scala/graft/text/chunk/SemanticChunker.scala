@@ -137,19 +137,32 @@ case class SemanticChunker(
         .withColumn("segment",
           sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       val merged = seg.groupBy(col("doc_id"), col("source"), col("segment"))
-        .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+        .agg(min(col("start")).cast("int").as("start"),
+          max(col("end")).cast("int").as("end"))
       // `segment` is a contiguous 0-based per-doc counter (running sum
       // of break flags, first row 0), so it IS the chunk index — no
-      // row_number window (and its extra per-doc sort) needed
-      merged
+      // row_number window (and its extra per-doc sort) needed.
+      // Chunk text extraction: segments roll up to ONE sorted bounds
+      // array per doc and slice in a single CodePointSlices pass —
+      // per-segment substr over the parent doc was O(start) each,
+      // i.e. quadratic in doc length in one task on a giant document
+      // (r11 row-skew harness); the rollup shuffles only int triples.
+      merged.groupBy(col("doc_id"), col("source"))
+        .agg(array_sort(collect_list(
+          struct(col("segment"), col("start"), col("end")))).as("segs"))
         .join(docs.select(col("doc_id"), col("text").as("doc_text")), "doc_id")
-        .withColumn("text",
-          col("doc_text").substr(col("start") + lit(1), col("end") - col("start")))
-        .withColumn("chunk_index", col("segment").cast("int"))
-        .select(col("doc_id"), col("source"), col("chunk_index"), col("text"),
-          col("start"), col("end"),
-          length(col("text")).as("char_length"),
-          Tok.tokenCount(col("text")).as("token_length"),
+        .withColumn("chunks",
+          graft.text.StrExpr.codePointSlices(col("doc_text"),
+            transform(col("segs"), g =>
+              struct(g.getField("start"), g.getField("end")))))
+        .select(col("doc_id"), col("source"),
+          posexplode(arrays_zip(col("segs"), col("chunks"))).as(Seq("__i", "z")))
+        .select(col("doc_id"), col("source"),
+          col("z.segs.segment").cast("int").as("chunk_index"),
+          col("z.chunks").as("text"),
+          col("z.segs.start").as("start"), col("z.segs.end").as("end"),
+          length(col("z.chunks")).as("char_length"),
+          Tok.tokenCount(col("z.chunks")).as("token_length"),
           lit(strategy).as("strategy"))
     }
   }

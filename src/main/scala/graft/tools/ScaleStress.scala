@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   sbt "runMain graft.tools.ScaleStress [baseDir] [factor]"
-  * Writes SCALE_STRESS.json (override: SPARK_GRAFT_SCALE_FILE) and
-  * exits non-zero when any query breaches the threshold — a breach is
-  * a plan bug or an undocumented cap, never noise to swallow.
+  *   sbt "runMain graft.tools.ScaleStress rowskew [baseDir] [mb,mb]"
+  * The second form is the ROW-skew probe (one giant document amid the
+  * corpus — the straggler axis uniform tiling can't reach; see
+  * [[rowSkew]]); large giant sizes need driver heap, e.g.
+  * SPARK_DRIVER_MEM=24g. Both modes write their own
+  * `"section":"..."` line into SCALE_STRESS.json (override:
+  * SPARK_GRAFT_SCALE_FILE) and exit non-zero on a breach — a breach
+  * is a plan bug or an undocumented cap, never noise to swallow.
   */
 object ScaleStress {
 
@@ -129,9 +134,159 @@ object ScaleStress {
       .split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
+  /** SCALE_STRESS.json holds one JSON line per harness section
+    * (`"section":"factor10"`, `"section":"row_skew"`), so each mode
+    * refreshes its own line without disturbing the other's. */
+  private def upsertSection(path: String, section: String,
+      line: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val others =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p).linesIterator
+          .filter(_.trim.nonEmpty)
+          .filterNot(_.contains(s""""section":"$section""""))
+          .toSeq
+      else Seq.empty
+    java.nio.file.Files.writeString(p,
+      (others :+ line).mkString("", "\n", "\n"))
+  }
+
+  // ===== row-skew mode: one giant document amid the corpus =====
+
+  /** Per-document kernels whose cost is O(f(doc_length)) on a single
+    * row — the one axis uniform tiling can't probe: no partitioning
+    * splits a row, so one giant document is one straggler task. */
+  val PerDocKernels: Seq[String] = Seq(
+    "q_chunk_recursive", "q_simhash_candidates", "q_bpe_tokens",
+    "q_text_overlap_pairs", "q_chunk_semantic_corpus", "q_repetition")
+
+  /** Deterministic giant text: seeded uniform draws over a 30k-word
+    * synthetic vocabulary (~270x repetition per word at 50 MB — n-gram
+    * and BPE kernels see realistic repetition, not all-distinct
+    * tokens). Sentence punctuation every ~12 words so sentence-driven
+    * kernels (semantic chunker) see boundaries. */
+  private def giantText(targetBytes: Long): String = {
+    val rnd = new scala.util.Random(20260814L)
+    val sb = new java.lang.StringBuilder(targetBytes.toInt + 64)
+    var w = 0
+    while (sb.length < targetBytes) {
+      sb.append('w').append(rnd.nextInt(30000))
+      w += 1
+      if (w % 12 == 0) sb.append('.')
+      sb.append(' ')
+    }
+    sb.toString
+  }
+
+  /** Copy `baseDir` into a fresh temp sfDir with ONE extra document
+    * of ~`mb` MB appended to `documents.parquet`. Returns the dir. */
+  private def skewDir(spark: SparkSession, baseDir: String,
+      mb: Int): String = {
+    val out = graft.io.TempDirs.create(s"graft-rowskew-$mb")
+    val base = new java.io.File(baseDir)
+    base.listFiles().filter(_.isFile)
+      .filterNot(_.getName.startsWith("documents"))
+      .foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(out, f.getName))
+      }
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    import org.apache.spark.sql.Row
+    val text = giantText(mb.toLong << 20)
+    val giant = spark.createDataFrame(
+      java.util.List.of(Row(IdStride - 1L, text, "en", "rowskew",
+        text.length.toLong)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      .unionByName(giant)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  /** Row-skew harness: time each per-doc kernel on the base corpus
+    * and with one ~5 MB / ~50 MB document added, and bound the
+    * MARGINAL cost's growth in doc length. The pass criterion is the
+    * kernel's scaling EXPONENT, not the straggler's absolute wall
+    * (one unsplittable row is serial by construction): marginal(50MB)
+    * / marginal(5MB) ≤ 10 × 2.5 — a linear kernel lands at ~10,
+    * N·log N at ~11, quadratic at ~100, so the bands don't overlap.
+    * A kernel that ERRORS (e.g. OOM on per-row state) fails loudly:
+    * that is a split-policy gap, not noise. */
+  private def rowSkew(spark: SparkSession, baseDir: String,
+      outFile: String, mbs: Seq[Int]): Unit = {
+    val dirs = mbs.map(mb => mb -> {
+      System.err.println(s"[rowskew] building +${mb}MB corpus ...")
+      skewDir(spark, baseDir, mb)
+    })
+    spark.read.parquet(s"$baseDir/documents.parquet")
+      .groupBy("lang").count().count() // session warm-up
+    val loadBefore = loadavg()
+    val allowed = (mbs.last.toDouble / mbs.head) * 2.5
+    val rows = PerDocKernels.map { name =>
+      def t(dir: String): Either[String, Double] =
+        try Right(time(spark, name, dir, 2)._2)
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
+      val base = t(baseDir)
+      val skews = dirs.map { case (mb, d) => mb -> t(d) }
+      val marg = (base, skews.head._2, skews.last._2) match {
+        case (Right(b), Right(s1), Right(s2)) =>
+          // 0.05s floor: a kernel whose marginal vanishes at 5MB is
+          // linear-or-better; don't let a noise-negative divide blow up
+          Some((math.max(s1 - b, 0.05), math.max(s2 - b, 0.05)))
+        case _ => None
+      }
+      val ratio = marg.map { case (m1, m2) => m2 / m1 }
+      val line = (base, skews, ratio) match {
+        case (Right(b), sk, r) =>
+          val ss = sk.map { case (mb, e) => e match {
+            case Right(v) => f""""t_${mb}mb":$v%.3f"""
+            case Left(err) => s""""t_${mb}mb_error":${graft.JsonText.quote(err)}"""
+          }}.mkString(",")
+          val rr = r.map(v => f""","marginal_ratio":$v%.2f""").getOrElse("")
+          f""""$name":{"t_base":$b%.3f,$ss$rr}"""
+        case (Left(err), _, _) =>
+          s""""$name":{"t_base_error":${graft.JsonText.quote(err)}}"""
+      }
+      System.err.println(s"[rowskew] $name -> $line")
+      (name, line, ratio, base.isRight && skews.forall(_._2.isRight))
+    }
+    val breaches = rows.collect {
+      case (n, _, Some(r), _) if r > allowed => n
+      case (n, _, _, false) => n
+    }
+    val loadAfter = loadavg()
+    val json =
+      s"""{"section":"row_skew","base":"$baseDir","giant_mb":${mbs.mkString("[", ",", "]")},""" +
+        f""""allowed_marginal_ratio":$allowed%.1f,"pass":${breaches.isEmpty},""" +
+        s""""breaches":${breaches.map(b => "\"" + b + "\"").mkString("[", ",", "]")},""" +
+        s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+        s""""queries":${rows.map(_._2).mkString("{", ",", "}")}}"""
+    println(json)
+    upsertSection(outFile, "row_skew", json)
+    if (breaches.nonEmpty) {
+      System.err.println(
+        s"[rowskew] STRAGGLER/SUPER-LINEAR: ${breaches.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = if (args.length > 1) args(1).toInt else 10
+    val isRowSkew = args.headOption.contains("rowskew")
+    val rest = if (isRowSkew) args.drop(1) else args
+    val baseDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (rest.length > 1 && !isRowSkew) rest(1).toInt else 10
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "SCALE_STRESS.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -142,6 +297,14 @@ object ScaleStress {
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (isRowSkew) {
+      val mbs = if (rest.length > 1)
+        rest(1).split(",").map(_.trim.toInt).toSeq else Seq(5, 50)
+      rowSkew(spark, baseDir, outFile, mbs)
+      spark.stop()
+      return
+    }
 
     val nDocs = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val allowed = factor *
@@ -172,12 +335,12 @@ object ScaleStress {
       f"""\"$n\":{\"t1_first\":$f1%.3f,\"t1_min\":$m1%.3f,\"tN_first\":$fN%.3f,\"tN_min\":$mN%.3f,\"ratio_first\":$rf%.2f,\"ratio_min\":$rm%.2f}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scale_stress","factor":$factor,"base":"$baseDir","n_docs":$nDocs,""" +
+      s"""{"section":"factor$factor","metric":"scale_stress","factor":$factor,"base":"$baseDir","n_docs":$nDocs,""" +
         f""""allowed_ratio":$allowed%.2f,"pass":${breaches.isEmpty},""" +
         s""""breaches":${breaches.map(b => "\"" + b._1 + "\"").mkString("[", ",", "]")},""" +
         s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","queries":$qs}"""
     println(line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    upsertSection(outFile, s"factor$factor", line)
     spark.stop()
     if (breaches.nonEmpty) {
       System.err.println(s"[scale] SUPER-LINEAR: ${breaches.map(_._1).mkString(", ")}")

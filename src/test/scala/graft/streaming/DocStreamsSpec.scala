@@ -347,4 +347,45 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
       assert(got.count(_ == 2L) == 1 && got.count(_ == 3L) == 1)
     } finally q.stop()
   }
+
+  test("storeEpoch: post-batch saved-index serve rebuilds exactly once, O(1) after") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-store-se").toString + "/store"
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source", "n_chars")
+    // no commits yet: no version token — serves would content-check
+    assert(DocStreams.storeEpoch(storeDir).isEmpty)
+    val q = DocStreams.upsertIntoStore(stream, storeDir)
+    val key = "docstreams-spec-store-epoch"
+    def serve(): String = graft.text.Bm25.ensureSavedIndex(
+      spark.read.parquet(storeDir)
+        .select(col("doc_id"), col("text")),
+      key, epoch = DocStreams.storeEpoch(storeDir))
+    try {
+      mem.addData((1L, "alpha beta gamma delta", "srcA", 22L))
+      q.processAllAvailable()
+      val e1 = DocStreams.storeEpoch(storeDir)
+      assert(e1.isDefined, "a committed batch must version the store")
+      val p1 = serve()
+      // same epoch: the repeat serve is the O(1) memo hit — same dir,
+      // no new temp dir created
+      val before = graft.io.TempDirs.registeredCount
+      assert(serve() == p1 && graft.io.TempDirs.registeredCount == before)
+      // batch 2 lands new content and bumps the version exactly once
+      mem.addData((2L, "epsilon zeta eta theta", "srcB", 22L))
+      q.processAllAvailable()
+      val e2 = DocStreams.storeEpoch(storeDir)
+      assert(e2.isDefined && e2 != e1, "each commit must move the epoch")
+      // post-batch serve: content re-checked ONCE → one rebuild ...
+      val p2 = serve()
+      assert(p2 != p1, "changed store must rebuild the index")
+      // ... and the next serve under the same epoch is O(1) again
+      val after = graft.io.TempDirs.registeredCount
+      assert(serve() == p2 && graft.io.TempDirs.registeredCount == after,
+        "second serve of the same store version must not rebuild")
+    } finally q.stop()
+  }
 }
