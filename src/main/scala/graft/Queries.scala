@@ -864,69 +864,41 @@ object Queries {
     * (`top_{n}gram_frac`), plus the distinct-token ratio — the full
     * dup-n-gram family Gopher thresholds on, not just its smallest
     * member. ONE corpus scan and ZERO aggregation state: every signal
-    * is a function of a single document's own tokens, so each
-    * n-gram's occurrence counts are taken per ROW — sort the doc's
-    * gram array, then one run-length fold (`aggregate`) yields the
-    * duplicated-occurrence count and the longest run (= the max gram
-    * frequency). The r10 form exploded 3 gram sizes into a corpus ×3
-    * stream and hash-aggregated it per (doc, n, gram); that per-
-    * partition hash map grows with the corpus and was the engine's
-    * worst 10× ScaleStress ratio (4.41×). The per-row fold carries
-    * only O(doc) state, keeps the plan a pure scan → project (the
-    * only exchange left is the output sort), and emits the SAME
-    * counts — run lengths on a sorted array ARE the gram
-    * frequencies — so values, the oracle, and hashes are unchanged.
-    * Per-row cost is O(L log L) in doc length: see the giant-doc
-    * row-skew policy measured in SCALE_STRESS.json. */
+    * is a function of a single document's own tokens, so the
+    * occurrence counts are taken per ROW by the native
+    * [[graft.text.RepetitionCounts]] kernel — one pass over the
+    * token array per gram size, counts in a document-bounded hash
+    * map, exact integers out. The r10 form exploded 3 gram sizes
+    * into a corpus ×3 stream and hash-aggregated per (doc, n, gram);
+    * that per-partition hash map grows with the corpus and was the
+    * engine's worst 10× ScaleStress ratio (4.41×). An intermediate
+    * r11 form (sorted gram arrays + `aggregate` run-length HOF
+    * folds) fixed the state problem but paid interpreted-lambda
+    * dispatch per gram — slower per row than the aggregate it
+    * replaced; the native kernel keeps the scan → project plan (the
+    * only exchange left is the loader spread + output sort, plan-
+    * gated in QueriesSpec) at a per-row cost that is genuinely
+    * O(doc). Fraction arithmetic and rounding stay in Column-land,
+    * so values, the oracle, and hashes are unchanged. */
   def q_repetition(s: SparkSession, dir: String): DataFrame = {
-    // sorted per-size gram array; array_join(slice) renders the same
-    // string DuckDB's ts[i] || ' ' || … does. Any total order works:
-    // sorting only has to group equal grams into runs.
-    def grams(n: Int): Column =
-      when(col("n_tokens") >= n,
-        array_sort(transform(sequence(lit(1), col("n_tokens") - (n - 1)),
-          i => array_join(slice(col("ts"), i, lit(n)), " "))))
-        .otherwise(array().cast("array<string>"))
-    // run-length fold over the sorted grams: `singles` counts runs of
-    // length 1 closed so far, `run`/`max_run` track the open run. A
-    // gram occurring c times is one run of length c, so
-    // dup-occurrences = total − singletons and top frequency =
-    // longest run — exactly the per-(doc,gram) COUNT(*) family the
-    // exploded form aggregated for.
+    // rc = struct<t_n total, d_n distinct, s_n singletons, m_n max
+    // frequency>: dup-occurrences = total − singletons, top share =
+    // max frequency / total — the per-(doc,gram) COUNT(*) family the
+    // exploded form aggregated for, computed row-locally.
     def fracs(n: Int): Seq[Column] = {
-      val gs = col(s"g$n")
-      val total = size(gs).cast("long")
-      val folded = aggregate(
-        gs,
-        struct(lit("").as("prev"), lit(0L).as("run"),
-          lit(0L).as("max_run"), lit(0L).as("singles")),
-        (acc, x) => {
-          val cont = x === acc.getField("prev") && acc.getField("run") > 0
-          val run = when(cont, acc.getField("run") + 1L).otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("max_run"), run).as("max_run"),
-            when(!cont && acc.getField("run") === 1L,
-              acc.getField("singles") + 1L)
-              .otherwise(acc.getField("singles")).as("singles"))
-        },
-        acc => struct(acc.getField("max_run").as("max_run"),
-          // close the final open run
-          when(acc.getField("run") === 1L, acc.getField("singles") + 1L)
-            .otherwise(acc.getField("singles")).as("singles")))
+      val total = col("rc").getField(s"t$n")
       Seq(
-        round((total - folded.getField("singles")).cast("double") /
+        round((total - col("rc").getField(s"s$n")).cast("double") /
           greatest(total, lit(1L)), 6).as(s"dup_${n}gram_frac"),
-        round(folded.getField("max_run").cast("double") /
+        round(col("rc").getField(s"m$n").cast("double") /
           greatest(total, lit(1L)), 6).as(s"top_${n}gram_frac"))
     }
     t(s, dir, "documents")
       .select(col("doc_id"), Tok.tokens(col("text")).as("ts"))
       .withColumn("n_tokens", size(col("ts")))
-      .withColumn("n_distinct", size(array_distinct(col("ts"))))
-      .withColumn("g2", grams(2)).withColumn("g3", grams(3))
-      .withColumn("g4", grams(4))
+      .withColumn("rc", graft.text.StrExpr.repetitionCounts(col("ts")))
       .select(Seq(col("doc_id"), col("n_tokens"),
-        round(col("n_distinct").cast("double") /
+        round(col("rc").getField("d1").cast("double") /
           greatest(col("n_tokens"), lit(1)), 6).as("distinct_ratio")) ++
         (2 to 4).flatMap(fracs): _*)
       .orderBy(col("doc_id"))

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   * for the same reason.
   *
   * Usage:
-  *   sbt "runMain graft.tools.ScaleStress [baseDir] [factor]"
+  *   sbt "runMain graft.tools.ScaleStress [baseDir] [factor] [q1,q2,..]"
   *   sbt "runMain graft.tools.ScaleStress rowskew [baseDir] [mb,mb]"
+  * The optional query list restricts the factor run to a subset of
+  * the catalog (any `SparkEntry.queries` key, not just [[Heavy]]) —
+  * used for the deep factor-30 probe on the heaviest three, where
+  * tiling disk/wall cost rules out the full ten.
   * The second form is the ROW-skew probe (one giant document amid the
   * corpus — the straggler axis uniform tiling can't reach; see
   * [[rowSkew]]); large giant sizes need driver heap, e.g.
@@ -287,6 +291,8 @@ object ScaleStress {
     val rest = if (isRowSkew) args.drop(1) else args
     val baseDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (rest.length > 1 && !isRowSkew) rest(1).toInt else 10
+    val queryNames: Seq[String] =
+      if (!isRowSkew && rest.length > 2) rest(2).split(",").toSeq else Heavy
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "SCALE_STRESS.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -321,7 +327,7 @@ object ScaleStress {
       .groupBy("lang").count().count()
 
     val loadBefore = loadavg()
-    val rows = Heavy.map { name =>
+    val rows = queryNames.map { name =>
       val (f1, m1) = time(spark, name, baseDir, 2)
       val (fN, mN) = time(spark, name, tiled, 2)
       val r = (fN / f1, mN / m1)

@@ -176,6 +176,81 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q_repetition / q_tfidf_keywords plan gates (r11 rewrites)") {
+    // the two worst 10x ScaleStress ratios of r10, both rewritten to
+    // shapes whose state no longer grows with the corpus — pin the
+    // shapes so a refactor can't silently reintroduce the old plans.
+    // AQE off for stable static plans (assertion only).
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // q_repetition: per-row run-length folds replaced the exploded
+      // per-(doc, n, gram) hash aggregate — the plan must be a pure
+      // scan -> project with ONE range exchange (the output sort):
+      // no explode, no aggregate, no window.
+      val rep = Queries.q_repetition(spark, sf).queryExecution.executedPlan
+      assert(rep.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+        s"q_repetition must not explode grams, plan:\n$rep")
+      assert(rep.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }.isEmpty,
+        s"q_repetition must carry no aggregation state, plan:\n$rep")
+      // allowed shuffles: the corpus loader's own doc_id spread
+      // (REPARTITION_BY_NUM, present under every documents consumer)
+      // and the output sort's range exchange — NOTHING gram-keyed.
+      val repShuffles = rep.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(repShuffles.size <= 2 && repShuffles.forall(e =>
+          e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] ||
+          e.shuffleOrigin ==
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM),
+        s"q_repetition may shuffle only for the loader spread and the " +
+          s"output sort, plan:\n$rep")
+
+      // q_tfidf_keywords: postings is read from the persisted frame
+      // (explode lives inside it), every join is broadcast (dfreq and
+      // stats are vocabulary-bounded), and the per-doc window rides
+      // the cached doc_id layout — the only non-broadcast-side
+      // shuffles are bounded aggregates/sort, never a re-exchange of
+      // postings by term.
+      val tf = Queries.q_tfidf_keywords(spark, sf).queryExecution.executedPlan
+      assert(tf.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+        s"explode must live inside the cached postings frame, plan:\n$tf")
+      assert(tf.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+        .size >= 2, s"postings consumers must read the cache, plan:\n$tf")
+      assert(tf.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+        .isEmpty, s"tfidf joins must all be broadcast, plan:\n$tf")
+      // postings must never reshuffle: outside broadcast subtrees
+      // (dfreq's own term aggregate lives under one) the only hash
+      // exchange allowed is none; the output sort's range exchange is.
+      def nonBroadcastShuffles(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+        p match {
+          case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+            Seq.empty
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e +: e.children.flatMap(nonBroadcastShuffles)
+          case other => other.children.flatMap(nonBroadcastShuffles)
+        }
+      val tfShuffles = nonBroadcastShuffles(tf)
+      assert(tfShuffles.forall(e =>
+          e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] ||
+          e.shuffleOrigin ==
+            org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM),
+        s"postings must keep its cached doc_id layout (no hash re-exchange " +
+          s"outside broadcast branches), plan:\n$tf")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("q_ocr_nested: zero-image pages survive explode_outer; data-URI on odd images") {
     val rows = Queries.q_ocr_nested(spark, sf).collect()
     val zeroImg = rows.filter(_.getInt(2) == 0)

@@ -120,6 +120,44 @@ class StrExprSpec extends AnyFunSuite with SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("repetitionCounts matches an independent in-memory reference") {
+    // reference: group the space-joined n-grams of the token list and
+    // read total/distinct/singleton/max counts off the grouping — the
+    // definition the kernel's hash map must reproduce exactly.
+    def ref(toks: Seq[String], n: Int): (Long, Long, Long, Long) = {
+      val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val byGram = grams.groupBy(identity).view.mapValues(_.size).toMap
+      (grams.size.toLong, byGram.size.toLong,
+        byGram.count(_._2 == 1).toLong,
+        if (byGram.isEmpty) 0L else byGram.values.max.toLong)
+    }
+    val fixtures: Seq[Seq[String]] = Seq(
+      Seq.empty,                                  // no tokens
+      Seq("a"),                                   // below every n>1
+      Seq("a", "a", "a", "a"),                    // one gram repeated
+      Seq("a", "b", "a", "b", "a"),               // periodic
+      Seq("x", "y", "z"),                         // all distinct
+      Seq("α", "β", "α", "𝔘", "𝔘"),               // multibyte + astral
+      (1 to 200).map(i => s"w${i % 7}"))          // long periodic tail
+    val rnd = new scala.util.Random(13)
+    val rows = fixtures ++ (1 to 100).map(_ =>
+      (1 to rnd.nextInt(30)).map(_ => s"t${rnd.nextInt(5)}"))
+    val got = rows.toDF("ts")
+      .select(StrExpr.repetitionCounts(col("ts")).as("rc"))
+      .collect()
+    rows.zip(got).foreach { case (toks, r) =>
+      val rc = r.getStruct(0)
+      (1 to 4).foreach { n =>
+        val (t, d, s, m) = ref(toks, n)
+        val j = (n - 1) * 4
+        assert((rc.getLong(j), rc.getLong(j + 1), rc.getLong(j + 2),
+            rc.getLong(j + 3)) == ((t, d, s, m)),
+          s"n=$n toks=$toks got ${(rc.getLong(j), rc.getLong(j + 1),
+            rc.getLong(j + 2), rc.getLong(j + 3))} want ${(t, d, s, m)}")
+      }
+    }
+  }
+
   test("registered SQL surface graft_affix_overlap works; bad arity errors cleanly") {
     graft.GraftFunctions.register(spark)
     val got = spark.sql("SELECT graft_affix_overlap('abcdef', 'defxyz') AS o")
