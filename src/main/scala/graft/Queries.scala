@@ -2226,9 +2226,20 @@ object Queries {
     * and pair generation is BANDED on (doc_id, ⌊i/64⌋) — each j
     * probes its own and the previous band — so a giant document's
     * pairs spread across partitions instead of forming one straggler
-    * task. The DuckDB oracle applies the identical window, and the
-    * fixture (≤ 577-char docs, ≤ 64 chunks each) is unaffected:
-    * hashes unchanged. */
+    * task. The join is PINNED shuffle-hash (the [[graft.dedup.Banded]]
+    * discipline, applied in place because the band probe is
+    * asymmetric): left to the planner, a small-corpus statistics
+    * estimate picks a broadcast join that preserves the stream side's
+    * doc_id-alone partitioning — for one giant document that is ONE
+    * task evaluating every KMP pair serially, and the r11 row-skew
+    * probe measured the 5 MB giant SLOWER than the 50 MB one (22 vs
+    * 9 s), whose bigger build side had crossed the broadcast
+    * threshold into the parallel shuffle plan. Hash-partitioning both
+    * sides on (doc_id, band) keeps the compute-dense KMP stage
+    * spread across the ~chunks/64 bands at every size. The DuckDB
+    * oracle applies the identical window, and the fixture
+    * (≤ 577-char docs, ≤ 64 chunks each) is unaffected: hashes
+    * unchanged. */
   val OverlapPairWindow = 64
   def q_text_overlap_pairs(s: SparkSession, dir: String): DataFrame = {
     val W = OverlapPairWindow
@@ -2241,7 +2252,7 @@ object Queries {
         col("text").as("tb"))
       .withColumn("band",
         explode(array(floor(col("j") / W), floor(col("j") / W) - 1)))
-    a.join(b, Seq("doc_id", "band"))
+    a.hint("shuffle_hash").join(b, Seq("doc_id", "band"))
       .filter(col("i") < col("j") && col("j") - col("i") <= W)
       .withColumn("max_overlap",
         graft.text.StrExpr.longestAffixOverlap(col("ta"), col("tb")))

@@ -52,10 +52,10 @@ case class RecursiveChunker(
     seps match {
       case sep +: rest =>
         val cuts = Vector.newBuilder[Int]
-        var i = text.indexOf(sep, start)
-        while (i >= 0 && i + sep.length <= end) {
+        var i = RecursiveChunker.indexOfBounded(text, sep, start, end)
+        while (i >= 0) {
           cuts += i + sep.length // cut AFTER the separator
-          i = text.indexOf(sep, i + sep.length)
+          i = RecursiveChunker.indexOfBounded(text, sep, i + sep.length, end)
         }
         val cutPoints = cuts.result().filter(c => c > start && c < end)
         if (cutPoints.isEmpty) fragments(text, start, end, rest, starts)
@@ -171,5 +171,36 @@ case class RecursiveChunker(
       .withColumn("char_length", length(col("text")))
       .withColumn("token_length", Tok.tokenCount(col("text")))
       .withColumn("strategy", lit(strategy))
+  }
+}
+
+object RecursiveChunker {
+  /** `text.indexOf(sep)` restricted to matches fully inside
+    * `[from, end)` — and, critically, whose SCAN is also bounded by
+    * `end`. `String.indexOf(sep, from)` searches to the end of the
+    * whole string before reporting a miss, so a recursion region
+    * that lacks a separator paid O(text tail) per region: at the
+    * semantic min-split (chunkSize 10) every ~12-token sentence
+    * recursed past "." into "?"/"!" — absent from the fixture
+    * corpus — and one 50 MB document cost 580k regions × O(50 MB)
+    * tail scans (the r11 row-skew harness measured the semantic
+    * kernel ~quadratic while the 400-token recursive chunker, which
+    * accepts sentence pieces before recursing, stayed linear).
+    * Returns the match START (callers cut after `sep`). */
+  private[chunk] def indexOfBounded(text: String, sep: String,
+      from: Int, end: Int): Int = {
+    if (sep.isEmpty) return -1
+    val c0 = sep.charAt(0)
+    val last = end - sep.length
+    var i = math.max(from, 0)
+    while (i <= last) {
+      if (text.charAt(i) == c0) {
+        var j = 1
+        while (j < sep.length && text.charAt(i + j) == sep.charAt(j)) j += 1
+        if (j == sep.length) return i
+      }
+      i += 1
+    }
+    -1
   }
 }

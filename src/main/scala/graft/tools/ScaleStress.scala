@@ -182,11 +182,17 @@ object ScaleStress {
     sb.toString
   }
 
-  /** Copy `baseDir` into a fresh temp sfDir with ONE extra document
-    * of ~`mb` MB appended to `documents.parquet`. Returns the dir. */
+  /** Copy `baseDir` into a fresh temp sfDir whose `documents.parquet`
+    * is either the base corpus with ONE extra ~`mb` MB document
+    * appended (`giantOnly = false` — the in-situ straggler fixture)
+    * or the giant document ALONE (`giantOnly = true` — the
+    * kernel-exponent fixture: wall time is the giant's processing
+    * cost directly, with no corpus work overlapping it). Returns the
+    * dir. */
   private def skewDir(spark: SparkSession, baseDir: String,
-      mb: Int): String = {
-    val out = graft.io.TempDirs.create(s"graft-rowskew-$mb")
+      mb: Int, giantOnly: Boolean = false): String = {
+    val out = graft.io.TempDirs.create(
+      s"graft-rowskew${if (giantOnly) "-only" else ""}-$mb")
     val base = new java.io.File(baseDir)
     base.listFiles().filter(_.isFile)
       .filterNot(_.getName.startsWith("documents"))
@@ -211,28 +217,40 @@ object ScaleStress {
           org.apache.spark.sql.types.StringType, nullable = true),
         org.apache.spark.sql.types.StructField("n_chars",
           org.apache.spark.sql.types.LongType, nullable = true))))
-    docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars").cast("long").as("n_chars"))
-      .unionByName(giant)
+    (if (giantOnly) giant
+     else docs.select(col("doc_id"), col("text"), col("lang"),
+         col("source"), col("n_chars").cast("long").as("n_chars"))
+       .unionByName(giant))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     out
   }
 
-  /** Row-skew harness: time each per-doc kernel on the base corpus
-    * and with one ~5 MB / ~50 MB document added, and bound the
-    * MARGINAL cost's growth in doc length. The pass criterion is the
-    * kernel's scaling EXPONENT, not the straggler's absolute wall
-    * (one unsplittable row is serial by construction): marginal(50MB)
-    * / marginal(5MB) ≤ 10 × 2.5 — a linear kernel lands at ~10,
-    * N·log N at ~11, quadratic at ~100, so the bands don't overlap.
-    * A kernel that ERRORS (e.g. OOM on per-row state) fails loudly:
-    * that is a split-policy gap, not noise. */
+  /** Row-skew harness: bound each per-doc kernel's scaling EXPONENT
+    * in doc length, not the straggler's absolute wall (one
+    * unsplittable row is serial by construction). The kernel cost is
+    * measured on GIANT-ONLY corpora (the giant document is the whole
+    * documents table) at both sizes — `wall(big) / wall(small) ≤
+    * (big/small) × 2.5`, so at 5→50 MB a linear kernel lands ≤10 and
+    * a quadratic at ~100, with fixed session overhead only ever
+    * LOWERING the ratio. The first harness form subtracted a
+    * corpus-run baseline instead ("marginal cost"), and the small
+    * giant's work hid inside the corpus's own parallel slack —
+    * marginal ≈ 0 at 5 MB made a measured-linear kernel read as
+    * 241× (see q_chunk_recursive in the r11 logs); giant-only walls
+    * have nothing to hide behind. Each kernel also reports the
+    * IN-SITU wall (base corpus + the biggest giant appended) next to
+    * the corpus-only base — the straggler cost a real mixed corpus
+    * would see; informational, since it is the kernel cost again by
+    * construction. A kernel that ERRORS (e.g. OOM on per-row state)
+    * fails loudly: that is a split-policy gap, not noise. */
   private def rowSkew(spark: SparkSession, baseDir: String,
       outFile: String, mbs: Seq[Int]): Unit = {
-    val dirs = mbs.map(mb => mb -> {
-      System.err.println(s"[rowskew] building +${mb}MB corpus ...")
-      skewDir(spark, baseDir, mb)
+    val onlyDirs = mbs.map(mb => mb -> {
+      System.err.println(s"[rowskew] building ${mb}MB giant-only corpus ...")
+      skewDir(spark, baseDir, mb, giantOnly = true)
     })
+    System.err.println(s"[rowskew] building corpus+${mbs.last}MB in-situ corpus ...")
+    val insituDir = skewDir(spark, baseDir, mbs.last)
     spark.read.parquet(s"$baseDir/documents.parquet")
       .groupBy("lang").count().count() // session warm-up
     val loadBefore = loadavg()
@@ -243,28 +261,25 @@ object ScaleStress {
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}") }
       val base = t(baseDir)
-      val skews = dirs.map { case (mb, d) => mb -> t(d) }
-      val marg = (base, skews.head._2, skews.last._2) match {
-        case (Right(b), Right(s1), Right(s2)) =>
-          // 0.05s floor: a kernel whose marginal vanishes at 5MB is
-          // linear-or-better; don't let a noise-negative divide blow up
-          Some((math.max(s1 - b, 0.05), math.max(s2 - b, 0.05)))
+      val onlys = onlyDirs.map { case (mb, d) => mb -> t(d) }
+      val insitu = t(insituDir)
+      val ratio = (onlys.head._2, onlys.last._2) match {
+        // 0.2s floor: below it the small wall is session overhead and
+        // the kernel is too cheap at 5MB for an exponent to exist
+        case (Right(s1), Right(s2)) => Some(s2 / math.max(s1, 0.2))
         case _ => None
       }
-      val ratio = marg.map { case (m1, m2) => m2 / m1 }
-      val line = (base, skews, ratio) match {
-        case (Right(b), sk, r) =>
-          val ss = sk.map { case (mb, e) => e match {
-            case Right(v) => f""""t_${mb}mb":$v%.3f"""
-            case Left(err) => s""""t_${mb}mb_error":${graft.JsonText.quote(err)}"""
-          }}.mkString(",")
-          val rr = r.map(v => f""","marginal_ratio":$v%.2f""").getOrElse("")
-          f""""$name":{"t_base":$b%.3f,$ss$rr}"""
-        case (Left(err), _, _) =>
-          s""""$name":{"t_base_error":${graft.JsonText.quote(err)}}"""
+      def cell(label: String, e: Either[String, Double]): String = e match {
+        case Right(v) => f""""$label":$v%.3f"""
+        case Left(err) => s""""${label}_error":${graft.JsonText.quote(err)}"""
       }
+      val line = "\"" + name + "\":{" + (Seq(cell("t_base", base)) ++
+        onlys.map { case (mb, e) => cell(s"t_only_${mb}mb", e) } ++
+        Seq(cell(s"t_insitu_${mbs.last}mb", insitu)) ++
+        ratio.map(v => f""""giant_ratio":$v%.2f""")).mkString(",") + "}"
       System.err.println(s"[rowskew] $name -> $line")
-      (name, line, ratio, base.isRight && skews.forall(_._2.isRight))
+      (name, line, ratio,
+        base.isRight && insitu.isRight && onlys.forall(_._2.isRight))
     }
     val breaches = rows.collect {
       case (n, _, Some(r), _) if r > allowed => n
@@ -273,7 +288,7 @@ object ScaleStress {
     val loadAfter = loadavg()
     val json =
       s"""{"section":"row_skew","base":"$baseDir","giant_mb":${mbs.mkString("[", ",", "]")},""" +
-        f""""allowed_marginal_ratio":$allowed%.1f,"pass":${breaches.isEmpty},""" +
+        f""""allowed_giant_ratio":$allowed%.1f,"pass":${breaches.isEmpty},""" +
         s""""breaches":${breaches.map(b => "\"" + b + "\"").mkString("[", ",", "]")},""" +
         s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
         s""""queries":${rows.map(_._2).mkString("{", ",", "}")}}"""
