@@ -3011,7 +3011,57 @@ object Oracles {
     * embed constituent oracles as derived tables, so the truth and
     * approx rankings replay from EXACTLY the SQL the driver already
     * hash-checks for those rows. */
+  /** The separator-snapped cut of [[graft.text.chunk.DocSplit]] at
+    * (maxChars 120, lookback 40), as a SQL expression in the running
+    * position `p` over doc columns `d.text` / `d.n`. Mirrors
+    * `cutOffsets` operation for operation: hard bound at p + 120,
+    * snap window w = text[p+80, p+120) (greatest(p+1, hard−40) =
+    * p+80 at these params), LAST occurrence of the highest-priority
+    * separator wins via reverse+strpos — for a match of length len
+    * at reversed position rp, the cut (end-exclusive, after the
+    * separator) is hard − rp + 1 (len cancels) — and no separator in
+    * the window means a hard cut. */
+  private def docSplitCut(p: String): String = {
+    val hard = s"($p + 120)"
+    val w = s"substr(d.text, $p + 81, 40)"
+    def snap(sepSql: String): String =
+      s"CASE WHEN strpos(reverse($w), reverse($sepSql)) > 0 " +
+        s"THEN $hard - strpos(reverse($w), reverse($sepSql)) + 1 END"
+    val seps = Seq("e'\\n\\n'", "e'\\n'", "'.'", "'?'", "'!'", "' '")
+    s"CASE WHEN $p + 120 >= d.n THEN d.n " +
+      s"ELSE coalesce(${seps.map(snap).mkString(", ")}, $p + 120) END"
+  }
+
+  /** Catalog oracle SQL. Composed rows (the ANN recall evaluation)
+    * embed constituent oracles as derived tables, so the truth and
+    * approx rankings replay from EXACTLY the SQL the driver already
+    * hash-checks for those rows. q_chunk_recursive_split shares
+    * q_chunk_recursive's oracle VERBATIM: below the 1 Mchar split
+    * threshold the split-then-chunk composition is bit-identical to
+    * the unsplit chunker, and every fixture group document is far
+    * below it. */
   val sql: Map[String, String] = base ++ Map(
+    "q_chunk_recursive_split" -> base("q_chunk_recursive"),
+    "q_doc_split" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+         |), p AS (
+         |  SELECT d.doc_id, 0 AS part_index, 0 AS pstart,
+         |         CAST(${docSplitCut("0")} AS INTEGER) AS pend
+         |  FROM d
+         |  UNION ALL
+         |  SELECT p.doc_id, p.part_index + 1, p.pend,
+         |         CAST(${docSplitCut("p.pend")} AS INTEGER) AS pend
+         |  FROM p JOIN d ON d.doc_id = p.doc_id
+         |  WHERE p.pend < d.n
+         |)
+         |SELECT p.doc_id, CAST(p.part_index AS INTEGER) AS part_index,
+         |       CAST(p.pstart AS INTEGER) AS start, p.pend AS "end",
+         |       CAST(p.pend - p.pstart AS INTEGER) AS n_part,
+         |       md5(substr(d.text, p.pstart + 1, p.pend - p.pstart)) AS part_md5
+         |FROM p JOIN d ON d.doc_id = p.doc_id
+         |ORDER BY p.doc_id, p.part_index""".stripMargin,
     "q_ann_recall" ->
       s"""WITH truth AS (
          |  SELECT query_id, vec_id FROM (${base("q_topk_cosine")}) t

@@ -100,8 +100,15 @@ object Queries {
     * split recovers exactly the source texts and the DuckDB
     * recursive-CTE oracle (q_chunk_recursive_crafted's machinery,
     * per-group) replays every offset. */
-  def q_chunk_recursive(s: SparkSession, dir: String): DataFrame = {
-    val derived = t(s, dir, "documents")
+  def q_chunk_recursive(s: SparkSession, dir: String): DataFrame =
+    RecursiveChunker().chunk(recursiveDerivedDocs(s, dir))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** The derived multi-paragraph corpus [[q_chunk_recursive]] chunks
+    * — shared with [[q_chunk_recursive_split]] so both rows replay
+    * the identical input. */
+  private def recursiveDerivedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .groupBy((col("doc_id") % 25).as("gid"))
       .agg(concat_ws("\n\n",
         transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
@@ -109,9 +116,46 @@ object Queries {
       .select(col("gid").as("doc_id"),
         concat(lit("group-"), col("gid")).as("source"),
         col("text"), length(col("text")).cast("long").as("n_chars"))
-    RecursiveChunker().chunk(derived)
+
+  /** Giant-document SPLIT policy, hash-checked
+    * ([[graft.text.chunk.DocSplit.cutOffsets]]): every document over
+    * maxChars = 120 splits into separator-snapped parts (lookback
+    * 40; the fixture's single-space word stream makes every cut a
+    * last-space snap, and the crafted DocSplitSpec pins the full
+    * coarse→fine priority). Emits the split DECISION — part offsets,
+    * length, and the part text's md5 — so DuckDB replays the greedy
+    * cut recursion itself (recursive CTE over reverse-strpos snap
+    * windows), not just row counts. This is the executable answer to
+    * the r11 row-skew finding: per-doc kernels are linear but a
+    * document is one row, so one 50 MB document is one serial task —
+    * after this split, downstream per-doc work is parallel in
+    * (doc, part). */
+  def q_doc_split(s: SparkSession, dir: String): DataFrame =
+    graft.text.chunk.DocSplit.parts(t(s, dir, "documents"),
+        maxChars = 120, lookback = 40)
+      .select(col("doc_id"), col("part_index"), col("start"), col("end"),
+        (col("end") - col("start")).as("n_part"),
+        md5(col("text")).as("part_md5"))
+      .orderBy(col("doc_id"), col("part_index"))
+
+  /** C2 under the giant-document split policy
+    * ([[graft.text.chunk.DocSplit.chunkParts]]): split any document
+    * over 1 Mchar at separator-snapped boundaries, recursive-chunk
+    * each part independently (parallel in (doc, part) — the r11
+    * row-skew probe's 50 MB document becomes ~50 tasks instead of
+    * one 15 s straggler), then re-base offsets and renumber chunk
+    * indexes per document. Every fixture group document fits one
+    * part, so the output is BIT-IDENTICAL to [[q_chunk_recursive]]
+    * and shares its recursive-CTE DuckDB oracle verbatim — the
+    * identity that pins the policy as a pure parallelism rewrite
+    * below the threshold; above it, chunk boundaries are forced at
+    * part edges (the documented approximation the policy trades for
+    * parallelism). */
+  def q_chunk_recursive_split(s: SparkSession, dir: String): DataFrame =
+    graft.text.chunk.DocSplit.chunkParts(
+        recursiveDerivedDocs(s, dir), RecursiveChunker(),
+        maxChars = 1 << 20)
       .orderBy(col("doc_id"), col("chunk_index"))
-  }
 
   /** C3 — semantic chunker with the production embedder and reference
     * params, HASH-CHECKED since r8: the chunker derives its adjacent

@@ -30,6 +30,8 @@ object SparkEntry {
     "q_overlap_stats" -> (Queries.q_overlap_stats _),
     "q_boundary_sweep" -> (Queries.q_boundary_sweep _),
     "q_chunk_recursive" -> (Queries.q_chunk_recursive _),
+    "q_doc_split" -> (Queries.q_doc_split _),
+    "q_chunk_recursive_split" -> (Queries.q_chunk_recursive_split _),
     "q_chunk_cdc" -> (Queries.q_chunk_cdc _),
     "q_cdc_shared" -> (Queries.q_cdc_shared _),
     "q_cdc_dedup" -> (Queries.q_cdc_dedup _),

@@ -1,0 +1,167 @@
+package graft.text.chunk
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Giant-document split policy — the EXECUTABLE answer to the
+  * row-skew straggler axis the r11 ScaleStress probe measured: every
+  * per-document kernel (chunkers, simhash, BPE apply, repetition) is
+  * linear in doc length, but a document is one ROW, and one 50 MB
+  * document is one serial task no partitioning can split (~15 s for
+  * the recursive chunker alone). The reference never hits this (its
+  * documents are 10-Q PDF markdowns, `chromadb_rag.py:38-47`), but a
+  * 100 TB web corpus will.
+  *
+  * [[parts]] pre-splits any document over `maxChars` into
+  * separator-snapped parts in ONE forward pass over the text, and
+  * the parts fan out as ordinary rows — after the explode, every
+  * downstream per-doc kernel is parallel in (doc, part) instead of
+  * serial in doc. Cuts prefer the same coarse→fine separator list as
+  * the chunkers ([[RecursiveChunker]]'s reference list,
+  * `chromadb_rag.py:64-72`), searching BACKWARD from the hard bound
+  * `pos + maxChars` within a `lookback` window — the highest-priority
+  * separator with any occurrence in the window wins, at its LAST
+  * occurrence; no separator in the window means a hard cut. The cut
+  * lands AFTER the separator (the chunkers' convention: separators
+  * stay attached to the preceding text), so
+  * `concat(parts) == document` exactly.
+  *
+  * [[chunkParts]] is the composition: split → chunk each part
+  * independently → re-base offsets and renumber chunk indexes
+  * per document. Chunk boundaries are FORCED at part edges (a chunk
+  * never spans parts) — the documented, deterministic approximation
+  * the policy trades for parallelism; a document that fits in one
+  * part (everything below `maxChars`) chunks IDENTICALLY to the
+  * unsplit path, which is how q_chunk_recursive_split shares
+  * q_chunk_recursive's DuckDB oracle verbatim on the fixture while
+  * splitting a 50 MB probe document ~50 ways.
+  */
+object DocSplit {
+
+  /** Snap window: how far back from the hard bound a cut may move to
+    * land on a separator. Bounded so the backward scan is O(lookback
+    * × seps) per cut — the whole split stays one linear pass. */
+  val DefaultLookback = 200
+
+  /** The chunkers' reference separator list, coarse → fine. */
+  val DefaultSeps: Seq[String] = Seq("\n\n", "\n", ".", "?", "!", " ")
+
+  /** `(start, end)` char-offset pairs covering `text` exactly: each
+    * part ≤ `maxChars` chars, cuts separator-snapped as described on
+    * the object. One forward pass; progress is guaranteed (every cut
+    * lands strictly after the previous one, separator or not). */
+  def cutOffsets(text: String, maxChars: Int,
+      lookback: Int = DefaultLookback,
+      seps: Seq[String] = DefaultSeps): Array[(Int, Int)] = {
+    require(maxChars > 0, "maxChars must be positive")
+    val n = text.length
+    if (n == 0) return Array.empty
+    if (n <= maxChars) return Array((0, n))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = 0
+    while (pos < n) {
+      val hard = math.min(pos + maxChars, n)
+      val cut =
+        if (hard >= n) n
+        else {
+          val lo = math.max(pos + 1, hard - lookback)
+          var best = -1
+          var si = 0
+          while (si < seps.length && best < 0) {
+            val sp = seps(si)
+            var i = hard - sp.length
+            while (i >= lo && best < 0) {
+              if (text.startsWith(sp, i)) best = i + sp.length
+              else i -= 1
+            }
+            si += 1
+          }
+          if (best > pos) best else hard
+        }
+      out += ((pos, cut))
+      pos = cut
+    }
+    out.toArray
+  }
+
+  /** Split a `(doc_id, source, text, ...)` corpus into
+    * `(doc_id, source, part_index, start, end, text)` part rows —
+    * documents at or under `maxChars` pass through as their single
+    * part 0. Offsets are into the parent document, `end` exclusive;
+    * part text extraction rides [[graft.text.StrExpr.codePointSlices]]
+    * (one forward pass per document, ascending offsets), and the
+    * fan-out is a Generate on the scan stage — no shuffle. */
+  def parts(docs: DataFrame, maxChars: Int,
+      lookback: Int = DefaultLookback,
+      seps: Seq[String] = DefaultSeps): DataFrame = {
+    val f = udf((text: String) =>
+      if (text == null) Array.empty[(Int, Int)]
+      else cutOffsets(text, maxChars, lookback, seps))
+    docs
+      .select(col("doc_id"), col("source"), col("text").as("__doc_text"))
+      .withColumn("__offs", f(col("__doc_text")))
+      .withColumn("__parts",
+        graft.text.StrExpr.codePointSlices(col("__doc_text"), col("__offs")))
+      .select(col("doc_id"), col("source"),
+        posexplode(arrays_zip(col("__offs"), col("__parts")))
+          .as(Seq("part_index", "__z")))
+      .select(col("doc_id"), col("source"), col("part_index"),
+        col("__z.__offs._1").as("start"), col("__z.__offs._2").as("end"),
+        col("__z.__parts").as("text"))
+  }
+
+  /** Part-id packing for [[chunkParts]]: the synthetic per-part
+    * doc_id carries the part's start offset in its low 31 bits, so
+    * re-basing chunk offsets needs NO join back to the part table.
+    * Caps: `doc_id < 2^31` and part start `< 2^31` (a single
+    * document over 2 GiB of text exceeds Spark's row limits long
+    * before this encoding). */
+  private val PartIdStride = 1L << 31
+
+  /** Split-then-chunk: documents over `maxChars` split into parts,
+    * the parts SPREAD across partitions, and each part chunks
+    * independently (the chunker's per-doc kernel sees ≤ `maxChars`
+    * of text, so the giant-document straggler axis becomes
+    * partition-parallel); then parent doc_ids are restored,
+    * `start`/`end` re-based to parent-document offsets, and
+    * `chunk_index` renumbered per document in (part, chunk) order.
+    * Documents at or under `maxChars` keep the chunker's narrow,
+    * shuffle-free path untouched — only GIANT documents' text pays a
+    * shuffle, which is the 100 TB-shaped trade: a generated part row
+    * stays in its parent's partition (the first form measured 50
+    * one-partition parts chunking serially, 8.5 s of a possible
+    * ~2 s), so the big branch repartitions on (doc_id, part) with an
+    * EXPLICIT partition count — left implicit, AQE's byte-based
+    * coalesce folds the ~50 MB of compute-dense part text back into
+    * one partition. Chunks never span a part boundary; documents
+    * that fit one part chunk identically to `chunker.chunk(docs)`. */
+  def chunkParts(docs: DataFrame, chunker: Chunker, maxChars: Int,
+      lookback: Int = DefaultLookback,
+      seps: Seq[String] = DefaultSeps): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"), col("text"))
+    val small = chunker.chunk(src.filter(length(col("text")) <= maxChars))
+    val p = parts(src.filter(length(col("text")) > maxChars),
+        maxChars, lookback, seps)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"), col("part_index"))
+      .select((col("doc_id") * lit(PartIdStride) + col("start"))
+          .as("doc_id"),
+        col("source"), col("text"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__pstart"), col("chunk_index"))
+    val big = chunker.chunk(p)
+      // bit ops, not arithmetic: synth ids reach doc_id × 2^31 and a
+      // double-typed `/` would lose low bits past 2^53
+      .withColumn("__pstart",
+        col("doc_id").bitwiseAND(lit(PartIdStride - 1)).cast("int"))
+      .withColumn("doc_id", shiftright(col("doc_id"), 31))
+      .withColumn("__ci", row_number().over(w) - 1)
+      .select(col("doc_id"), col("source"), col("__ci").as("chunk_index"),
+        col("text"),
+        (col("start") + col("__pstart")).as("start"),
+        (col("end") + col("__pstart")).as("end"),
+        col("char_length"), col("token_length"), col("strategy"))
+    small.unionByName(big)
+  }
+}

@@ -159,9 +159,16 @@ object ScaleStress {
 
   /** Per-document kernels whose cost is O(f(doc_length)) on a single
     * row — the one axis uniform tiling can't probe: no partitioning
-    * splits a row, so one giant document is one straggler task. */
+    * splits a row, so one giant document is one straggler task.
+    * q_chunk_recursive_split is the exception that PROVES the policy:
+    * it runs the same chunker behind [[graft.text.chunk.DocSplit]]
+    * (1 Mchar separator-snapped pre-split), so its giant-document
+    * wall should collapse toward parallel while q_chunk_recursive's
+    * stays serial — the committed delta between the two rows IS the
+    * split policy's measured payoff. */
   val PerDocKernels: Seq[String] = Seq(
-    "q_chunk_recursive", "q_simhash_candidates", "q_bpe_tokens",
+    "q_chunk_recursive", "q_chunk_recursive_split",
+    "q_simhash_candidates", "q_bpe_tokens",
     "q_text_overlap_pairs", "q_chunk_semantic_corpus", "q_repetition")
 
   /** Deterministic giant text: seeded uniform draws over a 30k-word
