@@ -68,7 +68,13 @@ object ExplainAudit {
     // round 10: the single-pass LM scorers — explode/window live
     // inside ONE InMemoryRelation per query, every consumer is an
     // InMemoryTableScan (QueriesSpec pins the shape)
-    "q_unigram_logprob")
+    "q_unigram_logprob",
+    // round 11: the giant-document split decision (Generate on the
+    // scan stage) and the split-then-chunk composition (small docs
+    // narrow, giant parts spread with a pinned partition count);
+    // q_repetition (round-5 entry) now shows the native per-row
+    // kernel — scan → project, zero aggregation state
+    "q_doc_split", "q_chunk_recursive_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
