@@ -38,6 +38,33 @@ class DocSplitSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("random texts: coverage, bounds and snap-validity hold (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.chooseNum(1, 9).flatMap(n => Gen.stringOfN(n, Gen.alphaChar))
+    val sep = Gen.oneOf(" ", ". ", "? ", "! ", "\n", "\n\n", "")
+    val textGen = for {
+      n <- Gen.chooseNum(0, 120)
+      ws <- Gen.listOfN(n, Gen.zip(word, sep))
+    } yield ws.map { case (w, s) => w + s }.mkString
+    val prop = Prop.forAll(textGen, Gen.chooseNum(5, 90),
+        Gen.chooseNum(0, 50)) { (t: String, max: Int, lb: Int) =>
+      val offs = DocSplit.cutOffsets(t, max, lb)
+      val covers = t.isEmpty && offs.isEmpty ||
+        (offs.head._1 == 0 && offs.last._2 == t.length &&
+          offs.sliding(2).forall {
+            case Array((_, e1), (s2, _)) => e1 == s2
+            case _ => true
+          })
+      val bounded = offs.forall { case (s, e) => e > s && e - s <= max }
+      val rebuilt =
+        offs.map { case (s, e) => t.substring(s, e) }.mkString == t
+      covers && bounded && rebuilt
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cut snaps to the LAST occurrence of the highest-priority separator") {
     // window [hard-lookback, hard) = [10, 20): '.' at 12 and 16, ' ' at 18
     // — priority picks '.', last occurrence wins (cut after index 16)
