@@ -3042,6 +3042,42 @@ object Oracles {
     * below it. */
   val sql: Map[String, String] = base ++ Map(
     "q_chunk_recursive_split" -> base("q_chunk_recursive"),
+    // per-domain quota: the hash-checked quality replay joined to
+    // `source`, ranked by the identical (quality DESC, doc_id) order
+    "q_domain_quota" ->
+      s"""WITH q AS (${base("q_quality_score")}),
+         |r AS (
+         |  SELECT d.source, q.doc_id, q.quality,
+         |         CAST(row_number() OVER (PARTITION BY d.source
+         |           ORDER BY q.quality DESC, q.doc_id) AS INTEGER) AS "rank"
+         |  FROM q JOIN documents d ON d.doc_id = q.doc_id
+         |)
+         |SELECT source, "rank", doc_id, quality FROM r
+         |WHERE "rank" <= 8 ORDER BY source, "rank"""".stripMargin,
+    // CCNet terciles: same fixed-grid histogram thresholds as the
+    // engine (suffix/prefix sums over the <=4096-row bin table),
+    // over the already-hash-checked unigram-LM score
+    "q_quality_buckets" ->
+      s"""WITH lp AS (${base("q_unigram_logprob")}),
+         |b AS (
+         |  SELECT doc_id, n_tokens, avg_logprob,
+         |         CAST(least(greatest(floor((avg_logprob + 20.0)
+         |           / (20.0 / 4096.0)), 0), 4095) AS INTEGER) AS bin
+         |  FROM lp
+         |),
+         |hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+         |sfx AS (SELECT bin, sum(c) OVER (ORDER BY bin DESC) AS s FROM hist),
+         |pfx AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS s FROM hist),
+         |nn AS (SELECT count(*) // 3 AS third FROM b),
+         |bh AS (SELECT coalesce(min(bin), 4096) AS bhead
+         |       FROM sfx, nn WHERE sfx.s <= nn.third),
+         |bt AS (SELECT coalesce(max(bin), -1) AS btail
+         |       FROM pfx, nn WHERE pfx.s <= nn.third)
+         |SELECT b.doc_id, b.n_tokens, b.avg_logprob, b.bin,
+         |       CASE WHEN b.bin >= bh.bhead THEN 'head'
+         |            WHEN b.bin <= bt.btail THEN 'tail'
+         |            ELSE 'middle' END AS bucket
+         |FROM b, bh, bt ORDER BY b.doc_id""".stripMargin,
     "q_doc_split" ->
       s"""WITH RECURSIVE d AS (
          |  SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n

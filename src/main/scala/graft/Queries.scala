@@ -1017,7 +1017,13 @@ object Queries {
     * whole-valued doubles add EXACTLY in any order — and the mean is
     * taken once at the end: a fixed reduction both engines replay
     * bit-identically. */
-  def q_unigram_logprob(s: SparkSession, dir: String): DataFrame = {
+  def q_unigram_logprob(s: SparkSession, dir: String): DataFrame =
+    unigramLogprobPerDoc(s, dir).orderBy(col("doc_id"))
+
+  /** The unigram-LM scoring pipeline behind [[q_unigram_logprob]]
+    * (unordered), shared with [[q_quality_buckets]]'s CCNet-style
+    * bucketing so both rows replay the identical model. */
+  private def unigramLogprobPerDoc(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(Tok.tokens(lower(col("text")))).as("term"))
     // ONE explode of the corpus (r10): the scoring join, the vocab
@@ -1043,6 +1049,72 @@ object Queries {
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_tokens"),
         round(sum(col("contrib_u")) / (sum(col("m")) * 1e6), 4).as("avg_logprob"))
+  }
+
+  /** Per-domain quota capping — the web-corpus boilerplate control
+    * every large-scale pipeline runs (cap how much any one site
+    * contributes): keep the top-K = 8 documents per `source` by the
+    * composite quality score ([[graft.textan.TextAnalysis
+    * .withQuality]], the same score q_quality_score hash-checks),
+    * doc_id as the deterministic tiebreak. The corpus passes ONCE
+    * through the bounded-heap [[graft.plans.TopKPerKey]] operator
+    * (k·|domains| heap state, no per-domain full sort); the
+    * row_number window then ranks only the ≤ K survivors per domain.
+    * Oracle: the quality replay joined to `source`, ranked by the
+    * identical (quality DESC, doc_id) window. */
+  def q_domain_quota(s: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val scored = graft.textan.TextAnalysis
+      .withQuality(t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("quality"))
+    val kept = graft.plans.TopKPerKey(scored, Seq(col("source")),
+      Seq(col("quality").desc, col("doc_id")), K)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("quality"), col("doc_id"))
+    kept.withColumn("rank", row_number().over(w))
+      .select(col("source"), col("rank"), col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, public):
+    * split the corpus into head/middle/tail terciles of the
+    * unigram-LM score ([[unigramLogprobPerDoc]] — the identical
+    * model q_unigram_logprob hash-checks). Tercile thresholds come
+    * from a FIXED 4096-bin histogram over logprob ∈ [−20, 0] in one
+    * aggregate — the [[graft.text.chunk.SemanticChunker]] threshold
+    * discipline: the driver receives ≤ 4096 (bin, count) rows
+    * regardless of corpus size, never a sorted corpus, and no
+    * unpartitioned window exists in the plan (a global ntile would
+    * be one). Head = the highest observed bins whose cumulative
+    * count fits n/3, tail symmetric from below, middle the rest —
+    * monotone suffix/prefix sums on the bin table, so DuckDB replays
+    * the same thresholds with two ≤ 4096-row window sums. Bin step
+    * 20/4096 is exactly representable in binary, so binning is
+    * bit-stable across engines. */
+  def q_quality_buckets(s: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    val step = 20.0 / B // exact: 5/1024
+    val lp = unigramLogprobPerDoc(s, dir)
+      .withColumn("bin",
+        least(greatest(floor((col("avg_logprob") + 20.0) / step), lit(0)),
+          lit(B - 1)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = lp.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
+    val n = hist.map(_._2).sum
+    val third = n / 3
+    var cumH = 0L; var bHead = B; var i = 0
+    while (i < hist.length && cumH + hist(i)._2 <= third) {
+      cumH += hist(i)._2; bHead = hist(i)._1; i += 1
+    }
+    var cumT = 0L; var bTail = -1; var j = hist.length - 1
+    while (j >= 0 && cumT + hist(j)._2 <= third) {
+      cumT += hist(j)._2; bTail = hist(j)._1; j -= 1
+    }
+    lp.select(col("doc_id"), col("n_tokens"), col("avg_logprob"), col("bin"),
+        when(col("bin") >= bHead, lit("head"))
+          .when(col("bin") <= bTail, lit("tail"))
+          .otherwise(lit("middle")).as("bucket"))
       .orderBy(col("doc_id"))
   }
 

@@ -108,6 +108,8 @@ object SparkEntry {
     // text analysis
     "q_lang_id" -> (Queries.q_lang_id _),
     "q_quality_score" -> (Queries.q_quality_score _),
+    "q_domain_quota" -> (Queries.q_domain_quota _),
+    "q_quality_buckets" -> (Queries.q_quality_buckets _),
     "q_token_count" -> (Queries.q_token_count _),
     "q_bpe_tokens" -> (Queries.q_bpe_tokens _),
     "q_bpe_crafted" -> (Queries.q_bpe_crafted _),

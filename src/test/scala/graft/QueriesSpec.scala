@@ -137,6 +137,43 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q_domain_quota: quota binds via the bounded-heap operator, ranks valid") {
+    val df = Queries.q_domain_quota(spark, sf)
+    // the custom TopKPerKey physical operator carries the corpus pass
+    // — no per-domain full sort survives into the plan
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "expected the bounded-heap TopKPerKey operator in the plan")
+    val rows = df.collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    assert(bySrc.values.forall(_.length <= 8))
+    assert(bySrc.values.exists(_.length == 8), "quota never binds on the fixture")
+    bySrc.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length))
+      // quality non-increasing down the ranks
+      ranked.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(3) >= b.getDouble(3))
+        case _ =>
+      }
+    }
+  }
+
+  test("q_quality_buckets: terciles bounded, score-ordered, histogram-thresholded") {
+    val rows = Queries.q_quality_buckets(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    val by = rows.groupBy(_.getString(4))
+    assert(by.getOrElse("head", Array.empty).length <= n / 3)
+    assert(by.getOrElse("tail", Array.empty).length <= n / 3)
+    assert(by.keySet.subsetOf(Set("head", "middle", "tail")))
+    def scores(b: String) = by.getOrElse(b, Array.empty).map(_.getDouble(2))
+    // bucket ORDER holds on scores: head >= middle >= tail at the edges
+    for (h <- scores("head").minOption; m <- scores("middle").maxOption)
+      assert(h >= m - 20.0 / 4096, s"head min $h < middle max $m")
+    for (m <- scores("middle").minOption; t <- scores("tail").maxOption)
+      assert(m >= t - 20.0 / 4096, s"middle min $m < tail max $t")
+  }
+
   test("LM scoring queries tokenize the corpus once (r10 single-pass gate)") {
     // q_unigram_logprob: the scoring join, the vocab rollup, and the
     // corpus total all read the persisted per-(doc, term) count frame
