@@ -938,7 +938,15 @@ object Queries {
           greatest(total, lit(1L)), 6).as(s"top_${n}gram_frac"))
     }
     t(s, dir, "documents")
-      .select(col("doc_id"), Tok.tokens(col("text")).as("ts"))
+      // null-text rows coalesce to an empty token array BEFORE the
+      // kernel: repetitionCounts(null) is null, and null-propagated
+      // fractions would diverge from the r10 aggregate form (whose
+      // otherwise-branches emitted 0.0) and from the oracle's
+      // coalesce(...)/greatest(...) zeros — the fixture has no null
+      // texts, but the operator shouldn't change shape if one appears
+      .select(col("doc_id"),
+        coalesce(Tok.tokens(col("text")),
+          array().cast("array<string>")).as("ts"))
       .withColumn("n_tokens", size(col("ts")))
       .withColumn("rc", graft.text.StrExpr.repetitionCounts(col("ts")))
       .select(Seq(col("doc_id"), col("n_tokens"),

@@ -274,8 +274,10 @@ object Dedup {
     * staleness contract as [[graft.text.Bm25.ensureSavedIndex]]:
     * every call re-checks the offered corpus (content fingerprint
     * scan, or an O(1) caller `epoch` token) and a mismatch rebuilds
-    * into a fresh directory, reclaiming the superseded one — a
-    * changed corpus can never serve pre-change signatures. First
+    * into a fresh directory — the superseded one is parked for one
+    * rebuild cycle, then reclaimed (SavedIndex's bounded-retention
+    * contract) — so a changed corpus can never serve pre-change
+    * signatures. First
     * caller pays the corpus pass; every later consumer — candidate
     * generation, verify, clustering, the corpus filter — reads the
     * parquet. */

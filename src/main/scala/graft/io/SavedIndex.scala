@@ -19,12 +19,16 @@ import org.apache.spark.sql.DataFrame
   * at swap time: `loadIndex`-style callers hold LAZY DataFrames over
   * the old path (unexecuted parquet reads), and deleting under an
   * in-flight serve would turn an upsert race into a
-  * FileNotFoundException. Reclamation is deferred to the [[TempDirs]]
-  * exit hook, so a long-lived JVM retains one directory per
-  * superseded corpus VERSION (bounded by rebuild count, not by serve
-  * count — versions are rare next to serves). The fingerprint also
-  * lands beside the index (`_FINGERPRINT`, [[Fingerprint.write]]) so
-  * a later JVM or a human can audit which corpus built it.
+  * FileNotFoundException. Instead it is PARKED for one rebuild
+  * cycle — the next rebuild of the same key reclaims it — so
+  * retention is bounded at current + 1 directories per key even for
+  * a streaming upserter that rebuilds every micro-batch, while a
+  * lazy serve stays valid across the one corpus version bump it can
+  * legitimately straddle (a serve still lazy across TWO bumps is
+  * reading torn state by definition). Whatever is still parked at
+  * exit falls to the [[TempDirs]] hook. The fingerprint also lands
+  * beside the index (`_FINGERPRINT`, [[Fingerprint.write]]) so a
+  * later JVM or a human can audit which corpus built it.
   *
   * SERVE-COST POLICY: the default check is a [[Fingerprint.of]] scan
   * of the offered corpus on EVERY serve — orders cheaper than the
@@ -45,6 +49,10 @@ final class SavedIndex(prefix: String) {
 
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Entry]
 
+  /** One superseded index dir per key, retained for exactly one
+    * rebuild cycle (see the reclamation note in [[ensure]]). */
+  private val parked = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Path of the up-to-date index for `key`, building via `build`
     * (which receives the destination directory) when absent or stale.
     * The build runs single-flight: the hit paths are lock-free, and
@@ -64,23 +72,32 @@ final class SavedIndex(prefix: String) {
             // entry since our get, and a blind put would resurrect
             // the superseded entry over the fresh one. On CAS failure
             // e.path is still a correct serve (its content matches
-            // the corpus this caller offered, and superseded dirs
-            // live until JVM exit); only the token adoption is lost.
+            // the corpus this caller offered, and a superseded dir
+            // survives one rebuild cycle); only the token adoption
+            // is lost.
             if (epoch.isDefined && e.epoch != epoch)
               memo.replace(key, e, e.copy(epoch = epoch))
             e.path
           case _ => memo.synchronized {
             memo.get(key) match {
               case Some(e) if e.fp == fp => e.path
-              case _ =>
+              case prev =>
                 val p = TempDirs.create(prefix)
                 build(p)
                 Fingerprint.write(p, fp)
                 memo.put(key, Entry(p, fp, epoch))
                 // The superseded index is unreachable for NEW serves,
                 // but an in-flight caller may still hold a lazy read
-                // over it — leave the directory to the TempDirs exit
-                // hook instead of deleting under that reader.
+                // over it — PARK it for one rebuild cycle instead of
+                // deleting under that reader. The previously parked
+                // dir (superseded two versions ago) is reclaimed NOW:
+                // retention is bounded at current + 1 per key, so a
+                // streaming upserter rebuilding every micro-batch
+                // (DocStreams.storeEpoch moves the epoch per commit)
+                // holds two index copies, not one per batch.
+                prev.foreach { old =>
+                  parked.put(key, old.path).foreach(TempDirs.reclaim)
+                }
                 p
             }
           }

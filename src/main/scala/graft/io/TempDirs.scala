@@ -28,6 +28,15 @@ object TempDirs {
     p
   }
 
+  /** Delete a registered directory NOW and unregister it — the
+    * bounded-retention path for [[SavedIndex]]'s parked superseded
+    * indexes. No-op for unregistered paths (never deletes a
+    * directory this registry didn't create). */
+  def reclaim(path: String): Unit =
+    if (created.remove(path))
+      try Zips.deleteRecursively(new java.io.File(path))
+      catch { case _: Throwable => () }
+
   /** Spec hook: is the path registered for exit cleanup? */
   def isRegistered(path: String): Boolean = created.contains(path)
 

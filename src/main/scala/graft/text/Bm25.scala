@@ -172,8 +172,9 @@ object Bm25 {
     * serve re-checks the offered corpus (content fingerprint scan,
     * or an O(1) caller-supplied `epoch` token; see SavedIndex's
     * serve-cost policy) and a mismatch rebuilds into a fresh
-    * directory, reclaiming the superseded one. A changed corpus can
-    * never be served from the pre-change index. */
+    * directory (the superseded one is parked for one rebuild cycle,
+    * then reclaimed — SavedIndex's bounded-retention contract). A
+    * changed corpus can never be served from the pre-change index. */
   private val savedIndexes = new graft.io.SavedIndex("graft-bm25-idx")
 
   def ensureSavedIndex(docs: DataFrame, cacheKey: String,

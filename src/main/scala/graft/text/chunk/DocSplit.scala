@@ -47,10 +47,22 @@ object DocSplit {
   /** The chunkers' reference separator list, coarse → fine. */
   val DefaultSeps: Seq[String] = Seq("\n\n", "\n", ".", "?", "!", " ")
 
-  /** `(start, end)` char-offset pairs covering `text` exactly: each
-    * part ≤ `maxChars` chars, cuts separator-snapped as described on
-    * the object. One forward pass; progress is guaranteed (every cut
-    * lands strictly after the previous one, separator or not). */
+  /** `(start, end)` offset pairs covering `text` exactly: each part
+    * ≤ `maxChars`, cuts separator-snapped as described on the object.
+    * One forward pass; progress is guaranteed (every cut lands
+    * strictly after the previous one, separator or not).
+    *
+    * OFFSET UNIT: UTF-16 code units — `String` indexes, the unit
+    * every per-doc kernel in this package already works in. A hard
+    * cut that would land between the halves of a surrogate pair is
+    * moved off it (back one unit, forward when backing off would
+    * stall), so parts are always well-formed strings and
+    * `concat(parts) == text` holds code point for code point. For
+    * non-BMP text these offsets are NOT code-point offsets — callers
+    * slicing with code-point semantics must slice the part TEXT
+    * [[parts]] carries instead of re-deriving from offsets (the
+    * DuckDB oracle fixture is ASCII, where the units coincide — the
+    * same caveat as every chunker oracle's `substr` replay). */
   def cutOffsets(text: String, maxChars: Int,
       lookback: Int = DefaultLookback,
       seps: Seq[String] = DefaultSeps): Array[(Int, Int)] = {
@@ -61,7 +73,14 @@ object DocSplit {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var pos = 0
     while (pos < n) {
-      val hard = math.min(pos + maxChars, n)
+      val hard0 = math.min(pos + maxChars, n)
+      // never split a surrogate pair: a snapped cut always follows a
+      // BMP separator, so only the hard bound can land mid-pair
+      val hard =
+        if (hard0 < n && Character.isHighSurrogate(text.charAt(hard0 - 1)) &&
+            Character.isLowSurrogate(text.charAt(hard0)))
+          if (hard0 - 1 > pos) hard0 - 1 else hard0 + 1
+        else hard0
       val cut =
         if (hard >= n) n
         else {
@@ -85,30 +104,35 @@ object DocSplit {
     out.toArray
   }
 
+  /** One part row produced by [[parts]]. */
+  private[chunk] case class Part(start: Int, end: Int, text: String)
+
   /** Split a `(doc_id, source, text, ...)` corpus into
-    * `(doc_id, source, part_index, start, end, text)` part rows —
-    * documents at or under `maxChars` pass through as their single
-    * part 0. Offsets are into the parent document, `end` exclusive;
-    * part text extraction rides [[graft.text.StrExpr.codePointSlices]]
-    * (one forward pass per document, ascending offsets), and the
-    * fan-out is a Generate on the scan stage — no shuffle. */
+    * `(doc_id, source, part_index, start, end, text, n_chars)` part
+    * rows — documents at or under `maxChars` pass through as their
+    * single part 0. Offsets are into the parent document (UTF-16
+    * units, see [[cutOffsets]]), `end` exclusive; the part TEXT is
+    * sliced inside the same kernel pass (the offsets and the slice
+    * share one unit, so the two can never disagree on non-BMP text),
+    * `n_chars` is the part text's length per the [[Chunker]] input
+    * contract, and the fan-out is a Generate on the scan stage — no
+    * shuffle. */
   def parts(docs: DataFrame, maxChars: Int,
       lookback: Int = DefaultLookback,
       seps: Seq[String] = DefaultSeps): DataFrame = {
     val f = udf((text: String) =>
-      if (text == null) Array.empty[(Int, Int)]
-      else cutOffsets(text, maxChars, lookback, seps))
+      if (text == null) Array.empty[Part]
+      else cutOffsets(text, maxChars, lookback, seps).map { case (s, e) =>
+        Part(s, e, text.substring(s, e))
+      })
     docs
-      .select(col("doc_id"), col("source"), col("text").as("__doc_text"))
-      .withColumn("__offs", f(col("__doc_text")))
-      .withColumn("__parts",
-        graft.text.StrExpr.codePointSlices(col("__doc_text"), col("__offs")))
+      .select(col("doc_id"), col("source"), f(col("text")).as("__parts"))
       .select(col("doc_id"), col("source"),
-        posexplode(arrays_zip(col("__offs"), col("__parts")))
-          .as(Seq("part_index", "__z")))
+        posexplode(col("__parts")).as(Seq("part_index", "__p")))
       .select(col("doc_id"), col("source"), col("part_index"),
-        col("__z.__offs._1").as("start"), col("__z.__offs._2").as("end"),
-        col("__z.__parts").as("text"))
+        col("__p.start").as("start"), col("__p.end").as("end"),
+        col("__p.text").as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
   /** Part-id packing for [[chunkParts]]: the synthetic per-part
@@ -139,15 +163,18 @@ object DocSplit {
   def chunkParts(docs: DataFrame, chunker: Chunker, maxChars: Int,
       lookback: Int = DefaultLookback,
       seps: Seq[String] = DefaultSeps): DataFrame = {
-    val src = docs.select(col("doc_id"), col("source"), col("text"))
-    val small = chunker.chunk(src.filter(length(col("text")) <= maxChars))
-    val p = parts(src.filter(length(col("text")) > maxChars),
+    // routing predicate in Spark `length` (code points) vs the
+    // kernel's UTF-16 cut unit: for non-BMP text a document can sit
+    // between the two measures — it then routes small and stays
+    // unsplit, which is always CORRECT output, just not split
+    val small = chunker.chunk(docs.filter(length(col("text")) <= maxChars))
+    val p = parts(docs.filter(length(col("text")) > maxChars),
         maxChars, lookback, seps)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"), col("part_index"))
       .select((col("doc_id") * lit(PartIdStride) + col("start"))
           .as("doc_id"),
-        col("source"), col("text"))
+        col("source"), col("text"), col("n_chars"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("__pstart"), col("chunk_index"))
     val big = chunker.chunk(p)

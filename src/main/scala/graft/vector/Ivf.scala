@@ -293,8 +293,10 @@ object Ivf {
     * single-flight; every call re-checks the offered corpus (content
     * fingerprint scan, or an O(1) caller `epoch` token — see
     * SavedIndex's serve-cost policy) and a mismatch rebuilds into a
-    * fresh directory, reclaiming the superseded one — an upserted
-    * corpus can never be served from the pre-upsert index. */
+    * fresh directory (the superseded one parked for one rebuild
+    * cycle, then reclaimed — SavedIndex's bounded-retention
+    * contract) — an upserted corpus can never be served from the
+    * pre-upsert index. */
   private val savedIndexes = new graft.io.SavedIndex("graft-ivf-idx")
 
   private def ensureWith(cacheKey: String, corpus: DataFrame,

@@ -79,7 +79,7 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
       "rebuilt index must carry the new corpus fingerprint")
     // the superseded dir is unreachable for NEW serves but must stay
     // readable for in-flight ones (lazy reads taken pre-rebuild) —
-    // reclamation is deferred to the TempDirs exit hook, not swap time
+    // it is PARKED for one rebuild cycle, not deleted at swap time
     assert(new java.io.File(p1).exists(),
       "superseded index dir must survive the swap for in-flight readers")
     assert(graft.io.TempDirs.isRegistered(p1),
@@ -93,6 +93,20 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
     val fresh = Bm25.topK(upserted, q, 5).collect().map(_.toSeq).toSet
     assert(served == fresh)
     assert(served.exists(_(2) == 6L), "new doc must be retrievable")
+    // BOUNDED retention (current + 1 per key): a SECOND rebuild
+    // reclaims the dir parked at the first — a streaming upserter
+    // rebuilding every micro-batch holds two copies, never one per
+    // batch — while the just-superseded p2 survives its one cycle
+    val upserted2 = upserted.unionByName(
+      Seq((7L, "window merge batch")).toDF("doc_id", "text"))
+    val p3 = Bm25.ensureSavedIndex(upserted2, key)
+    assert(p3 != p2)
+    assert(!new java.io.File(p1).exists(),
+      "dir parked at the first rebuild must be reclaimed by the second")
+    assert(!graft.io.TempDirs.isRegistered(p1),
+      "reclaimed dir must be unregistered from exit cleanup")
+    assert(new java.io.File(p2).exists(),
+      "the just-superseded dir survives one rebuild cycle")
   }
 
   test("staleness: epoch tokens are the caller's promise (O(1) hit, boundary re-check)") {

@@ -106,6 +106,47 @@ class DocSplitSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(_.getLong(0) == 3L))    // null doc vanishes
   }
 
+  test("non-BMP text: hard cuts never split a surrogate pair, parts rebuild") {
+    val emoji = "😀" // one code point, two UTF-16 units
+    val texts = Seq(
+      emoji * 100,                        // pure astral, no separators
+      ("ab " + emoji) * 50,               // separators between pairs
+      "x" * 7 + emoji + "y" * 30)         // pair straddling a hard bound
+    for (t <- texts; max <- Seq(5, 8, 21)) {
+      val offs = DocSplit.cutOffsets(t, max)
+      assert(offs.map { case (s, e) => t.substring(s, e) }.mkString == t)
+      offs.foreach { case (s, e) =>
+        val part = t.substring(s, e)
+        assert(!Character.isLowSurrogate(part.charAt(0)),
+          s"part [$s,$e) starts mid-pair")
+        assert(!Character.isHighSurrogate(part.charAt(part.length - 1)),
+          s"part [$s,$e) ends mid-pair")
+      }
+    }
+  }
+
+  test("chunkParts honors the Chunker input contract (FixedChunker needs n_chars)") {
+    val text = "alpha beta gamma delta epsilon zeta " * 30 // ~1 kB
+    val docs = Seq((21L, "f", text), (22L, "f", "short one"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val ck = FixedChunker(size = 100, overlap = 10)
+    val whole = ck.chunk(docs).orderBy("doc_id", "chunk_index").collect()
+    // identity below the threshold
+    val same = DocSplit.chunkParts(docs, ck, maxChars = 1 << 20)
+      .orderBy("doc_id", "chunk_index").collect()
+    assert(whole.length == same.length)
+    whole.zip(same).foreach { case (w, s) => assert(w == s) }
+    // above the threshold: valid re-based fixed chunks, full coverage
+    val split = DocSplit.chunkParts(docs, ck, maxChars = 300)
+      .filter(col("doc_id") === 21L).orderBy("chunk_index").collect()
+    assert(split.length > 1)
+    split.foreach { c =>
+      assert(c.getString(3) == text.substring(c.getInt(4), c.getInt(5)))
+    }
+    assert(split.head.getInt(4) == 0 && split.last.getInt(5) == text.length)
+  }
+
   test("chunkParts == chunk when every doc fits one part") {
     val docs = Seq(
       (10L, "a", "spark row filter. merge table scan? " * 8),

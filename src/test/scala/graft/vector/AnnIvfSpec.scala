@@ -154,8 +154,9 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
     assert(p2 != p1, "changed corpus must rebuild into a fresh directory")
     assert(graft.io.Fingerprint.read(p2) != fp1,
       "rebuilt index must carry the new corpus fingerprint")
-    // deferred reclamation: the superseded dir must stay readable for
-    // in-flight lazy serves (TempDirs exit hook reclaims it, not swap)
+    // bounded retention: the superseded dir must stay readable for
+    // in-flight lazy serves (parked one rebuild cycle, not deleted at
+    // swap; Bm25Spec pins the reclaim-on-second-rebuild half)
     assert(new java.io.File(p1).exists(),
       "superseded index dir must survive the swap for in-flight readers")
     assert(graft.io.TempDirs.isRegistered(p1),
