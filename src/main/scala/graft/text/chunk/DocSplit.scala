@@ -172,8 +172,7 @@ object DocSplit {
         maxChars, lookback, seps)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"), col("part_index"))
-      .select((col("doc_id") * lit(PartIdStride) + col("start"))
-          .as("doc_id"),
+      .select((shiftleft(col("doc_id"), 31) + col("start")).as("doc_id"),
         col("source"), col("text"), col("n_chars"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("__pstart"), col("chunk_index"))
