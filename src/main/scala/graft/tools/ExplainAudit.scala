@@ -74,7 +74,12 @@ object ExplainAudit {
     // narrow, giant parts spread with a pinned partition count);
     // q_repetition (round-5 entry) now shows the native per-row
     // kernel — scan → project, zero aggregation state
-    "q_doc_split", "q_chunk_recursive_split")
+    "q_doc_split", "q_chunk_recursive_split",
+    // round 11 corpus controls: quota capping through the bounded
+    // heap (TopKPerKey above the quality scan, window only on the
+    // <= K survivors) and the tercile bucketing (histogram aggregate
+    // + literal thresholds, no global ntile window)
+    "q_domain_quota", "q_quality_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
