@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.io.Caches.TrackedPersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -103,7 +104,7 @@ object Dedup {
     * at their own batch boundaries. */
   private def persistedTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.text.Tok.tokens(col("text")).as("ts"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("dedup.tokens")
 
   private def repeatedSpansFrom(tkAll: DataFrame, n: Int): DataFrame = {
     val tk = tkAll.filter(size(col("ts")) >= n)
@@ -113,7 +114,7 @@ object Dedup {
     val grams = tk.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), size(col("ts")) - n),
         i => md5(array_join(slice(col("ts"), i + 1, lit(n)), " ")))).as(Seq("pos", "gh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("dedup.grams")
     val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select(col("gh"))
     val cand = grams.join(dup, "gh").select(col("doc_id"), col("pos"))

@@ -1,8 +1,9 @@
 package graft.io
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
-/** The documented cleanup path for the engine's internal persists.
+/** Lifecycle for the engine's internal persists.
   *
   * Several operators persist compact intermediate frames
   * (MEMORY_AND_DISK) that feed the lazy DataFrame they return — e.g.
@@ -10,19 +11,84 @@ import org.apache.spark.sql.SparkSession
   * [[graft.text.Bm25]]'s postings aggregate, the LM-scorer count
   * frames in [[graft.Queries]]. Those persists cannot be unpersisted
   * inside the operator (the returned frame is still lazy and may be
-  * acted on many times), so each call leaves an entry in Spark's
-  * CacheManager. The engine's own drivers (Bench / Verify /
-  * ScaleStress) call [[clearAll]] between queries; a long-lived
-  * library consumer should do the same at its own batch boundaries —
-  * e.g. after materializing a dedup pass — or the entries accumulate
-  * for the life of the session.
+  * acted on many times), so each call would leave an entry in Spark's
+  * CacheManager for the life of the session — a long-lived library
+  * consumer invoking e.g. `repeatedSpans` once per ingest batch
+  * would accumulate entries without bound.
+  *
+  * [[persistTracked]] closes that: every engine-internal persist
+  * registers under a per-site tag, and each tag retains at most
+  * [[MaxPerTag]] live entries — when a new persist would exceed the
+  * bound, the OLDEST entry for that tag is unpersisted (non-blocking).
+  * Eviction is always safe: persisted data is a recomputable cache,
+  * never the source of truth, so a consumer still holding a lazy
+  * frame over an evicted persist silently recomputes on its next
+  * action (correctness unchanged, the documented trade). Re-persisting
+  * the SAME logical plan does not double-count — Spark's CacheManager
+  * dedupes by plan, and evicting a stale twin would un-cache the live
+  * one, so the registry refreshes the entry's position instead.
+  *
+  * [[clearAll]] remains the batch-boundary big hammer the engine's
+  * own drivers (Bench / Verify / ScaleStress) call between queries.
   */
 object Caches {
+
+  /** Live persisted frames retained per call-site tag. Two, not one:
+    * interleaved use of two corpora at one site (e.g. base + held-out
+    * in decontamination flows) keeps both warm; anything older is the
+    * accumulation case the bound exists for. */
+  val MaxPerTag = 2
+
+  private final case class Entry(df: DataFrame)
+
+  private val tracked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.ArrayDeque[Entry]]()
+
+  /** Persist `df` (MEMORY_AND_DISK) registered under `tag`, evicting
+    * the tag's oldest tracked persist beyond [[MaxPerTag]]. Returns
+    * the persisted frame. */
+  def persistTracked(df: DataFrame, tag: String): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val q = tracked.computeIfAbsent(tag,
+      _ => new java.util.ArrayDeque[Entry]())
+    q.synchronized {
+      // same logical plan re-persisted: CacheManager holds ONE cache
+      // entry for it, so evicting an older queue twin would un-cache
+      // the frame just returned — refresh its position instead
+      val plan = p.queryExecution.analyzed.canonicalized
+      val it = q.iterator()
+      while (it.hasNext) {
+        if (it.next().df.queryExecution.analyzed.canonicalized.sameResult(plan))
+          it.remove()
+      }
+      q.addLast(Entry(p))
+      while (q.size > MaxPerTag)
+        q.removeFirst().df.unpersist(blocking = false)
+    }
+    p
+  }
+
+  /** Live tracked persists for `tag` — the bound a lifecycle spec
+    * asserts on. */
+  def trackedCount(tag: String): Int = {
+    val q = tracked.get(tag)
+    if (q == null) 0 else q.synchronized(q.size)
+  }
+
+  /** Chain-position syntax: `frame.persistTracked("site.tag")` in
+    * place of `.persist(MEMORY_AND_DISK)`. */
+  implicit final class TrackedPersistOps(private val df: DataFrame)
+      extends AnyVal {
+    def persistTracked(tag: String): DataFrame =
+      Caches.persistTracked(df, tag)
+  }
 
   /** Drop every cached/persisted frame in the session — the batch
     * boundary call for long-lived consumers. Safe at any time:
     * persisted data is a recomputable cache, never the source of
     * truth, so the only cost of clearing early is recompute. */
-  def clearAll(spark: SparkSession): Unit =
+  def clearAll(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
+    tracked.clear()
+  }
 }

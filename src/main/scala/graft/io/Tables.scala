@@ -96,21 +96,27 @@ object Tables {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(path, true)
     var files = 0L; var bytes = 0L; var mtime = 0L
-    // file NAMES fold into the token (order-free XOR of per-name
-    // hashes): a same-shape rewrite — equal file count and total
-    // bytes inside one coarse-mtime tick — still moves the token,
-    // because an overwrite lands new task/UUID part-file names. The
-    // epoch is the caller's cheap version check, and serving a stale
-    // index through an O(1) hit is the one failure the content
-    // fingerprint behind it cannot catch.
+    // file PATHS (relative to the table root, NOT base names) fold
+    // into the token (order-free XOR of per-path hashes): a
+    // same-shape rewrite — equal file count and total bytes inside
+    // one coarse-mtime tick — still moves the token, because an
+    // overwrite lands new task/UUID part-file names. Relative paths,
+    // not getName: dynamic-partition writes reuse identical part-file
+    // BASE names across partition dirs, and XOR over duplicates
+    // cancels in pairs — listed paths are unique, so XOR over them
+    // cannot. The epoch is the caller's cheap version check, and
+    // serving a stale index through an O(1) hit is the one failure
+    // the content fingerprint behind it cannot catch.
     var nameHash = 0L
+    val rootUri = fs.makeQualified(path).toUri
     while (it.hasNext) {
       val f = it.next()
       val n = f.getPath.getName
       if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) {
         files += 1L; bytes += f.getLen
         mtime = math.max(mtime, f.getModificationTime)
-        nameHash ^= scala.util.hashing.MurmurHash3.stringHash(n).toLong * 0x9E3779B97F4A7C15L
+        val rel = rootUri.relativize(f.getPath.toUri).toString
+        nameHash ^= scala.util.hashing.MurmurHash3.stringHash(rel).toLong * 0x9E3779B97F4A7C15L
       }
     }
     s"$path:$files:$bytes:$mtime:${java.lang.Long.toHexString(nameHash)}"

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.io.Caches.TrackedPersistOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.chunk.Chunker
@@ -109,7 +110,7 @@ object RagPipeline {
         // id-ordered, so every doc_id tiebreak below yields the
         // identical permutation the enumerated form produced)
         val shared = store
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked("rag.hybrid_store")
         val dense = VectorOps.topK(shared, queries, TopK * 2,
             tiebreak = Seq(col("id")))
           .select(col("query_id"), col("rank"), col("id").as("doc_id"))
@@ -128,7 +129,7 @@ object RagPipeline {
         // saves, every later run is bucket-pruned serve only
         val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
             store, col("id"), lit(1L), "vec_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked("rag.indexed_store")
         val corpus = indexed.select(col("vec_id").as("doc_id"), col("text"))
         val qtexts = queries.select(col("query_id"), col("query_text").as("qtext"))
         val hits =

@@ -1,5 +1,6 @@
 package graft.rel
 
+import graft.io.Caches.TrackedPersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,7 +44,7 @@ object PrefixSum {
     // before the caller ever consumes it).
     val local = ranged.withColumn("__local_incl", sum(value).over(w))
       .withColumn("__v", value)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("prefixsum.local")
     // one row per partition; cumulate on the driver (bounded by the
     // partition count, not the data) and broadcast the offsets back
     val totals = local.groupBy(col("__pid"))

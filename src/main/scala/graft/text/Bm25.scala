@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.io.Caches.TrackedPersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -93,7 +94,7 @@ object Bm25 {
       .select(col("doc_id"), explode(col("ts")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("bm25.postings")
     val docLen = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
     val stats = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -221,7 +222,7 @@ object Bm25 {
   def hybridRrfTopK(docs: DataFrame, queries: DataFrame, k: Int,
       depth: Int): DataFrame = {
     val toks = tokensOf(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("bm25.hybrid_tokens")
     val idx = buildIndexFromTokens(toks)
     val lex = serveFrom(idx.postings, idx.docLen, idx.dfreq, idx.stats,
       queries, depth, 1.2, 0.75)

@@ -66,7 +66,12 @@ object DocSplit {
   def cutOffsets(text: String, maxChars: Int,
       lookback: Int = DefaultLookback,
       seps: Seq[String] = DefaultSeps): Array[(Int, Int)] = {
-    require(maxChars > 0, "maxChars must be positive")
+    // ≥ 2, not ≥ 1: at maxChars == 1 a surrogate pair (2 units) can
+    // neither fit a part nor be sheared, so the "each part ≤
+    // maxChars" invariant is unsatisfiable on astral text — the
+    // forward-step escape would emit a 2-unit part. Every real
+    // caller is ≥ 2^20; rejecting 1 keeps the invariant total.
+    require(maxChars >= 2, "maxChars must be >= 2")
     val n = text.length
     if (n == 0) return Array.empty
     if (n <= maxChars) return Array((0, n))
@@ -159,7 +164,16 @@ object DocSplit {
     * EXPLICIT partition count — left implicit, AQE's byte-based
     * coalesce folds the ~50 MB of compute-dense part text back into
     * one partition. Chunks never span a part boundary; documents
-    * that fit one part chunk identically to `chunker.chunk(docs)`. */
+    * that fit one part chunk identically to `chunker.chunk(docs)`.
+    *
+    * ID CAP: the part-id packing requires `0 <= doc_id < 2^31` for
+    * every document routed to the big branch (part starts are
+    * independently `< 2^31` because a single row's string is capped
+    * far below 2 GiB). A 64-bit hash-derived or negative doc_id
+    * would silently alias distinct documents after the shift-decode,
+    * so the big branch fails FAST with `raise_error` instead —
+    * callers with wide ids must renumber (e.g. zipWithIndex /
+    * row_number over the corpus) before splitting. */
   def chunkParts(docs: DataFrame, chunker: Chunker, maxChars: Int,
       lookback: Int = DefaultLookback,
       seps: Seq[String] = DefaultSeps): DataFrame = {
@@ -168,11 +182,19 @@ object DocSplit {
     // between the two measures — it then routes small and stays
     // unsplit, which is always CORRECT output, just not split
     val small = chunker.chunk(docs.filter(length(col("text")) <= maxChars))
+    // guard BEFORE the shift: encode would silently wrap, and only
+    // giant documents pay the check (one comparison per part row)
+    val guardedId = when(
+      col("doc_id") >= lit(PartIdStride) || col("doc_id") < 0,
+      raise_error(concat(lit("DocSplit.chunkParts: doc_id out of [0, 2^31) — "),
+        col("doc_id").cast("string"),
+        lit(" cannot pack a part id; renumber ids before splitting"))))
+      .otherwise(col("doc_id"))
     val p = parts(docs.filter(length(col("text")) > maxChars),
         maxChars, lookback, seps)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"), col("part_index"))
-      .select((shiftleft(col("doc_id"), 31) + col("start")).as("doc_id"),
+      .select((shiftleft(guardedId, 31) + col("start")).as("doc_id"),
         col("source"), col("text"), col("n_chars"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("__pstart"), col("chunk_index"))

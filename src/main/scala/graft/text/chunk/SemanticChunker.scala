@@ -1,5 +1,6 @@
 package graft.text.chunk
 
+import graft.io.Caches.TrackedPersistOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -80,7 +81,7 @@ case class SemanticChunker(
       // an eager unpersist on return (the pre-r8 form) un-cached it
       // between the two, silently re-running the whole split+distance
       // kernel at consume time
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }).persistTracked("semantic.dists")
 
     {
       // Threshold selection in ONE distributed pass instead of a

@@ -182,4 +182,38 @@ class DocSplitSpec extends AnyFunSuite with SparkTestBase {
     assert(partEnds.filter(_ < text.length).forall(starts.contains),
       "each interior part cut starts a chunk")
   }
+
+  test("chunkParts: out-of-range doc_id on the big branch fails fast") {
+    val giant = "alpha beta gamma. " * 60 // > maxChars below
+    // wide (>= 2^31) and negative ids would silently alias documents
+    // through the 31-bit part-id packing — the guard must raise
+    for (bad <- Seq(1L << 31, (1L << 40) + 7L, -1L)) {
+      val docs = Seq((bad, "g", giant)).toDF("doc_id", "source", "text")
+      // collect, not count: count() prunes every column, including
+      // the guarded doc_id — any consumer that reads rows evaluates it
+      val e = intercept[Exception] {
+        DocSplit.chunkParts(docs, RecursiveChunker(), maxChars = 300).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("doc_id out of [0, 2^31)")),
+        s"no guard error for doc_id=$bad")
+    }
+    // wide ids BELOW the threshold never touch the packing: fine
+    val small = Seq(((1L << 40) + 7L, "g", "short doc"))
+      .toDF("doc_id", "source", "text")
+    val out = DocSplit.chunkParts(small, RecursiveChunker(), maxChars = 300)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == (1L << 40) + 7L)
+  }
+
+  test("cutOffsets rejects maxChars < 2 (astral invariant unsatisfiable)") {
+    intercept[IllegalArgumentException] { DocSplit.cutOffsets("abc", 1) }
+    intercept[IllegalArgumentException] { DocSplit.cutOffsets("abc", 0) }
+    // 2 is the smallest total bound: a surrogate pair fits one part
+    val t = "a😀b😁" // a😀b😁
+    val offs = DocSplit.cutOffsets(t, 2)
+    assert(offs.map { case (s, e) => t.substring(s, e) }.mkString == t)
+    offs.foreach { case (s, e) => assert(e - s <= 2) }
+  }
 }
