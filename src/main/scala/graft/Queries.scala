@@ -1,5 +1,6 @@
 package graft
 
+import graft.io.Caches.TrackedPersistOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -920,40 +921,129 @@ object Queries {
     * folds) fixed the state problem but paid interpreted-lambda
     * dispatch per gram — slower per row than the aggregate it
     * replaced; the native kernel keeps the scan → project plan (the
-    * only exchange left is the loader spread + output sort, plan-
-    * gated in QueriesSpec) at a per-row cost that is genuinely
-    * O(doc). Fraction arithmetic and rounding stay in Column-land,
-    * so values, the oracle, and hashes are unchanged. */
-  def q_repetition(s: SparkSession, dir: String): DataFrame = {
-    // rc = struct<t_n total, d_n distinct, s_n singletons, m_n max
-    // frequency>: dup-occurrences = total − singletons, top share =
-    // max frequency / total — the per-(doc,gram) COUNT(*) family the
-    // exploded form aggregated for, computed row-locally.
-    def fracs(n: Int): Seq[Column] = {
-      val total = col("rc").getField(s"t$n")
-      Seq(
-        round((total - col("rc").getField(s"s$n")).cast("double") /
-          greatest(total, lit(1L)), 6).as(s"dup_${n}gram_frac"),
-        round(col("rc").getField(s"m$n").cast("double") /
-          greatest(total, lit(1L)), 6).as(s"top_${n}gram_frac"))
-    }
-    t(s, dir, "documents")
-      // null-text rows coalesce to an empty token array BEFORE the
-      // kernel: repetitionCounts(null) is null, and null-propagated
-      // fractions would diverge from the r10 aggregate form (whose
-      // otherwise-branches emitted 0.0) and from the oracle's
-      // coalesce(...)/greatest(...) zeros — the fixture has no null
-      // texts, but the operator shouldn't change shape if one appears
-      .select(col("doc_id"),
+    * only exchanges on the sub-threshold path are the loader spread
+    * + output sort, plan-gated in QueriesSpec) at a per-row cost
+    * that is genuinely O(doc). r12 adds the GIANT-document split
+    * branch (the worst r11 row-skew exponent at 11.2×): documents
+    * over [[RepetitionSplitChars]] — none in any fixture, routed by
+    * the pushable `n_chars` column — slice their token array into
+    * parts and count grams partition-parallel; see
+    * [[repetitionSignals]]. Fraction arithmetic and rounding stay in
+    * Column-land, so values, the oracle, and hashes are unchanged. */
+  def q_repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionSignals(t(s, dir, "documents"))
+
+  /** Characters above which a document leaves [[graft.text.StrExpr
+    * .RepetitionCounts]]'s per-row kernel for the split path: 2 Mchar
+    * (~300k tokens) is far above any fixture document and well below
+    * where a one-task gram count starts to straggle. */
+  private[graft] val RepetitionSplitChars = 1L << 21
+
+  /** Token stride of one split part — the per-task gram-count unit
+    * (≈ 64k tokens → ≤ 256k map entries per task). */
+  private[graft] val RepetitionPartTokens = 1 << 16
+
+  /** [[q_repetition]]'s engine: Gopher repetition signals with the
+    * giant-document split. Documents at or under `splitChars` take
+    * the per-row native kernel (zero aggregation state — the right
+    * shape for a normal corpus); documents OVER it — one row, one
+    * task, the worst r11 row-skew exponent at 11.2× — slice their
+    * token array into `partTokens`-stride parts with a maxN−1
+    * lookahead, count grams per part in parallel
+    * ([[graft.text.StrExpr.partGramCounts]]), and merge with
+    * (doc, n, gram) / (doc, n) aggregates whose state is bounded by
+    * the giant documents' distinct grams and spread across the
+    * shuffle. The composition is EXACT (each global gram start is
+    * counted by exactly one part), so both branches emit identical
+    * signals for the same document and sub-threshold corpora — every
+    * fixture — are bit-identical to the unsplit form; the routing
+    * predicate is the pushable `n_chars` storage column, so the
+    * giant branch prunes to nothing at the parquet scan when no
+    * giant exists. */
+  private[graft] def repetitionSignals(docs: DataFrame,
+      splitChars: Long = RepetitionSplitChars,
+      partTokens: Int = RepetitionPartTokens): DataFrame = {
+    // dup-occurrences = total − singletons, top share = max frequency
+    // / total — the per-(doc, gram) COUNT(*) family, from flat
+    // t/d/s/m columns so both branches share one output projection.
+    def out(flat: DataFrame): DataFrame =
+      flat.select(Seq(col("doc_id"), col("n_tokens"),
+        round(col("d1").cast("double") /
+          greatest(col("n_tokens"), lit(1)), 6).as("distinct_ratio")) ++
+        (2 to 4).flatMap { n =>
+          val total = col(s"t$n")
+          Seq(
+            round((total - col(s"s$n")).cast("double") /
+              greatest(total, lit(1L)), 6).as(s"dup_${n}gram_frac"),
+            round(col(s"m$n").cast("double") /
+              greatest(total, lit(1L)), 6).as(s"top_${n}gram_frac"))
+        }: _*)
+
+    // null-text rows coalesce to an empty token array BEFORE the
+    // kernel: repetitionCounts(null) is null, and null-propagated
+    // fractions would diverge from the r10 aggregate form (whose
+    // otherwise-branches emitted 0.0) and from the oracle's
+    // coalesce(...)/greatest(...) zeros — the fixture has no null
+    // texts, but the operator shouldn't change shape if one appears
+    def tokensOf(d: DataFrame) = d.select(col("doc_id"),
         coalesce(Tok.tokens(col("text")),
           array().cast("array<string>")).as("ts"))
       .withColumn("n_tokens", size(col("ts")))
+
+    val small = out(tokensOf(docs.filter(col("n_chars") <= splitChars))
       .withColumn("rc", graft.text.StrExpr.repetitionCounts(col("ts")))
-      .select(Seq(col("doc_id"), col("n_tokens"),
-        round(col("rc").getField("d1").cast("double") /
-          greatest(col("n_tokens"), lit(1)), 6).as("distinct_ratio")) ++
-        (2 to 4).flatMap(fracs): _*)
-      .orderBy(col("doc_id"))
+      .select(Seq(col("doc_id"), col("n_tokens")) ++
+        (1 to 4).flatMap(n => Seq("t", "d", "s", "m").map(p =>
+          col("rc").getField(s"$p$n").as(s"$p$n"))): _*))
+
+    val S = partTokens
+    // slice BEFORE the spread so the shuffle moves part-sized arrays
+    // (≈ giant text once), never the full token array per part row;
+    // the explicit partition count pins AQE away from coalescing the
+    // compute-dense parts back together (the DocSplit discipline)
+    val nsp = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val gramRows = tokensOf(docs.filter(col("n_chars") > splitChars))
+      .select(col("doc_id"), col("ts"), col("n_tokens"),
+        explode(sequence(lit(0),
+          greatest(ceil(col("n_tokens").cast("double") / S) - 1, lit(0))
+            .cast("int"))).as("p"))
+      .select(col("doc_id"),
+        slice(col("ts"), col("p") * S + 1, lit(S + 3)).as("pts"),
+        least(lit(S), col("n_tokens") - col("p") * S).cast("int").as("valid"),
+        col("p"))
+      .repartition(nsp, col("doc_id"), col("p"))
+      // explode_OUTER + n=0 sentinel: a token-less giant (n_chars
+      // over the threshold, zero regex tokens) yields an empty count
+      // array, and a plain explode would drop the document from the
+      // output entirely; the sentinel survives to the doc_id pivot,
+      // where n ∈ 1..4 reads coalesce to all-zero signals — the same
+      // row the per-row branch emits for an empty document
+      .select(col("doc_id"),
+        explode_outer(graft.text.StrExpr.partGramCounts(
+          col("pts"), col("valid"))).as("g"))
+      .select(col("doc_id"), coalesce(col("g.n"), lit(0)).as("n"),
+        coalesce(col("g.gram"), lit("")).as("gram"),
+        coalesce(col("g.cnt"), lit(0L)).as("cnt"))
+    val perN = gramRows
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(sum(col("cnt")).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("d"),
+        coalesce(sum(when(col("c") === 1, lit(1L))), lit(0L)).as("sg"),
+        max(col("c")).as("m"))
+    val pivotCols = (1 to 4).flatMap { n =>
+      Seq("t" -> "t", "d" -> "d", "sg" -> "s", "m" -> "m").map {
+        case (src, dst) =>
+          coalesce(max(when(col("n") === n, col(src))), lit(0L))
+            .as(s"$dst$n")
+      }
+    }
+    val giant = out(perN.groupBy(col("doc_id"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+      // total unigrams IS the token count (t1 = L − 1 + 1)
+      .withColumn("n_tokens", col("t1").cast("int")))
+
+    small.unionByName(giant).orderBy(col("doc_id"))
   }
 
   /** BPE oracle-checked — merge LEARNING + encoding replayed in SQL
@@ -1045,7 +1135,7 @@ object Queries {
     // downstream hash) is unchanged.
     val perDoc = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("lm.unigram_perdoc")
     val vocab = perDoc.groupBy(col("term"))
       .agg(sum(col("m")).cast("double").as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
@@ -1106,7 +1196,7 @@ object Queries {
       .withColumn("bin",
         least(greatest(floor((col("avg_logprob") + 20.0) / step), lit(0)),
           lit(B - 1)).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("quality.buckets")
     val hist = lp.groupBy(col("bin")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._1)
     val n = hist.map(_._2).sum
@@ -1157,7 +1247,7 @@ object Queries {
         posexplode(Tok.tokens(lower(col("text")))).as(Seq("pos", "tok")))
     val uc = toks.groupBy(col("tok"))
       .agg(count(lit(1)).cast("double").as("c_t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("lm.bigram_uc")
     val nt = uc.agg(sum(col("c_t")).as("n_toks"))
     // bigrams via a per-doc lag window — one doc_id exchange, vs the
     // positional self-join's two shuffles of the whole token table
@@ -1169,7 +1259,7 @@ object Queries {
       .select(col("doc_id"), col("a"), col("tok").as("b"))
     val perBi = bi.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("lm.bigram_perbi")
     // sum(m) over docs == count(bi rows) per (a, b), exactly — the
     // model counts (and every downstream hash) are unchanged
     val bc = perBi.groupBy(col("a"), col("b"))
@@ -1223,10 +1313,10 @@ object Queries {
     // hashes unchanged)
     val pc = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("double").as("c_ab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("pmi.pairs")
     val uc = toks.groupBy(col("tok"))
       .agg(count(lit(1)).cast("double").as("c_t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked("pmi.unigrams")
     val np = pc.agg(sum(col("c_ab")).as("n_pairs"))
     val nt = uc.agg(sum(col("c_t")).as("n_toks"))
     pc.join(uc.select(col("tok").as("a"), col("c_t").as("c_a")), "a")

@@ -308,6 +308,97 @@ case class RepetitionCounts(child: Expression)
       newChild: Expression): RepetitionCounts = copy(child = newChild)
 }
 
+/** `partGramCounts(tokens, validStarts)` — the PER-PART half of the
+  * giant-document split for [[RepetitionCounts]]: local n-gram
+  * occurrence counts (n ∈ 1..4) over one token-array slice, as
+  * `array<struct<n:int, gram:string, cnt:bigint>>`.
+  *
+  * WHY it exists: [[RepetitionCounts]] is per-row by construction —
+  * the right shape for normal documents (zero aggregation state),
+  * but a 50 MB document is one row and therefore ONE serial task
+  * (the worst r11 row-skew exponent, 11.2×). The split path slices
+  * the giant's token array into overlapping parts (lookahead
+  * `maxN − 1` tokens so boundary-spanning grams are counted by
+  * exactly one part), computes these local counts partition-parallel,
+  * and merges with one `groupBy(doc, n, gram).sum(cnt)` — whose
+  * state is bounded by the GIANT documents' distinct grams, spread
+  * over the shuffle, not held per-task. Composition is exact:
+  * a gram of size n starting at local position i is counted iff
+  * `i < validStarts && i + n <= len(tokens)`, so summed over parts
+  * every global start position 0..L−n contributes exactly once and
+  * the merged (total, distinct, singletons, max) equal the unsplit
+  * kernel's. CodegenFallback, same reasoning as [[RepetitionCounts]].
+  */
+case class PartGramCounts(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"partGramCounts needs (array<string>, int), got $other")
+    }
+
+  override def nullSafeEval(input: Any, valid: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val L = arr.numElements()
+    val validStarts = math.min(valid.asInstanceOf[Int], L)
+    val toks = new Array[String](L)
+    var i = 0
+    while (i < L) {
+      val u = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      toks(i) = if (u == null) "" else u.toString
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val sb = new java.lang.StringBuilder
+    var n = 1
+    while (n <= 4) {
+      val starts = math.min(validStarts, L - n + 1)
+      if (starts > 0) {
+        val counts =
+          new java.util.LinkedHashMap[String, Array[Long]](starts * 2)
+        var p = 0
+        while (p < starts) {
+          sb.setLength(0)
+          var q = 0
+          while (q < n) {
+            if (q > 0) sb.append(' ')
+            sb.append(toks(p + q))
+            q += 1
+          }
+          val k = sb.toString
+          val prev = counts.get(k)
+          if (prev == null) counts.put(k, Array(1L)) else prev(0) += 1L
+          p += 1
+        }
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](n, UTF8String.fromString(e.getKey), e.getValue()(0)))
+        }
+      }
+      n += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PartGramCounts =
+    copy(left = newLeft, right = newRight)
+}
+
 object StrExpr {
   import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -334,4 +425,10 @@ object StrExpr {
     * (n ∈ 1..4) — struct<t1,d1,s1,m1,...,t4,d4,s4,m4>. */
   def repetitionCounts(tokens: Column): Column =
     ColumnShim.column(RepetitionCounts(ColumnShim.expression(tokens)))
+
+  /** Column wrapper: per-part local n-gram counts (n ∈ 1..4) for the
+    * giant-document split of [[repetitionCounts]]. */
+  def partGramCounts(tokens: Column, validStarts: Column): Column =
+    ColumnShim.column(PartGramCounts(
+      ColumnShim.expression(tokens), ColumnShim.expression(validStarts)))
 }

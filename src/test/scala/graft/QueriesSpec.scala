@@ -213,6 +213,36 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("repetitionSignals: giant-doc split branch equals the per-row kernel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = Seq(
+      (1L, "spark row filter spark row filter spark row"),
+      (2L, ("ab cd " * 40).trim), // heavy 2-gram repetition
+      (3L, (1 to 200).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")),
+      (4L, "one two three four five six seven eight nine ten"),
+      (5L, ""), // token-less giant: the explode_outer sentinel path
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      // force EVERY doc onto the branch under test via fake n_chars
+      .withColumn("n_chars", lit(1000L))
+    // tiny strides: many parts per doc, boundary grams (lookahead)
+    // and the (doc, n, gram) merge all genuinely exercised
+    for (partTokens <- Seq(7, 64)) {
+      val split = Queries.repetitionSignals(docs,
+        splitChars = 10L, partTokens = partTokens)
+        .collect()
+      val whole = Queries.repetitionSignals(docs,
+        splitChars = Long.MaxValue).collect()
+      assert(split.length == whole.length,
+        s"row count diverged at partTokens=$partTokens")
+      split.zip(whole).foreach { case (a, b) =>
+        assert(a == b, s"partTokens=$partTokens: $a != $b")
+      }
+    }
+  }
+
   test("q_repetition / q_tfidf_keywords plan gates (r11 rewrites)") {
     // the two worst 10x ScaleStress ratios of r10, both rewritten to
     // shapes whose state no longer grows with the corpus — pin the
@@ -221,29 +251,40 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // q_repetition: per-row run-length folds replaced the exploded
-      // per-(doc, n, gram) hash aggregate — the plan must be a pure
-      // scan -> project with ONE range exchange (the output sort):
-      // no explode, no aggregate, no window.
+      // q_repetition: the CORPUS (sub-threshold) branch must stay
+      // the per-row kernel — scan -> project, no gram explode, no
+      // aggregation state; the r12 giant-document branch may explode
+      // and aggregate, but only behind a PUSHED n_chars filter so it
+      // prunes at the parquet scan when no giant exists.
       val rep = Queries.q_repetition(spark, sf).queryExecution.executedPlan
-      assert(rep.collect {
+      val union = rep.collect {
+        case u: org.apache.spark.sql.execution.UnionExec => u }
+      assert(union.size == 1, s"q_repetition: one small∪giant union, plan:\n$rep")
+      val smallBranch = union.head.children.head
+      assert(smallBranch.collect {
         case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
-        s"q_repetition must not explode grams, plan:\n$rep")
-      assert(rep.collect {
+        s"q_repetition corpus branch must not explode grams, plan:\n$smallBranch")
+      assert(smallBranch.collect {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }.isEmpty,
-        s"q_repetition must carry no aggregation state, plan:\n$rep")
-      // allowed shuffles: the corpus loader's own doc_id spread
-      // (REPARTITION_BY_NUM, present under every documents consumer)
-      // and the output sort's range exchange — NOTHING gram-keyed.
-      val repShuffles = rep.collect {
+        s"q_repetition corpus branch must carry no aggregation state, " +
+          s"plan:\n$smallBranch")
+      // corpus-branch shuffles: only the loader's doc_id spread
+      // (REPARTITION_BY_NUM, present under every documents consumer);
+      // the output sort's range exchange sits above the union.
+      val repShuffles = smallBranch.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
-      assert(repShuffles.size <= 2 && repShuffles.forall(e =>
-          e.outputPartitioning.isInstanceOf[
-            org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] ||
+      assert(repShuffles.size <= 1 && repShuffles.forall(e =>
           e.shuffleOrigin ==
             org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM),
-        s"q_repetition may shuffle only for the loader spread and the " +
-          s"output sort, plan:\n$rep")
+        s"q_repetition corpus branch may shuffle only for the loader " +
+          s"spread, plan:\n$smallBranch")
+      // the giant branch's scan prunes on the storage column
+      val giantScans = union.head.children(1).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(giantScans.nonEmpty && giantScans.forall(
+          _.metadata.get("PushedFilters").exists(_.contains("GreaterThan(n_chars"))),
+        s"q_repetition giant branch must push its n_chars routing " +
+          s"filter, plan:\n${union.head.children(1)}")
 
       // q_tfidf_keywords: postings is read from the persisted frame
       // (explode lives inside it), every join is broadcast (dfreq and
