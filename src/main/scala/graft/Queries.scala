@@ -167,9 +167,20 @@ object Queries {
     * [[q_chunk_semantic_corpus]], at params (50, 64, 300). The
     * lattice twins ([[q_chunk_semantic_corpus]],
     * [[q_chunk_semantic_crafted]]) keep pinning the segmentation at
-    * parameters where breaks actually fire. */
+    * parameters where breaks actually fire.
+    *
+    * r12: routed through the giant-document split policy
+    * ([[graft.text.chunk.DocSplit.chunkParts]], 1 Mchar threshold —
+    * the second-worst r11 row-skew exponent at 9.8×): every fixture
+    * document fits one part, so the sub-threshold branch IS the
+    * whole corpus and output (threshold selection included) is
+    * bit-identical to the unsplit form; an over-threshold document
+    * min-splits, embeds, thresholds and segments per PART, with
+    * chunk boundaries forced at part edges — the same documented
+    * approximation as q_chunk_recursive_split. */
   def q_chunk_semantic(s: SparkSession, dir: String): DataFrame =
-    SemanticChunker().chunk(t(s, dir, "documents"))
+    graft.text.chunk.DocSplit.chunkParts(
+        t(s, dir, "documents"), SemanticChunker(), maxChars = 1 << 20)
       .orderBy(col("doc_id"), col("chunk_index"))
 
   /** C3 hash-checked CORPUS-WIDE: the full semantic pipeline
@@ -183,11 +194,15 @@ object Queries {
     * sf0.01) — the threshold search, break placement and merge all do
     * real work and every double is derived from exact integer
     * dot/norm² values, so DuckDB replays the whole pipeline bit for
-    * bit. */
+    * bit. r12: routed through [[graft.text.chunk.DocSplit
+    * .chunkParts]] like [[q_chunk_semantic]] — identical below the
+    * 1 Mchar threshold (the whole fixture), part-parallel above it. */
   def q_chunk_semantic_corpus(s: SparkSession, dir: String): DataFrame =
-    SemanticChunker(avgChunkTokens = 25, minChunkTokens = 10,
-      embedder = graft.vector.LatticeEmbedder(8))
-      .chunk(t(s, dir, "documents"))
+    graft.text.chunk.DocSplit.chunkParts(
+        t(s, dir, "documents"),
+        SemanticChunker(avgChunkTokens = 25, minChunkTokens = 10,
+          embedder = graft.vector.LatticeEmbedder(8)),
+        maxChars = 1 << 20)
       .orderBy(col("doc_id"), col("chunk_index"))
 
   /** Query texts for the end-to-end flagship row — shared verbatim

@@ -177,11 +177,21 @@ object DocSplit {
   def chunkParts(docs: DataFrame, chunker: Chunker, maxChars: Int,
       lookback: Int = DefaultLookback,
       seps: Seq[String] = DefaultSeps): DataFrame = {
-    // routing predicate in Spark `length` (code points) vs the
-    // kernel's UTF-16 cut unit: for non-BMP text a document can sit
-    // between the two measures — it then routes small and stays
-    // unsplit, which is always CORRECT output, just not split
-    val small = chunker.chunk(docs.filter(length(col("text")) <= maxChars))
+    // routing predicate: the Chunker input contract's `n_chars`
+    // storage column when present (PUSHABLE — the giant branch
+    // prunes at the parquet scan instead of reading every text to
+    // measure it; chunkers like [[SemanticChunker]] run an eager
+    // driver aggregate per branch, so an un-pruned empty branch
+    // would still cost a corpus scan), else Spark `length`. Either
+    // measure vs the kernel's UTF-16 cut unit: a non-BMP document
+    // can sit between the two — it then routes small and stays
+    // unsplit, which is always CORRECT output, just not split; the
+    // routing only has to send each document to exactly one branch,
+    // and both branches are exact for any size.
+    val sizeCol =
+      if (docs.columns.contains("n_chars")) col("n_chars")
+      else length(col("text"))
+    val small = chunker.chunk(docs.filter(sizeCol <= maxChars))
     // guard BEFORE the shift: encode would silently wrap, and only
     // giant documents pay the check (one comparison per part row)
     val guardedId = when(
@@ -190,7 +200,7 @@ object DocSplit {
         col("doc_id").cast("string"),
         lit(" cannot pack a part id; renumber ids before splitting"))))
       .otherwise(col("doc_id"))
-    val p = parts(docs.filter(length(col("text")) > maxChars),
+    val p = parts(docs.filter(sizeCol > maxChars),
         maxChars, lookback, seps)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_id"), col("part_index"))
