@@ -1005,11 +1005,20 @@ object Queries {
           array().cast("array<string>")).as("ts"))
       .withColumn("n_tokens", size(col("ts")))
 
-    val small = out(tokensOf(docs.filter(col("n_chars") <= splitChars))
+    def perRow(d: DataFrame) = out(tokensOf(d)
       .withColumn("rc", graft.text.StrExpr.repetitionCounts(col("ts")))
       .select(Seq(col("doc_id"), col("n_tokens")) ++
         (1 to 4).flatMap(n => Seq("t", "d", "s", "m").map(p =>
           col("rc").getField(s"$p$n").as(s"$p$n"))): _*))
+
+    // no giant → the r11 single-branch plan, bit for bit: the
+    // all-small corpus pays one existence probe (row-group stats
+    // answer the pushed n_chars predicate without reading data)
+    // instead of a dead union branch in every run's plan
+    if (docs.filter(col("n_chars") > splitChars).isEmpty)
+      return perRow(docs).orderBy(col("doc_id"))
+
+    val small = perRow(docs.filter(col("n_chars") <= splitChars))
 
     val S = partTokens
     // slice BEFORE the spread so the shuffle moves part-sized arrays

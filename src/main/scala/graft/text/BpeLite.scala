@@ -94,7 +94,7 @@ object BpeLite {
     merges.result()
   }
 
-  private def applyMerge(syms: Vector[String], m: Merge): Vector[String] = {
+  private[text] def applyMerge(syms: Vector[String], m: Merge): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < syms.length) {
@@ -177,14 +177,79 @@ object BpeLite {
       col("c"))
   }
 
-  private[text] def pairArgmax(words: DataFrame, sofar: Seq[Merge]): DataFrame = {
+  private[text] def pairArgmax(words: DataFrame, sofar: Seq[Merge]): DataFrame =
+    pairTopK(words, sofar, 1)
+
+  /** Top-`k` adjacent-pair counts in the deterministic (−count, left,
+    * right) order — the distributed aggregate one batched merge round
+    * runs; ≤ `k` rows ever reach the driver. */
+  private[text] def pairTopK(words: DataFrame, sofar: Seq[Merge],
+      k: Int): DataFrame = {
     remerged(words, sofar)
       .select(col("c"), explode(when(size(col("syms")) >= 2,
         expr("transform(sequence(0, size(syms)-2), " +
           "i -> struct(syms[i] as a, syms[i+1] as b))"))
         .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
       .groupBy(col("p.a"), col("p.b")).agg(sum(col("c")).as("cnt"))
-      .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+      .orderBy(desc("cnt"), col("a"), col("b")).limit(k)
+  }
+
+  /** How many of the fetched top pairs serial training would accept
+    * back to back, by the PROVABLY-safe prefix rule. Serial BPE picks
+    * the argmax, merges, recounts, repeats; a batch is equivalent iff
+    * each accepted pair would still be the argmax after the merges
+    * before it. Merging (a, b) never increases any surviving pair's
+    * count, and every pair it CREATES — (x, ab) / (ab, y) — is
+    * count-bounded by an OLD pair sharing `a` or `b`. So, scanning
+    * the (−count, left, right)-sorted list top-down, candidate j is
+    * safe when:
+    *
+    *  1. it shares no symbol with an earlier accepted pair (its own
+    *     count is then untouched by their merges);
+    *  2. if the fetch was truncated at `k`, its count strictly
+    *     exceeds the fetched minimum (all pairs with count ≥ the
+    *     candidate's are then known to be in the list);
+    *  3. no LATER fetched pair with the SAME count shares a symbol
+    *     with an accepted pair (such a pair's merged offspring could
+    *     tie the candidate and win the string tie-break — the
+    *     sorted-above sharing case needs no check, those rows are
+    *     all accepted by the prefix property and consumed to count
+    *     0 by their own merge);
+    *  4. no earlier accepted pair is a SELF pair (a == b): merging
+    *     one creates (aa, aa)-style offspring bounded by the
+    *     accepted pair's OWN count, which can exceed the
+    *     candidate's.
+    *
+    * Sharing pairs with count strictly below the candidate's bound
+    * their offspring strictly below it too, so they can never
+    * overtake. The first row is always accepted (it IS the argmax).
+    * Everything after the first rejection is unverifiable and the
+    * batch closes — the next distributed recount starts a new round,
+    * so rejection costs rounds, never correctness. */
+  private[text] def safePrefix(top: Array[(String, String, Long)],
+      truncated: Boolean, budget: Int): Vector[Merge] = {
+    if (top.isEmpty || budget <= 0) return Vector.empty
+    val minCnt = top.last._3
+    val used = scala.collection.mutable.Set.empty[String]
+    val acc = Vector.newBuilder[Merge]
+    var n = 0
+    var idx = 0
+    var open = true
+    while (open && idx < top.length && n < budget) {
+      val (a, b, c) = top(idx)
+      val ok =
+        if (idx == 0) true
+        else if (used(a) || used(b)) false
+        else if (truncated && c <= minCnt) false
+        else !(idx + 1 until top.length).exists { j =>
+          top(j)._3 == c && (used(top(j)._1) || used(top(j)._2))
+        }
+      if (ok) {
+        acc += ((a, b)); used += a; used += b; n += 1; idx += 1
+        if (a == b) open = false
+      } else open = false
+    }
+    acc.result()
   }
 
   /** Fully distributed merge training over the FULL vocabulary: the
@@ -199,7 +264,8 @@ object BpeLite {
     * weights (per distinct word × frequency), same (−count, left,
     * right) tie rule, same early stop when no pair remains. */
   def trainDistributed(docs: DataFrame, textCol: String = "text",
-      numMerges: Int = 8, foldEvery: Int = 4): Vector[Merge] = {
+      numMerges: Int = 8, foldEvery: Int = 4,
+      batchK: Int = 16): Vector[Merge] = {
     // each round is its own action over the distinct-word frame:
     // persist the narrow (syms, c) projection, release it before
     // returning. Round k re-applies only the merges PENDING since the
@@ -212,6 +278,17 @@ object BpeLite {
     // sequentially, so pending merges on a folded base replay the
     // same stream. The folded frame is an InMemoryRelation, never a
     // LocalRelation — the vocabulary still never reaches the driver.
+    //
+    // r12: each round fetches the top `batchK` pairs instead of the
+    // single argmax and accepts the [[safePrefix]] of them — the
+    // longest prefix PROVABLY identical to serial one-at-a-time
+    // training (the standard batched-BPE-trainer trick, restricted
+    // to the cases where equivalence is certain). 8 merges that cost
+    // 8 distributed recount rounds now usually cost 2–3; the learned
+    // sequence is bit-identical by construction, and the specs pin
+    // batched == serial == driver `train` on real and adversarial
+    // vocabularies.
+    require(batchK >= 1, "batchK must be >= 1")
     var words = wordFrame(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -219,13 +296,19 @@ object BpeLite {
       var pending = Vector.empty[Merge]
       var i = 0
       while (i < numMerges) {
-        val top = pairArgmax(words, pending).collect()
+        // fetch the full batchK even when the remaining budget is
+        // smaller: the extra rows only IMPROVE safePrefix's
+        // visibility (rule 3), and a fetch that comes back short of
+        // batchK proves the list is complete (truncated = false)
+        val top = pairTopK(words, pending, batchK).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         if (top.isEmpty) i = numMerges
         else {
-          val best = (top(0).getString(0), top(0).getString(1))
-          merges += best
-          pending = pending :+ best
-          i += 1
+          val accepted =
+            safePrefix(top, truncated = top.length >= batchK, numMerges - i)
+          merges ++= accepted
+          pending = pending ++ accepted
+          i += accepted.length
           if (pending.length >= foldEvery && i < numMerges) {
             val folded = remerged(words, pending)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -191,6 +191,14 @@ object DocSplit {
     val sizeCol =
       if (docs.columns.contains("n_chars")) col("n_chars")
       else length(col("text"))
+    // no giant → the UNSPLIT plan, bit for bit: the all-small corpus
+    // (every fixture, most real batches) pays one cheap existence
+    // probe — row-group stats answer the pushed n_chars predicate
+    // without reading data — instead of carrying a dead union branch
+    // that eager chunkers (SemanticChunker's threshold aggregate runs
+    // at plan construction) would still execute per build
+    if (docs.filter(sizeCol > maxChars).isEmpty)
+      return chunker.chunk(docs)
     val small = chunker.chunk(docs.filter(sizeCol <= maxChars))
     // guard BEFORE the shift: encode would silently wrap, and only
     // giant documents pay the check (one comparison per part row)

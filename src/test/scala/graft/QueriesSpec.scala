@@ -251,40 +251,50 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // q_repetition: the CORPUS (sub-threshold) branch must stay
-      // the per-row kernel — scan -> project, no gram explode, no
-      // aggregation state; the r12 giant-document branch may explode
-      // and aggregate, but only behind a PUSHED n_chars filter so it
-      // prunes at the parquet scan when no giant exists.
+      // q_repetition on a giant-free corpus (every fixture): the
+      // existence probe routes to the r11 single-branch plan — pure
+      // scan -> project with ONE range exchange (the output sort):
+      // no explode, no aggregate, no dead union branch.
       val rep = Queries.q_repetition(spark, sf).queryExecution.executedPlan
-      val union = rep.collect {
-        case u: org.apache.spark.sql.execution.UnionExec => u }
-      assert(union.size == 1, s"q_repetition: one small∪giant union, plan:\n$rep")
-      val smallBranch = union.head.children.head
-      assert(smallBranch.collect {
+      assert(rep.collect {
         case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
-        s"q_repetition corpus branch must not explode grams, plan:\n$smallBranch")
-      assert(smallBranch.collect {
+        s"q_repetition must not explode grams, plan:\n$rep")
+      assert(rep.collect {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }.isEmpty,
-        s"q_repetition corpus branch must carry no aggregation state, " +
-          s"plan:\n$smallBranch")
-      // corpus-branch shuffles: only the loader's doc_id spread
-      // (REPARTITION_BY_NUM, present under every documents consumer);
-      // the output sort's range exchange sits above the union.
-      val repShuffles = smallBranch.collect {
+        s"q_repetition must carry no aggregation state, plan:\n$rep")
+      // allowed shuffles: the corpus loader's own doc_id spread
+      // (REPARTITION_BY_NUM, present under every documents consumer)
+      // and the output sort's range exchange — NOTHING gram-keyed.
+      val repShuffles = rep.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
-      assert(repShuffles.size <= 1 && repShuffles.forall(e =>
+      assert(repShuffles.size <= 2 && repShuffles.forall(e =>
+          e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] ||
           e.shuffleOrigin ==
             org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM),
-        s"q_repetition corpus branch may shuffle only for the loader " +
-          s"spread, plan:\n$smallBranch")
-      // the giant branch's scan prunes on the storage column
-      val giantScans = union.head.children(1).collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
-      assert(giantScans.nonEmpty && giantScans.forall(
-          _.metadata.get("PushedFilters").exists(_.contains("GreaterThan(n_chars"))),
-        s"q_repetition giant branch must push its n_chars routing " +
-          s"filter, plan:\n${union.head.children(1)}")
+        s"q_repetition may shuffle only for the loader spread and the " +
+          s"output sort, plan:\n$rep")
+      // with a giant present the union shape appears, and the CORPUS
+      // side of it keeps the per-row kernel (no gram explode/agg)
+      locally {
+        import spark.implicits._
+        val mixed = Seq((1L, "alpha beta gamma", 16L),
+            (2L, ("w " * 40).trim, 79L))
+          .toDF("doc_id", "text", "n_chars")
+        val giantPlan = Queries.repetitionSignals(mixed,
+          splitChars = 50L, partTokens = 8).queryExecution.executedPlan
+        val union = giantPlan.collect {
+          case u: org.apache.spark.sql.execution.UnionExec => u }
+        assert(union.size == 1,
+          s"giant corpus must produce the small∪giant union, plan:\n$giantPlan")
+        val corpusSide = union.head.children.head
+        assert(corpusSide.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty &&
+          corpusSide.collect {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+          }.isEmpty,
+          s"corpus side of the union must stay per-row, plan:\n$corpusSide")
+      }
 
       // q_tfidf_keywords: postings is read from the persisted frame
       // (explode lives inside it), every join is broadcast (dfreq and

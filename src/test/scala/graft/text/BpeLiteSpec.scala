@@ -22,6 +22,88 @@ class BpeLiteSpec extends AnyFunSuite {
     assert(BpeLite.train(vocab, 100) == merges)
   }
 
+  /** Driver-side simulation of one batched training run — the same
+    * pair counting `train` does, the same top-K ordering `pairTopK`
+    * produces, and the SAME [[BpeLite.safePrefix]] acceptance the
+    * distributed trainer applies. Lets the acceptance rule be
+    * property-tested against serial `train` over hundreds of
+    * adversarial vocabularies without paying a Spark job per round. */
+  private def batchedSim(vocab: Map[String, Long], numMerges: Int,
+      batchK: Int): Vector[BpeLite.Merge] = {
+    var words: Map[Vector[String], Long] = vocab.map {
+      case (w, c) => BpeLite.codePointSyms(w) -> c
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    val merges = Vector.newBuilder[BpeLite.Merge]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map[BpeLite.Merge, Long]()
+      words.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) =>
+            val k = (a, b); pairCounts(k) = pairCounts.getOrElse(k, 0L) + c
+          case _ =>
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val top = pairCounts.toArray
+          .map { case ((a, b), c) => (a, b, c) }
+          .sortWith { case ((a1, b1, c1), (a2, b2, c2)) =>
+            if (c1 != c2) c1 > c2
+            else if (a1 != a2) BpeLite.utf8Ordering.lt(a1, a2)
+            else BpeLite.utf8Ordering.lt(b1, b2)
+          }
+          .take(batchK)
+        val accepted = BpeLite.safePrefix(top,
+          truncated = top.length >= batchK, numMerges - i)
+        merges ++= accepted
+        i += accepted.length
+        accepted.foreach { m =>
+          words = words.map { case (syms, c) =>
+            BpeLite.applyMerge(syms, m) -> c
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+    }
+    merges.result()
+  }
+
+  test("batched safePrefix == serial train on adversarial vocabularies (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny alphabet → dense ties, self-pairs (aa / bb runs), chains
+    // (abab), and offspring collisions — exactly the cases the
+    // acceptance rule must refuse or get bit-right
+    val word = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val vocabGen = for {
+      n <- Gen.chooseNum(1, 12)
+      ws <- Gen.listOfN(n, Gen.zip(word, Gen.chooseNum(1L, 9L)))
+    } yield ws.toMap
+    val prop = Prop.forAll(vocabGen, Gen.chooseNum(1, 8),
+        Gen.oneOf(1, 2, 3, 8, 32)) { (vocab, nm, k) =>
+      batchedSim(vocab, nm, k) == BpeLite.train(vocab, nm)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("batched safePrefix: known divergence traps stay serial-identical") {
+    // (1) offspring ties the next candidate and wins the tie-break:
+    // serial merges (a,x) then (ax,z); a naive batch would take (w,w)
+    for (k <- Seq(2, 3, 4, 16)) {
+      val vocab = Map("axz" -> 5L, "ax" -> 5L, "ww" -> 5L)
+      assert(batchedSim(vocab, 3, k) == BpeLite.train(vocab, 3),
+        s"offspring-tie trap diverged at batchK=$k")
+      // (2) self-pair offspring bounded by the accepted pair itself:
+      // serial merges (a,a) then (aa,aa); (w,w) must wait
+      val selfy = Map("aaaa" -> 2L, "ww" -> 4L, "wz" -> 1L)
+      assert(batchedSim(selfy, 3, k) == BpeLite.train(selfy, 3),
+        s"self-pair trap diverged at batchK=$k")
+    }
+  }
+
   test("training merges the most frequent pair first, ties lexicographic") {
     val merges = BpeLite.train(Map("aaab" -> 10L, "aab" -> 5L), 1)
     assert(merges == Vector(("a", "a"))) // "aa" dominates
