@@ -195,42 +195,54 @@ object BpeLite {
   }
 
   /** How many of the fetched top pairs serial training would accept
-    * back to back, by the PROVABLY-safe prefix rule. Serial BPE picks
-    * the argmax, merges, recounts, repeats; a batch is equivalent iff
-    * each accepted pair would still be the argmax after the merges
-    * before it. Merging (a, b) never increases any surviving pair's
-    * count, and every pair it CREATES — (x, ab) / (ab, y) — is
-    * count-bounded by an OLD pair sharing `a` or `b`. So, scanning
-    * the (−count, left, right)-sorted list top-down, candidate j is
-    * safe when:
+    * back to back, by the PROVABLY-safe chain-free prefix rule.
+    * Serial BPE picks the argmax, merges, recounts, repeats; a batch
+    * is equivalent iff each accepted pair is still the argmax after
+    * the merges before it. The facts the rule rests on:
     *
-    *  1. it shares no symbol with an earlier accepted pair (its own
-    *     count is then untouched by their merges);
+    *  - merging (a, b) destroys an occurrence of pair (c, d) ONLY
+    *    when `c == b` (that c is absorbed by a preceding `a`) or
+    *    `d == a` (that d is absorbed by a following `b`) — sharing
+    *    left-with-left or right-with-right is harmless, and no merge
+    *    ever CREATES an adjacency of two pre-existing symbols;
+    *  - every pair a merge creates has ≥ one merged symbol, and its
+    *    count is bounded by the ORIGINAL pair (tail(S1), head(S2)) of
+    *    its operands' boundary symbols — an old pair whose right is
+    *    some accepted left, or whose left is some accepted right
+    *    (the same "unsafe classes").
+    *
+    * Scanning the (−count, left, right)-sorted list top-down,
+    * candidate (c, d) is accepted when:
+    *
+    *  1. CHAIN-FREE: no earlier accepted (a, b) has `b == c` or
+    *     `a == d` — the candidate's own count is then untouched;
     *  2. if the fetch was truncated at `k`, its count strictly
-    *     exceeds the fetched minimum (all pairs with count ≥ the
-    *     candidate's are then known to be in the list);
-    *  3. no LATER fetched pair with the SAME count shares a symbol
-    *     with an accepted pair (such a pair's merged offspring could
-    *     tie the candidate and win the string tie-break — the
-    *     sorted-above sharing case needs no check, those rows are
-    *     all accepted by the prefix property and consumed to count
-    *     0 by their own merge);
-    *  4. no earlier accepted pair is a SELF pair (a == b): merging
-    *     one creates (aa, aa)-style offspring bounded by the
-    *     accepted pair's OWN count, which can exceed the
+    *     exceeds the fetched minimum (every pair counting ≥ the
+    *     candidate is then known to be in the list — including every
+    *     unsafe-class pair that could bound a tying offspring);
+    *  3. no LATER fetched pair with the SAME count sits in an unsafe
+    *     class (right ∈ accepted-lefts or left ∈ accepted-rights):
+    *     such a pair's offspring could tie the candidate and win the
+    *     string tie-break. Unsafe-class pairs counting MORE would
+    *     rank above the candidate, where the prefix property means
+    *     they were accepted — impossible, acceptance of both ends of
+    *     a chain is exactly what rule 1 forbids — so the scan above
+    *     the candidate needs no check;
+    *  4. a SELF pair (a == a) closes the batch after its own
+    *     acceptance: its offspring ((aa, a), (aa, aa), …) are
+    *     bounded by its OWN count, which exceeds every later
     *     candidate's.
     *
-    * Sharing pairs with count strictly below the candidate's bound
-    * their offspring strictly below it too, so they can never
-    * overtake. The first row is always accepted (it IS the argmax).
-    * Everything after the first rejection is unverifiable and the
-    * batch closes — the next distributed recount starts a new round,
-    * so rejection costs rounds, never correctness. */
+    * The first row is always accepted (it IS the argmax). The batch
+    * closes at the first rejection — everything below is
+    * unverifiable until the next distributed recount — so a
+    * rejection costs rounds, never correctness. */
   private[text] def safePrefix(top: Array[(String, String, Long)],
       truncated: Boolean, budget: Int): Vector[Merge] = {
     if (top.isEmpty || budget <= 0) return Vector.empty
     val minCnt = top.last._3
-    val used = scala.collection.mutable.Set.empty[String]
+    val lefts = scala.collection.mutable.Set.empty[String]
+    val rights = scala.collection.mutable.Set.empty[String]
     val acc = Vector.newBuilder[Merge]
     var n = 0
     var idx = 0
@@ -239,13 +251,13 @@ object BpeLite {
       val (a, b, c) = top(idx)
       val ok =
         if (idx == 0) true
-        else if (used(a) || used(b)) false
+        else if (rights(a) || lefts(b)) false // rule 1: chains only
         else if (truncated && c <= minCnt) false
         else !(idx + 1 until top.length).exists { j =>
-          top(j)._3 == c && (used(top(j)._1) || used(top(j)._2))
+          top(j)._3 == c && (lefts(top(j)._2) || rights(top(j)._1))
         }
       if (ok) {
-        acc += ((a, b)); used += a; used += b; n += 1; idx += 1
+        acc += ((a, b)); lefts += a; rights += b; n += 1; idx += 1
         if (a == b) open = false
       } else open = false
     }

@@ -85,7 +85,7 @@ class BpeLiteSpec extends AnyFunSuite {
       batchedSim(vocab, nm, k) == BpeLite.train(vocab, nm)
     }
     val res = SCTest.check(SCTest.Parameters.default
-      .withMinSuccessfulTests(500), prop)
+      .withMinSuccessfulTests(2000), prop)
     assert(res.passed, res.status.toString)
   }
 
