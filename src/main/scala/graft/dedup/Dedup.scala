@@ -99,9 +99,12 @@ object Dedup {
     * the removal filter) read it — one regexp pass instead of three.
     * Compact (token arrays ≈ corpus bytes, not the exploded stream).
     * The persist outlives this call by design (the returned frame is
-    * lazy); [[graft.io.Caches.clearAll]] is the documented cleanup
-    * path — Bench/Verify call it between runs, long-lived consumers
-    * at their own batch boundaries. */
+    * lazy), but its LIFETIME is bounded: it registers with
+    * [[graft.io.Caches.persistTracked]], which retains at most
+    * [[graft.io.Caches.MaxPerTag]] live frames per site and evicts
+    * the oldest (a consumer looping ingest batches stays bounded;
+    * an evicted frame silently recomputes). [[graft.io.Caches
+    * .clearAll]] remains the batch-boundary big hammer. */
   private def persistedTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.text.Tok.tokens(col("text")).as("ts"))
       .persistTracked("dedup.tokens")

@@ -75,12 +75,13 @@ case class SemanticChunker(
                 (FloatVecExpr.normF(col("embedding")) * FloatVecExpr.normF(col("next_emb"))))
               .otherwise(lit(null)))
           .drop("embedding", "next_emb", "text")
-      // MEMORY_AND_DISK persist, freed by Spark's LRU (q_contamination
-      // precedent): the frame is consumed TWICE — the eager histogram
-      // collect below and the lazily-returned segmentation plan — and
-      // an eager unpersist on return (the pre-r8 form) un-cached it
-      // between the two, silently re-running the whole split+distance
-      // kernel at consume time
+      // tracked persist (bounded per-site lifetime, r12): the frame
+      // is consumed TWICE — the eager histogram collect below and the
+      // lazily-returned segmentation plan — and an eager unpersist on
+      // return (the pre-r8 form) un-cached it between the two,
+      // silently re-running the whole split+distance kernel at
+      // consume time; the tracked registry caps accumulated entries
+      // across repeated chunk() calls instead
     }).persistTracked("semantic.dists")
 
     {

@@ -78,7 +78,7 @@ object ScaleStress {
     * fixture semantics) untouched. */
   private val IdStride = 10000000L
 
-  private def tile(spark: SparkSession, baseDir: String, outDir: String,
+  private[tools] def tile(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
     val reps = spark.range(factor).select(col("id").cast("int").as("r"))
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
