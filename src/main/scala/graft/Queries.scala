@@ -909,10 +909,19 @@ object Queries {
     // — the vocabulary itself never leaves the executors
     val merges = graft.text.BpeLite.trainDistributed(docs, numMerges = 8)
     val mergesStr = merges.map { case (a, b) => s"$a+$b" }.mkString(",")
+    // tracked persist BETWEEN the encode projection and the output
+    // sort: the sort's range-partitioner runs a SAMPLING pass that
+    // re-executes everything above the last exchange — without the
+    // cache the whole corpus (and any 50 MB giant, serially) ENCODES
+    // TWICE (the r12 row-skew in-situ attribution: 26.0 s full vs
+    // 13.6 s of phases — the 12 s delta was exactly the second
+    // encode of the giant). The cached frame is four narrow columns,
+    // and the sort shuffle moves counts, never re-computed encodes.
     docs.select(col("doc_id"),
         graft.text.BpeLite.tokenCountCol(merges).as("n_bpe_tokens"),
         Tok.tokenCount(col("text")).as("n_regex_tokens"),
         lit(mergesStr).as("merges"))
+      .persistTracked("bpe.encoded")
       .orderBy(col("doc_id"))
   }
 

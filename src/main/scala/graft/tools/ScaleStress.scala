@@ -196,7 +196,7 @@ object ScaleStress {
     * kernel-exponent fixture: wall time is the giant's processing
     * cost directly, with no corpus work overlapping it). Returns the
     * dir. */
-  private def skewDir(spark: SparkSession, baseDir: String,
+  private[tools] def skewDir(spark: SparkSession, baseDir: String,
       mb: Int, giantOnly: Boolean = false): String = {
     val out = graft.io.TempDirs.create(
       s"graft-rowskew${if (giantOnly) "-only" else ""}-$mb")
