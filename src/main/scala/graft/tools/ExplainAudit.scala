@@ -79,7 +79,11 @@ object ExplainAudit {
     // heap (TopKPerKey above the quality scan, window only on the
     // <= K survivors) and the tercile bucketing (histogram aggregate
     // + literal thresholds, no global ntile window)
-    "q_domain_quota", "q_quality_buckets")
+    "q_domain_quota", "q_quality_buckets",
+    // round 12: the split-policy consumers after the existence probe
+    // (giant-free fixture → the exact unsplit plans) and the BPE
+    // encode cache between projection and output sort
+    "q_chunk_semantic", "q_bpe_tokens")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
