@@ -251,21 +251,33 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the sortedOnce discipline (r12) caches the result below the
+      // output sort, so the kernel plan lives inside the
+      // InMemoryRelation — expand caches before asserting shapes
+      def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+          pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+        val cached = p.collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            s.relation.cachedPlan
+        }
+        p.collect(pf) ++ cached.flatMap(deepCollect(_)(pf))
+      }
       // q_repetition on a giant-free corpus (every fixture): the
       // existence probe routes to the r11 single-branch plan — pure
-      // scan -> project with ONE range exchange (the output sort):
-      // no explode, no aggregate, no dead union branch.
+      // scan -> project, cached once (sortedOnce), ONE range exchange
+      // (the output sort): no explode, no aggregate, no dead union.
       val rep = Queries.q_repetition(spark, sf).queryExecution.executedPlan
-      assert(rep.collect {
+      assert(deepCollect(rep) {
         case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
         s"q_repetition must not explode grams, plan:\n$rep")
-      assert(rep.collect {
+      assert(deepCollect(rep) {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }.isEmpty,
         s"q_repetition must carry no aggregation state, plan:\n$rep")
-      // allowed shuffles: the corpus loader's own doc_id spread
-      // (REPARTITION_BY_NUM, present under every documents consumer)
-      // and the output sort's range exchange — NOTHING gram-keyed.
-      val repShuffles = rep.collect {
+      // allowed shuffles (cache-expanded): the corpus loader's own
+      // doc_id spread (REPARTITION_BY_NUM, present under every
+      // documents consumer) and the output sort's range exchange —
+      // NOTHING gram-keyed.
+      val repShuffles = deepCollect(rep) {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
       assert(repShuffles.size <= 2 && repShuffles.forall(e =>
           e.outputPartitioning.isInstanceOf[
@@ -283,7 +295,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
           .toDF("doc_id", "text", "n_chars")
         val giantPlan = Queries.repetitionSignals(mixed,
           splitChars = 50L, partTokens = 8).queryExecution.executedPlan
-        val union = giantPlan.collect {
+        val union = deepCollect(giantPlan) {
           case u: org.apache.spark.sql.execution.UnionExec => u }
         assert(union.size == 1,
           s"giant corpus must produce the small∪giant union, plan:\n$giantPlan")
