@@ -921,28 +921,45 @@ object Queries {
     * boundaries on an arbitrary vocabulary). The learned merge
     * sequence is emitted alongside, so the training decisions
     * themselves are hash-pinned, like q_bpe_crafted. */
-  def q_bpe_tokens(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    // the ORACLE-checked row trains on the FULL vocabulary (the DuckDB
-    // side has no top-N sample) with the fully distributed trainer:
-    // per round one pair-count aggregate, one argmax row to the driver
-    // — the vocabulary itself never leaves the executors
+  def q_bpe_tokens(s: SparkSession, dir: String): DataFrame =
+    bpeTokenSignals(t(s, dir, "documents"))
+
+  /** [[q_bpe_tokens]]'s engine. The ORACLE-checked row trains on the
+    * FULL vocabulary (the DuckDB side has no top-N sample) with the
+    * fully distributed trainer: per round one pair-count aggregate,
+    * ≤ 16 rows to the driver — the vocabulary itself never leaves
+    * the executors.
+    *
+    * Encoding: sub-threshold documents use the per-row broadcast-
+    * merges UDF; documents over `splitChars` (one row = one serial
+    * encode task — the last r11 row-skew kernel still giant-serial)
+    * take [[graft.text.BpeLite.tokenCountsExploded]] — word-exploded,
+    * distinct-(doc, word) reduced, each word encoded once — which is
+    * bit-identical by the encode-concatenates-words identity. The
+    * tracked persist BETWEEN encode and the output sort keeps the
+    * range-partitioner's sampling pass from re-executing the encode
+    * (the r12 in-situ attribution: the giant used to encode twice,
+    * 26.0 s vs 13.6 s of phases). */
+  private[graft] def bpeTokenSignals(docs: DataFrame,
+      splitChars: Long = RepetitionSplitChars): DataFrame = {
     val merges = graft.text.BpeLite.trainDistributed(docs, numMerges = 8)
     val mergesStr = merges.map { case (a, b) => s"$a+$b" }.mkString(",")
-    // tracked persist BETWEEN the encode projection and the output
-    // sort: the sort's range-partitioner runs a SAMPLING pass that
-    // re-executes everything above the last exchange — without the
-    // cache the whole corpus (and any 50 MB giant, serially) ENCODES
-    // TWICE (the r12 row-skew in-situ attribution: 26.0 s full vs
-    // 13.6 s of phases — the 12 s delta was exactly the second
-    // encode of the giant). The cached frame is four narrow columns,
-    // and the sort shuffle moves counts, never re-computed encodes.
-    docs.select(col("doc_id"),
-        graft.text.BpeLite.tokenCountCol(merges).as("n_bpe_tokens"),
-        Tok.tokenCount(col("text")).as("n_regex_tokens"),
-        lit(mergesStr).as("merges"))
-      .persistTracked("bpe.encoded")
-      .orderBy(col("doc_id"))
+    def perRow(d: DataFrame) = d.select(col("doc_id"),
+      graft.text.BpeLite.tokenCountCol(merges).as("n_bpe_tokens"),
+      Tok.tokenCount(col("text")).as("n_regex_tokens"),
+      lit(mergesStr).as("merges"))
+    val giants = docs.filter(col("n_chars") > splitChars)
+    val out =
+      if (giants.isEmpty) perRow(docs)
+      else perRow(docs.filter(col("n_chars") <= splitChars))
+        .unionByName(giants
+          .join(graft.text.BpeLite.tokenCountsExploded(giants, merges),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bpe_tokens"), lit(0)).as("n_bpe_tokens"),
+            Tok.tokenCount(col("text")).as("n_regex_tokens"),
+            lit(mergesStr).as("merges")))
+    out.sortedOnce("q_bpe_tokens")(col("doc_id"))
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021, MassiveText

@@ -394,8 +394,84 @@ object Dedup {
 
   private val simhashUdf = udf((s: String) => simhash60(s))
 
-  def withSimhash(docs: DataFrame): DataFrame =
-    docs.withColumn("simhash", simhashUdf(col("text")))
+  /** Per-part 60-bit SimHash ACCUMULATOR — the giant-document split
+    * half of [[simhash60]]: the per-bit ±1 sums over one token-array
+    * slice, as array<int>(60). Accumulators ADD exactly across parts
+    * (unigram state, no boundary grams), so sign-folding the per-doc
+    * sum is bit-identical to the one-row kernel. */
+  private val simhashAccUdf = udf((ts: Seq[String]) => {
+    val acc = new Array[Int](60)
+    ts.foreach { t =>
+      val bits = tokenBits(t)
+      var k = 0
+      while (k < 60) {
+        acc(k) += (if (((bits >>> k) & 1) == 1) 1 else -1)
+        k += 1
+      }
+    }
+    acc
+  })
+
+  private val signFoldUdf = udf((acc: Seq[Int]) => {
+    var h = 0L
+    var k = 0
+    while (k < 60) { if (acc(k) > 0) h |= (1L << k); k += 1 }
+    h
+  })
+
+  /** Tokens per split part for giant-document SimHash. */
+  private[dedup] val SimhashPartTokens = 1 << 16
+
+  /** Characters above which a document's SimHash computes over split
+    * token-array parts instead of one serial per-row task. */
+  private[dedup] val SimhashSplitChars = 1L << 21
+
+  /** `docs` + a `simhash` column. Documents over `splitChars` (only
+    * checkable when the frame carries the `n_chars` storage column)
+    * split their token array into `partTokens` slices, accumulate
+    * per-bit sums per part IN PARALLEL, zip-sum the ≤ ~800 part
+    * accumulators per document and sign-fold — bit-identical to the
+    * per-row kernel (integer sums are exact and order-free), so the
+    * r11 row-skew finding "simhash still processes a giant document
+    * as one row" is closed without touching any oracle. Giant-free
+    * corpora (every fixture) take one existence probe (pushed
+    * n_chars predicate, row-group stats) and keep the exact per-row
+    * plan. */
+  def withSimhash(docs: DataFrame,
+      splitChars: Long = SimhashSplitChars,
+      partTokens: Int = SimhashPartTokens): DataFrame = {
+    val perRow = docs.withColumn("simhash", simhashUdf(col("text")))
+    if (!docs.columns.contains("n_chars")) return perRow
+    val giants = docs.filter(col("n_chars") > splitChars)
+    if (giants.isEmpty) return perRow
+    val S = partTokens
+    val nsp = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // slice BEFORE the spread (the DocSplit discipline): the shuffle
+    // moves part-sized token slices, never the full array per part
+    val sums = giants
+      // null-text giants coalesce to the empty array: simhash60(null)
+      // is 0, and a zero accumulator sign-folds to the same 0
+      .select(col("doc_id"), coalesce(graft.text.Tok.tokens(col("text")),
+        array().cast("array<string>")).as("ts"))
+      .withColumn("n_tokens", size(col("ts")))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0),
+          greatest(ceil(col("n_tokens").cast("double") / S) - 1, lit(0))
+            .cast("int"))).as("p"), col("ts"))
+      .select(col("doc_id"), col("p"),
+        slice(col("ts"), col("p") * S + 1, lit(S)).as("pts"))
+      .repartition(nsp, col("doc_id"), col("p"))
+      .select(col("doc_id"), simhashAccUdf(col("pts")).as("acc"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("acc")).as("accs"))
+      .select(col("doc_id"), signFoldUdf(
+        aggregate(col("accs"),
+          array_repeat(lit(0), 60),
+          (a, x) => zip_with(a, x, (m, n) => m + n))).as("simhash"))
+    perRow.filter(col("n_chars") <= splitChars)
+      .unionByName(giants.join(sums, "doc_id")
+        .select(perRow.columns.map(col): _*))
+  }
 
   /** SimHash near-dup candidates: block on 15-bit sub-bands (any of 4
     * bands equal → candidate), then confirm hamming ≤ maxHamming.

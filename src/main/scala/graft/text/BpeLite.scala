@@ -340,4 +340,27 @@ object BpeLite {
     val m = merges.toVector
     udf((s: String) => encode(s, m).length).apply(col("text"))
   }
+
+  /** Per-document BPE token counts via the word-exploded form — the
+    * GIANT-document path for [[tokenCountCol]]: the per-row UDF
+    * encodes a 50 MB document in one serial task, but the count
+    * decomposes exactly as Σ_w count(w in doc) × |encode(w)| over
+    * whitespace words (encode concatenates per-word subword streams,
+    * [[encode]]), so giants explode to words, reduce to DISTINCT
+    * (doc, word) counts — bounded by the document's vocabulary, not
+    * its length — encode each distinct word ONCE (memo-backed), and
+    * sum. Returns `(doc_id, n_bpe_tokens)`; a token-less document
+    * yields 0 via the left join in the caller. Bit-identical to the
+    * per-row UDF by construction. */
+  def tokenCountsExploded(docs: DataFrame,
+      merges: Seq[Merge]): DataFrame = {
+    val m = merges.toVector
+    val lenUdf = udf((w: String) => encodeWord(w, m).length)
+    docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), (col("c") * lenUdf(col("w"))).as("subw"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("subw")).cast("int").as("n_bpe_tokens"))
+  }
 }

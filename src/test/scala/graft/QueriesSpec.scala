@@ -243,6 +243,24 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bpeTokenSignals: giant-doc exploded encode equals the per-row UDF") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, ("ab aab cd " * 40).trim),
+      (3L, "solo"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", lit(1000L)) // force giant routing
+      .withColumn("source", lit("s"))
+    val split = Queries.bpeTokenSignals(docs, splitChars = 10L).collect()
+    val whole = Queries.bpeTokenSignals(docs,
+      splitChars = Long.MaxValue).collect()
+    assert(split.length == whole.length)
+    split.zip(whole).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("q_repetition / q_tfidf_keywords plan gates (r11 rewrites)") {
     // the two worst 10x ScaleStress ratios of r10, both rewritten to
     // shapes whose state no longer grows with the corpus — pin the

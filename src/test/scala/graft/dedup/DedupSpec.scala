@@ -103,6 +103,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(ham(a, c) <= 19)
   }
 
+  test("withSimhash: giant-doc split path equals the per-row kernel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("spark", "merge", "row", "filter", "scan", "batch")
+    val docs = Seq(
+      (1L, "spark merge row filter"),
+      (2L, (1 to 300).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")),
+      (3L, ("dup text " * 50).trim),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", lit(1000L)) // force every doc giant-routed
+      .withColumn("source", lit("s"))
+    for (partTokens <- Seq(7, 64)) {
+      val split = Dedup.withSimhash(docs,
+          splitChars = 10L, partTokens = partTokens)
+        .select("doc_id", "simhash").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val whole = Dedup.withSimhash(docs, splitChars = Long.MaxValue)
+        .select("doc_id", "simhash").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(split == whole, s"diverged at partTokens=$partTokens")
+    }
+    // frames without n_chars keep the plain per-row path
+    val bare = Dedup.withSimhash(docs.drop("n_chars"))
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bare == Dedup.withSimhash(docs, splitChars = Long.MaxValue)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("array-lambda and row-wise minhash signatures agree") {
     // two implementations of one spec: minhashSignature (array HOF,
     // used by q_minhash_sig) and the explode+groupBy aggregate inside
