@@ -399,6 +399,90 @@ object Oracles {
        |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** PQ geometry shared by the oracle and [[Queries.q_topk_pq]]:
+    * pqM subspaces × pqSub dims over the 64-dim embeddings, pqK
+    * codes per subspace, 2 exact-integer update rounds. */
+  private val pqM = Queries.pqM
+  private val pqSub = 64 / pqM
+  private val pqK = Queries.pqK
+
+  /** CTE chain ending in `pqranked` — the FULL ADC ranking (every
+    * (query, vec) pair with its row_number by (adc_dist, vec_id)) —
+    * plus `qvt` (int8 lattice) and `pqs` (quantized queries), which
+    * the rerank row reuses for its exact re-score. */
+  private lazy val pqRankedCte: String = {
+    // assignment CTE: per (vec, subspace) argmin over the given
+    // codebook CTE by (ordered-fold subspace distance, code)
+    def pqAssign(name: String, cbCte: String) =
+      s"""$name AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT v.vec_id, c.s, c.code,
+         |           row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
+         |             list_sum(list_transform(generate_series(1, $pqSub),
+         |               j -> (CAST(v.qv[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j])
+         |                  * (CAST(v.qv[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j]))),
+         |             c.code) AS rn
+         |    FROM qvt v CROSS JOIN $cbCte c)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    // update CTE pair: per-(subspace, code, dim) exact integer sums
+    // -> double centroid; empty codes carry the previous one
+    def pqUpdate(uName: String, cbName: String, aName: String, prev: String) =
+      s"""$uName AS (
+         |  SELECT a.s, a.code, js.j,
+         |         sum(v.qv[(a.s - 1) * $pqSub + js.j]) AS sq, count(*) AS cnt
+         |  FROM $aName a JOIN qvt v USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $pqSub)) AS j) js
+         |  GROUP BY 1, 2, 3
+         |), $cbName AS (
+         |  SELECT s, code, list(CAST(sq AS DOUBLE) / cnt ORDER BY j) AS cent
+         |  FROM $uName GROUP BY s, code
+         |  UNION ALL
+         |  SELECT p.s, p.code, p.cent FROM $prev p
+         |  WHERE NOT EXISTS (SELECT 1 FROM $uName u
+         |                    WHERE u.s = p.s AND u.code = p.code)
+         |)""".stripMargin
+    s"""qvt AS (
+       |  SELECT vec_id,
+       |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+       |              ELSE list_transform(embedding,
+       |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
+       |         END AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+       |        FROM embeddings)
+       |), cb0 AS (
+       |  SELECT sp.s, CAST(v.vec_id AS INTEGER) AS code,
+       |         list_transform(generate_series(1, $pqSub),
+       |           j -> CAST(v.qv[(sp.s - 1) * $pqSub + j] AS DOUBLE)) AS cent
+       |  FROM qvt v CROSS JOIN (SELECT unnest(generate_series(1, $pqM)) AS s) sp
+       |  WHERE v.vec_id < $pqK
+       |), ${pqAssign("pa1", "cb0")}
+       |, ${pqUpdate("pu1", "cb1", "pa1", "cb0")}
+       |, ${pqAssign("pa2", "cb1")}
+       |, ${pqUpdate("pu2", "cb2", "pa2", "cb1")}
+       |, ${pqAssign("enc", "cb2")}
+       |, pqs AS (
+       |  SELECT vec_id AS query_id, qv AS qq FROM qvt WHERE vec_id < 3
+       |), dt AS (
+       |  SELECT q.query_id, c.s, c.code,
+       |         list_sum(list_transform(generate_series(1, $pqSub),
+       |           j -> (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j])
+       |              * (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j]))) AS d
+       |  FROM pqs q CROSS JOIN cb2 c
+       |), pqscored AS (
+       |  SELECT e.vec_id, d.query_id,
+       |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
+       |  FROM enc e JOIN dt d ON d.s = e.s AND d.code = e.code
+       |  GROUP BY e.vec_id, d.query_id
+       |), pqranked AS (
+       |  SELECT query_id, vec_id, adc_dist,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_dist, vec_id) AS rank
+       |  FROM pqscored
+       |)""".stripMargin
+  }
+
   private val base: Map[String, String] = Map(
 
     "q_chunk_fixed" ->
@@ -1841,6 +1925,44 @@ object Oracles {
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    // PQ on REAL embeddings: per-subspace bounded-rounds k-means on
+    // the int8 lattice (pqM subspaces × pqSub dims, pqK codes, 2
+    // unrolled exact-integer update rounds — the q_topk_ivf fit
+    // discipline applied per subspace), encode = per-subspace argmin
+    // with lowest-code ties, serve = ADC (per-query m×k distance
+    // table, ascending-dimension and ascending-subspace double
+    // folds). Mirrors Pq.boundedTrain + Pq.encode + Pq.adcTopK op
+    // for op; pqRankedCte is shared with the rerank row's shortlist.
+    "q_topk_pq" ->
+      s"""WITH $pqRankedCte
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, adc_dist
+         |FROM pqranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // ADC-shortlist + exact-lattice rerank — the standard production
+    // PQ serving pattern (FAISS IVFPQ + refine): the compressed scan
+    // proposes `shortlist` candidates per query, then ONLY those are
+    // re-scored with the exact integer L2 on the full lattice
+    // vectors. Mirrors Pq.adcRerankTopK.
+    "q_topk_pq_rerank" ->
+      s"""WITH $pqRankedCte
+         |, sl AS (
+         |  SELECT query_id, vec_id FROM pqranked WHERE rank <= 40
+         |), rr AS (
+         |  SELECT s.query_id, s.vec_id,
+         |         list_sum(list_transform(generate_series(1, 64),
+         |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2_dist
+         |  FROM sl s
+         |  JOIN qvt v ON v.vec_id = s.vec_id
+         |  JOIN pqs q ON q.query_id = s.query_id
+         |)
+         |SELECT query_id, rank, vec_id, CAST(l2_dist AS BIGINT) AS l2_dist FROM (
+         |  SELECT query_id, vec_id, l2_dist,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY l2_dist, vec_id) AS INTEGER) AS rank
+         |  FROM rr
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_quantize_int8" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,
@@ -3103,6 +3225,49 @@ object Oracles {
          |  SELECT query_id, vec_id FROM (${base("q_topk_cosine")}) t
          |), approx AS (
          |  SELECT query_id, vec_id FROM (${base("q_topk_ivf")}) a
+         |), hits AS (
+         |  SELECT t.query_id, count(*) AS n_hit
+         |  FROM truth t
+         |  JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+         |  GROUP BY t.query_id
+         |), ks AS (
+         |  SELECT query_id, count(*) AS k FROM truth GROUP BY query_id
+         |)
+         |SELECT ks.query_id, CAST(ks.k AS INTEGER) AS k,
+         |       CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
+         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ks.k, 4) AS recall
+         |FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
+         |ORDER BY ks.query_id""".stripMargin,
+
+    // PQ recall vs the EXACT int8-lattice squared-L2 truth (pure
+    // integer distances) — the approx side embeds q_topk_pq's SQL
+    // verbatim, so the eval replays from the already-hash-checked
+    // ranking
+    "q_pq_recall" ->
+      s"""WITH lqv AS (
+         |  SELECT vec_id,
+         |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+         |              ELSE list_transform(embedding,
+         |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
+         |         END AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM embeddings)
+         |), lqs AS (
+         |  SELECT vec_id AS query_id, qv AS qq FROM lqv WHERE vec_id < 3
+         |), ld AS (
+         |  SELECT q.query_id, v.vec_id,
+         |         list_sum(list_transform(generate_series(1, 64),
+         |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2
+         |  FROM lqv v CROSS JOIN lqs q
+         |), truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY l2, vec_id) AS rn
+         |    FROM ld) WHERE rn <= 5
+         |), approx AS (
+         |  SELECT query_id, vec_id FROM (${base("q_topk_pq")}) a
          |), hits AS (
          |  SELECT t.query_id, count(*) AS n_hit
          |  FROM truth t

@@ -586,6 +586,78 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product quantization serve on the REAL embeddings — the
+    * memory-side ANN scale path ([[vector.Pq]]): per-subspace
+    * bounded-rounds k-means on the int8 lattice (m = 8 subspaces ×
+    * 8 dims, 8 codes, 2 exact-integer update rounds — the
+    * [[q_topk_ivf]] oracle-replayable fit discipline applied
+    * per-subspace), map-side encode to 8 code ids per vector (32×
+    * smaller than the float corpus), then ADC top-5: each corpus
+    * vector scored by 8 table lookups instead of 64 multiplies.
+    * Fully DuckDB-hash-checked — every arithmetic step is lattice-
+    * integer or ascending-order double, so the oracle replays the
+    * train + encode + serve chain bit-identically. */
+  /** PQ geometry shared with [[Oracles]]: 16 subspaces × 4 dims over
+    * the 64-dim embeddings, 16 codes per subspace, 2 exact-integer
+    * update rounds — 16 B/vector, vs 256 B of floats. */
+  private[graft] val pqM = 16
+  private[graft] val pqK = 16
+
+  private def pqQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+
+  def q_topk_pq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (quantized, books) = vector.Pq.boundedTrain(emb, pqM, pqK, rounds = 2)
+    vector.Pq.adcTopK(vector.Pq.encode(quantized, books), books,
+        pqQueries(emb), 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ shortlist-then-rerank — ADC proposes 40 candidates per query
+    * from the codes-only corpus, then only those 40 rows re-score
+    * with the exact lattice L2 ([[vector.Pq.adcRerankTopK]]). The
+    * production accuracy/memory trade every quantized index serves
+    * behind; its recall against the exact truth is near-1 where pure
+    * ADC ([[q_pq_recall]]) is partial. */
+  def q_topk_pq_rerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (quantized, books) = vector.Pq.boundedTrain(emb, pqM, pqK, rounds = 2)
+    vector.Pq.adcRerankTopK(vector.Pq.encode(quantized, books), books,
+        quantized, pqQueries(emb), 5, shortlist = 40)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ recall evaluation — recall@5 of the ADC serve ([[q_topk_pq]])
+    * against EXACT squared-L2 top-5 on the same int8 lattice
+    * ([[vector.Pq.exactTopK]], pure integer distances). Measuring
+    * against the lattice truth (not float cosine) isolates the PQ
+    * codebook approximation error from the shared int8 quantization
+    * step — the eval semantics a quantized index actually needs.
+    * Same composed-oracle shape as [[q_ann_recall]]: both sides'
+    * SQL embed as derived tables, so the eval loop is hash-checked;
+    * rows = |queries| · k regardless of corpus size. */
+  def q_pq_recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = pqQueries(emb)
+    val (quantized, books) = vector.Pq.boundedTrain(emb, pqM, pqK, rounds = 2)
+    val truth = vector.Pq.exactTopK(quantized, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = vector.Pq
+      .adcTopK(vector.Pq.encode(quantized, books), books, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("kc"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("kc").cast("int").as("k"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("kc"), 4)
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   // ===== tabular surface (P/A/O/F series) =====
 
   /** P1..P3+P5 — projection, equality + numeric BETWEEN, conjunction. */

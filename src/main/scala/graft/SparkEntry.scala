@@ -60,6 +60,9 @@ object SparkEntry {
     "q_topk_int8_rerank" -> (Queries.q_topk_int8_rerank _),
     "q_topk_ivf_crafted" -> (Queries.q_topk_ivf_crafted _),
     "q_topk_ivf_indexed" -> (Queries.q_topk_ivf_indexed _),
+    "q_topk_pq" -> (Queries.q_topk_pq _),
+    "q_topk_pq_rerank" -> (Queries.q_topk_pq_rerank _),
+    "q_pq_recall" -> (Queries.q_pq_recall _),
     // tabular surface
     "q_filter_conj" -> (Queries.q_filter_conj _),
     "q_date_between" -> (Queries.q_date_between _),

@@ -1,0 +1,226 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the third ANN scale path next to LSH
+  * ([[Ann.lshTopK]]) and IVF ([[Ivf]]), and the one that attacks
+  * MEMORY rather than scan count: each vector is compressed to `m`
+  * small code ids (one per subspace), so a 64-dim float corpus
+  * (256 B/vector) serves from `m` bytes/vector — 32× smaller at
+  * m = 8. At 100 TB of embeddings that is the difference between an
+  * index that fits in cluster RAM and one that doesn't; FAISS's
+  * billion-scale configurations are IVF+PQ for exactly this reason.
+  *
+  * Three phases, each with an explicit distributed shape:
+  *
+  *  - '''train''' ([[boundedTrain]]): per-subspace k-means over
+  *    [[Quantize.int8]] lattice vectors, run for exactly `rounds`
+  *    update rounds with exact-integer centroid sums — the same
+  *    order-free, SQL-replayable discipline as [[Ivf.boundedIndex]],
+  *    applied independently to each of the `m` subvector slices. All
+  *    `m` fits ride ONE aggregate job per round (grouped by
+  *    (subspace, code) — `m·k` rows × sub-dim integer sums to the
+  *    driver), so training is `rounds + 1` narrow corpus passes
+  *    regardless of `m`.
+  *  - '''encode''' ([[encode]]): map-side only — `m` codegen'd
+  *    nearest-centroid expressions ([[FloatVecExpr.nearestCellF]])
+  *    over broadcast-literal codebooks; no join, no shuffle. The
+  *    output (vec_id, codes) frame is the tiny serve-time corpus.
+  *  - '''serve''' ([[adcTopK]]): asymmetric distance computation —
+  *    the query builds an `m × k` table of exact subspace distances
+  *    ONCE (driver-side, bounded by |queries| like
+  *    [[Ivf.topKIndexed]]'s probe collect), then every corpus vector
+  *    is scored by `m` array lookups + adds instead of `dim`
+  *    multiplies. Scoring stays in whole-stage codegen
+  *    (`element_at` over broadcast literal tables); top-k is the
+  *    standard per-query window.
+  *
+  * Distance semantics: squared L2 on the int8 lattice. The lattice
+  * keeps every arithmetic step (integer differences, integer sums,
+  * one double division per centroid coordinate, ascending-dimension
+  * double accumulation) bit-replayable by the DuckDB oracle, the
+  * same trick as the IVF bounded fit. Exact-lattice brute force
+  * (integer distances, [[exactTopK]]) is the matching ground truth
+  * for recall evaluation — it isolates PQ's approximation error from
+  * the int8 quantization step, which both paths share. */
+object Pq {
+
+  /** Codebooks: codebooks(s)(c) is the sub-dim-length centroid of
+    * code `c` in subspace `s` (doubles — exact integer sums / count). */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def subSlice(qv: Column, s: Int, sub: Int): Column =
+    slice(qv, s * sub + 1, sub)
+
+  /** Per-subspace bounded-rounds k-means over the int8 lattice.
+    *
+    * Init: subspace `s`'s code `c` starts from the quantized
+    * subvector of `vec_id = c` (requires vec_ids `0..k-1` present,
+    * the [[Ivf.boundedIndex]] rule — a sparse id range would silently
+    * mis-key codes). Exactly `rounds` update rounds, no convergence
+    * test; empty codes keep their previous centroid; assignment ties
+    * go to the lowest code (first-minimum, [[IntVecNearestCell]]).
+    *
+    * Returns (quantizedCorpus with `qv`, codebooks). One persisted
+    * narrow (vec_id, qv) projection feeds the `rounds + 1` passes and
+    * is released before returning. */
+  def boundedTrain(corpus: DataFrame, m: Int = 8, k: Int = 8,
+      rounds: Int = 2): (DataFrame, Codebooks) = {
+    val qcorpus = corpus.withColumn("qv", Quantize.int8(col("embedding")))
+    val fit = qcorpus.select(col("vec_id"), col("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = fit.filter(col("vec_id") < k).orderBy(col("vec_id"))
+        .select(col("qv")).collect()
+        .map(_.getAs[scala.collection.Seq[Int]](0).toArray)
+      require(seeds.length == k,
+        s"boundedTrain needs vec_ids 0..${k - 1} present, found ${seeds.length}")
+      val dim = seeds(0).length
+      require(dim % m == 0, s"dim $dim not divisible by m = $m subspaces")
+      val sub = dim / m
+      var books: Codebooks = Array.tabulate(m)(s =>
+        seeds.map(v => v.slice(s * sub, (s + 1) * sub).map(_.toDouble)))
+      for (_ <- 1 to rounds) {
+        // ONE aggregate job updates all m codebooks: explode each row
+        // into its m (subspace, code, subvector) assignments, then
+        // m·k groups of exact integer sums come back to the driver
+        val assigned = fit.select(posexplode(array((0 until m).map(s =>
+          struct(
+            FloatVecExpr.nearestCellF(subSlice(col("qv"), s, sub), books(s))
+              .as("code"),
+            subSlice(col("qv"), s, sub).as("sv"))): _*)).as(Seq("s", "sc")))
+        val upd = assigned
+          .groupBy(col("s"), col("sc.code").as("code"))
+          .agg(count(lit(1)).as("cnt"),
+            array((0 until sub).map(j =>
+              sum(element_at(col("sc.sv"), j + 1)).cast("long")): _*).as("sums"))
+          .collect()
+        val next = books.map(_.clone())
+        upd.foreach { r =>
+          val s = r.getInt(0)
+          val c = r.getInt(1)
+          val cnt = r.getLong(2)
+          next(s)(c) = r.getAs[scala.collection.Seq[Long]]("sums")
+            .map(x => x.toDouble / cnt).toArray
+        }
+        books = next
+      }
+      (qcorpus, books)
+    } finally fit.unpersist(blocking = false)
+  }
+
+  /** Map-side PQ encode: (vec_id, codes array<int>) — `m` codegen'd
+    * nearest-centroid expressions over broadcast-literal codebooks.
+    * The encoded frame is the serve-time corpus: m ints per vector. */
+  def encode(quantized: DataFrame, books: Codebooks): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    quantized.select(col("vec_id"),
+      array((0 until m).map(s =>
+        FloatVecExpr.nearestCellF(subSlice(col("qv"), s, sub), books(s))): _*)
+        .as("codes"))
+  }
+
+  /** Exact per-query × per-code squared-L2 distance table, computed
+    * driver-side in ascending-dimension order (the same fold order as
+    * [[IntVecNearestCell]] and the oracle's `list_sum`). */
+  private def distanceTable(qq: Array[Int], books: Codebooks)
+      : Array[Array[Double]] = {
+    val m = books.length
+    val sub = books(0)(0).length
+    Array.tabulate(m) { s =>
+      books(s).map { cent =>
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val x = qq(s * sub + j).toDouble - cent(j); d += x * x; j += 1
+        }
+        d
+      }
+    }
+  }
+
+  /** ADC top-k: score = Σ_s dtab(s)(code_s), ascending-subspace
+    * accumulation — `m` lookups + adds per corpus vector, all inside
+    * whole-stage codegen. `queries` carries (query_id, q_embedding)
+    * and is collected driver-side (bounded by |queries| — the
+    * [[Ivf.topKIndexed]] / [[graft.text.Bm25]] query-collect rule).
+    * Ties → lowest vec_id. */
+  def adcTopK(encoded: DataFrame, books: Codebooks, queries: DataFrame,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
+      .select(col("query_id"), col("qq")).orderBy(col("query_id"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Int]]("qq").toArray))
+    val tabs = qs.toSeq
+      .map { case (qid, qq) => (qid, distanceTable(qq, books).map(_.toSeq).toSeq) }
+      .toDF("query_id", "dtab")
+    val m = books.length
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("dtab"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    encoded.crossJoin(broadcast(tabs))
+      .withColumn("adc_dist", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
+
+  /** ADC-shortlist + exact rerank — the standard production PQ serve
+    * (FAISS's IVFPQ + refine): the compressed scan proposes
+    * `shortlist` candidates per query (m lookups/vector over the
+    * codes-only corpus), then ONLY those rows join back to their full
+    * lattice vectors for an exact integer-L2 re-score. At 100 TB the
+    * full-vector table is touched for |queries| · shortlist rows
+    * total — the memory win of PQ with the accuracy of exact top-k
+    * over the shortlist. */
+  def adcRerankTopK(encoded: DataFrame, books: Codebooks,
+      quantized: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    val sl = adcTopK(encoded, books, queries, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
+      .select(col("query_id"), col("qq"))
+    val d = aggregate(
+      zip_with(col("qq"), col("qv"),
+        (x, y) => ((x - y) * (x - y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+    quantized.select(col("vec_id"), col("qv"))
+      .join(broadcast(sl), "vec_id")
+      .join(broadcast(qs), "query_id")
+      .withColumn("l2_dist", d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("l2_dist"))
+  }
+
+  /** Exact brute-force squared-L2 top-k on the SAME int8 lattice —
+    * integer distances (no float accumulation at all), the ground
+    * truth [[adcTopK]]'s recall is measured against. */
+  def exactTopK(quantized: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
+      .select(col("query_id"), col("qq"))
+    val d = aggregate(
+      zip_with(col("qq"), col("qv"),
+        (x, y) => ((x - y) * (x - y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+    quantized.select(col("vec_id"), col("qv")).crossJoin(broadcast(qs))
+      .withColumn("l2_dist", d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("l2_dist"))
+  }
+}

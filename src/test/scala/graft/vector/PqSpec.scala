@@ -1,0 +1,170 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Product quantization ([[Pq]]): the distributed bounded-rounds
+  * per-subspace fit, the map-side encode, and the ADC serve are each
+  * checked against an INDEPENDENT driver-side replay of the same
+  * arithmetic (plain Scala loops, no Spark) — the BatchedEmbedderSpec
+  * discipline. Order-freeness of the integer-sum fit is pinned by a
+  * partition-layout A/B. */
+class PqSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+  private val sub = dim / m
+  private val k = 4
+
+  private def corpus(n: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(11)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
+  // ---- independent driver-side replay of the whole chain ----
+
+  private def quantize(v: Seq[Float]): Array[Int] = {
+    val mx = v.map(x => math.abs(x.toDouble)).max
+    if (mx == 0) Array.fill(v.length)(0)
+    else v.map(x => math.floor(x.toDouble * (127.0 / mx) + 0.5).toInt).toArray
+  }
+
+  private def subDist(qv: Array[Int], s: Int, cent: Array[Double]): Double = {
+    var d = 0.0
+    var j = 0
+    while (j < sub) { val x = qv(s * sub + j).toDouble - cent(j); d += x * x; j += 1 }
+    d
+  }
+
+  private def replayTrain(rows: Seq[(Long, Seq[Float])], rounds: Int)
+      : (Map[Long, Array[Int]], Array[Array[Array[Double]]]) = {
+    val qvs = rows.map { case (id, v) => id -> quantize(v) }.toMap
+    var books = Array.tabulate(m)(s =>
+      (0 until k).map(c => qvs(c.toLong).slice(s * sub, (s + 1) * sub)
+        .map(_.toDouble)).toArray)
+    for (_ <- 1 to rounds) {
+      val next = books.map(_.clone())
+      for (s <- 0 until m) {
+        val assign = qvs.toSeq.map { case (id, qv) =>
+          val ds = books(s).map(subDist(qv, s, _))
+          (id, ds.indexOf(ds.min)) // first-minimum wins ties
+        }
+        for (c <- 0 until k) {
+          val members = assign.filter(_._2 == c).map(_._1)
+          if (members.nonEmpty) {
+            val sums = new Array[Long](sub)
+            members.foreach { id =>
+              val qv = qvs(id)
+              for (j <- 0 until sub) sums(j) += qv(s * sub + j)
+            }
+            next(s)(c) = sums.map(x => x.toDouble / members.size)
+          }
+        }
+      }
+      books = next
+    }
+    (qvs, books)
+  }
+
+  test("boundedTrain codebooks are exactly partition-layout-free and match the driver replay") {
+    val rows = corpus(50)
+    val df = rows.toDF("vec_id", "embedding")
+    val (_, b3) = Pq.boundedTrain(df.repartition(3), m, k, rounds = 2)
+    val (_, b13) = Pq.boundedTrain(df.repartition(13), m, k, rounds = 2)
+    val (_, ref) = replayTrain(rows, rounds = 2)
+    for (s <- 0 until m; c <- 0 until k) {
+      assert(java.util.Arrays.equals(b3(s)(c), b13(s)(c)),
+        s"layout-dependent codebook at s=$s c=$c")
+      assert(java.util.Arrays.equals(b3(s)(c), ref(s)(c)),
+        s"codebook diverges from driver replay at s=$s c=$c")
+    }
+  }
+
+  test("encode matches the driver replay and is layout-free") {
+    val rows = corpus(50)
+    val df = rows.toDF("vec_id", "embedding")
+    val (q, books) = Pq.boundedTrain(df, m, k, rounds = 2)
+    val got = Pq.encode(q.repartition(7), books)
+      .as[(Long, Seq[Int])].collect().toMap
+    val (qvs, ref) = replayTrain(rows, rounds = 2)
+    rows.foreach { case (id, _) =>
+      val qv = qvs(id)
+      val want = (0 until m).map { s =>
+        val ds = ref(s).map(subDist(qv, s, _))
+        ds.indexOf(ds.min)
+      }
+      assert(got(id) == want, s"encode mismatch for vec $id")
+    }
+  }
+
+  test("adcTopK matches an exhaustive driver-side ADC ranking") {
+    val rows = corpus(60)
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = rows.take(2)
+      .map { case (id, v) => (id + 1000L, v) }
+      .toDF("query_id", "q_embedding")
+    val (q, books) = Pq.boundedTrain(df, m, k, rounds = 2)
+    val got = Pq.adcTopK(Pq.encode(q, books), books, queries, 5)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+
+    val (qvs, ref) = replayTrain(rows, rounds = 2)
+    val want = rows.take(2).flatMap { case (qid0, qv0) =>
+      val qq = quantize(qv0)
+      val scored = rows.map { case (id, _) =>
+        val qv = qvs(id)
+        val adc = (0 until m).map { s =>
+          val ds = ref(s).map(subDist(qv, s, _))
+          val code = ds.indexOf(ds.min)
+          subDist(qq, s, ref(s)(code))
+        }.sum
+        (id, adc)
+      }.sortBy { case (id, adc) => (adc, id) }.take(5)
+      scored.zipWithIndex.map { case ((id, _), i) => (qid0 + 1000L, i + 1, id) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("adcRerankTopK with a full-corpus shortlist IS exactTopK") {
+    val rows = corpus(50)
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = rows.take(2)
+      .map { case (id, v) => (id + 1000L, v) }
+      .toDF("query_id", "q_embedding")
+    val (q, books) = Pq.boundedTrain(df, m, k, rounds = 2)
+    val rr = Pq.adcRerankTopK(Pq.encode(q, books), books, q, queries, 5,
+        shortlist = rows.size)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val ex = Pq.exactTopK(q, queries, 5)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(rr == ex)
+  }
+
+  test("exactTopK is the true lattice L2 ranking (integer distances)") {
+    val rows = corpus(40)
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = Seq((500L, rows(3)._2)).toDF("query_id", "q_embedding")
+    val q = df.withColumn("qv", Quantize.int8(col("embedding")))
+    val got = Pq.exactTopK(q, queries, 3)
+      .select("rank", "vec_id", "l2_dist").as[(Int, Long, Long)].collect()
+    val qq = quantize(rows(3)._2)
+    val want = rows.map { case (id, v) =>
+      val qv = quantize(v)
+      (id, (0 until dim).map(j => { val d = (qq(j) - qv(j)).toLong; d * d }).sum)
+    }.sortBy { case (id, d) => (d, id) }.take(3)
+      .zipWithIndex.map { case ((id, d), i) => (i + 1, id, d) }
+    assert(got.toSeq == want)
+    assert(got.head._2 == 3L && got.head._3 == 0L) // self-match at distance 0
+  }
+
+  test("boundedTrain requires the seed vec_ids 0..k-1") {
+    val rows = corpus(20).map { case (id, v) => (id + 100L, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pq.boundedTrain(df, m, k, rounds = 1)
+    }
+    assert(e.getMessage.contains("vec_ids 0"))
+  }
+}
