@@ -406,11 +406,93 @@ object Oracles {
   private val pqSub = 64 / pqM
   private val pqK = Queries.pqK
 
-  /** CTE chain ending in `pqranked` — the FULL ADC ranking (every
-    * (query, vec) pair with its row_number by (adc_dist, vec_id)) —
-    * plus `qvt` (int8 lattice) and `pqs` (quantized queries), which
-    * the rerank row reuses for its exact re-score. */
-  private lazy val pqRankedCte: String = {
+  /** Shared int8-lattice CTEs: `emb` (the raw table) and `qvt`
+    * (each vector with its quantized lattice `qv`). Every
+    * bounded-fit ANN oracle (IVF, PQ, IVF+PQ) replays from these. */
+  private lazy val latticeCte: String =
+    s"""emb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), qvt AS (
+       |  SELECT vec_id, embedding,
+       |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+       |              ELSE list_transform(embedding,
+       |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
+       |         END AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+       |        FROM emb)
+       |)""".stripMargin
+
+  /** IVF coarse chain (mirrors Ivf.boundedIndex + Ivf.probe): seed
+    * centroids `c0`, two unrolled exact-integer update rounds, final
+    * assignment `a3`, float-cast centroids `gc`, raw queries `qs`,
+    * and the cosine `probe` (top-2 cells per query). Shared verbatim
+    * by q_topk_ivf and the IVF+PQ composition. */
+  private lazy val ivfCoarseCte: String = {
+    // one assignment CTE per round: argmin over the given centroid
+    // CTE by (ordered-fold distance, cell)
+    def assignCte(name: String, centCte: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             list_sum(list_transform(generate_series(1, 64),
+         |               i -> (CAST(v.qv[i] AS DOUBLE) - c.cent[i])
+         |                  * (CAST(v.qv[i] AS DOUBLE) - c.cent[i]))), c.cell) AS rn
+         |    FROM qvt v CROSS JOIN $centCte c)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    // one update CTE pair per round: per-(cell, dim) exact integer
+    // sums -> double centroid; empty cells carry the previous one
+    def updateCte(sName: String, cName: String, aName: String, prev: String) =
+      s"""$sName AS (
+         |  SELECT a.cell, js.j, sum(v.qv[js.j]) AS sq, count(*) AS cnt
+         |  FROM $aName a JOIN qvt v USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+         |  GROUP BY 1, 2
+         |), $cName AS (
+         |  SELECT cell, list(CAST(sq AS DOUBLE) / cnt ORDER BY j) AS cent
+         |  FROM $sName GROUP BY cell
+         |  UNION ALL
+         |  SELECT p.cell, p.cent FROM $prev p
+         |  WHERE p.cell NOT IN (SELECT DISTINCT cell FROM $sName)
+         |)""".stripMargin
+    s"""c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell,
+       |         list_transform(qv, x -> CAST(x AS DOUBLE)) AS cent
+       |  FROM qvt WHERE vec_id < 8
+       |), ${assignCte("a1", "c0")}
+       |, ${updateCte("s1", "c1", "a1", "c0")}
+       |, ${assignCte("a2", "c1")}
+       |, ${updateCte("s2", "c2", "a2", "c1")}
+       |, ${assignCte("a3", "c2")}
+       |, gc AS (
+       |  SELECT cell, list_transform(cent, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS g
+       |  FROM c2
+       |), qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < 3
+       |), probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, g.cell,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             list_sum(list_transform(generate_series(1, 64),
+       |               i -> CAST(q.qe[i] AS DOUBLE) * g.g[i]))
+       |             / (sqrt(list_sum(list_transform(q.qe,
+       |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |                * sqrt(list_sum(list_transform(g.g, x -> x * x)))) DESC,
+       |             g.cell) AS crank
+       |    FROM qs q CROSS JOIN gc g)
+       |  WHERE crank <= 2
+       |)""".stripMargin
+  }
+
+  /** PQ fit chain (mirrors Pq.boundedTrain + Pq.encode): seed
+    * codebooks `cb0`, two unrolled exact-integer update rounds,
+    * final per-subspace assignment `enc`, quantized queries `pqs`,
+    * and the per-query subspace distance tables `dt`. Assumes `qvt`
+    * from [[latticeCte]] precedes it; the rerank and IVF+PQ rows
+    * reuse it without the full-corpus ranking. */
+  private lazy val pqFitCte: String = {
     // assignment CTE: per (vec, subspace) argmin over the given
     // codebook CTE by (ordered-fold subspace distance, code)
     def pqAssign(name: String, cbCte: String) =
@@ -442,16 +524,7 @@ object Oracles {
          |  WHERE NOT EXISTS (SELECT 1 FROM $uName u
          |                    WHERE u.s = p.s AND u.code = p.code)
          |)""".stripMargin
-    s"""qvt AS (
-       |  SELECT vec_id,
-       |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
-       |              ELSE list_transform(embedding,
-       |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
-       |         END AS qv
-       |  FROM (SELECT vec_id, embedding,
-       |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-       |        FROM embeddings)
-       |), cb0 AS (
+    s"""cb0 AS (
        |  SELECT sp.s, CAST(v.vec_id AS INTEGER) AS code,
        |         list_transform(generate_series(1, $pqSub),
        |           j -> CAST(v.qv[(sp.s - 1) * $pqSub + j] AS DOUBLE)) AS cent
@@ -470,7 +543,15 @@ object Oracles {
        |           j -> (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j])
        |              * (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j]))) AS d
        |  FROM pqs q CROSS JOIN cb2 c
-       |), pqscored AS (
+       |)""".stripMargin
+  }
+
+  /** [[pqFitCte]] + the full-corpus ADC ranking (`pqscored`,
+    * `pqranked`) — the serve shape of q_topk_pq and the rerank
+    * shortlist. */
+  private lazy val pqRankedCte: String =
+    s"""$pqFitCte
+       |, pqscored AS (
        |  SELECT e.vec_id, d.query_id,
        |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
        |  FROM enc e JOIN dt d ON d.s = e.s AND d.code = e.code
@@ -481,7 +562,6 @@ object Oracles {
        |           ORDER BY adc_dist, vec_id) AS rank
        |  FROM pqscored
        |)""".stripMargin
-  }
 
   private val base: Map[String, String] = Map(
 
@@ -1842,73 +1922,10 @@ object Oracles {
     // lowest-cell ties, then float-cast-centroid probe (top-2 cells)
     // and exact-cosine fine search (round 6). Mirrors
     // Ivf.boundedIndex + Ivf.topK op for op.
-    "q_topk_ivf" -> {
-      // one assignment CTE per round: argmin over the given centroid
-      // CTE by (ordered-fold distance, cell)
-      def assignCte(name: String, centCte: String) =
-        s"""$name AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT v.vec_id, c.cell,
-           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-           |             list_sum(list_transform(generate_series(1, 64),
-           |               i -> (CAST(v.qv[i] AS DOUBLE) - c.cent[i])
-           |                  * (CAST(v.qv[i] AS DOUBLE) - c.cent[i]))), c.cell) AS rn
-           |    FROM qvt v CROSS JOIN $centCte c)
-           |  WHERE rn = 1
-           |)""".stripMargin
-      // one update CTE pair per round: per-(cell, dim) exact integer
-      // sums -> double centroid; empty cells carry the previous one
-      def updateCte(sName: String, cName: String, aName: String, prev: String) =
-        s"""$sName AS (
-           |  SELECT a.cell, js.j, sum(v.qv[js.j]) AS sq, count(*) AS cnt
-           |  FROM $aName a JOIN qvt v USING (vec_id)
-           |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
-           |  GROUP BY 1, 2
-           |), $cName AS (
-           |  SELECT cell, list(CAST(sq AS DOUBLE) / cnt ORDER BY j) AS cent
-           |  FROM $sName GROUP BY cell
-           |  UNION ALL
-           |  SELECT p.cell, p.cent FROM $prev p
-           |  WHERE p.cell NOT IN (SELECT DISTINCT cell FROM $sName)
-           |)""".stripMargin
-      s"""WITH emb AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |), qvt AS (
-         |  SELECT vec_id, embedding,
-         |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
-         |              ELSE list_transform(embedding,
-         |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
-         |         END AS qv
-         |  FROM (SELECT vec_id, embedding,
-         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-         |        FROM emb)
-         |), c0 AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cell,
-         |         list_transform(qv, x -> CAST(x AS DOUBLE)) AS cent
-         |  FROM qvt WHERE vec_id < 8
-         |), ${assignCte("a1", "c0")}
-         |, ${updateCte("s1", "c1", "a1", "c0")}
-         |, ${assignCte("a2", "c1")}
-         |, ${updateCte("s2", "c2", "a2", "c1")}
-         |, ${assignCte("a3", "c2")}
-         |, gc AS (
-         |  SELECT cell, list_transform(cent, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS g
-         |  FROM c2
-         |), qs AS (
-         |  SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < 3
-         |), probe AS (
-         |  SELECT query_id, cell FROM (
-         |    SELECT q.query_id, g.cell,
-         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |             list_sum(list_transform(generate_series(1, 64),
-         |               i -> CAST(q.qe[i] AS DOUBLE) * g.g[i]))
-         |             / (sqrt(list_sum(list_transform(q.qe,
-         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         |                * sqrt(list_sum(list_transform(g.g, x -> x * x)))) DESC,
-         |             g.cell) AS crank
-         |    FROM qs q CROSS JOIN gc g)
-         |  WHERE crank <= 2
-         |), fine AS (
+    "q_topk_ivf" ->
+      s"""WITH $latticeCte
+         |, $ivfCoarseCte
+         |, fine AS (
          |  SELECT p.query_id, a.vec_id,
          |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
          |               CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
@@ -1922,8 +1939,7 @@ object Oracles {
          |         CAST(row_number() OVER (PARTITION BY query_id
          |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
          |  FROM fine
-         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // PQ on REAL embeddings: per-subspace bounded-rounds k-means on
     // the int8 lattice (pqM subspaces × pqSub dims, pqK codes, 2
@@ -1934,7 +1950,8 @@ object Oracles {
     // folds). Mirrors Pq.boundedTrain + Pq.encode + Pq.adcTopK op
     // for op; pqRankedCte is shared with the rerank row's shortlist.
     "q_topk_pq" ->
-      s"""WITH $pqRankedCte
+      s"""WITH $latticeCte
+         |, $pqRankedCte
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, adc_dist
          |FROM pqranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
@@ -1945,7 +1962,8 @@ object Oracles {
     // re-scored with the exact integer L2 on the full lattice
     // vectors. Mirrors Pq.adcRerankTopK.
     "q_topk_pq_rerank" ->
-      s"""WITH $pqRankedCte
+      s"""WITH $latticeCte
+         |, $pqRankedCte
          |, sl AS (
          |  SELECT query_id, vec_id FROM pqranked WHERE rank <= 40
          |), rr AS (
@@ -1961,6 +1979,32 @@ object Oracles {
          |         CAST(row_number() OVER (PARTITION BY query_id
          |           ORDER BY l2_dist, vec_id) AS INTEGER) AS rank
          |  FROM rr
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF+PQ composition (the FAISS IVFPQ shape): the coarse chain's
+    // probe restricts the ADC scan to the 2 probed cells per query —
+    // both fits replay from the SAME shared lattice/coarse/PQ CTEs
+    // the standalone rows already hash-check. Mirrors
+    // Pq.adcTopKProbed over Ivf.boundedIndex cells.
+    "q_topk_ivfpq" ->
+      s"""WITH $latticeCte
+         |, $ivfCoarseCte
+         |, $pqFitCte
+         |, ipsc AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
+         |  FROM probe p
+         |  JOIN a3 a USING (cell)
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN dt d ON d.query_id = p.query_id
+         |    AND d.s = e.s AND d.code = e.code
+         |  GROUP BY p.query_id, a.vec_id
+         |)
+         |SELECT query_id, rank, vec_id, adc_dist FROM (
+         |  SELECT query_id, vec_id, adc_dist,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+         |  FROM ipsc
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_quantize_int8" ->

@@ -638,6 +638,24 @@ object Queries {
     * Same composed-oracle shape as [[q_ann_recall]]: both sides'
     * SQL embed as derived tables, so the eval loop is hash-checked;
     * rows = |queries| · k regardless of corpus size. */
+  /** IVF+PQ — the FAISS-style billion-scale composition: the coarse
+    * quantizer ([[vector.Ivf.boundedIndex]], same fit as
+    * [[q_topk_ivf]]) restricts the scan to 2 probed cells of 8 per
+    * query, and within them the PQ codes ([[q_topk_pq]]'s fit) are
+    * ADC-scored — scan-count win × memory win. Both fits and the
+    * serve replay bit-identically from the same shared oracle CTEs
+    * the standalone rows hash-check. */
+  def q_topk_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (assigned, cents) = vector.Ivf.boundedIndex(emb, nCells = 8, rounds = 2)
+    val (quantized, books) = vector.Pq.boundedTrain(emb, pqM, pqK, rounds = 2)
+    val encodedWithCell = vector.Pq.encode(quantized, books)
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    vector.Pq.adcTopKProbed(encodedWithCell, books, cents,
+        pqQueries(emb), 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def q_pq_recall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb)

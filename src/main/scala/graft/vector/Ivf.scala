@@ -202,7 +202,7 @@ object Ivf {
   /** Probe step: per query, the `nProbe` nearest quantizer cells by
     * cosine against the FLOAT-cast centroids (ties → lowest cell).
     * Output (query_id, q_embedding, cell) — tiny: |queries| × nProbe. */
-  private def probe(queries: DataFrame, centroids: Array[Array[Double]],
+  private[vector] def probe(queries: DataFrame, centroids: Array[Array[Double]],
       nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._

@@ -174,6 +174,45 @@ object Pq {
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
   }
 
+  /** IVF+PQ serve (the FAISS IVFPQ shape): [[Ivf.probe]] resolves
+    * each query's `nProbe` nearest coarse cells, and ONLY rows in
+    * probed cells are ADC-scored — the scan-count win of IVF stacked
+    * on the memory win of PQ. `encodedWithCell` carries
+    * (vec_id, codes, cell) — [[encode]] joined to an
+    * [[Ivf.boundedIndex]] assignment; at scale it lives
+    * `partitionBy("cell")` so the probe becomes a partition filter.
+    * The cell join replaces [[adcTopK]]'s crossJoin: each corpus row
+    * is scored only for the queries that probed its cell. */
+  def adcTopKProbed(encodedWithCell: DataFrame, books: Codebooks,
+      centroids: Array[Array[Double]], queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val probed = Ivf.probe(queries, centroids, nProbe)
+      .select(col("query_id"), col("cell"))
+    val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
+      .select(col("query_id"), col("qq")).orderBy(col("query_id"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Int]]("qq").toArray))
+    val tabs = qs.toSeq
+      .map { case (qid, qq) => (qid, distanceTable(qq, books).map(_.toSeq).toSeq) }
+      .toDF("query_id", "dtab")
+    val m = books.length
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("dtab"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    encodedWithCell.join(broadcast(probed), "cell")
+      .join(broadcast(tabs), "query_id")
+      .withColumn("adc_dist", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
+
   /** ADC-shortlist + exact rerank — the standard production PQ serve
     * (FAISS's IVFPQ + refine): the compressed scan proposes
     * `shortlist` candidates per query (m lookups/vector over the

@@ -127,6 +127,34 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("adcTopKProbed == the full ADC ranking restricted to probed cells") {
+    val rows = corpus(60)
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = rows.take(2)
+      .map { case (id, v) => (id + 1000L, v) }
+      .toDF("query_id", "q_embedding")
+    val (assigned, cents) = Ivf.boundedIndex(df, nCells = 4, rounds = 2)
+    val (q, books) = Pq.boundedTrain(df, m, k, rounds = 2)
+    val enc = Pq.encode(q, books)
+    val encCell = enc.join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    val got = Pq.adcTopKProbed(encCell, books, cents, queries, 3, nProbe = 2)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+
+    val probed = Ivf.probe(queries, cents, 2)
+      .select("query_id", "cell").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cellOf = assigned.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val full = Pq.adcTopK(enc, books, queries, rows.size)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    val want = full.groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+      rs.sortBy(_._2).map(_._3)
+        .filter(v => probed(qid).contains(cellOf(v)))
+        .take(3).zipWithIndex.map { case (v, i) => (qid, i + 1, v) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("adcRerankTopK with a full-corpus shortlist IS exactTopK") {
     val rows = corpus(50)
     val df = rows.toDF("vec_id", "embedding")
