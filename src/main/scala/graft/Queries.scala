@@ -647,10 +647,12 @@ object Queries {
     * the standalone rows hash-check. */
   def q_topk_ivfpq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val (assigned, cents) = vector.Ivf.boundedIndex(emb, nCells = 8, rounds = 2)
+    val (_, cents) = vector.Ivf.boundedIndex(emb, nCells = 8, rounds = 2)
     val (quantized, books) = vector.Pq.boundedTrain(emb, pqM, pqK, rounds = 2)
-    val encodedWithCell = vector.Pq.encode(quantized, books)
-      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    // cell + codes in ONE map-side pass over the shared lattice —
+    // no corpus self-join to attach the coarse assignment
+    val encodedWithCell = vector.Pq.encodeWith(quantized, books,
+      Seq("cell" -> vector.FloatVecExpr.nearestCellF(col("qv"), cents)))
     vector.Pq.adcTopKProbed(encodedWithCell, books, cents,
         pqQueries(emb), 5, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))

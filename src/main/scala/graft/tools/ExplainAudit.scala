@@ -83,7 +83,11 @@ object ExplainAudit {
     // round 12: the split-policy consumers after the existence probe
     // (giant-free fixture → the exact unsplit plans) and the BPE
     // encode cache between projection and output sort
-    "q_chunk_semantic", "q_bpe_tokens")
+    "q_chunk_semantic", "q_bpe_tokens",
+    // round 12 PQ tier: codes-only ADC serve (broadcast distance
+    // tables, window on query_id) and the IVF+PQ composition
+    // (broadcast probed-cell join replacing the cross join)
+    "q_topk_pq", "q_topk_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

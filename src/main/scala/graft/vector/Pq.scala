@@ -114,13 +114,22 @@ object Pq {
   /** Map-side PQ encode: (vec_id, codes array<int>) — `m` codegen'd
     * nearest-centroid expressions over broadcast-literal codebooks.
     * The encoded frame is the serve-time corpus: m ints per vector. */
-  def encode(quantized: DataFrame, books: Codebooks): DataFrame = {
+  def encode(quantized: DataFrame, books: Codebooks): DataFrame =
+    encodeWith(quantized, books, Nil)
+
+  /** [[encode]] plus caller-supplied extra columns computed in the
+    * SAME map-side pass (e.g. the IVF coarse cell for the IVF+PQ
+    * composition) — one corpus scan, no self-join to re-attach
+    * per-vector metadata afterwards. */
+  def encodeWith(quantized: DataFrame, books: Codebooks,
+      extras: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     val m = books.length
     val sub = books(0)(0).length
-    quantized.select(col("vec_id"),
+    quantized.select(col("vec_id") +:
       array((0 until m).map(s =>
         FloatVecExpr.nearestCellF(subSlice(col("qv"), s, sub), books(s))): _*)
-        .as("codes"))
+        .as("codes") +:
+      extras.map { case (n, c) => c.as(n) }: _*)
   }
 
   /** Exact per-query × per-code squared-L2 distance table, computed
