@@ -3208,6 +3208,9 @@ object Oracles {
     * below it. */
   val sql: Map[String, String] = base ++ Map(
     "q_chunk_recursive_split" -> base("q_chunk_recursive"),
+    // the saved-index serve reads back bit-identical codes/centroids
+    // and shares the in-memory composition's probe/scoring trees
+    "q_topk_ivfpq_indexed" -> base("q_topk_ivfpq"),
     // per-domain quota: the hash-checked quality replay joined to
     // `source`, ranked by the identical (quality DESC, doc_id) order
     "q_domain_quota" ->

@@ -658,6 +658,25 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF+PQ served from a SAVED index — both bounded fits + the
+    * encode persist once per JVM ([[vector.Pq.ensureSavedIndex]],
+    * epoch'd O(1) staleness check), then every serve reads ONLY the
+    * probed cell directories of the `partitionBy("cell")` compressed
+    * codes (static `cell IN (…)` PartitionFilters — the FAISS
+    * on-disk inverted-list shape). Scores bit-identical to
+    * [[q_topk_ivfpq]] (shared probe/scoring trees, lossless
+    * round-trip), so both rows share one oracle SQL. */
+  def q_topk_ivfpq_indexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = vector.Pq.ensureSavedIndex(emb, pqM, pqK, rounds = 2,
+      nCells = 8, cacheKey = s"ivfpq-$dir",
+      epoch = tableEpoch(s, dir, "embeddings"))
+    val (codes, books, cents) = vector.Pq.loadIndex(s, path)
+    vector.Pq.adcTopKIndexed(codes, books, cents, pqQueries(emb), 5,
+        nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def q_pq_recall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb)

@@ -63,6 +63,7 @@ object SparkEntry {
     "q_topk_pq" -> (Queries.q_topk_pq _),
     "q_topk_pq_rerank" -> (Queries.q_topk_pq_rerank _),
     "q_topk_ivfpq" -> (Queries.q_topk_ivfpq _),
+    "q_topk_ivfpq_indexed" -> (Queries.q_topk_ivfpq_indexed _),
     "q_pq_recall" -> (Queries.q_pq_recall _),
     // tabular surface
     "q_filter_conj" -> (Queries.q_filter_conj _),

@@ -87,7 +87,7 @@ object ExplainAudit {
     // round 12 PQ tier: codes-only ADC serve (broadcast distance
     // tables, window on query_id) and the IVF+PQ composition
     // (broadcast probed-cell join replacing the cross join)
-    "q_topk_pq", "q_topk_ivfpq")
+    "q_topk_pq", "q_topk_ivfpq", "q_topk_ivfpq_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -195,10 +195,37 @@ object Pq {
   def adcTopKProbed(encodedWithCell: DataFrame, books: Codebooks,
       centroids: Array[Array[Double]], queries: DataFrame, k: Int,
       nProbe: Int): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
     val probed = Ivf.probe(queries, centroids, nProbe)
       .select(col("query_id"), col("cell"))
+    probedServe(encodedWithCell, probed, books, queries, k)
+  }
+
+  /** [[adcTopKProbed]] served from a LOADED index ([[loadIndex]])
+    * with STORAGE-level pruning: probed cells resolve driver-side
+    * first (bounded by |queries| × nProbe), then push as a static
+    * `cell IN (…)` filter — a PartitionFilter on the
+    * `partitionBy("cell")` codes layout, so only probed cell
+    * directories are read at all (the [[Ivf.topKIndexed]] rule
+    * applied to the compressed corpus). Same probe/scoring trees →
+    * scores bit-identical to the in-memory composition. */
+  def adcTopKIndexed(codesFromDisk: DataFrame, books: Codebooks,
+      centroids: Array[Array[Double]], queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val probed = Ivf.probe(queries, centroids, nProbe)
+      .select(col("query_id"), col("cell"))
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    probedServe(codesFromDisk.filter(col("cell").isin(cells: _*)),
+      probed, books, queries, k)
+  }
+
+  /** Shared probed-ADC serve body: one broadcast cell join (each
+    * corpus row scored only for the queries that probed its cell),
+    * one broadcast distance-table join, partial-then-final top-k. */
+  private def probedServe(encodedWithCell: DataFrame, probed: DataFrame,
+      books: Codebooks, queries: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
       .select(col("query_id"), col("qq")).orderBy(col("query_id"))
       .collect()
@@ -221,6 +248,61 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
   }
+
+  /** Persist an IVF+PQ index: codes land `partitionBy("cell")` (the
+    * FAISS on-disk shape — inverted lists of compressed codes), the
+    * codebooks and coarse centroids as tiny parquets. Doubles and
+    * ints round-trip parquet losslessly, so a loaded index serves
+    * bit-identical scores. */
+  def saveIndex(encodedWithCell: DataFrame, books: Codebooks,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    encodedWithCell.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    val spark = encodedWithCell.sparkSession
+    import spark.implicits._
+    books.zipWithIndex
+      .flatMap { case (cb, s) => cb.zipWithIndex.map { case (cent, c) =>
+        (s, c, cent.toSeq) } }.toSeq
+      .toDF("s", "code", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, Codebooks, Array[Array[Double]]) = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val flat = spark.read.parquet(s"$path/books")
+      .orderBy(col("s"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Double]]("cent").toArray))
+    val m = flat.map(_._1).max + 1
+    val books: Codebooks = Array.tabulate(m)(s =>
+      flat.filter(_._1 == s).sortBy(_._2).map(_._3))
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    (codes, books, cents)
+  }
+
+  /** One saved IVF+PQ index per cache key per JVM — the same
+    * [[graft.io.SavedIndex]] build-once/serve-many + staleness
+    * contract as [[Ivf.ensureSavedBoundedIndex]]: both bounded fits
+    * (`rounds + 1` scans each) and the encode run ONCE per key;
+    * every serve is a cell-pruned read of the compressed codes. */
+  private val savedIndexes = new graft.io.SavedIndex("graft-pq-idx")
+
+  def ensureSavedIndex(corpus: DataFrame, m: Int, k: Int, rounds: Int,
+      nCells: Int, cacheKey: String,
+      epoch: Option[String] = None): String =
+    savedIndexes.ensure(cacheKey, corpus, epoch) { p =>
+      val (_, cents) = Ivf.boundedIndex(corpus, nCells, rounds)
+      val (quantized, books) = boundedTrain(corpus, m, k, rounds)
+      val encodedWithCell = encodeWith(quantized, books,
+        Seq("cell" -> FloatVecExpr.nearestCellF(col("qv"), cents)))
+      saveIndex(encodedWithCell, books, cents, p)
+    }
 
   /** ADC-shortlist + exact rerank — the standard production PQ serve
     * (FAISS's IVFPQ + refine): the compressed scan proposes

@@ -155,6 +155,31 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("saved IVF+PQ index serves bit-identical to the in-memory composition") {
+    val rows = corpus(60)
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = rows.take(2)
+      .map { case (id, v) => (id + 1000L, v) }
+      .toDF("query_id", "q_embedding")
+    val (_, cents) = Ivf.boundedIndex(df, nCells = 4, rounds = 2)
+    val (q, books) = Pq.boundedTrain(df, m, k, rounds = 2)
+    val encCell = Pq.encodeWith(q, books,
+      Seq("cell" -> FloatVecExpr.nearestCellF(col("qv"), cents)))
+    val mem = Pq.adcTopKProbed(encCell, books, cents, queries, 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+
+    val path = Pq.ensureSavedIndex(df, m, k, rounds = 2, nCells = 4,
+      cacheKey = "pq-spec-saved")
+    val (codes, lb, lc) = Pq.loadIndex(spark, path)
+    // lossless round-trip of both fits
+    for (s <- 0 until m; c <- 0 until k)
+      assert(java.util.Arrays.equals(lb(s)(c), books(s)(c)))
+    assert(lc.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    val served = Pq.adcTopKIndexed(codes, lb, lc, queries, 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(served == mem)
+  }
+
   test("adcRerankTopK with a full-corpus shortlist IS exactTopK") {
     val rows = corpus(50)
     val df = rows.toDF("vec_id", "embedding")
