@@ -607,9 +607,27 @@ object Queries {
     emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
 
+  /** All PQ rows serve their FITS from one memoized saved index per
+    * fixture dir (the [[q_topk_ivf]] r8 precedent): the two bounded
+    * fits (3 driver-round-trip jobs each) and the encode persist
+    * once per JVM behind [[vector.Pq.ensureSavedIndex]]'s epoch'd
+    * staleness check; each row then runs its OWN serve work. The
+    * loaded codebooks are bit-identical to an inline
+    * [[vector.Pq.boundedTrain]] (PqSpec pins the lossless
+    * round-trip), so every oracle is unchanged. */
+  private def pqEnsured(s: SparkSession, dir: String)
+      : (DataFrame, vector.Pq.Codebooks, Array[Array[Double]]) = {
+    val emb = t(s, dir, "embeddings")
+    val path = vector.Pq.ensureSavedIndex(emb, pqM, pqK, rounds = 2,
+      nCells = 8, cacheKey = s"ivfpq-$dir",
+      epoch = tableEpoch(s, dir, "embeddings"))
+    vector.Pq.loadIndex(s, path)
+  }
+
   def q_topk_pq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val (quantized, books) = vector.Pq.boundedTrain(emb, pqM, pqK, rounds = 2)
+    val (_, books, _) = pqEnsured(s, dir)
+    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
     vector.Pq.adcTopK(vector.Pq.encode(quantized, books), books,
         pqQueries(emb), 5)
       .orderBy(col("query_id"), col("rank"))
@@ -623,7 +641,8 @@ object Queries {
     * ADC ([[q_pq_recall]]) is partial. */
   def q_topk_pq_rerank(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val (quantized, books) = vector.Pq.boundedTrain(emb, pqM, pqK, rounds = 2)
+    val (_, books, _) = pqEnsured(s, dir)
+    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
     vector.Pq.adcRerankTopK(vector.Pq.encode(quantized, books), books,
         quantized, pqQueries(emb), 5, shortlist = 40)
       .orderBy(col("query_id"), col("rank"))
@@ -647,8 +666,8 @@ object Queries {
     * the standalone rows hash-check. */
   def q_topk_ivfpq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val (_, cents) = vector.Ivf.boundedIndex(emb, nCells = 8, rounds = 2)
-    val (quantized, books) = vector.Pq.boundedTrain(emb, pqM, pqK, rounds = 2)
+    val (_, books, cents) = pqEnsured(s, dir)
+    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
     // cell + codes in ONE map-side pass over the shared lattice —
     // no corpus self-join to attach the coarse assignment
     val encodedWithCell = vector.Pq.encodeWith(quantized, books,
@@ -668,10 +687,7 @@ object Queries {
     * round-trip), so both rows share one oracle SQL. */
   def q_topk_ivfpq_indexed(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val path = vector.Pq.ensureSavedIndex(emb, pqM, pqK, rounds = 2,
-      nCells = 8, cacheKey = s"ivfpq-$dir",
-      epoch = tableEpoch(s, dir, "embeddings"))
-    val (codes, books, cents) = vector.Pq.loadIndex(s, path)
+    val (codes, books, cents) = pqEnsured(s, dir)
     vector.Pq.adcTopKIndexed(codes, books, cents, pqQueries(emb), 5,
         nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
@@ -680,7 +696,8 @@ object Queries {
   def q_pq_recall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb)
-    val (quantized, books) = vector.Pq.boundedTrain(emb, pqM, pqK, rounds = 2)
+    val (_, books, _) = pqEnsured(s, dir)
+    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
     val truth = vector.Pq.exactTopK(quantized, queries, 5)
       .select(col("query_id"), col("vec_id"))
     val approx = vector.Pq

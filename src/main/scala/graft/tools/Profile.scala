@@ -39,6 +39,40 @@ object Profile {
       .groupBy("l_returnflag").count().count()
 
     what match {
+      case "pq" =>
+        import graft.vector.{Pq, Quantize}
+        val emb = Tables.table(spark, sfDir, "embeddings")
+        val path = time("ensure (build)") {
+          Pq.ensureSavedIndex(emb, 16, 16, rounds = 2, nCells = 8,
+            cacheKey = s"prof-ivfpq-$sfDir",
+            epoch = Some(Tables.epochOf(spark, sfDir, "embeddings")))
+        }
+        time("ensure (repeat)") {
+          Pq.ensureSavedIndex(emb, 16, 16, rounds = 2, nCells = 8,
+            cacheKey = s"prof-ivfpq-$sfDir",
+            epoch = Some(Tables.epochOf(spark, sfDir, "embeddings")))
+        }
+        val (_, books, cents) = time("loadIndex") { Pq.loadIndex(spark, path) }
+        time("loadIndex (repeat)") { Pq.loadIndex(spark, path) }
+        val quantized = emb.withColumn("qv", Quantize.int8(col("embedding")))
+        time("encode noop") { noop(Pq.encode(quantized, books)) }
+        time("encode noop (repeat)") { noop(Pq.encode(quantized, books)) }
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("q_embedding"))
+        for (i <- 1 to 3)
+          time(s"adcTopK full $i") {
+            noop(Pq.adcTopK(Pq.encode(quantized, books), books, queries, 5)
+              .orderBy(col("query_id"), col("rank")))
+          }
+        for (i <- 1 to 3)
+          time(s"ivfpq probed full $i") {
+            val encCell = Pq.encodeWith(quantized, books, Seq("cell" ->
+              graft.vector.FloatVecExpr.nearestCellF(col("qv"), cents)))
+            noop(Pq.adcTopKProbed(encCell, books, cents, queries, 5, 2)
+              .orderBy(col("query_id"), col("rank")))
+          }
+
       case "micro" =>
         val docs = Tables.table(spark, sfDir, "documents")
         time("docs noop") { noop(docs) }

@@ -270,8 +270,22 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Loaded indexes memoize per (session, path): a SavedIndex path is
+    * content-addressed (every rebuild lands in a FRESH TempDirs dir,
+    * never overwriting a served one), so a path's contents are
+    * immutable for the JVM's lifetime and the three driver-side
+    * reads (codebooks, centroids, codes schema) need not repeat —
+    * they cost ~0.5 s of job latency per serve otherwise. */
+  private val loadedIndexes = new scala.collection.concurrent.TrieMap[
+    (Int, String), (DataFrame, Codebooks, Array[Array[Double]])]()
+
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
-      : (DataFrame, Codebooks, Array[Array[Double]]) = {
+      : (DataFrame, Codebooks, Array[Array[Double]]) =
+    loadedIndexes.getOrElseUpdate((System.identityHashCode(spark), path),
+      doLoadIndex(spark, path))
+
+  private def doLoadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Codebooks, Array[Array[Double]]) = {
     val codes = spark.read.parquet(s"$path/codes")
     val flat = spark.read.parquet(s"$path/books")
       .orderBy(col("s"), col("code")).collect()
