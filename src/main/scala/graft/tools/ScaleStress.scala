@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
   * corpus — the straggler axis uniform tiling can't reach; see
   * [[rowSkew]]); large giant sizes need driver heap, e.g.
   * SPARK_DRIVER_MEM=24g. Both modes write their own
-  * `"section":"..."` line into SCALE_STRESS.json (override:
-  * SPARK_GRAFT_SCALE_FILE) and exit non-zero on a breach — a breach
+  * `"section":"..."` line into SCALE_STRESS.json (overrides:
+  * SPARK_GRAFT_SCALE_FILE for the file, SPARK_GRAFT_SCALE_SECTION for
+  * a subset probe's section name) and exit non-zero on a breach — a breach
   * is a plan bug or an undocumented cap, never noise to swallow.
   */
 object ScaleStress {
@@ -95,12 +96,15 @@ object ScaleStress {
       .select(
         (col("vec_id") + col("r") * IdStride).as("vec_id"),
         // ±1% seeded noise so replicas aren't exact-duplicate vectors
+        // cast back to array<float>: the noise division promotes to
+        // double, and a tiled dir must be a schema-exact drop-in
+        // (float-strict expressions like FloatVecDot reject doubles)
         when(col("r") === 0, col("embedding")).otherwise(
           zip_with(col("embedding"),
             transform(sequence(lit(0), size(col("embedding")) - 1),
               i => ((pmod(xxhash64(col("vec_id"), col("r"), i), lit(1000))
                 - 500).cast("float") / lit(50000f))),
-            (x, n) => x + n)).as("embedding"),
+            (x, n) => x + n)).cast("array<float>").as("embedding"),
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
@@ -362,13 +366,16 @@ object ScaleStress {
     val qs = rows.map { case (n, f1, m1, fN, mN, rf, rm) =>
       f"""\"$n\":{\"t1_first\":$f1%.3f,\"t1_min\":$m1%.3f,\"tN_first\":$fN%.3f,\"tN_min\":$mN%.3f,\"ratio_first\":$rf%.2f,\"ratio_min\":$rm%.2f}"""
     }.mkString("{", ",", "}")
+    // a subset probe can land in its own section so it never clobbers
+    // the canonical heavy-query factor10/factor30 sections
+    val section = sys.env.getOrElse("SPARK_GRAFT_SCALE_SECTION", s"factor$factor")
     val line =
-      s"""{"section":"factor$factor","metric":"scale_stress","factor":$factor,"base":"$baseDir","n_docs":$nDocs,""" +
+      s"""{"section":"$section","metric":"scale_stress","factor":$factor,"base":"$baseDir","n_docs":$nDocs,""" +
         f""""allowed_ratio":$allowed%.2f,"pass":${breaches.isEmpty},""" +
         s""""breaches":${breaches.map(b => "\"" + b._1 + "\"").mkString("[", ",", "]")},""" +
         s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","queries":$qs}"""
     println(line)
-    upsertSection(outFile, s"factor$factor", line)
+    upsertSection(outFile, section, line)
     spark.stop()
     if (breaches.nonEmpty) {
       System.err.println(s"[scale] SUPER-LINEAR: ${breaches.map(_._1).mkString(", ")}")
