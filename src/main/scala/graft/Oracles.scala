@@ -1455,6 +1455,36 @@ object Oracles {
          |SELECT gram, count(*) AS n_occ FROM bg GROUP BY gram
          |ORDER BY n_occ DESC, gram LIMIT 20""".stripMargin,
 
+    // frozen hashing-trick linear classifier: unigram+bigram features
+    // hashed straight to integer weights in [-1000, 1000] (md5 0x-cast
+    // % 2001 - 1000), folded by exact integer list_sum (order-free),
+    // ONE double division for the mean — mirrors
+    // TextAnalysis.classifierScore op for op
+    "q_classifier_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '$RE') AS toks
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |         list_concat(toks,
+         |           list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+         |             i -> toks[i] || '_' || toks[i + 1])) AS feats
+         |  FROM t
+         |), sc AS (
+         |  SELECT doc_id, len(feats) AS n_features,
+         |         CAST(coalesce(list_sum(list_transform(feats,
+         |           f -> CAST('0x' || substr(md5('clf|' || f), 1, 8) AS BIGINT)
+         |                % 2001 - 1000)), 0) AS BIGINT) AS s_int
+         |  FROM f
+         |)
+         |SELECT doc_id, CAST(n_features AS INTEGER) AS n_features,
+         |       CASE WHEN n_features > 0
+         |            THEN round(CAST(s_int AS DOUBLE) / (1000.0 * n_features), 6)
+         |            ELSE 0.0 END AS score,
+         |       CAST(CASE WHEN CAST(s_int AS DOUBLE) >= 0.0 * 1000.0 * n_features
+         |            THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
     // first 16 bits of md5(key) < 0.25 * 65536 — same bucket math as
     // graft.rel.Sampling (Spark conv(hex,16,10) == DuckDB 0x-cast)
     "q_sample_det" ->

@@ -1032,6 +1032,18 @@ object Queries {
         col("digit_ratio"), col("stopword_ratio"), col("quality"))
       .sortedOnce("q_quality_score")(col("doc_id"))
 
+  /** Frozen linear-classifier corpus filter
+    * ([[textan.TextAnalysis.classifierScore]]): hashing-trick
+    * unigram+bigram features folded to an exact integer weight sum
+    * per document, one division for the mean score, threshold
+    * decision — the quality/toxicity-classifier gate (CCNet/C4/
+    * Gopher-style) as a pure map over the corpus scan: no joins, no
+    * shuffles, no weight table. */
+  def q_classifier_filter(s: SparkSession, dir: String): DataFrame =
+    textan.TextAnalysis.classifierScore(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_features"), col("score"), col("keep"))
+      .sortedOnce("q_classifier_filter")(col("doc_id"))
+
   /** Token counting (F7). */
   def q_token_count(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

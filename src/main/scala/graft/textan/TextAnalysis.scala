@@ -204,4 +204,61 @@ object TextAnalysis {
 
   def withWinnowFingerprint(docs: DataFrame): DataFrame =
     docs.withColumn("fingerprint", winnowUdf(col("text")))
+
+  // ===== frozen linear classifier (hashing-trick inference) =====
+
+  /** fastText-shaped frozen-classifier inference — the
+    * quality/toxicity-classifier filter every web-corpus pipeline
+    * runs at full scale (CCNet, C4, Gopher all gate on a frozen
+    * model). Features are the hashing trick: lowercased unigrams +
+    * adjacent bigrams, each hashed straight to an INTEGER weight in
+    * [−1000, 1000] (md5-derived — the engine's deterministic
+    * stand-in for trained weights, the [[graft.vector.Embedder]]
+    * HashingEmbedder convention), so per-document scoring is
+    *
+    *  - one `aggregate` HOF folding exact integer weights in any
+    *    order (order-free by integer arithmetic — no float
+    *    accumulation, the bigram-LM microunit rule), then
+    *  - ONE double division for the mean score.
+    *
+    * Zero joins, zero shuffles, zero weight table: the "model" rides
+    * the expression. At 100 TB this is the ideal op shape — a pure
+    * map over the corpus scan. Swapping real trained weights in
+    * means replacing [[featureWeight]]'s hash with a broadcast
+    * lookup; every other line is unchanged. */
+  def featureWeight(f: Column): Column =
+    pmod(conv(substring(md5(concat(lit("clf|"), f)), 1, 8), 16, 10)
+      .cast("long"), lit(2001L)) - 1000L
+
+  /** (features, n_features, s_int) columns for a text column:
+    * unigrams + bigrams, feature count, exact integer weight sum. */
+  def classifierScore(docs: DataFrame, threshold: Double = 0.0)
+      : DataFrame = {
+    val out = bind(Tok.tokens(lower(col("text"))), toks => {
+      val bigrams = zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit("_"), b))
+      bind(concat(toks, bigrams), feats =>
+        struct(
+          size(feats).as("n_features"),
+          aggregate(feats, lit(0L),
+            (acc, f) => acc + featureWeight(f)).as("s_int")))
+    })
+    docs
+      .withColumn("__c", out)
+      .withColumn("n_features", col("__c.n_features"))
+      .withColumn("s_int", col("__c.s_int"))
+      // one correctly-rounded division on exact integers — bit-equal
+      // in any engine, no order-sensitive float accumulation
+      .withColumn("score",
+        when(col("n_features") > 0,
+          round(col("s_int").cast("double") /
+            (lit(1000.0) * col("n_features")), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        (col("s_int").cast("double") >=
+          lit(threshold) * lit(1000.0) * col("n_features")).cast("int"))
+      .drop("__c")
+  }
 }

@@ -64,4 +64,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .as[String].collect().toSeq
     assert(got.distinct.length == 1)
   }
+
+  test("classifierScore matches an independent driver-side replay") {
+    val texts = Seq("The quick brown fox!", "a", "", "Hello hello HELLO world",
+      "x y z x_y", "punct... only?!")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .transform(TextAnalysis.classifierScore(_))
+      .select("doc_id", "n_features", "s_int", "score", "keep")
+      .as[(Long, Int, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+
+    def weight(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("clf|" + f).getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]".r
+        .findAllIn(t.toLowerCase).toVector
+      val feats = toks ++ toks.zip(toks.drop(1)).map { case (a, b) => s"${a}_$b" }
+      val sInt = feats.map(weight).sum
+      val (_, n, s, score, keep) = got(i.toLong)
+      assert(n == feats.length, s"n_features for '$t'")
+      assert(s == sInt, s"s_int for '$t'")
+      val want = if (feats.isEmpty) 0.0
+        else BigDecimal(sInt.toDouble / (1000.0 * feats.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - want) < 1e-9, s"score for '$t'")
+      assert(keep == (if (sInt >= 0) 1 else 0))
+    }
+  }
 }
