@@ -212,6 +212,29 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(got.head._2 == 3L && got.head._3 == 0L) // self-match at distance 0
   }
 
+  test("saved PQ index staleness: changed corpus rebuilds, unchanged serves the same dir") {
+    val rows = corpus(40)
+    val df = rows.toDF("vec_id", "embedding")
+    val key = "pq-spec-staleness"
+    val p1 = Pq.ensureSavedIndex(df, m, k, rounds = 2, nCells = 4,
+      cacheKey = key)
+    val p1b = Pq.ensureSavedIndex(df, m, k, rounds = 2, nCells = 4,
+      cacheKey = key)
+    assert(p1b == p1, "unchanged corpus must serve the existing index")
+    // upsert: one vector moves — content fingerprint must catch it
+    val changed = rows.map { case (id, v) =>
+      if (id == 7L) (id, v.map(_ + 1f)) else (id, v)
+    }.toDF("vec_id", "embedding")
+    val p2 = Pq.ensureSavedIndex(changed, m, k, rounds = 2, nCells = 4,
+      cacheKey = key)
+    assert(p2 != p1, "changed corpus must rebuild into a fresh directory")
+    val (_, b1, _) = Pq.loadIndex(spark, p1)
+    val (_, b2, _) = Pq.loadIndex(spark, p2)
+    assert((0 until m).exists(s => (0 until k).exists(c =>
+      !java.util.Arrays.equals(b1(s)(c), b2(s)(c)))),
+      "rebuilt codebooks must reflect the upserted corpus")
+  }
+
   test("boundedTrain requires the seed vec_ids 0..k-1") {
     val rows = corpus(20).map { case (id, v) => (id + 100L, v) }
     val df = rows.toDF("vec_id", "embedding")
