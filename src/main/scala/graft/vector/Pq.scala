@@ -275,14 +275,32 @@ object Pq {
     * never overwriting a served one), so a path's contents are
     * immutable for the JVM's lifetime and the three driver-side
     * reads (codebooks, centroids, codes schema) need not repeat —
-    * they cost ~0.5 s of job latency per serve otherwise. */
-  private val loadedIndexes = new scala.collection.concurrent.TrieMap[
-    (Int, String), (DataFrame, Codebooks, Array[Array[Double]])]()
+    * they cost ~0.5 s of job latency per serve otherwise. BOUNDED
+    * (LRU, 16 entries): a long-lived consumer whose corpus epochs
+    * keep moving gets a fresh path per rebuild, and an unbounded
+    * memo would retain every superseded version's codebooks for the
+    * JVM's lifetime (the Caches.persistTracked retention rule,
+    * applied to this driver-side cache). */
+  private val loadedIndexes = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (Int, String), (DataFrame, Codebooks, Array[Array[Double]])](
+        32, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          (Int, String), (DataFrame, Codebooks, Array[Array[Double]])])
+          : Boolean = size() > 16
+    })
 
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
-      : (DataFrame, Codebooks, Array[Array[Double]]) =
-    loadedIndexes.getOrElseUpdate((System.identityHashCode(spark), path),
-      doLoadIndex(spark, path))
+      : (DataFrame, Codebooks, Array[Array[Double]]) = {
+    val key = (System.identityHashCode(spark), path)
+    val hit = loadedIndexes.get(key)
+    if (hit != null) hit
+    else {
+      val v = doLoadIndex(spark, path)
+      loadedIndexes.put(key, v)
+      v
+    }
+  }
 
   private def doLoadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, Codebooks, Array[Array[Double]]) = {
