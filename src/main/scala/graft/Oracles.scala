@@ -1455,6 +1455,20 @@ object Oracles {
          |SELECT gram, count(*) AS n_occ FROM bg GROUP BY gram
          |ORDER BY n_occ DESC, gram LIMIT 20""".stripMargin,
 
+    // deterministic seeded shuffle: md5 hash key -> shard residue ->
+    // within-shard rank; Spark conv(hex,16,10) == DuckDB 0x-cast, %
+    // on a positive key == pmod
+    "q_corpus_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5('shuffle-42|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hkey
+         |  FROM documents
+         |)
+         |SELECT doc_id, CAST(hkey % 8 AS INTEGER) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY hkey % 8
+         |         ORDER BY hkey, doc_id) AS INTEGER) AS pos_in_shard
+         |FROM h ORDER BY shard, pos_in_shard""".stripMargin,
+
     // frozen hashing-trick linear classifier: unigram+bigram features
     // hashed straight to integer weights in [-1000, 1000] (md5 0x-cast
     // % 2001 - 1000), folded by exact integer list_sum (order-free),

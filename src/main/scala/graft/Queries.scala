@@ -1781,6 +1781,27 @@ object Queries {
       .select(col("doc_id"), col("n_tokens"), col("prefix_tokens"), col("shard"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic corpus SHUFFLE — the training-data ordering step
+    * between filtering and packing: every document gets a seeded hash
+    * key (md5, map-side), its shard is the key's residue, and its
+    * position within the shard is the rank of its key — a reproducible
+    * global permutation with NO global sort: one exchange on `shard`
+    * and a per-shard sort of 1/S of the corpus each, which is exactly
+    * how petabyte training shuffles are written (hash-bucket, then
+    * local order). Re-running with the same seed reproduces the
+    * permutation bit-for-bit on any cluster layout. */
+  def q_corpus_shuffle(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("shuffle-42|"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    t(s, dir, "documents").select(col("doc_id"), h.as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(8L)).cast("int"))
+      .withColumn("pos_in_shard", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("hkey"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+      .orderBy(col("shard"), col("pos_in_shard"))
+  }
+
   /** Sequence PACKING — the training-data step after token-budget
     * sharding: concatenate the tokenized corpus in doc_id order and
     * cut it into fixed-length training sequences (L = 512), letting

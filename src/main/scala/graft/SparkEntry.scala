@@ -114,6 +114,7 @@ object SparkEntry {
     "q_lang_id" -> (Queries.q_lang_id _),
     "q_quality_score" -> (Queries.q_quality_score _),
     "q_classifier_filter" -> (Queries.q_classifier_filter _),
+    "q_corpus_shuffle" -> (Queries.q_corpus_shuffle _),
     "q_domain_quota" -> (Queries.q_domain_quota _),
     "q_quality_buckets" -> (Queries.q_quality_buckets _),
     "q_token_count" -> (Queries.q_token_count _),
