@@ -230,25 +230,38 @@ object TextAnalysis {
     pmod(conv(substring(md5(concat(lit("clf|"), f)), 1, 8), 16, 10)
       .cast("long"), lit(2001L)) - 1000L
 
-  /** (features, n_features, s_int) columns for a text column:
-    * unigrams + bigrams, feature count, exact integer weight sum. */
-  def classifierScore(docs: DataFrame, threshold: Double = 0.0)
-      : DataFrame = {
-    val out = bind(Tok.tokens(lower(col("text"))), toks => {
-      val bigrams = zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => concat(a, lit("_"), b))
-      bind(concat(toks, bigrams), feats =>
-        struct(
-          size(feats).as("n_features"),
-          aggregate(feats, lit(0L),
-            (acc, f) => acc + featureWeight(f)).as("s_int")))
-    })
-    docs
-      .withColumn("__c", out)
-      .withColumn("n_features", col("__c.n_features"))
-      .withColumn("s_int", col("__c.s_int"))
+  /** Characters above which a document leaves the per-row fold for
+    * the split path. Set at the MEASURED crossover, not copied from
+    * q_repetition's 2 Mchar: the classifier's per-char kernel is
+    * cheaper than gram counting, so the split's fixed shuffle cost
+    * wins later — per-row vs split walls are 2.7 / 5.9 s at 5 MB but
+    * 27.6 / 11.5 s at 50 MB (ClfSkewProbe), crossing near 10 MB.
+    * 8 Mchar keeps sub-crossover docs on the cheaper per-row task
+    * (≤ ~5 s, tolerable against the 100 TB task median) and splits
+    * the true stragglers. */
+  val ClassifierSplitChars: Long = 1L << 23
+
+  /** Token stride of one split part. */
+  val ClassifierPartTokens: Int = 1 << 16
+
+  /** (n_features, s_int, score, keep) per document: unigram + bigram
+    * hashing-trick features, exact integer weight fold, one division.
+    *
+    * Giant-document routing: when `docs` carries the pushable
+    * `n_chars` storage column and a document exceeds `splitChars`,
+    * its token array is sliced into `partTokens`-stride parts with a
+    * ONE-TOKEN lookahead, each part folds its own unigrams plus the
+    * bigrams STARTING inside it (so every bigram — including the
+    * part-boundary ones — is counted by exactly one part), and the
+    * per-part (count, integer sum) pairs merge by summation. The
+    * decomposition is exact and the weights are integers, so split ==
+    * per-row bit-identically; sub-threshold corpora pay one existence
+    * probe (answered by parquet row-group stats) and keep the pure
+    * per-row plan. */
+  def classifierScore(docs: DataFrame, threshold: Double = 0.0,
+      splitChars: Long = ClassifierSplitChars,
+      partTokens: Int = ClassifierPartTokens): DataFrame = {
+    def finish(scored: DataFrame): DataFrame = scored
       // one correctly-rounded division on exact integers — bit-equal
       // in any engine, no order-sensitive float accumulation
       .withColumn("score",
@@ -259,6 +272,69 @@ object TextAnalysis {
       .withColumn("keep",
         (col("s_int").cast("double") >=
           lit(threshold) * lit(1000.0) * col("n_features")).cast("int"))
-      .drop("__c")
+
+    def perRow(d: DataFrame): DataFrame = {
+      val out = bind(Tok.tokens(lower(col("text"))), toks => {
+        val bigrams = zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit("_"), b))
+        bind(concat(toks, bigrams), feats =>
+          struct(
+            size(feats).as("n_features"),
+            aggregate(feats, lit(0L),
+              (acc, f) => acc + featureWeight(f)).as("s_int")))
+      })
+      d.withColumn("__c", out)
+        .withColumn("n_features", col("__c.n_features"))
+        .withColumn("s_int", col("__c.s_int"))
+        .drop("__c")
+    }
+
+    val canSplit = docs.columns.contains("n_chars")
+    if (!canSplit || docs.filter(col("n_chars") > splitChars).isEmpty)
+      return finish(perRow(docs))
+
+    val small = perRow(docs.filter(col("n_chars") <= splitChars))
+    val giants = docs.filter(col("n_chars") > splitChars)
+    val S = partTokens
+    val nsp = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // slice BEFORE the spread (shuffle moves part-sized arrays ≈ the
+    // giant text once); explicit partition count pins AQE away from
+    // coalescing compute-dense parts (the DocSplit discipline)
+    val parts = giants
+      .select(col("doc_id"),
+        coalesce(Tok.tokens(lower(col("text"))),
+          array().cast("array<string>")).as("ts"))
+      .withColumn("L", size(col("ts")))
+      .select(col("doc_id"), col("ts"), col("L"),
+        explode(sequence(lit(0),
+          greatest(ceil(col("L").cast("double") / S) - 1, lit(0))
+            .cast("int"))).as("p"))
+      .select(col("doc_id"),
+        slice(col("ts"), col("p") * S + 1, lit(S + 1)).as("pts"),
+        least(lit(S), col("L") - col("p") * S).cast("int").as("valid"),
+        least(lit(S), col("L") - 1 - col("p") * S).cast("int").as("bc"),
+        col("p"))
+      .repartition(nsp, col("doc_id"), col("p"))
+    val uniFold = aggregate(slice(col("pts"), lit(1), col("valid")),
+      lit(0L), (acc, f) => acc + featureWeight(f))
+    // sequence(1, n) DESCENDS for n < 1 — guard the empty case
+    val biFeats = when(col("bc") >= 1,
+      transform(sequence(lit(1), col("bc")),
+        i => concat(element_at(col("pts"), i), lit("_"),
+          element_at(col("pts"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val agg = parts
+      .select(col("doc_id"),
+        (col("valid") + greatest(col("bc"), lit(0))).cast("long").as("nf"),
+        (uniFold + aggregate(biFeats, lit(0L),
+          (acc, f) => acc + featureWeight(f))).as("si"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nf")).cast("int").as("n_features"),
+        sum(col("si")).as("s_int"))
+    val giant = giants.join(agg, "doc_id")
+    finish(small.unionByName(giant
+      .select(small.columns.map(col): _*)))
   }
 }

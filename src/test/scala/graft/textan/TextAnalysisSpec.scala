@@ -96,4 +96,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       assert(keep == (if (sInt >= 0) 1 else 0))
     }
   }
+
+  test("classifierScore split path == per-row path bit-identically") {
+    val rnd = new scala.util.Random(13)
+    val words = Vector("alpha", "beta", "gamma", "delta", "the", "of", "x9")
+    def doc(n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    // threshold 100 chars, 7-token parts: docs 2 and 4 split (several
+    // parts incl. a ragged tail); 0/1/3 stay per-row; 5 is empty
+    val rows = Seq(
+      (0L, doc(3)), (1L, doc(12)), (2L, doc(120)),
+      (3L, ""), (4L, doc(260)), (5L, doc(1)))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+    val df = rows.toDF("doc_id", "text", "n_chars")
+    val split = TextAnalysis
+      .classifierScore(df, splitChars = 100L, partTokens = 7)
+      .select("doc_id", "n_features", "s_int", "score", "keep")
+      .as[(Long, Int, Long, Double, Int)].collect().sortBy(_._1).toSeq
+    val perRow = TextAnalysis
+      .classifierScore(df, splitChars = Long.MaxValue)
+      .select("doc_id", "n_features", "s_int", "score", "keep")
+      .as[(Long, Int, Long, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(split == perRow)
+    // the split really engaged: doc 4 spans multiple parts
+    assert(rows(4)._2.length > 100)
+  }
 }
