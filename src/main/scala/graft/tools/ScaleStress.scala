@@ -173,7 +173,8 @@ object ScaleStress {
   val PerDocKernels: Seq[String] = Seq(
     "q_chunk_recursive", "q_chunk_recursive_split",
     "q_simhash_candidates", "q_bpe_tokens",
-    "q_text_overlap_pairs", "q_chunk_semantic_corpus", "q_repetition")
+    "q_text_overlap_pairs", "q_chunk_semantic_corpus", "q_repetition",
+    "q_classifier_filter")
 
   /** Deterministic giant text: seeded uniform draws over a 30k-word
     * synthetic vocabulary (~270x repetition per word at 50 MB — n-gram
