@@ -121,4 +121,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // the split really engaged: doc 4 spans multiple parts
     assert(rows(4)._2.length > 100)
   }
+
+  test("classifierScore split == per-row over randomized docs and strides") {
+    val rnd = new scala.util.Random(29)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "the", "x", "42", "...")
+    for (round <- 0 until 8) {
+      val stride = 2 + rnd.nextInt(9) // 2..10 tokens per part
+      val docs = (0 until 12).map { i =>
+        val n = rnd.nextInt(40) // 0..39 tokens, many multi-part at small strides
+        val t = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+        (i.toLong, t, t.length.toLong)
+      }
+      val df = docs.toDF("doc_id", "text", "n_chars")
+      val split = TextAnalysis
+        .classifierScore(df, splitChars = 10L, partTokens = stride)
+        .select("doc_id", "n_features", "s_int")
+        .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+      val perRow = TextAnalysis
+        .classifierScore(df, splitChars = Long.MaxValue)
+        .select("doc_id", "n_features", "s_int")
+        .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+      assert(split == perRow, s"divergence at round $round stride $stride")
+    }
+  }
 }
