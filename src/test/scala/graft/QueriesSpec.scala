@@ -381,4 +381,50 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       assert(!r.isNullAt(6)) // payload decodes
     }
   }
+
+  test("q_classifier_filter plan gate: probe keeps giant-free corpora per-row") {
+    // same discipline as the q_repetition gate: on every fixture the
+    // existence probe must route to the pure map — no token explode,
+    // no aggregate, no dead union branch — and a giant corpus must
+    // produce the small∪giant union with a per-row corpus side.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+          pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+        val cached = p.collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            s.relation.cachedPlan
+        }
+        p.collect(pf) ++ cached.flatMap(deepCollect(_)(pf))
+      }
+      val plan = Queries.q_classifier_filter(spark, sf)
+        .queryExecution.executedPlan
+      assert(deepCollect(plan) {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+        s"giant-free corpus must not explode parts, plan:\n$plan")
+      assert(deepCollect(plan) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isEmpty,
+        s"giant-free corpus must carry no aggregation state, plan:\n$plan")
+      assert(deepCollect(plan) {
+        case u: org.apache.spark.sql.execution.UnionExec => u }.isEmpty,
+        s"giant-free corpus must not pay a dead union branch, plan:\n$plan")
+
+      import spark.implicits._
+      val mixed = Seq((1L, "alpha beta gamma", 16L),
+          (2L, ("w " * 40).trim, 79L))
+        .toDF("doc_id", "text", "n_chars")
+      val giantPlan = graft.textan.TextAnalysis
+        .classifierScore(mixed, splitChars = 50L, partTokens = 8)
+        .queryExecution.executedPlan
+      val union = giantPlan.collect {
+        case u: org.apache.spark.sql.execution.UnionExec => u }
+      assert(union.size == 1,
+        s"giant corpus must produce the small∪giant union, plan:\n$giantPlan")
+      assert(union.head.children.head.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+        "corpus side of the union must stay per-row")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
