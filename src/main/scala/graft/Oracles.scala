@@ -3255,6 +3255,38 @@ object Oracles {
     // the saved-index serve reads back bit-identical codes/centroids
     // and shares the in-memory composition's probe/scoring trees
     "q_topk_ivfpq_indexed" -> base("q_topk_ivfpq"),
+    // full training-data materialization: the hash-checked keep
+    // decision, re-ranked per-source quota over the kept set, seeded
+    // shard shuffle, per-shard token offsets — each stage replayed
+    // on top of the embedded q_corpus_filter SQL
+    "q_training_mix" ->
+      s"""WITH cf AS (${base("q_corpus_filter")}),
+         |kept AS (SELECT doc_id, quality FROM cf WHERE keep = 1),
+         |j AS (
+         |  SELECT k.doc_id, k.quality, d.source,
+         |         len(regexp_extract_all(d.text, '$RE')) AS n_tokens
+         |  FROM kept k JOIN documents d USING (doc_id)
+         |), quota AS (
+         |  SELECT doc_id, source, quality, n_tokens FROM (
+         |    SELECT doc_id, source, quality, n_tokens,
+         |           row_number() OVER (PARTITION BY source
+         |             ORDER BY quality DESC, doc_id) AS rq
+         |    FROM j) WHERE rq <= 8
+         |), keyed AS (
+         |  SELECT doc_id, source, quality, n_tokens,
+         |         CAST('0x' || substr(md5('mix-7|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hkey
+         |  FROM quota
+         |)
+         |SELECT doc_id, source, quality,
+         |       CAST(hkey % 4 AS INTEGER) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY hkey % 4
+         |         ORDER BY hkey, doc_id) AS INTEGER) AS pos_in_shard,
+         |       CAST(n_tokens AS INTEGER) AS n_tokens,
+         |       CAST(coalesce(sum(n_tokens) OVER (PARTITION BY hkey % 4
+         |         ORDER BY hkey, doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS BIGINT) AS token_offset
+         |FROM keyed ORDER BY shard, pos_in_shard""".stripMargin,
     // per-domain quota: the hash-checked quality replay joined to
     // `source`, ranked by the identical (quality DESC, doc_id) order
     "q_domain_quota" ->

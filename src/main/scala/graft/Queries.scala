@@ -1769,6 +1769,47 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** The full LLM-training-data MATERIALIZATION pipeline as one
+    * composed row — the flagship for the extension surface the way
+    * `RagPipeline.run` is for the RAG surface: corpus filter
+    * ([[q_corpus_filter]]'s keep decision: lang → quality →
+    * canonical-dup), per-source quota capping (bounded-heap
+    * [[graft.plans.TopKPerKey]], re-ranked over the KEPT set),
+    * deterministic seeded shuffle into shards, and per-shard token
+    * offsets (partitioned window — each shard's prefix sums in
+    * parallel). Every stage is individually hash-checked elsewhere;
+    * this row hash-checks their COMPOSITION (the oracle embeds
+    * q_corpus_filter's SQL and replays quota → shuffle → offsets on
+    * top). Scale shape: one corpus pass per stage input, bounded
+    * heaps for the quota, one `shard` exchange for the ordering —
+    * nothing global. */
+  def q_training_mix(s: SparkSession, dir: String): DataFrame = {
+    val kept = q_corpus_filter(s, dir).filter(col("keep") === 1)
+      .select(col("doc_id"), col("quality"))
+    val docs = t(s, dir, "documents")
+    val narrow = kept
+      .join(docs.select(col("doc_id"), col("source"),
+        Tok.tokenCount(col("text")).as("n_tokens")), "doc_id")
+      .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"))
+    val quota = graft.plans.TopKPerKey(narrow, Seq(col("source")),
+      Seq(col("quality").desc, col("doc_id")), 8)
+    val h = conv(substring(md5(concat(lit("mix-7|"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+    quota.withColumn("hkey", h)
+      .withColumn("shard", pmod(col("hkey"), lit(4L)).cast("int"))
+      .withColumn("pos_in_shard", row_number().over(w))
+      .withColumn("token_offset", coalesce(
+        sum(col("n_tokens").cast("long")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("source"), col("quality"), col("shard"),
+        col("pos_in_shard"), col("n_tokens").cast("int").as("n_tokens"),
+        col("token_offset"))
+      .orderBy(col("shard"), col("pos_in_shard"))
+  }
+
   /** Token-budget corpus sharding via the DISTRIBUTED global prefix
     * sum (graft.rel.PrefixSum): identical to `sum() OVER (ORDER BY)`
     * but computed with parallel per-partition windows + broadcast
