@@ -291,7 +291,11 @@ object TextAnalysis {
         .drop("__c")
     }
 
-    val canSplit = docs.columns.contains("n_chars")
+    // streaming frames can't run the existence probe (no eager
+    // actions on a stream) and can't union per-plan-branch anyway —
+    // they always take the per-row map, which is the right shape for
+    // micro-batch-sized documents
+    val canSplit = docs.columns.contains("n_chars") && !docs.isStreaming
     if (!canSplit || docs.filter(col("n_chars") > splitChars).isEmpty)
       return finish(perRow(docs))
 

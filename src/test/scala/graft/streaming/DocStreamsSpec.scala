@@ -388,4 +388,35 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
         "second serve of the same store version must not rebuild")
     } finally q.stop()
   }
+
+  test("streaming classifier parity: frozen-model gate over a MemoryStream equals batch") {
+    // the classifier gate is a pure map (integer fold per row), so the
+    // SAME transform runs unchanged on a stream; the giant-document
+    // split routing must AUTO-DISABLE on a streaming frame (the
+    // existence probe is an eager action a stream cannot run)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cols = Seq("doc_id", "n_features", "s_int", "score", "keep")
+    val batchDocs = Tables.documents(spark, sf).limit(30)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("n_chars"))
+    val rows = batchDocs.as[(Long, String, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, String, Long)]
+    val streamed = graft.textan.TextAnalysis
+      .classifierScore(mem.toDF().toDF("doc_id", "text", "n_chars"))
+      .select(cols.map(col): _*)
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("clf_stream_out").start()
+    try {
+      mem.addData(rows.take(15): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(15): _*)
+      q.processAllAvailable()
+      val got = spark.table("clf_stream_out").collect().map(_.toSeq).toSet
+      val batch = graft.textan.TextAnalysis.classifierScore(batchDocs)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(got == batch, "streamed classifier rows must equal batch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
