@@ -3362,6 +3362,47 @@ object Oracles {
          |FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
          |ORDER BY ks.query_id""".stripMargin,
 
+    // IVF+PQ recall vs the same exact lattice truth — what the cell
+    // pruning costs on top of the codebook approximation
+    "q_ivfpq_recall" ->
+      s"""WITH lqv AS (
+         |  SELECT vec_id,
+         |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+         |              ELSE list_transform(embedding,
+         |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
+         |         END AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM embeddings)
+         |), lqs AS (
+         |  SELECT vec_id AS query_id, qv AS qq FROM lqv WHERE vec_id < 3
+         |), ld AS (
+         |  SELECT q.query_id, v.vec_id,
+         |         list_sum(list_transform(generate_series(1, 64),
+         |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2
+         |  FROM lqv v CROSS JOIN lqs q
+         |), truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY l2, vec_id) AS rn
+         |    FROM ld) WHERE rn <= 5
+         |), approx AS (
+         |  SELECT query_id, vec_id FROM (${base("q_topk_ivfpq")}) a
+         |), hits AS (
+         |  SELECT t.query_id, count(*) AS n_hit
+         |  FROM truth t
+         |  JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+         |  GROUP BY t.query_id
+         |), ks AS (
+         |  SELECT query_id, count(*) AS k FROM truth GROUP BY query_id
+         |)
+         |SELECT ks.query_id, CAST(ks.k AS INTEGER) AS k,
+         |       CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
+         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ks.k, 4) AS recall
+         |FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
+         |ORDER BY ks.query_id""".stripMargin,
+
     // PQ recall vs the EXACT int8-lattice squared-L2 truth (pure
     // integer distances) — the approx side embeds q_topk_pq's SQL
     // verbatim, so the eval replays from the already-hash-checked

@@ -693,6 +693,29 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall@5 of the composed IVF+PQ tier against the same exact
+    * lattice truth as [[q_pq_recall]] — the number that tells you
+    * what the CELL PRUNING costs on top of the codebook
+    * approximation (a true neighbor in an unprobed cell is
+    * unreachable no matter how good the codes are). */
+  def q_ivfpq_recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = pqQueries(emb)
+    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
+    val truth = vector.Pq.exactTopK(quantized, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = q_topk_ivfpq(s, dir).select(col("query_id"), col("vec_id"))
+    val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("kc"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("kc").cast("int").as("k"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("kc"), 4)
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   def q_pq_recall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb)
