@@ -492,7 +492,11 @@ object Oracles {
     * and the per-query subspace distance tables `dt`. Assumes `qvt`
     * from [[latticeCte]] precedes it; the rerank and IVF+PQ rows
     * reuse it without the full-corpus ranking. */
-  private lazy val pqFitCte: String = {
+  /** Per-subspace codebook chain over an arbitrary lattice CTE
+    * (`src` must expose (vec_id, qv)): seed `cb0`, two unrolled
+    * exact-integer rounds, final assignment `enc`. Shared by the
+    * raw-lattice PQ rows and the residual IVFPQ fit. */
+  private def pqCodebookCte(src: String): String = {
     // assignment CTE: per (vec, subspace) argmin over the given
     // codebook CTE by (ordered-fold subspace distance, code)
     def pqAssign(name: String, cbCte: String) =
@@ -504,7 +508,7 @@ object Oracles {
          |               j -> (CAST(v.qv[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j])
          |                  * (CAST(v.qv[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j]))),
          |             c.code) AS rn
-         |    FROM qvt v CROSS JOIN $cbCte c)
+         |    FROM $src v CROSS JOIN $cbCte c)
          |  WHERE rn = 1
          |)""".stripMargin
     // update CTE pair: per-(subspace, code, dim) exact integer sums
@@ -513,7 +517,7 @@ object Oracles {
       s"""$uName AS (
          |  SELECT a.s, a.code, js.j,
          |         sum(v.qv[(a.s - 1) * $pqSub + js.j]) AS sq, count(*) AS cnt
-         |  FROM $aName a JOIN qvt v USING (vec_id)
+         |  FROM $aName a JOIN $src v USING (vec_id)
          |  CROSS JOIN (SELECT unnest(generate_series(1, $pqSub)) AS j) js
          |  GROUP BY 1, 2, 3
          |), $cbName AS (
@@ -528,13 +532,19 @@ object Oracles {
        |  SELECT sp.s, CAST(v.vec_id AS INTEGER) AS code,
        |         list_transform(generate_series(1, $pqSub),
        |           j -> CAST(v.qv[(sp.s - 1) * $pqSub + j] AS DOUBLE)) AS cent
-       |  FROM qvt v CROSS JOIN (SELECT unnest(generate_series(1, $pqM)) AS s) sp
+       |  FROM $src v CROSS JOIN (SELECT unnest(generate_series(1, $pqM)) AS s) sp
        |  WHERE v.vec_id < $pqK
        |), ${pqAssign("pa1", "cb0")}
        |, ${pqUpdate("pu1", "cb1", "pa1", "cb0")}
        |, ${pqAssign("pa2", "cb1")}
        |, ${pqUpdate("pu2", "cb2", "pa2", "cb1")}
-       |, ${pqAssign("enc", "cb2")}
+       |, ${pqAssign("enc", "cb2")}""".stripMargin
+  }
+
+  /** [[pqCodebookCte]] on the raw lattice + the plain-PQ query side
+    * (`pqs` quantized queries, `dt` per-query distance tables). */
+  private lazy val pqFitCte: String =
+    s"""${pqCodebookCte("qvt")}
        |, pqs AS (
        |  SELECT vec_id AS query_id, qv AS qq FROM qvt WHERE vec_id < 3
        |), dt AS (
@@ -544,7 +554,6 @@ object Oracles {
        |              * (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j]))) AS d
        |  FROM pqs q CROSS JOIN cb2 c
        |)""".stripMargin
-  }
 
   /** [[pqFitCte]] + the full-corpus ADC ranking (`pqscored`,
     * `pqranked`) — the serve shape of q_topk_pq and the rerank
@@ -2025,6 +2034,50 @@ object Oracles {
          |  FROM rr
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // RESIDUAL IVFPQ: the PQ chain rides `rqt` — each vector's
+    // ×8-lattice residual against its coarse centroid (×8 is a power
+    // of two, so the scaling is EXACT in double and floor(x+0.5)
+    // replays bit-identically). Distance tables are per
+    // (query, probed cell) because the query's residual depends on
+    // the cell. Mirrors Pq.boundedTrainResidual +
+    // Pq.adcTopKIndexedResidual (saved serve is bit-identical).
+    "q_topk_ivfpq_res" ->
+      s"""WITH $latticeCte
+         |, $ivfCoarseCte
+         |, rqt AS (
+         |  SELECT v.vec_id,
+         |         list_transform(generate_series(1, 64),
+         |           j -> CAST(floor((CAST(v.qv[j] AS DOUBLE) - c.cent[j]) * 8 + 0.5) AS INTEGER)) AS qv
+         |  FROM qvt v JOIN a3 a USING (vec_id)
+         |  JOIN c2 c ON c.cell = a.cell
+         |), ${pqCodebookCte("rqt")}
+         |, rqs AS (
+         |  SELECT p.query_id, p.cell,
+         |         list_transform(generate_series(1, 64),
+         |           j -> CAST(floor((CAST(v.qv[j] AS DOUBLE) - c.cent[j]) * 8 + 0.5) AS INTEGER)) AS qq
+         |  FROM probe p JOIN qvt v ON v.vec_id = p.query_id
+         |  JOIN c2 c ON c.cell = p.cell
+         |), rdt AS (
+         |  SELECT q.query_id, q.cell, c.s, c.code,
+         |         list_sum(list_transform(generate_series(1, $pqSub),
+         |           j -> (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j])
+         |              * (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j]))) AS d
+         |  FROM rqs q CROSS JOIN cb2 c
+         |), rsc AS (
+         |  SELECT d.query_id, e.vec_id,
+         |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
+         |  FROM a3 a
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN rdt d ON d.cell = a.cell AND d.s = e.s AND d.code = e.code
+         |  GROUP BY d.query_id, e.vec_id
+         |)
+         |SELECT query_id, rank, vec_id, adc_dist FROM (
+         |  SELECT query_id, vec_id, adc_dist,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+         |  FROM rsc
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // IVF+PQ composition (the FAISS IVFPQ shape): the coarse chain's
     // probe restricts the ADC scan to the 2 probed cells per query —
     // both fits replay from the SAME shared lattice/coarse/PQ CTEs
@@ -3348,6 +3401,48 @@ object Oracles {
          |  SELECT query_id, vec_id FROM (${base("q_topk_cosine")}) t
          |), approx AS (
          |  SELECT query_id, vec_id FROM (${base("q_topk_ivf")}) a
+         |), hits AS (
+         |  SELECT t.query_id, count(*) AS n_hit
+         |  FROM truth t
+         |  JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+         |  GROUP BY t.query_id
+         |), ks AS (
+         |  SELECT query_id, count(*) AS k FROM truth GROUP BY query_id
+         |)
+         |SELECT ks.query_id, CAST(ks.k AS INTEGER) AS k,
+         |       CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
+         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ks.k, 4) AS recall
+         |FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
+         |ORDER BY ks.query_id""".stripMargin,
+
+    // residual-tier recall vs the same exact lattice truth — what
+    // residual encoding buys over raw-vector codes at identical
+    // geometry
+    "q_ivfpq_res_recall" ->
+      s"""WITH lqv AS (
+         |  SELECT vec_id,
+         |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+         |              ELSE list_transform(embedding,
+         |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
+         |         END AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM embeddings)
+         |), lqs AS (
+         |  SELECT vec_id AS query_id, qv AS qq FROM lqv WHERE vec_id < 3
+         |), ld AS (
+         |  SELECT q.query_id, v.vec_id,
+         |         list_sum(list_transform(generate_series(1, 64),
+         |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2
+         |  FROM lqv v CROSS JOIN lqs q
+         |), truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY l2, vec_id) AS rn
+         |    FROM ld) WHERE rn <= 5
+         |), approx AS (
+         |  SELECT query_id, vec_id FROM (${base("q_topk_ivfpq_res")}) a
          |), hits AS (
          |  SELECT t.query_id, count(*) AS n_hit
          |  FROM truth t

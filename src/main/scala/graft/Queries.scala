@@ -693,6 +693,47 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RESIDUAL IVFPQ — the authentic FAISS shape: PQ codebooks trained
+    * on `vector − coarse centroid` over an ×8 lattice (the scale is a
+    * power of two, so every residual step stays exact-replayable),
+    * codes spend their resolution on the within-cell residual instead
+    * of re-describing the cell. Served from the saved compressed
+    * index with the same static cell PartitionFilters as
+    * [[q_topk_ivfpq_indexed]]; distance tables are per
+    * (query, probed cell) since the query's residual depends on the
+    * cell it probes. */
+  def q_topk_ivfpq_res(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = vector.Pq.ensureSavedResidualIndex(emb, pqM, pqK,
+      rounds = 2, nCells = 8, cacheKey = s"ivfpq-res-$dir",
+      epoch = tableEpoch(s, dir, "embeddings"))
+    val (codes, books, cents) = vector.Pq.loadIndex(s, path)
+    vector.Pq.adcTopKIndexedResidual(codes, books, cents,
+        pqQueries(emb), 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@5 of the residual tier vs the exact lattice truth — the
+    * committed number that shows what residual encoding buys over
+    * raw-vector codes ([[q_ivfpq_recall]]) at identical geometry. */
+  def q_ivfpq_res_recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = pqQueries(emb)
+    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
+    val truth = vector.Pq.exactTopK(quantized, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = q_topk_ivfpq_res(s, dir).select(col("query_id"), col("vec_id"))
+    val hits = truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("kc"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("kc").cast("int").as("k"),
+        coalesce(col("n_hit"), lit(0L)).cast("int").as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("kc"), 4)
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Recall@5 of the composed IVF+PQ tier against the same exact
     * lattice truth as [[q_pq_recall]] — the number that tells you
     * what the CELL PRUNING costs on top of the codebook

@@ -66,6 +66,8 @@ object SparkEntry {
     "q_topk_ivfpq_indexed" -> (Queries.q_topk_ivfpq_indexed _),
     "q_pq_recall" -> (Queries.q_pq_recall _),
     "q_ivfpq_recall" -> (Queries.q_ivfpq_recall _),
+    "q_topk_ivfpq_res" -> (Queries.q_topk_ivfpq_res _),
+    "q_ivfpq_res_recall" -> (Queries.q_ivfpq_res_recall _),
     // tabular surface
     "q_filter_conj" -> (Queries.q_filter_conj _),
     "q_date_between" -> (Queries.q_date_between _),

@@ -69,6 +69,33 @@ object Pq {
   def boundedTrain(corpus: DataFrame, m: Int = 8, k: Int = 8,
       rounds: Int = 2): (DataFrame, Codebooks) = {
     val qcorpus = corpus.withColumn("qv", Quantize.int8(col("embedding")))
+    (qcorpus, boundedTrainOn(qcorpus, m, k, rounds))
+  }
+
+  /** Residual-lattice scale: residuals (lattice int − exact-rational
+    * centroid) are multiplied by 8 — a power of two, so the product
+    * is EXACT in double — then rounded to the nearest integer. The
+    * finer lattice keeps every later arithmetic step replayable while
+    * resolving the small residual magnitudes the coarse cells leave. */
+  val ResidualScale = 8
+
+  /** Residual lattice column: `round((qv_j − cent_cell_j) · 8)` per
+    * dimension, with the row's coarse centroid looked up from the
+    * broadcast-literal centroid matrix by the `cell` column. */
+  def residualColumn(qv: Column, cell: Column,
+      centroids: Array[Array[Double]]): Column = {
+    val centsLit = array(centroids.map(c =>
+      array(c.map(lit): _*)): _*)
+    zip_with(qv, element_at(centsLit, cell + 1),
+      (x, c) => floor((x.cast("double") - c) * ResidualScale + 0.5)
+        .cast("int"))
+  }
+
+  /** The per-subspace bounded-rounds fit over an arbitrary prepared
+    * lattice frame (vec_id, qv) — shared by the raw-lattice
+    * [[boundedTrain]] and the residual IVFPQ fit. */
+  private def boundedTrainOn(qcorpus: DataFrame, m: Int, k: Int,
+      rounds: Int): Codebooks = {
     val fit = qcorpus.select(col("vec_id"), col("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -107,9 +134,83 @@ object Pq {
         }
         books = next
       }
-      (qcorpus, books)
+      books
     } finally fit.unpersist(blocking = false)
   }
+
+  /** RESIDUAL fit — the authentic FAISS IVFPQ: codebooks are trained
+    * on `vector − coarse centroid` rather than the raw vector, so
+    * the codes spend their resolution on the small within-cell
+    * residual instead of re-describing the cell. Returns the corpus
+    * with `cell` and the residual-lattice `qv` (both map-side
+    * expressions over the int8 lattice) plus the per-subspace
+    * residual codebooks. */
+  def boundedTrainResidual(corpus: DataFrame,
+      centroids: Array[Array[Double]], m: Int = 8, k: Int = 8,
+      rounds: Int = 2): (DataFrame, Codebooks) = {
+    val qcorpus = corpus
+      .withColumn("qv0", Quantize.int8(col("embedding")))
+      .withColumn("cell", FloatVecExpr.nearestCellF(col("qv0"), centroids))
+      .withColumn("qv", residualColumn(col("qv0"), col("cell"), centroids))
+    (qcorpus, boundedTrainOn(qcorpus, m, k, rounds))
+  }
+
+  /** Residual ADC serve with storage pruning: probed cells resolve
+    * driver-side into a static `cell IN (…)` PartitionFilter, and the
+    * per-query distance tables are built per (query, probed cell) —
+    * the query's residual DEPENDS on the cell it probes, so the
+    * broadcast table is keyed (query_id, cell) and the cell join
+    * scores each code row only against tables of its own cell. */
+  def adcTopKIndexedResidual(codesFromDisk: DataFrame, books: Codebooks,
+      centroids: Array[Array[Double]], queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val probedRows = Ivf.probe(queries, centroids, nProbe)
+      .select(col("query_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
+      .select(col("query_id"), col("qq")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Int]]("qq").toArray).toMap
+    val m = books.length
+    val tabs = probedRows.toSeq.map { case (qid, cell) =>
+      val qq = qs(qid)
+      val cent = centroids(cell)
+      // same arithmetic as residualColumn: ×8 is exact, floor(x+0.5)
+      val rqq = Array.tabulate(qq.length)(j =>
+        math.floor((qq(j).toDouble - cent(j)) * ResidualScale + 0.5).toInt)
+      (qid, cell, distanceTable(rqq, books).map(_.toSeq).toSeq)
+    }.toDF("query_id", "cell", "dtab")
+    val cells = probedRows.map(_._2).distinct.toSeq
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("dtab"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    codesFromDisk.filter(col("cell").isin(cells: _*))
+      .join(broadcast(tabs), "cell")
+      .withColumn("adc_dist", round(adc, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
+  }
+
+  /** Saved RESIDUAL index: same on-disk format as [[saveIndex]]
+    * (codes `partitionBy("cell")`, codebooks, coarse centroids), so
+    * [[loadIndex]] reads it unchanged — only the fit that produced
+    * the codes differs. */
+  def ensureSavedResidualIndex(corpus: DataFrame, m: Int, k: Int,
+      rounds: Int, nCells: Int, cacheKey: String,
+      epoch: Option[String] = None): String =
+    savedIndexes.ensure(cacheKey, corpus, epoch) { p =>
+      val (_, cents) = Ivf.boundedIndex(corpus, nCells, rounds)
+      val (quantized, books) = boundedTrainResidual(corpus, cents, m, k, rounds)
+      val encodedWithCell = encodeWith(quantized, books,
+        Seq("cell" -> col("cell")))
+      saveIndex(encodedWithCell, books, cents, p)
+    }
 
   /** Map-side PQ encode: (vec_id, codes array<int>) — `m` codegen'd
     * nearest-centroid expressions over broadcast-literal codebooks.

@@ -235,6 +235,46 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       "rebuilt codebooks must reflect the upserted corpus")
   }
 
+  test("residualColumn matches the driver replay; residual serve stays in probed cells") {
+    val rows = corpus(50)
+    val df = rows.toDF("vec_id", "embedding")
+    val (_, cents) = Ivf.boundedIndex(df, nCells = 4, rounds = 2)
+    val (q, books) = Pq.boundedTrainResidual(df, cents, m, k, rounds = 2)
+    // residual lattice vs plain Scala: floor((qv_j − cent_j)·8 + 0.5)
+    val got = q.select("vec_id", "qv0", "cell", "qv")
+      .as[(Long, Seq[Int], Int, Seq[Int])].collect()
+    got.foreach { case (id, qv0, cell, rq) =>
+      val cent = cents(cell)
+      val want = qv0.indices.map(j =>
+        math.floor((qv0(j).toDouble - cent(j)) * Pq.ResidualScale + 0.5).toInt)
+      assert(rq == want, s"residual mismatch for vec $id")
+    }
+    // saved residual serve: deterministic, and every hit sits in a
+    // cell the query probed
+    val queries = rows.take(2)
+      .map { case (id, v) => (id + 1000L, v) }
+      .toDF("query_id", "q_embedding")
+    val path = Pq.ensureSavedResidualIndex(df, m, k, rounds = 2,
+      nCells = 4, cacheKey = "pq-spec-residual")
+    val (codes, lb, lc) = Pq.loadIndex(spark, path)
+    for (s2 <- 0 until m; c2 <- 0 until k)
+      assert(java.util.Arrays.equals(lb(s2)(c2), books(s2)(c2)))
+    val served = Pq.adcTopKIndexedResidual(codes, lb, lc, queries, 3, 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(served.nonEmpty)
+    val probed = Ivf.probe(queries, lc, 2)
+      .select("query_id", "cell").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cellOf = q.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    served.foreach { case (qid, vid) =>
+      assert(probed(qid).contains(cellOf(vid)),
+        s"vec $vid served for query $qid from an unprobed cell")
+    }
+    val again = Pq.adcTopKIndexedResidual(codes, lb, lc, queries, 3, 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(served.toSeq == again.toSeq)
+  }
+
   test("boundedTrain requires the seed vec_ids 0..k-1") {
     val rows = corpus(20).map { case (id, v) => (id + 100L, v) }
     val df = rows.toDF("vec_id", "embedding")
