@@ -87,7 +87,10 @@ object ExplainAudit {
     // round 12 PQ tier: codes-only ADC serve (broadcast distance
     // tables, window on query_id) and the IVF+PQ composition
     // (broadcast probed-cell join replacing the cross join)
-    "q_topk_pq", "q_topk_ivfpq", "q_topk_ivfpq_indexed")
+    "q_topk_pq", "q_topk_ivfpq", "q_topk_ivfpq_indexed",
+    // continuation: the residual serve and the composed training-data
+    // materialization pipeline
+    "q_topk_ivfpq_res", "q_training_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
