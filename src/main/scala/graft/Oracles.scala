@@ -3305,6 +3305,27 @@ object Oracles {
     * below it. */
   val sql: Map[String, String] = base ++ Map(
     "q_chunk_recursive_split" -> base("q_chunk_recursive"),
+    // corpus datacard: grouped volumes over the hash-checked quality
+    // replay; the mean is the integer-microunit reduction (exact sum,
+    // one division) so it is order-free in both engines
+    "q_datacard" ->
+      s"""WITH q AS (${base("q_quality_score")}),
+         |d AS (
+         |  SELECT doc.lang, doc.source, doc.n_chars, q.n_tokens,
+         |         CAST(floor(q.quality * 1000000.0 + 0.5) AS BIGINT) AS qm
+         |  FROM q JOIN documents doc ON doc.doc_id = q.doc_id
+         |), g AS (
+         |  SELECT lang, source, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |         CAST(sum(qm) AS BIGINT) AS sqm
+         |  FROM d GROUP BY 1, 2
+         |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g)
+         |SELECT lang, source, n_docs, total_tokens, total_chars,
+         |       round(CAST(sqm AS DOUBLE) / 1000000.0 / n_docs, 6) AS avg_quality,
+         |       round(CAST(n_docs AS DOUBLE) / t.total, 6) AS doc_share
+         |FROM g CROSS JOIN t ORDER BY lang, source""".stripMargin,
+
     // the saved-index serve reads back bit-identical codes/centroids
     // and shares the in-memory composition's probe/scoring trees
     "q_topk_ivfpq_indexed" -> base("q_topk_ivfpq"),

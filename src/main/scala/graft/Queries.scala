@@ -1108,6 +1108,35 @@ object Queries {
       .select(col("doc_id"), col("n_features"), col("score"), col("keep"))
       .sortedOnce("q_classifier_filter")(col("doc_id"))
 
+  /** Corpus DATACARD — the per-(lang, source) report every released
+    * training set ships (counts, token/char volumes, mean quality,
+    * corpus share). One grouped aggregate over the scored scan; the
+    * quality mean uses the integer-MICROUNIT reduction (per-doc
+    * `floor(quality·1e6 + 0.5)` summed exactly, ONE division at the
+    * end) so the aggregate is order-free and bit-replayable — a
+    * float `avg()` would depend on partition order. The corpus total
+    * joins back as a broadcast 1-row frame, not an unpartitioned
+    * window. */
+  def q_datacard(s: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withQuality(t(s, dir, "documents"))
+      .withColumn("qm",
+        floor(col("quality") * lit(1000000.0) + 0.5).cast("long"))
+    val g = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(col("qm")).as("sqm"))
+    val tot = g.agg(sum(col("n_docs")).as("total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("total_tokens"), col("total_chars"),
+        round(col("sqm").cast("double") / lit(1000000.0) / col("n_docs"), 6)
+          .as("avg_quality"),
+        round(col("n_docs").cast("double") / col("total"), 6)
+          .as("doc_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Token counting (F7). */
   def q_token_count(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
