@@ -275,6 +275,54 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(served.toSeq == again.toSeq)
   }
 
+  test("residual codes beat raw codes on clustered data (reconstruction error)") {
+    // the synthetic fixture embeddings are near-random — PQ's
+    // adversarial case, where residual and raw codes measure within
+    // noise of each other (the committed recall rows pin that
+    // honestly). This test constructs the data PQ is FOR — tight
+    // clusters — and asserts the mechanism: with the coarse cells
+    // resolving clusters, residual codebooks spend their codes on the
+    // within-cluster noise and reconstruct strictly better than raw
+    // codebooks that must cover every cluster's sub-centers.
+    val rnd = new scala.util.Random(41)
+    val nClusters = 8
+    val centers = Array.fill(nClusters)(
+      Array.fill(dim)(math.round(rnd.nextGaussian() * 10).toFloat))
+    val rows: Seq[(Long, Seq[Float])] = (0 until 240).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.toSeq.map(x => x + 0.5f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (_, cents) = Ivf.boundedIndex(df, nCells = nClusters, rounds = 2)
+
+    val (qRaw, rawBooks) = Pq.boundedTrain(df, m, k, rounds = 2)
+    val (qRes, resBooks) = Pq.boundedTrainResidual(df, cents, m, k, rounds = 2)
+
+    def meanErr(q: org.apache.spark.sql.DataFrame,
+        books: Pq.Codebooks, scale: Double): Double = {
+      val enc = Pq.encode(q, books).as[(Long, Seq[Int])].collect().toMap
+      val qvs = q.select("vec_id", "qv").as[(Long, Seq[Int])].collect()
+      val errs = qvs.map { case (id, qv) =>
+        val codes = enc(id)
+        (0 until m).map { s =>
+          val cent = books(s)(codes(s))
+          (0 until sub).map { j =>
+            val d = (qv(s * sub + j).toDouble - cent(j)) / scale
+            d * d
+          }.sum
+        }.sum
+      }
+      errs.sum / errs.length
+    }
+    val rawErr = meanErr(qRaw, rawBooks, 1.0)
+    // residual lattice is ×8 — normalize back to qv units
+    val resErr = meanErr(qRes, resBooks, Pq.ResidualScale.toDouble)
+    info(f"mean reconstruction error: raw=$rawErr%.1f residual=$resErr%.1f")
+    assert(resErr < rawErr * 0.7,
+      s"residual reconstruction must clearly beat raw on clustered data: " +
+        s"res=$resErr raw=$rawErr")
+  }
+
   test("boundedTrain requires the seed vec_ids 0..k-1") {
     val rows = corpus(20).map { case (id, v) => (id + 100L, v) }
     val df = rows.toDF("vec_id", "embedding")
