@@ -2609,6 +2609,60 @@ object Oracles {
     // (x*srcW)//16). The grid is a bounded cross join filtered to each
     // asset's true dims (max w 16, max h 11 — version-portable, no
     // lateral table functions needed).
+    // perceptual-hash image near-dup: every decoded luminance is
+    // predicted from the crafted gray-pixel formula (grayscale ITU
+    // luminance == the pixel value), then the 8x8 nearest-neighbor
+    // aHash, 16-bit band keys, band-join candidates and the 64-bit
+    // hamming confirm replay in pure integer SQL
+    "q_mm_phash" ->
+      """WITH ids AS (
+        |  SELECT unnest(generate_series(0, 39)) AS asset_id
+        |  UNION ALL
+        |  SELECT unnest(generate_series(1000, 1039)) AS asset_id
+        |), geom AS (
+        |  SELECT asset_id,
+        |         CASE WHEN asset_id >= 1000 THEN asset_id - 1000 ELSE asset_id END AS base,
+        |         CASE WHEN asset_id >= 1000 THEN 1 ELSE 0 END AS isvar
+        |  FROM ids
+        |), cells AS (
+        |  SELECT g.asset_id, k.k,
+        |         CAST((k.k % 8) * (8 + g.base % 9) // 8 AS INTEGER) AS x,
+        |         CAST((k.k // 8) * (5 + g.base % 7) // 8 AS INTEGER) AS y,
+        |         g.base, g.isvar
+        |  FROM geom g CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) k
+        |), lv AS (
+        |  SELECT asset_id, k,
+        |         CASE WHEN isvar = 1 AND x = 0 AND y = 0
+        |              THEN ((x * 7 + y * 13 + base * 31) % 256 + 1) % 256
+        |              ELSE (x * 7 + y * 13 + base * 31) % 256 END AS lum
+        |  FROM cells
+        |), tot AS (SELECT asset_id, sum(lum) AS total FROM lv GROUP BY 1
+        |), bits AS (
+        |  SELECT l.asset_id, l.k,
+        |         CASE WHEN 64 * l.lum >= t.total THEN 1 ELSE 0 END AS bit
+        |  FROM lv l JOIN tot t USING (asset_id)
+        |), bk AS (
+        |  SELECT asset_id, CAST(k // 16 AS INTEGER) AS band_idx,
+        |         CAST(sum(bit * (1 << (k % 16))) AS INTEGER) AS key
+        |  FROM bits GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
+        |  FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.key = b.key
+        |    AND a.asset_id < b.asset_id
+        |), sig AS (
+        |  SELECT asset_id, list(key ORDER BY band_idx) AS ks FROM bk GROUP BY 1
+        |)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT p.id_a, p.id_b,
+        |         CAST(bit_count(xor(sa.ks[1], sb.ks[1]))
+        |            + bit_count(xor(sa.ks[2], sb.ks[2]))
+        |            + bit_count(xor(sa.ks[3], sb.ks[3]))
+        |            + bit_count(xor(sa.ks[4], sb.ks[4])) AS INTEGER) AS hamming
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.asset_id = p.id_a
+        |  JOIN sig sb ON sb.asset_id = p.id_b
+        |) WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
     "q_mm_decode" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 47)) AS asset_id),
         |dims AS (

@@ -2268,6 +2268,21 @@ object Queries {
     orig.join(resized, "asset_id").sortedOnce("q_mm_decode")(col("asset_id"))
   }
 
+  /** Perceptual-hash IMAGE near-dup — the multimodal twin of MinHash
+    * banding ([[Multimodal.phashNearDup]]): real PNG decode → 8×8
+    * average-hash (nearest-neighbor sampling, exact-integer mean
+    * threshold) → four 16-bit band keys → band-join candidates →
+    * 64-bit hamming confirm (hamming ≤ 3 guarantees a band match by
+    * pigeonhole, so recall at the threshold is exact). Fixture: 40
+    * crafted PNGs plus their one-pixel near-duplicate variants
+    * (asset 1000+id), so the true pair set is known by construction;
+    * the oracle predicts every decoded luminance from the crafted
+    * pixel formula — the [[q_mm_decode]] discipline applied to a
+    * dedup op. */
+  def q_mm_phash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashNearDup(Multimodal.pngAssetsWithNearDups(s, 40), 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** REAL audio decode, oracle-checked end to end — the WAV twin of
     * [[q_mm_decode]]: 30 crafted 16-bit PCM clips (sample =
     * ((i·k) mod 65536) − 32768) are encoded through the JDK codec

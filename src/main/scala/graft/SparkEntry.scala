@@ -119,6 +119,7 @@ object SparkEntry {
     "q_classifier_filter" -> (Queries.q_classifier_filter _),
     "q_corpus_shuffle" -> (Queries.q_corpus_shuffle _),
     "q_datacard" -> (Queries.q_datacard _),
+    "q_mm_phash" -> (Queries.q_mm_phash _),
     "q_training_mix" -> (Queries.q_training_mix _),
     "q_domain_quota" -> (Queries.q_domain_quota _),
     "q_quality_buckets" -> (Queries.q_quality_buckets _),

@@ -429,4 +429,123 @@ object Multimodal {
           lit(stride))))
       .select(col("asset_id"), col("frame_off"),
         col("payload").substr(col("frame_off") + lit(1), lit(16)).as("frame"))
+
+  // ===== perceptual-hash (aHash) image near-dup =====
+
+  /** Near-duplicate variant of [[makePng]]: the same crafted pixel
+    * formula with ONE pixel perturbed (+1 mod 256 at (0,0)) — the
+    * constructed positive pair for the perceptual-hash dedup op. */
+  def makePngNear(id: Long): Array[Byte] = {
+    val w = craftedWidth(id)
+    val h = craftedHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = ((x * 7 + y * 13 + id * 31) % 256).toInt
+        val v = if (x == 0 && y == 0) (base + 1) % 256 else base
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** `n` crafted originals (asset_id 0..n−1) plus their one-pixel
+    * near-duplicates (asset_id 1000+id) — the known-positive fixture
+    * for [[phashNearDup]]. */
+  def pngAssetsWithNearDups(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.flatMap(id =>
+        Seq((id, makePng(id)), (1000L + id, makePngNear(id)))))
+      .toDF("asset_id", "payload")
+  }
+
+  /** 8×8 average-hash of a decoded image as FOUR 16-bit band keys:
+    * cell (i, j) nearest-neighbor-samples the pixel
+    * `(j·w/8, i·h/8)` (the [[resizeImage]] integer sampling rule),
+    * takes its ITU-601 integer luminance, and bit `k = i·8+j` is set
+    * iff `64·lum_k ≥ Σ lums` — the mean threshold kept in exact
+    * integer arithmetic (no division). Band `b = k/16` collects bits
+    * `k mod 16`, so near-dup candidates are an equi-join on any
+    * matching band and hamming distance is 4 XOR+popcounts. */
+  private[multimodal] def aHashBands(img: java.awt.image.BufferedImage)
+      : Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val lums = new Array[Int](64)
+    var k = 0
+    while (k < 64) {
+      val x = (k % 8) * w / 8
+      val y = (k / 8) * h / 8
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      lums(k) = (299 * r + 587 * g + 114 * b) / 1000
+      k += 1
+    }
+    var total = 0L
+    k = 0
+    while (k < 64) { total += lums(k); k += 1 }
+    val bands = new Array[Int](4)
+    k = 0
+    while (k < 64) {
+      if (64L * lums(k) >= total) bands(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    bands
+  }
+
+  /** Per-asset aHash band keys — one decode+hash pass
+    * (`mapPartitions`, the justified codec site); undecodable
+    * payloads are dropped. */
+  def imageBandKeys(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          if (img == null) None else Some((id, aHashBands(img).toSeq))
+        } catch { case _: Throwable => None }
+      })
+      .toDF("asset_id", "bands")
+  }
+
+  /** Perceptual-hash near-dup detection — the image twin of MinHash
+    * banding: signatures band-join (any equal 16-bit band is a
+    * candidate; hamming ≤ 3 GUARANTEES a band match by pigeonhole,
+    * so recall at the threshold is exact), then candidates confirm
+    * with the full 64-bit hamming distance. Scale shape: decode+hash
+    * is one map pass, only (asset_id, band) pairs shuffle, and the
+    * confirm join touches candidates only — the 100 TB image-corpus
+    * dedup plan. */
+  def phashNearDup(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = imageBandKeys(assets)
+    val bands = sigs.select(col("asset_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "key")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.key") === col("b.key") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"))
+      .distinct()
+    val ham = (1 to 4)
+      .map(i => bit_count(element_at(col("sa"), i)
+        .bitwiseXOR(element_at(col("sb"), i))))
+      .reduce(_ + _)
+    cand
+      .join(sigs.select(col("asset_id").as("id_a"), col("bands").as("sa")), "id_a")
+      .join(sigs.select(col("asset_id").as("id_b"), col("bands").as("sb")), "id_b")
+      .withColumn("hamming", ham.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

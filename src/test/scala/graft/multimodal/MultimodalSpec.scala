@@ -137,4 +137,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       (floor((col("n") - 1) / 64) + 1).cast("long")).count()
     assert(bad == 0)
   }
+
+  test("phashNearDup: every constructed one-pixel variant pairs with its base; hamming verified") {
+    import spark.implicits._
+    val assets = Multimodal.pngAssetsWithNearDups(spark, 20)
+    val pairs = Multimodal.phashNearDup(assets, 3)
+      .as[(Long, Long, Int)].collect()
+    val constructed = pairs.filter { case (a, b, _) => b - a == 1000L }
+    assert(constructed.length == 20,
+      s"all 20 one-pixel variants must pair with their base, got ${constructed.length}")
+    // recompute hamming independently from the band keys
+    val sigs = Multimodal.imageBandKeys(assets)
+      .as[(Long, Seq[Int])].collect().toMap
+    pairs.foreach { case (a, b, h) =>
+      val want = sigs(a).zip(sigs(b))
+        .map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      assert(h == want && h <= 3, s"pair ($a,$b): reported $h, recomputed $want")
+    }
+    // a structurally different image (different formula) must NOT pair
+    // with everything: pairs are a strict subset of all id_a<id_b pairs
+    val n = assets.count()
+    assert(pairs.length < n * (n - 1) / 2)
+  }
 }
