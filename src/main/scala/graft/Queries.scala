@@ -1179,12 +1179,15 @@ object Queries {
     val mergesStr = merges.map { case (a, b) => s"$a+$b" }.mkString(",")
     def perRow(d: DataFrame) = d.select(col("doc_id"),
       graft.text.BpeLite.tokenCountCol(merges).as("n_bpe_tokens"),
-      Tok.tokenCount(col("text")).as("n_regex_tokens"),
+      // null text == empty text: encode(null) is already Vector.empty,
+      // so the regex count coalesces to 0 to match
+      coalesce(Tok.tokenCount(col("text")), lit(0)).as("n_regex_tokens"),
       lit(mergesStr).as("merges"))
     val giants = docs.filter(col("n_chars") > splitChars)
     val out =
       if (giants.isEmpty) perRow(docs)
-      else perRow(docs.filter(col("n_chars") <= splitChars))
+      else perRow(docs.filter( // null n_chars routes per-row, not dropped
+          graft.text.chunk.DocSplit.subThreshold(col("n_chars"), splitChars)))
         .unionByName(giants
           .join(graft.text.BpeLite.tokenCountsExploded(giants, merges),
             Seq("doc_id"), "left")
@@ -1297,7 +1300,8 @@ object Queries {
     if (docs.filter(col("n_chars") > splitChars).isEmpty)
       return perRow(docs).sortedOnce("q_repetition")(col("doc_id"))
 
-    val small = perRow(docs.filter(col("n_chars") <= splitChars))
+    val small = perRow(docs.filter( // null n_chars routes per-row
+      graft.text.chunk.DocSplit.subThreshold(col("n_chars"), splitChars)))
 
     val S = partTokens
     // slice BEFORE the spread so the shuffle moves part-sized arrays

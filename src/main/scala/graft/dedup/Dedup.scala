@@ -468,7 +468,8 @@ object Dedup {
         aggregate(col("accs"),
           array_repeat(lit(0), 60),
           (a, x) => zip_with(a, x, (m, n) => m + n))).as("simhash"))
-    perRow.filter(col("n_chars") <= splitChars)
+    perRow.filter( // null n_chars routes per-row, not dropped
+        graft.text.chunk.DocSplit.subThreshold(col("n_chars"), splitChars))
       .unionByName(giants.join(sums, "doc_id")
         .select(perRow.columns.map(col): _*))
   }

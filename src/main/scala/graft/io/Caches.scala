@@ -44,14 +44,19 @@ object Caches {
   private val tracked =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.ArrayDeque[Entry]]()
 
+  /** One lock for the whole registry (it holds at most a handful of
+    * entries): eviction must scan EVERY tag's queue for a live twin,
+    * and per-queue locks taken in arbitrary pairs would deadlock. */
+  private val lock = new Object
+
   /** Persist `df` (MEMORY_AND_DISK) registered under `tag`, evicting
     * the tag's oldest tracked persist beyond [[MaxPerTag]]. Returns
     * the persisted frame. */
   def persistTracked(df: DataFrame, tag: String): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val q = tracked.computeIfAbsent(tag,
-      _ => new java.util.ArrayDeque[Entry]())
-    q.synchronized {
+    lock.synchronized {
+      val q = tracked.computeIfAbsent(tag,
+        _ => new java.util.ArrayDeque[Entry]())
       // same logical plan re-persisted: CacheManager holds ONE cache
       // entry for it, so evicting an older queue twin would un-cache
       // the frame just returned — refresh its position instead
@@ -62,17 +67,36 @@ object Caches {
           it.remove()
       }
       q.addLast(Entry(p))
-      while (q.size > MaxPerTag)
-        q.removeFirst().df.unpersist(blocking = false)
+      while (q.size > MaxPerTag) {
+        val ev = q.removeFirst()
+        // CacheManager dedupes by plan ACROSS tags too: the same
+        // canonical plan registered under two tags shares ONE cache
+        // entry, so unpersisting an evictee with a still-tracked twin
+        // in ANY queue would silently un-cache the live frame —
+        // drop it from this queue only and leave the data cached
+        val evPlan = ev.df.queryExecution.analyzed.canonicalized
+        val hasLiveTwin = {
+          val tags = tracked.values().iterator()
+          var found = false
+          while (!found && tags.hasNext) {
+            val oq = tags.next(); val oit = oq.iterator()
+            while (!found && oit.hasNext)
+              found = oit.next().df.queryExecution.analyzed
+                .canonicalized.sameResult(evPlan)
+          }
+          found
+        }
+        if (!hasLiveTwin) ev.df.unpersist(blocking = false)
+      }
     }
     p
   }
 
   /** Live tracked persists for `tag` — the bound a lifecycle spec
     * asserts on. */
-  def trackedCount(tag: String): Int = {
+  def trackedCount(tag: String): Int = lock.synchronized {
     val q = tracked.get(tag)
-    if (q == null) 0 else q.synchronized(q.size)
+    if (q == null) 0 else q.size
   }
 
   /** Chain-position syntax: `frame.persistTracked("site.tag")` in
@@ -87,7 +111,7 @@ object Caches {
     * boundary call for long-lived consumers. Safe at any time:
     * persisted data is a recomputable cache, never the source of
     * truth, so the only cost of clearing early is recompute. */
-  def clearAll(spark: SparkSession): Unit = {
+  def clearAll(spark: SparkSession): Unit = lock.synchronized {
     spark.sharedState.cacheManager.clearCache()
     tracked.clear()
   }

@@ -47,6 +47,19 @@ object DocSplit {
   /** The chunkers' reference separator list, coarse → fine. */
   val DefaultSeps: Seq[String] = Seq("\n\n", "\n", ".", "?", "!", " ")
 
+  /** Null-safe SUB-threshold routing predicate for the split
+    * discipline's two-branch plans. A document with NULL `n_chars`
+    * (null text) satisfies neither `n_chars <= k` nor `n_chars > k`
+    * — plain routing would drop it from BOTH branches. It belongs on
+    * the per-row branch (which already coalesces null text to the
+    * empty token array); `IS NULL OR <=` keeps it there AND stays a
+    * parquet-pushable source filter, which `coalesce(n_chars, 0) <= k`
+    * would not be. The giant branch's `n_chars > k` is already
+    * null-correct (NULL is never a giant) and stays untouched so its
+    * existence probe keeps answering from row-group stats. */
+  def subThreshold(nChars: Column, splitChars: Long): Column =
+    nChars.isNull || nChars <= splitChars
+
   /** `(start, end)` offset pairs covering `text` exactly: each part
     * ≤ `maxChars`, cuts separator-snapped as described on the object.
     * One forward pass; progress is guaranteed (every cut lands

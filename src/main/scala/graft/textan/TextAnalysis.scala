@@ -274,7 +274,10 @@ object TextAnalysis {
           lit(threshold) * lit(1000.0) * col("n_features")).cast("int"))
 
     def perRow(d: DataFrame): DataFrame = {
-      val out = bind(Tok.tokens(lower(col("text"))), toks => {
+      // null text == empty text (the giant branch's coalesce, and the
+      // shape a null-routed row must produce: n_features 0, not null)
+      val out = bind(coalesce(Tok.tokens(lower(col("text"))),
+          array().cast("array<string>")), toks => {
         val bigrams = zip_with(
           slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
           slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
@@ -299,7 +302,8 @@ object TextAnalysis {
     if (!canSplit || docs.filter(col("n_chars") > splitChars).isEmpty)
       return finish(perRow(docs))
 
-    val small = perRow(docs.filter(col("n_chars") <= splitChars))
+    val small = perRow(docs.filter( // null n_chars routes per-row
+      graft.text.chunk.DocSplit.subThreshold(col("n_chars"), splitChars)))
     val giants = docs.filter(col("n_chars") > splitChars)
     val S = partTokens
     val nsp = docs.sparkSession.sessionState.conf.numShufflePartitions

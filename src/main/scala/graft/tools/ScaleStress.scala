@@ -145,7 +145,7 @@ object ScaleStress {
   /** SCALE_STRESS.json holds one JSON line per harness section
     * (`"section":"factor10"`, `"section":"row_skew"`), so each mode
     * refreshes its own line without disturbing the other's. */
-  private def upsertSection(path: String, section: String,
+  private[tools] def upsertSection(path: String, section: String,
       line: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     val others =

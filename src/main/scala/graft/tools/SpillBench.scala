@@ -14,10 +14,12 @@ import org.apache.spark.sql.SparkSession
   * expected); any OOM/failure exits non-zero — that is a plan gap,
   * not noise.
   *
-  * Artifact: one JSON line, upserted into SPILL_BENCH.json —
-  * `{"metric":"spill_bench","heap_mb":…,"memory_fraction":…,
-  *   "pass":…,"queries":{name:{"sec":…,"memory_spilled_mb":…,
-  *   "disk_spilled_mb":…,"peak_exec_mb":…}}}`.
+  * Artifact: one JSON line per (tile_factor, memory_fraction)
+  * configuration, upserted into SPILL_BENCH.json keyed by its
+  * `"section"` field (ScaleStress's section discipline) —
+  * `{"section":"tile10_f0.2","metric":"spill_bench","heap_mb":…,
+  *   "memory_fraction":…,"pass":…,"queries":{name:{"sec":…,
+  *   "memory_spilled_mb":…,"disk_spilled_mb":…,"peak_exec_mb":…}}}`.
   */
 object SpillBench {
 
@@ -112,13 +114,16 @@ object SpillBench {
       System.err.println(s"[spill] $cell")
       cell
     }
+    // one line per (tile, fraction) configuration, upserted like
+    // ScaleStress's sections: re-running a config refreshes its own
+    // line without clobbering other configs' results
+    val section = s"tile${tileFactor}_f$fraction"
     val json =
-      s"""{"metric":"spill_bench","sf":"$baseDir","tile_factor":$tileFactor,"heap_mb":$heapMb,""" +
+      s"""{"section":"$section","metric":"spill_bench","sf":"$baseDir","tile_factor":$tileFactor,"heap_mb":$heapMb,""" +
         s""""memory_fraction":$fraction,"cpus":$cpus,"pass":$pass,""" +
         s""""loadavg":"${loadavg()}","queries":${rows.mkString("{", ",", "}")}}"""
     println(json)
-    val w = new java.io.FileWriter(outFile)
-    try w.write(json + "\n") finally w.close()
+    ScaleStress.upsertSection(outFile, section, json)
     spark.stop()
     if (!pass) sys.exit(1)
   }

@@ -66,6 +66,27 @@ class CachesSpec extends AnyFunSuite with SparkTestBase {
     Caches.clearAll(spark)
   }
 
+  test("evicting a plan tracked under ANOTHER tag leaves it cached") {
+    Caches.clearAll(spark)
+    val shared = corpus(42).select(col("doc_id"), col("text"))
+    // the same canonical plan lives in two tags: ONE CacheManager
+    // entry backs both registry entries
+    val live = Caches.persistTracked(shared, "spec.twinA")
+    live.count()
+    Caches.persistTracked(corpus(42).select(col("doc_id"), col("text")),
+      "spec.twinB")
+    // roll tag B past MaxPerTag with distinct plans, evicting the
+    // shared plan from B — the twin still tracked in A must keep the
+    // single cache entry alive
+    (1 to Caches.MaxPerTag + 1).foreach { i =>
+      Caches.persistTracked(corpus(100 + i), "spec.twinB").count()
+    }
+    assert(Caches.trackedCount("spec.twinA") == 1)
+    assert(live.storageLevel.useMemory,
+      "cross-tag eviction un-cached a frame still tracked in another tag")
+    Caches.clearAll(spark)
+  }
+
   test("clearAll empties both CacheManager and the registry") {
     Caches.persistTracked(corpus(7), "spec.clear").count()
     assert(Caches.trackedCount("spec.clear") == 1)
