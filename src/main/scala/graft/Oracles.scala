@@ -409,10 +409,11 @@ object Oracles {
   /** Shared int8-lattice CTEs: `emb` (the raw table) and `qvt`
     * (each vector with its quantized lattice `qv`). Every
     * bounded-fit ANN oracle (IVF, PQ, IVF+PQ) replays from these. */
-  private lazy val latticeCte: String =
-    s"""emb AS (
-       |  SELECT vec_id, embedding FROM embeddings
-       |), qvt AS (
+  /** The quantize half of [[latticeCte]], parameterized over which
+    * `emb` CTE precedes it (the base table, or [[semLatticeCte]]'s
+    * planted-twin augmentation). */
+  private lazy val qvtCte: String =
+    s"""qvt AS (
        |  SELECT vec_id, embedding,
        |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
        |              ELSE list_transform(embedding,
@@ -422,6 +423,28 @@ object Oracles {
        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
        |        FROM emb)
        |)""".stripMargin
+
+  private lazy val latticeCte: String =
+    s"""emb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), $qvtCte""".stripMargin
+
+  /** [[latticeCte]] over Queries.semDedupCorpus's augmentation: the
+    * base table plus, for vec_id < 40, a twin (vec_id + 100000) with
+    * dimension 1 halved — double-multiply by 0.5 then cast to FLOAT,
+    * both IEEE-exact, so the twin embeddings match Spark's bit for
+    * bit and the shared quantize/k-means replay applies unchanged. */
+  private lazy val semLatticeCte: String =
+    s"""emb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id,
+       |         list_transform(generate_series(1, 64), i ->
+       |           CASE WHEN i = 1
+       |                THEN CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS FLOAT)
+       |                ELSE embedding[i] END) AS embedding
+       |  FROM embeddings WHERE vec_id < 40
+       |), $qvtCte""".stripMargin
 
   /** IVF coarse chain (mirrors Ivf.boundedIndex + Ivf.probe): seed
     * centroids `c0`, two unrolled exact-integer update rounds, final
@@ -845,6 +868,50 @@ object Oracles {
          |       c.node = c.cluster_id AS is_canonical
          |FROM comp c
          |ORDER BY cluster_id, vec_id""".stripMargin,
+
+    // SemDeDup replay: planted-twin lattice, the SHARED bounded
+    // k-means chain (c0..a3, verbatim from q_topk_ivf — unused serve
+    // CTEs are never evaluated), the exact integer ε²=361/400
+    // threshold on intra-cell pairs, recursive min-label closure,
+    // smallest-id keeper. Every arithmetic step is integer.
+    "q_semdedup" ->
+      s"""WITH RECURSIVE $semLatticeCte
+         |, $ivfCoarseCte
+         |, nrm AS (
+         |  SELECT vec_id,
+         |         CAST(list_sum(list_transform(qv,
+         |           x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nn
+         |  FROM qvt
+         |), sp AS (
+         |  SELECT a, b FROM (
+         |    SELECT x.vec_id AS a, y.vec_id AS b, nx.nn AS na, ny.nn AS nb,
+         |           CAST(list_sum(list_transform(generate_series(1, 64),
+         |             i -> CAST(vx.qv[i] AS BIGINT) * vy.qv[i])) AS BIGINT) AS dot
+         |    FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |    JOIN qvt vx ON vx.vec_id = x.vec_id
+         |    JOIN qvt vy ON vy.vec_id = y.vec_id
+         |    JOIN nrm nx ON nx.vec_id = x.vec_id
+         |    JOIN nrm ny ON ny.vec_id = y.vec_id)
+         |  WHERE dot > 0 AND 400 * dot * dot >= 361 * na * nb
+         |), e AS (
+         |  SELECT a, b FROM sp UNION SELECT b, a FROM sp
+         |), reach AS (
+         |  SELECT a AS node, a AS x FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.x
+         |), comp AS (
+         |  SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+         |), labeled AS (
+         |  SELECT q.vec_id, s.cell,
+         |         coalesce(c.cluster_id, q.vec_id) AS cluster_id
+         |  FROM qvt q JOIN a3 s ON s.vec_id = q.vec_id
+         |  LEFT JOIN comp c ON c.node = q.vec_id
+         |)
+         |SELECT vec_id, cell, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
+         |       CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM labeled
+         |ORDER BY vec_id""".stripMargin,
 
     // IVF replay on the crafted two-cluster fixture
     // (Queries.ivfCraftedCorpus/Queries, shared literals): sorted-

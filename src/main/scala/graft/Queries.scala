@@ -1193,7 +1193,9 @@ object Queries {
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_bpe_tokens"), lit(0)).as("n_bpe_tokens"),
-            Tok.tokenCount(col("text")).as("n_regex_tokens"),
+            // null text == empty text, both branches (a null-text row
+            // can still land HERE when a caller supplies n_chars)
+            coalesce(Tok.tokenCount(col("text")), lit(0)).as("n_regex_tokens"),
             lit(mergesStr).as("merges")))
     out.sortedOnce("q_bpe_tokens")(col("doc_id"))
   }
@@ -2608,6 +2610,35 @@ object Queries {
       .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
       .orderBy(col("cluster_id"), col("vec_id"))
   }
+
+  /** Fixture-augmented embedding corpus for [[q_semdedup]]: the base
+    * table plus, for vec_id < 40, a planted near-duplicate twin
+    * (vec_id + 100000) whose FIRST dimension is halved — a float-exact
+    * perturbation (double multiply by 0.5, cast back to float: both
+    * steps exact in IEEE, so both engines compute it bit-identically)
+    * with cosine ≈ 0.99 to its base. The raw fixture's max pairwise
+    * cosine is ≈0.51 ([[q_near_dup_signlsh]]), so the planted pair
+    * set is the KNOWN truth the dedup must recover. */
+  private def semDedupCorpus(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x.cast("double") * 0.5).cast("float"))
+              .otherwise(x)).as("embedding")))
+
+  /** SemDeDup ([[graft.dedup.SemDedup]], Abbas et al. 2023) — the
+    * semantic-duplicate decision per vector: bounded-rounds k-means
+    * cells (the q_topk_ivf fit, exact-integer replay), intra-cell
+    * pairs only (the paper's cost bound), ε = 0.95 as an exact
+    * integer predicate on the int8 lattice (400·dot² ≥ 361·‖a‖²‖b‖²),
+    * transitive closure, smallest-id keeper. Hash-checked end to end:
+    * DuckDB replays the k-means rounds, the integer threshold, and
+    * the closure over the same planted-twin corpus. */
+  def q_semdedup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SemDedup.semanticDedup(
+        semDedupCorpus(t(s, dir, "embeddings")))
+      .orderBy(col("vec_id"))
 
   /** Train/test contamination report — 3-token-shingle overlap of a
     * held-out slice (doc_id % 50 == 0) against the rest of the

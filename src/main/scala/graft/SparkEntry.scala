@@ -108,6 +108,7 @@ object SparkEntry {
     "q_simhash_candidates" -> (Queries.q_simhash_candidates _),
     "q_dup_clusters" -> (Queries.q_dup_clusters _),
     "q_dup_clusters_embedding" -> (Queries.q_dup_clusters_embedding _),
+    "q_semdedup" -> (Queries.q_semdedup _),
     "q_contamination" -> (Queries.q_contamination _),
     "q_decontaminate" -> (Queries.q_decontaminate _),
     "q_bm25_topk" -> (Queries.q_bm25_topk _),

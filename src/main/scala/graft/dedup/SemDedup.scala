@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication via embedding clustering
+  * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  * web-scale through semantic deduplication", arXiv:2303.09540):
+  * k-means the corpus embeddings into cells, compare pairs ONLY
+  * within a cell, call a pair semantic duplicates above a cosine
+  * threshold ε, and keep one representative per duplicate group.
+  * Documents whose wording differs but whose meaning coincides —
+  * invisible to MinHash/SimHash/suffix dedup — collapse here; the
+  * reference's RAG corpus dedups at ingest by exact id only
+  * (`airflow_dag.py` upsert), so this is a pure engine extension on
+  * the LLM-training-data axis.
+  *
+  * Spark-first decomposition, every stage already audited at scale:
+  *
+  *  1. Cells come from [[graft.vector.Ivf.boundedIndex]] — the
+  *     distributed bounded-rounds k-means over the int8 lattice whose
+  *     exact-integer centroid sums DuckDB replays round for round.
+  *  2. Intra-cell pairs route through [[Banded.candidatePairs]] (the
+  *     one audited banded self-join: shared exchange, SHUFFLE_HASH
+  *     pin) with `cell` as the band key — the paper's design point:
+  *     pairwise cost is per-cell, never corpus²; cross-cell
+  *     duplicates are the documented miss the cell count trades away.
+  *  3. The ε threshold is an EXACT INTEGER predicate on the quantized
+  *     lattice: for ε = √(num/den), `cos(a,b) ≥ ε` over int8 vectors
+  *     becomes `dot > 0 && den·dot² ≥ num·‖a‖²·‖b‖²` — no float
+  *     accumulation, no rounding discipline, bit-replayable anywhere.
+  *     (Bounds: |dot| ≤ 127²·64 < 2²⁰, so den·dot² < 2⁴⁹ — long-safe.)
+  *  4. Groups close transitively through
+  *     [[Clusters.connectedComponents]]; the keeper is the smallest
+  *     vec_id (the engine's canonicalization discipline — the paper
+  *     keeps the lowest-centroid-similarity member; the rule is a
+  *     per-group argmin either way, swap the ordering to taste).
+  *
+  * 100 TB shape: one fit (rounds+1 scans, nCells·dim driver state),
+  * one cell-keyed exchange for the pair join (cell sizes bounded by
+  * nCells scaling with corpus, per the paper), pair volume bounded by
+  * cell occupancy, component state bounded by duplicate volume. */
+object SemDedup {
+
+  /** Per-vector dedup decision over `emb` (`vec_id`, `embedding`):
+    * `(vec_id, cell, cluster_id, cluster_size, keep)` — `cluster_id`
+    * the smallest vec_id in the vector's duplicate group (itself when
+    * unduplicated), `keep` 1 on exactly one row per group.
+    *
+    * `epsNum/epsDen` is ε² as an exact rational — default 361/400,
+    * i.e. ε = 0.95, the paper's ballpark for web data. */
+  def semanticDedup(emb: DataFrame, nCells: Int = 8, rounds: Int = 2,
+      epsNum: Long = 361L, epsDen: Long = 400L): DataFrame = {
+    val (assigned, _) =
+      graft.vector.Ivf.boundedIndex(emb, nCells = nCells, rounds = rounds)
+    val keyed = assigned
+      .select(col("vec_id").as("doc_id"), col("cell"), col("qv"))
+    val dq = graft.vector.Quantize.dotQ _
+    val pairs = Banded
+      .candidatePairs(keyed, Seq("cell"), carry = Seq("qv"))
+      .withColumn("dot", dq(col("a_qv"), col("b_qv")))
+      .withColumn("na", dq(col("a_qv"), col("a_qv")))
+      .withColumn("nb", dq(col("b_qv"), col("b_qv")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(epsDen) >=
+          lit(epsNum) * col("na") * col("nb"))
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Clusters.connectedComponents(pairs)
+    val w = Window.partitionBy(col("cluster_id"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(comp, assigned("vec_id") === comp("node"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("int"))
+      .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("int"))
+  }
+}

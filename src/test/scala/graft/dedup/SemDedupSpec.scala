@@ -1,0 +1,54 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** [[SemDedup]] — semantic dedup over embedding k-means cells
+  * (Abbas et al. 2023). The fixture plants 40 near-duplicate twins
+  * (dimension 1 halved, cosine ≈ 0.99 to base) in a corpus whose
+  * organic max pairwise cosine is ≈0.51, so the true duplicate set
+  * is known exactly. */
+class SemDedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val out =
+    graft.Queries.q_semdedup(spark, sf).collect().toSeq
+
+  test("planted twins form 2-member groups; cross-cell misses only") {
+    val byCluster = out.groupBy(_.getLong(2))
+    val multi = byCluster.filter(_._2.size >= 2)
+    // every multi-member group is exactly {base, base + 100000} — no
+    // organic pair crosses epsilon = 0.95
+    multi.foreach { case (cid, rows) =>
+      assert(rows.map(_.getLong(0)).sorted == Seq(cid, cid + 100000L),
+        s"cluster $cid is not a planted twin pair")
+    }
+    // the only legitimate miss is a twin landing in a different
+    // k-means cell than its base (the paper's documented trade);
+    // verify every miss IS cross-cell, and most twins are recovered
+    val cellOf = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val missed = (0L until 40L).filterNot(i =>
+      multi.contains(i) || multi.exists(_._2.exists(_.getLong(0) == i)))
+    missed.foreach { i =>
+      assert(cellOf(i) != cellOf(i + 100000L),
+        s"twin $i missed while sharing its base's cell")
+    }
+    assert(multi.size >= 35, s"only ${multi.size}/40 planted twins found")
+  }
+
+  test("exactly one keeper per group, and it is the smallest id") {
+    out.groupBy(_.getLong(2)).foreach { case (cid, rows) =>
+      val keepers = rows.filter(_.getInt(4) == 1)
+      assert(keepers.size == 1, s"cluster $cid has ${keepers.size} keepers")
+      assert(keepers.head.getLong(0) == rows.map(_.getLong(0)).min)
+      assert(rows.head.getLong(2) == rows.map(_.getLong(0)).min)
+    }
+  }
+
+  test("kept count == corpus minus dropped duplicates") {
+    val dropped = out.count(_.getInt(4) == 0)
+    assert(out.size == 540) // 500 base + 40 twins on this fixture
+    assert(out.count(_.getInt(4) == 1) == out.size - dropped)
+    assert(dropped >= 35 && dropped <= 40) // one drop per found twin
+  }
+}
