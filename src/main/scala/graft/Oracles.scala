@@ -869,6 +869,34 @@ object Oracles {
          |FROM comp c
          |ORDER BY cluster_id, vec_id""".stripMargin,
 
+    // line-level exact dedup: 10-token segmentation, md5-keyed
+    // first-wins window (doc order, then position), reassembled-text
+    // md5; all-removed documents coalesce to md5('') like Spark's
+    // concat_ws over an empty list
+    "q_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), lines AS (
+        |  SELECT doc_id, p,
+        |         array_to_string(ts[p*10+1 : p*10+10], ' ') AS line
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(generate_series(0, CAST(len(ts) AS INTEGER) // 10)) AS p
+        |        FROM toks)
+        |  WHERE p * 10 < len(ts)
+        |), marked AS (
+        |  SELECT doc_id, p, line,
+        |         CASE WHEN row_number() OVER (PARTITION BY md5(line)
+        |                ORDER BY doc_id, p) = 1 THEN 1 ELSE 0 END AS kept
+        |  FROM lines
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS INTEGER) AS n_lines,
+        |       CAST(sum(kept) AS INTEGER) AS n_kept,
+        |       CAST(count(*) - sum(kept) AS INTEGER) AS n_removed,
+        |       md5(coalesce(string_agg(CASE WHEN kept = 1 THEN line END,
+        |             ' ' ORDER BY p), '')) AS clean_md5
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // SemDeDup replay: planted-twin lattice, the SHARED bounded
     // k-means chain (c0..a3, verbatim from q_topk_ivf — unused serve
     // CTEs are never evaluated), the exact integer ε²=361/400

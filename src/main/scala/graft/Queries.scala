@@ -2611,6 +2611,14 @@ object Queries {
       .orderBy(col("cluster_id"), col("vec_id"))
   }
 
+  /** Line-level exact dedup ([[Dedup.lineDedup]]) — the C4-class
+    * boilerplate-removal stage: first occurrence of every 10-token
+    * line wins corpus-wide, later copies are cut, documents
+    * reassembled. Hash-checked: the oracle replays segmentation, the
+    * md5-keyed first-wins window, and the reassembled text's md5. */
+  def q_line_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(t(s, dir, "documents")).orderBy(col("doc_id"))
+
   /** Fixture-augmented embedding corpus for [[q_semdedup]]: the base
     * table plus, for vec_id < 40, a planted near-duplicate twin
     * (vec_id + 100000) whose FIRST dimension is halved — a float-exact

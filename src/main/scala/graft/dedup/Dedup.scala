@@ -551,4 +551,50 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  /** Line-level EXACT dedup — the C4/MassiveText/RefinedWeb corpus
+    * stage between document dedup and quality filtering: a line that
+    * occurs anywhere else in the corpus keeps only its FIRST
+    * occurrence (document order, then position); later copies are
+    * removed and each document reassembled from its surviving lines.
+    * Boilerplate (headers, footers, nav text) repeats across
+    * documents far below the document-dedup radar — this is the
+    * stage that catches it. The fixture corpus has no newlines, so a
+    * "line" here is a fixed `lineTokens`-token segment (documented
+    * adaptation; a newline-structured corpus would split on '\n').
+    *
+    * Shape: lines never self-join — first-wins is ONE exchange keyed
+    * by the line's md5 (content fingerprints shuffle, the dedup
+    * discipline) carrying (doc_id, p, line); reassembly is one
+    * exchange keyed by doc_id. Per-key state is the line's occurrence
+    * count; no global sort, no driver state.
+    *
+    * Per document: total/kept/removed line counts plus the md5 of the
+    * reassembled text. When nothing is removed the reassembly is the
+    * identity (disjoint token segments re-joined by the same single
+    * space), so `clean_md5 == md5(text)` — spec-pinned. */
+  def lineDedup(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
+    val L = lineTokens
+    val lines = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0),
+          greatest(ceil(size(col("ts")).cast("double") / L) - 1, lit(0))
+            .cast("int"))).as("p"))
+      .filter(col("p") * L < size(col("ts")))
+      .select(col("doc_id"), col("p"),
+        array_join(slice(col("ts"), col("p") * L + 1, lit(L)), " ").as("line"))
+    val w = Window.partitionBy(md5(col("line")))
+      .orderBy(col("doc_id"), col("p"))
+    lines
+      .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(col("kept")).cast("int").as("n_kept"),
+        (count(lit(1)) - sum(col("kept"))).cast("int").as("n_removed"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(
+            when(col("kept") === 1, struct(col("p"), col("line"))))),
+            _.getField("line")))).as("clean_md5"))
+  }
 }

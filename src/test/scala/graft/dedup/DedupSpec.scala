@@ -211,4 +211,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     if (java.lang.Long.bitCount(h1 ^ h2) <= 16)
       assert(got.contains((1L, 2L)))
   }
+
+  test("lineDedup: first occurrence wins, reassembly is the identity") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: two full lines; its second line reappears in doc 2
+      (1L, (Seq.tabulate(10)(i => s"a$i") ++ Seq.tabulate(10)(i => s"b$i"))
+        .mkString(" ")),
+      // doc 2: the stolen line first, then an original partial line
+      (2L, (Seq.tabulate(10)(i => s"b$i") ++ Seq("tail", "words"))
+        .mkString(" ")),
+      // doc 3: a pure copy of doc 1 — every line removed
+      (3L, (Seq.tabulate(10)(i => s"a$i") ++ Seq.tabulate(10)(i => s"b$i"))
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSeq == Seq((1L, 2, 2, 0), (2L, 2, 1, 1), (3L, 2, 0, 2)))
+    // untouched doc: reassembled text == original text, md5-equal
+    val md5OfText = docs.filter($"doc_id" === 1L)
+      .select(md5($"text")).head.getString(0)
+    assert(out(0).getString(4) == md5OfText)
+    // fully-removed doc reassembles to the empty string
+    assert(out(2).getString(4) ==
+      java.security.MessageDigest.getInstance("MD5").digest(Array.empty[Byte])
+        .map("%02x".format(_)).mkString)
+  }
 }
