@@ -869,6 +869,41 @@ object Oracles {
          |FROM comp c
          |ORDER BY cluster_id, vec_id""".stripMargin,
 
+    // DSIR importance weights: hashed-bigram features (md5 buckets),
+    // target (lang='en') and raw smoothed LMs from one (doc, bucket)
+    // aggregate, per-term ln-ratio in integer microunits (order-free
+    // sum), association mirroring the Column tree exactly
+    "q_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, tgt, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS tok
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         |          regexp_extract_all(lower(text), '$RE') AS ts
+         |        FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u
+         |), bg AS (
+         |  SELECT doc_id, tgt, pos, tok,
+         |         lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS a
+         |  FROM toks
+         |), pd AS (
+         |  SELECT doc_id, tgt,
+         |         CAST('0x' || substr(md5('dsir|' || a || '_' || tok), 1, 8)
+         |           AS BIGINT) % 1024 AS bucket,
+         |         count(*) AS m
+         |  FROM bg WHERE a IS NOT NULL GROUP BY 1, 2, 3
+         |), lm AS (
+         |  SELECT bucket,
+         |         sum(CASE WHEN tgt = 1 THEN m ELSE 0 END) AS c_t,
+         |         sum(m) AS c_q
+         |  FROM pd GROUP BY bucket
+         |), tot AS (SELECT sum(c_t) AS tt, sum(c_q) AS tq FROM lm)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+         |       CAST(sum(round(m * ln((CAST(c_t + 1 AS DOUBLE) / (tt + 1024)) /
+         |             (CAST(c_q + 1 AS DOUBLE) / (tq + 1024))) * 1e6)) AS BIGINT)
+         |         AS logw_micro
+         |FROM pd JOIN lm USING (bucket) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // line-level exact dedup: 10-token segmentation, md5-keyed
     // first-wins window (doc order, then position), reassembled-text
     // md5; all-removed documents coalesce to md5('') like Spark's

@@ -2611,6 +2611,18 @@ object Queries {
       .orderBy(col("cluster_id"), col("vec_id"))
   }
 
+  /** DSIR importance weights ([[graft.textan.Dsir]], Xie et al.
+    * 2023) — the data-SELECTION stage: every document scored by how
+    * much its hashed-bigram distribution looks like the target slice
+    * (here lang = 'en') vs the raw corpus. Output is exact integer
+    * microunits — zero float discipline. Hash-checked: DuckDB replays
+    * tokenization, bucket hashing, both smoothed LMs and the
+    * microunit reduction. */
+  def q_dsir_weights(s: SparkSession, dir: String): DataFrame =
+    graft.textan.Dsir.importanceWeights(
+        t(s, dir, "documents"), col("lang") === "en")
+      .orderBy(col("doc_id"))
+
   /** Line-level exact dedup ([[Dedup.lineDedup]]) — the C4-class
     * boilerplate-removal stage: first occurrence of every 10-token
     * line wins corpus-wide, later copies are cut, documents

@@ -110,6 +110,7 @@ object SparkEntry {
     "q_dup_clusters_embedding" -> (Queries.q_dup_clusters_embedding _),
     "q_semdedup" -> (Queries.q_semdedup _),
     "q_line_dedup" -> (Queries.q_line_dedup _),
+    "q_dsir_weights" -> (Queries.q_dsir_weights _),
     "q_contamination" -> (Queries.q_contamination _),
     "q_decontaminate" -> (Queries.q_decontaminate _),
     "q_bm25_topk" -> (Queries.q_bm25_topk _),
