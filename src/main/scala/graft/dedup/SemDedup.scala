@@ -54,17 +54,18 @@ object SemDedup {
       epsNum: Long = 361L, epsDen: Long = 400L): DataFrame = {
     val (assigned, _) =
       graft.vector.Ivf.boundedIndex(emb, nCells = nCells, rounds = rounds)
-    val keyed = assigned
-      .select(col("vec_id").as("doc_id"), col("cell"), col("qv"))
     val dq = graft.vector.Quantize.dotQ _
+    // norms are per-VECTOR (n rows), never per-pair (n²/cells rows):
+    // computed once here and carried through the banded join
+    val keyed = assigned
+      .select(col("vec_id").as("doc_id"), col("cell"), col("qv"),
+        dq(col("qv"), col("qv")).as("nn"))
     val pairs = Banded
-      .candidatePairs(keyed, Seq("cell"), carry = Seq("qv"))
+      .candidatePairs(keyed, Seq("cell"), carry = Seq("qv", "nn"))
       .withColumn("dot", dq(col("a_qv"), col("b_qv")))
-      .withColumn("na", dq(col("a_qv"), col("a_qv")))
-      .withColumn("nb", dq(col("b_qv"), col("b_qv")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(epsDen) >=
-          lit(epsNum) * col("na") * col("nb"))
+          lit(epsNum) * col("a_nn") * col("b_nn"))
       .select(col("doc_a"), col("doc_b"))
     val comp = Clusters.connectedComponents(pairs)
     val w = Window.partitionBy(col("cluster_id"))

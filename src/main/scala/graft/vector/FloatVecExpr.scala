@@ -73,6 +73,69 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd EXACT integer dot over `array<int>` columns —
+  * the quantized-lattice twin of [[FloatVecDot]]: the HOF form
+  * (`aggregate(zip_with(...))`, the former [[Quantize.dotQ]] body)
+  * allocates an intermediate array per evaluation, which dominates
+  * at intra-cell pair scale (SemDeDup's n²/cells dots). Integer
+  * addition is associative, so this is bit-identical to the HOF form
+  * under ANY evaluation order — swapping it in can never move a
+  * hash. Null elements count 0; length mismatch uses the shorter
+  * prefix (zip_with + null-skip semantics). */
+case class IntVecDotL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"IntVecDotL needs two array<int> inputs, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getInt(i).toLong * y.getInt(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $s += (long) $x.getInt($i) * (long) $y.getInt($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntVecDotL =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native codegen'd nearest-centroid assignment over an `array<int>`
   * quantized vector and a CONSTANT centroid matrix (the k-means
   * assignment step of [[Ivf.boundedIndex]]).
@@ -157,6 +220,10 @@ object FloatVecExpr {
 
   def normF(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  /** Column wrapper: exact integer dot for int-array columns. */
+  def dotI(a: Column, b: Column): Column =
+    ColumnShim.column(IntVecDotL(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** Column wrapper: nearest-centroid index for an int-array column. */
   def nearestCellF(qv: Column, cents: Array[Array[Double]]): Column =

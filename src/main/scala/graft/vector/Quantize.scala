@@ -30,8 +30,10 @@ object Quantize {
   }
 
   /** Integer dot product of two quantized vectors — exact (no float
-    * accumulation), the cheap first-pass score for int8 ANN. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    * accumulation), the cheap first-pass score for int8 ANN. Since
+    * r13 the native fused-loop expression
+    * ([[FloatVecExpr.dotI]] / [[IntVecDotL]]) instead of the
+    * allocating `aggregate(zip_with(...))` HOF: integer addition is
+    * order-free, so the swap is bit-identical for every consumer. */
+  def dotQ(a: Column, b: Column): Column = FloatVecExpr.dotI(a, b)
 }
