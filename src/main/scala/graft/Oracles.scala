@@ -2793,6 +2793,58 @@ object Oracles {
         |  JOIN sig sb ON sb.asset_id = p.id_b
         |) WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
+    // audio-fingerprint near-dup: decoded samples predicted from the
+    // crafted formula (one-sample +1 click on the 1000+id variants),
+    // 64-frame integer energies, 63 delta bits, 4 band keys, band
+    // equi-join candidates, hamming <= 3 confirm — all integer
+    "q_mm_afp" ->
+      """WITH ids AS (
+        |  SELECT unnest(generate_series(0, 29)) AS asset_id
+        |  UNION ALL
+        |  SELECT unnest(generate_series(1000, 1029)) AS asset_id
+        |), dims AS (
+        |  SELECT asset_id,
+        |         CASE WHEN asset_id >= 1000 THEN 1 ELSE 0 END AS isvar,
+        |         160 + (CASE WHEN asset_id >= 1000 THEN asset_id - 1000 ELSE asset_id END % 5) * 40 AS n,
+        |         257 + (CASE WHEN asset_id >= 1000 THEN asset_id - 1000 ELSE asset_id END % 13) * 97 AS k
+        |  FROM ids
+        |), px AS (
+        |  SELECT d.asset_id,
+        |         ((i.i * d.k) % 65536) - 32768
+        |           + CASE WHEN d.isvar = 1 AND i.i = 5 THEN 1 ELSE 0 END AS s,
+        |         CAST((i.i * 64) // d.n AS INTEGER) AS f
+        |  FROM dims d CROSS JOIN (SELECT unnest(generate_series(0, 319)) AS i) i
+        |  WHERE i.i < d.n
+        |), en AS (
+        |  SELECT asset_id, f, sum(CAST(s AS BIGINT) * s) AS e
+        |  FROM px GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT a.asset_id, a.f,
+        |         CASE WHEN a.e >= b.e THEN 1 ELSE 0 END AS bit
+        |  FROM en a JOIN en b ON b.asset_id = a.asset_id AND b.f = a.f + 1
+        |  WHERE a.f < 63
+        |), bk AS (
+        |  SELECT asset_id, CAST(f // 16 AS INTEGER) AS band_idx,
+        |         CAST(sum(bit * (1 << (f % 16))) AS INTEGER) AS key
+        |  FROM bits GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b
+        |  FROM bk a JOIN bk b ON a.band_idx = b.band_idx AND a.key = b.key
+        |    AND a.asset_id < b.asset_id
+        |), sig AS (
+        |  SELECT asset_id, list(key ORDER BY band_idx) AS ks FROM bk GROUP BY 1
+        |)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT p.id_a, p.id_b,
+        |         CAST(bit_count(xor(sa.ks[1], sb.ks[1]))
+        |            + bit_count(xor(sa.ks[2], sb.ks[2]))
+        |            + bit_count(xor(sa.ks[3], sb.ks[3]))
+        |            + bit_count(xor(sa.ks[4], sb.ks[4])) AS INTEGER) AS hamming
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.asset_id = p.id_a
+        |  JOIN sig sb ON sb.asset_id = p.id_b
+        |) WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
     "q_mm_decode" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 47)) AS asset_id),
         |dims AS (

@@ -2289,6 +2289,20 @@ object Queries {
     Multimodal.phashNearDup(Multimodal.pngAssetsWithNearDups(s, 40), 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Audio-fingerprint near-dup ([[Multimodal.audioNearDup]]) — the
+    * AUDIO twin of [[q_mm_phash]] and the third instance of the
+    * banded candidate/confirm discipline: REAL WAV decode → 64-frame
+    * integer energy-delta fingerprint (Chromaprint's shape, exact
+    * longs) → four 16-bit band keys → band-join candidates → 63-bit
+    * hamming confirm. Fixture: 30 crafted clips plus one-sample
+    * variants (asset 1000+id, a sub-audible click), so the true pair
+    * set is known; the oracle predicts every decoded sample from the
+    * crafted formula and replays frames, energies, delta bits, bands
+    * and the confirm. */
+  def q_mm_afp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDup(Multimodal.wavAssetsWithNearDups(s, 30), 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** REAL audio decode, oracle-checked end to end — the WAV twin of
     * [[q_mm_decode]]: 30 crafted 16-bit PCM clips (sample =
     * ((i·k) mod 65536) − 32768) are encoded through the JDK codec

@@ -249,6 +249,45 @@ object Multimodal {
         length(col("payload")).as("declared_size")))
   }
 
+  /** [[craftedSamples]] with sample 5 nudged by +1 — the audio twin
+    * of [[makePngNear]]'s one-pixel variant: a sub-audible one-sample
+    * click. No overflow risk: sample 5 is (5k mod 65536) − 32768 with
+    * 5k ≤ 7105, far from Short.MaxValue. The nudge moves ONE frame
+    * energy, so at most the two delta bits that compare it flip —
+    * hamming ≤ 2 ≤ 3, and the banded join's pigeonhole recall
+    * guarantee makes every planted pair a certain catch. */
+  private[multimodal] def craftedSamplesNear(id: Long): Array[Short] = {
+    val s = craftedSamples(id)
+    s(5) = (s(5) + 1).toShort
+    s
+  }
+
+  private[multimodal] def makeWavNear(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val samples = craftedSamplesNear(id)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm.array()), fmt,
+        samples.length),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** `n` crafted clips (asset_id 0..n−1) plus their one-sample
+    * near-duplicates (asset_id 1000+id) — the known-positive fixture
+    * for [[audioNearDup]]. */
+  def wavAssetsWithNearDups(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.flatMap(id =>
+        Seq((id, makeWav(id)), (1000L + id, makeWavNear(id)))))
+      .toDF("asset_id", "payload")
+  }
+
   /** A decoded audio clip: rate, sample count, integer signal stats
     * and the zero-crossing count ((s_i ≥ 0) ≠ (s_{i−1} ≥ 0)) — the
     * classic cheap audio feature, all integer-exact. */
@@ -287,6 +326,32 @@ object Multimodal {
           i += 1
         }
         Some(DecodedAudio(fmt.getSampleRate.toInt, n, sum, mn, mx, zc))
+      }
+    } catch { case _: Throwable => None }
+
+  /** REAL audio decode to raw samples (16-bit PCM mono only) — the
+    * fingerprint path's input; undecodable → None. Same codec and
+    * sample reconstruction as [[decodeWav]]. */
+  def decodeWavSamples(payload: Array[Byte]): Option[Array[Short]] =
+    try {
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt
+          out(i) = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort
+                   else ((hi << 8) | lo).toShort
+          i += 1
+        }
+        Some(out)
       }
     } catch { case _: Throwable => None }
 
@@ -527,8 +592,18 @@ object Multimodal {
     * is one map pass, only (asset_id, band) pairs shuffle, and the
     * confirm join touches candidates only — the 100 TB image-corpus
     * dedup plan. */
-  def phashNearDup(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = imageBandKeys(assets)
+  def phashNearDup(assets: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNearDup(imageBandKeys(assets), maxHamming)
+
+  /** Banded-hamming candidate/confirm over ANY 4×16-bit signature
+    * frame (`asset_id`, `bands`) — shared by the image
+    * ([[phashNearDup]]) and audio ([[audioNearDup]]) fingerprints:
+    * any equal band is a candidate (hamming ≤ 3 GUARANTEES a band
+    * match by pigeonhole, so recall at the threshold is exact),
+    * confirmed by the full 64-bit hamming distance. Only
+    * (asset_id, band) pairs shuffle; the confirm join touches
+    * candidates only. */
+  def hammingNearDup(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = sigs.select(col("asset_id"),
       posexplode(col("bands")).as(Seq("band_idx", "key")))
     val cand = bands.as("a").join(bands.as("b"),
@@ -548,4 +623,54 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** 64-frame energy-delta fingerprint of a decoded clip as FOUR
+    * 16-bit band keys — the Chromaprint/Shazam shape reduced to its
+    * integer core: sample i lands in frame `i·64/n` (integer
+    * division), frame energy E_f = Σ s², and delta bit
+    * `f ∈ [0, 63)` is set iff `E_f ≥ E_{f+1}`. Energies are exact
+    * longs (|s| ≤ 32768, ≤ n/64+1 samples per frame), so the whole
+    * fingerprint is integer arithmetic — DuckDB replays it from the
+    * crafted sample formula. 63 bits over 4 bands (band 3 carries
+    * 15): hamming ≤ 3 keeps the pigeonhole guarantee. */
+  private[multimodal] def audioDeltaBands(samples: Array[Short]): Array[Int] = {
+    val n = samples.length
+    val e = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = samples(i).toLong
+      e((i.toLong * 64 / n).toInt) += s * s
+      i += 1
+    }
+    val bands = new Array[Int](4)
+    var f = 0
+    while (f < 63) {
+      if (e(f) >= e(f + 1)) bands(f / 16) |= 1 << (f % 16)
+      f += 1
+    }
+    bands
+  }
+
+  /** Per-asset audio fingerprint band keys — one decode+fingerprint
+    * pass (`mapPartitions`, the justified codec site); undecodable
+    * or empty payloads are dropped. */
+  def audioBandKeys(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWavSamples(payload).filter(_.nonEmpty)
+          .map(s => (id, audioDeltaBands(s).toSeq))
+      })
+      .toDF("asset_id", "bands")
+  }
+
+  /** Audio fingerprint near-dup — the AUDIO twin of [[phashNearDup]]
+    * and the third instance of the engine's banded candidate/confirm
+    * discipline (MinHash text, aHash image, energy-delta audio): the
+    * fingerprint is one decode pass, candidates band-join, hamming
+    * confirms. */
+  def audioNearDup(assets: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNearDup(audioBandKeys(assets), maxHamming)
 }

@@ -90,7 +90,12 @@ object ExplainAudit {
     "q_topk_pq", "q_topk_ivfpq", "q_topk_ivfpq_indexed",
     // continuation: the residual serve and the composed training-data
     // materialization pipeline
-    "q_topk_ivfpq_res", "q_training_mix")
+    "q_topk_ivfpq_res", "q_training_mix",
+    // round 13: SemDeDup (banded intra-cell pairs over the k-means
+    // exchange, integer threshold), line dedup (fingerprint-keyed
+    // first-wins window, no self-join), DSIR (broadcast hashed LMs —
+    // the corpus never reshuffles by feature)
+    "q_semdedup", "q_line_dedup", "q_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

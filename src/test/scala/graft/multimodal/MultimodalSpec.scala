@@ -159,4 +159,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val n = assets.count()
     assert(pairs.length < n * (n - 1) / 2)
   }
+
+  test("audioNearDup: every one-sample variant pairs with its base; fingerprint exact") {
+    // the variant's decoded samples ARE craftedSamplesNear — the
+    // codec round-trip is lossless, so the fingerprint is computed
+    // on exactly the formula the oracle replays
+    val dec = Multimodal.decodeWavSamples(Multimodal.makeWavNear(7L)).get
+    assert(dec.toSeq == Multimodal.craftedSamplesNear(7L).toSeq)
+    // the one-sample click moves one frame energy: at most the two
+    // delta bits comparing it flip
+    val base = Multimodal.audioDeltaBands(Multimodal.craftedSamples(7L))
+    val near = Multimodal.audioDeltaBands(Multimodal.craftedSamplesNear(7L))
+    val flips = (0 until 4)
+      .map(i => Integer.bitCount(base(i) ^ near(i))).sum
+    assert(flips <= 2, s"click flipped $flips delta bits")
+
+    val pairs = Multimodal
+      .audioNearDup(Multimodal.wavAssetsWithNearDups(spark, 12), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    (0L until 12L).foreach { id =>
+      val hit = pairs.find(p => p._1 == id && p._2 == 1000L + id)
+      assert(hit.isDefined, s"planted audio pair $id missing")
+      assert(hit.get._3 <= 2)
+    }
+  }
 }
