@@ -573,9 +573,13 @@ object Dedup {
     * reassembled text. When nothing is removed the reassembly is the
     * identity (disjoint token segments re-joined by the same single
     * space), so `clean_md5 == md5(text)` — spec-pinned. */
-  def lineDedup(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
+  /** `(doc_id, p, line)` segmentation shared by [[lineDedup]], the
+    * static [[lineIndex]] and the streaming ingest path — a NARROW
+    * per-row explode (no window, no shuffle), so it runs unchanged on
+    * a streaming frame. */
+  def linesOf(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
     val L = lineTokens
-    val lines = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), col("ts"),
         explode(sequence(lit(0),
@@ -584,9 +588,24 @@ object Dedup {
       .filter(col("p") * L < size(col("ts")))
       .select(col("doc_id"), col("p"),
         array_join(slice(col("ts"), col("p") * L + 1, lit(L)), " ").as("line"))
+  }
+
+  /** Static line-fingerprint index for the continuous-ingest path:
+    * one row per DISTINCT line with its first (doc order, then
+    * position) owner. The compact history a stream of incoming
+    * documents joins against — fingerprints only, never line text at
+    * the join. */
+  def lineIndex(docs: DataFrame, lineTokens: Int = 10): DataFrame =
+    linesOf(docs, lineTokens)
+      .groupBy(md5(col("line")).as("line_md5"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("f"))
+      .select(col("line_md5"), col("f.doc_id").as("first_doc"),
+        col("f.p").as("first_p"))
+
+  def lineDedup(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
     val w = Window.partitionBy(md5(col("line")))
       .orderBy(col("doc_id"), col("p"))
-    lines
+    linesOf(docs, lineTokens)
       .withColumn("kept", (row_number().over(w) === 1).cast("int"))
       .groupBy(col("doc_id")).agg(
         count(lit(1)).cast("int").as("n_lines"),

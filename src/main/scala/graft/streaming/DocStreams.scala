@@ -60,6 +60,25 @@ object DocStreams {
         Seq("band", "band_key"))
       .select(col("doc_id"), col("dup_of"), col("band"))
 
+  /** LINE-level boilerplate detection on the ingest stream — the
+    * continuous twin of [[graft.dedup.Dedup.lineDedup]]: each
+    * incoming document segments into 10-token lines per-row (narrow
+    * explode, [[graft.dedup.Dedup.linesOf]] — no stateful op), the
+    * line fingerprints equi-join the precomputed history index
+    * (stream-static inner join, stateless on the stream side), and
+    * one (doc_id, p, dup_of, first_p) row emits per historically-
+    * duplicate line. At scale the static side is the compact
+    * (md5, first-owner) index, never corpus text; downstream
+    * reassembly drops the flagged positions exactly as the batch
+    * operator does. */
+  def lineDupAgainstStatic(incoming: DataFrame,
+      lineIndex: DataFrame): DataFrame =
+    graft.dedup.Dedup.linesOf(incoming)
+      .select(col("doc_id"), col("p"), md5(col("line")).as("line_md5"))
+      .join(lineIndex, Seq("line_md5"))
+      .select(col("doc_id"), col("p"),
+        col("first_doc").as("dup_of"), col("first_p"))
+
   /** Watermarked event dedup: drops re-deliveries of the same
     * `event_id` arriving within `delay` of the watermark — bounded
     * state for at-least-once upstreams. */

@@ -161,6 +161,33 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static line dedup: historical lines flagged, fresh lines pass") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val history = Tables.documents(spark, sf).filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("text"))
+    val idx = graft.dedup.Dedup.lineIndex(history)
+    // incoming doc = history doc 3's first 10-token line + 10 fresh
+    // tokens: exactly ONE line collides, at position 0
+    val h3 = history.filter(col("doc_id") === 3).head().getString(1)
+    val firstLine = h3.split(" ").take(10).mkString(" ")
+    val fresh = Seq.tabulate(10)(i => s"zq$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.lineDupAgainstStatic(
+        mem.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("linedup_stream_out").start()
+    try {
+      mem.addData((7000L, s"$firstLine $fresh"), (7001L, fresh))
+      q.processAllAvailable()
+      val got = spark.table("linedup_stream_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      assert(got.toSeq == Seq((7000L, 0, 3L, 0)),
+        s"exactly the copied line flags, owned by doc 3 line 0; got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("minhashBandKeys (narrow) equals the aggregate pipeline's keys batch-side") {
     val docs = Tables.documents(spark, sf).limit(50)
       .select(col("doc_id"), col("text"))
