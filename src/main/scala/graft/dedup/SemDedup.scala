@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.io.Caches.TrackedPersistOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -56,10 +57,15 @@ object SemDedup {
       graft.vector.Ivf.boundedIndex(emb, nCells = nCells, rounds = rounds)
     val dq = graft.vector.Quantize.dotQ _
     // norms are per-VECTOR (n rows), never per-pair (n²/cells rows):
-    // computed once here and carried through the banded join
+    // computed once here and carried through the banded join. The
+    // persist bridges the three consumers (both sides of the pair
+    // join via the shared exchange, and the output's cell column) —
+    // without it the scan→quantize→assign chain re-executes per
+    // action (tracked: graft.io.Caches lifecycle)
     val keyed = assigned
       .select(col("vec_id").as("doc_id"), col("cell"), col("qv"),
         dq(col("qv"), col("qv")).as("nn"))
+      .persistTracked("semdedup.keyed")
     val pairs = Banded
       .candidatePairs(keyed, Seq("cell"), carry = Seq("qv", "nn"))
       .withColumn("dot", dq(col("a_qv"), col("b_qv")))
@@ -69,8 +75,9 @@ object SemDedup {
       .select(col("doc_a"), col("doc_b"))
     val comp = Clusters.connectedComponents(pairs)
     val w = Window.partitionBy(col("cluster_id"))
-    assigned.select(col("vec_id"), col("cell"))
-      .join(comp, assigned("vec_id") === comp("node"), "left")
+    val base = keyed.select(col("doc_id").as("vec_id"), col("cell"))
+    base
+      .join(comp, base("vec_id") === comp("node"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("comp"), col("vec_id")).as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(w).cast("int"))

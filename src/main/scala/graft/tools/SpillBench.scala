@@ -24,10 +24,12 @@ import org.apache.spark.sql.SparkSession
 object SpillBench {
 
   /** The heaviest catalog queries by committed bench wall time, plus
-    * the widest-state shuffles (banded self-join, substr dedup). */
+    * the widest-state shuffles (banded self-join, substr dedup; r13
+    * adds the SemDeDup pair join and the composed training-mix
+    * pipeline). */
   private val Heavy = Seq(
     "q_substr_dedup", "q_corpus_filter", "q_unigram_logprob",
-    "q_bpe_tokens", "q_bm25_indexed")
+    "q_bpe_tokens", "q_bm25_indexed", "q_semdedup", "q_training_mix")
 
   private class SpillListener extends SparkListener {
     @volatile var memSpilled = 0L
