@@ -976,6 +976,93 @@ object Oracles {
          |FROM labeled
          |ORDER BY vec_id""".stripMargin,
 
+    // incremental SemDeDup: the history k-means chain (shared CTEs),
+    // batch derivation (planted twins / reversed fresh / reversed+
+    // halved intra-dups), batch quantize + frozen-centroid assign,
+    // history-first then earlier-batch ε-resolution, -1 = fresh
+    "q_semdedup_incremental" ->
+      s"""WITH $latticeCte
+         |, $ivfCoarseCte
+         |, bemb AS (
+         |  SELECT vec_id + 200000 AS vec_id,
+         |         list_transform(generate_series(1, 64), i ->
+         |           CASE WHEN i = 1
+         |                THEN CAST(CAST(embedding[1] AS DOUBLE) * 0.5 AS FLOAT)
+         |                ELSE embedding[i] END) AS embedding
+         |  FROM embeddings WHERE vec_id < 25
+         |  UNION ALL
+         |  SELECT vec_id + 300000, list_reverse(embedding)
+         |  FROM embeddings WHERE vec_id >= 25 AND vec_id < 35
+         |  UNION ALL
+         |  SELECT vec_id + 400000,
+         |         list_transform(generate_series(1, 64), i ->
+         |           CASE WHEN i = 1
+         |                THEN CAST(CAST(list_reverse(embedding)[1] AS DOUBLE) * 0.5 AS FLOAT)
+         |                ELSE list_reverse(embedding)[i] END)
+         |  FROM embeddings WHERE vec_id >= 25 AND vec_id < 30
+         |), bqvt AS (
+         |  SELECT vec_id,
+         |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+         |              ELSE list_transform(embedding,
+         |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
+         |         END AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM bemb)
+         |), bassign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             list_sum(list_transform(generate_series(1, 64),
+         |               i -> (CAST(v.qv[i] AS DOUBLE) - c.cent[i])
+         |                  * (CAST(v.qv[i] AS DOUBLE) - c.cent[i]))), c.cell) AS rn
+         |    FROM bqvt v CROSS JOIN c2 c)
+         |  WHERE rn = 1
+         |), hn AS (
+         |  SELECT vec_id, CAST(list_sum(list_transform(qv,
+         |           x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nn
+         |  FROM qvt
+         |), bn AS (
+         |  SELECT vec_id, CAST(list_sum(list_transform(qv,
+         |           x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nn
+         |  FROM bqvt
+         |), vh AS (
+         |  SELECT vec_id, min(hist_id) AS dup_of_hist FROM (
+         |    SELECT b.vec_id, h.vec_id AS hist_id,
+         |           CAST(list_sum(list_transform(generate_series(1, 64),
+         |             i -> CAST(hv.qv[i] AS BIGINT) * bv.qv[i])) AS BIGINT) AS dot,
+         |           hn.nn AS hnn, bn.nn AS bnn
+         |    FROM bassign b JOIN a3 h ON h.cell = b.cell
+         |    JOIN qvt hv ON hv.vec_id = h.vec_id
+         |    JOIN bqvt bv ON bv.vec_id = b.vec_id
+         |    JOIN hn ON hn.vec_id = h.vec_id
+         |    JOIN bn ON bn.vec_id = b.vec_id)
+         |  WHERE dot > 0 AND 400 * dot * dot >= 361 * hnn * bnn
+         |  GROUP BY vec_id
+         |), ib AS (
+         |  SELECT vec_id, min(xid) AS dup_of_batch FROM (
+         |    SELECT y.vec_id, x.vec_id AS xid,
+         |           CAST(list_sum(list_transform(generate_series(1, 64),
+         |             i -> CAST(xv.qv[i] AS BIGINT) * yv.qv[i])) AS BIGINT) AS dot,
+         |           xn.nn AS xnn, yn.nn AS ynn
+         |    FROM bassign x JOIN bassign y
+         |      ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |    JOIN bqvt xv ON xv.vec_id = x.vec_id
+         |    JOIN bqvt yv ON yv.vec_id = y.vec_id
+         |    JOIN bn xn ON xn.vec_id = x.vec_id
+         |    JOIN bn yn ON yn.vec_id = y.vec_id)
+         |  WHERE dot > 0 AND 400 * dot * dot >= 361 * xnn * ynn
+         |  GROUP BY vec_id
+         |)
+         |SELECT b.vec_id, b.cell,
+         |       coalesce(vh.dup_of_hist, ib.dup_of_batch, -1) AS dup_of,
+         |       CAST(CASE WHEN vh.vec_id IS NULL AND ib.vec_id IS NULL
+         |            THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM bassign b
+         |LEFT JOIN vh ON vh.vec_id = b.vec_id
+         |LEFT JOIN ib ON ib.vec_id = b.vec_id
+         |ORDER BY b.vec_id""".stripMargin,
+
     // IVF replay on the crafted two-cluster fixture
     // (Queries.ivfCraftedCorpus/Queries, shared literals): sorted-
     // sample init picks vec 0 and vec 4, one assignment round against

@@ -2674,6 +2674,50 @@ object Queries {
         semDedupCorpus(t(s, dir, "embeddings")))
       .orderBy(col("vec_id"))
 
+  /** The halve-dimension-1 float-exact perturbation shared by every
+    * planted-twin fixture (double multiply by 0.5 then cast back —
+    * both IEEE-exact). */
+  private def halveDim1(v: Column): Column =
+    transform(v, (x, i) =>
+      when(i === 0, (x.cast("double") * 0.5).cast("float")).otherwise(x))
+
+  /** Incremental-batch fixture for [[q_semdedup_incremental]]: 25
+    * planted twins of history vectors (vec_id + 200000, dim 1
+    * halved — must resolve against HISTORY), 10 fresh vectors
+    * (vec_id + 300000, the embedding REVERSED — a reversed
+    * near-random vector matches nothing, so they stay fresh), and 5
+    * intra-batch duplicates (vec_id + 400000, reversed THEN dim 1
+    * halved — ε-close only to their +300000 sibling, testing the
+    * within-batch first-wins rule). Reversal and halving are
+    * element-exact in both engines. */
+  private def semDedupBatch(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    e.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        halveDim1(col("embedding")).as("embedding"))
+      .unionByName(e.filter(col("vec_id") >= 25 && col("vec_id") < 35)
+        .select((col("vec_id") + 300000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+      .unionByName(e.filter(col("vec_id") >= 25 && col("vec_id") < 30)
+        .select((col("vec_id") + 400000L).as("vec_id"),
+          halveDim1(reverse(col("embedding"))).as("embedding")))
+  }
+
+  /** Incremental SemDeDup
+    * ([[graft.dedup.SemDedup.semanticDedupIncremental]]) — the
+    * continuous-ingest mode: fit frozen on history, the delta batch
+    * assigns map-side and resolves ε-duplicates against same-cell
+    * history first (smallest id), then earlier batch rows; no refit,
+    * no corpus reshuffle, no closure (the q_dedup_incremental
+    * discipline at ε). Hash-checked: DuckDB replays the history
+    * k-means, the batch derivation + assignment, both pair scans and
+    * the precedence. */
+  def q_semdedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.dedup.SemDedup.semanticDedupIncremental(emb, semDedupBatch(emb))
+      .orderBy(col("vec_id"))
+  }
+
   /** Train/test contamination report — 3-token-shingle overlap of a
     * held-out slice (doc_id % 50 == 0) against the rest of the
     * corpus: the standard pre-training decontamination check. The

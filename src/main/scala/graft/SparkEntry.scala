@@ -112,6 +112,7 @@ object SparkEntry {
     "q_line_dedup" -> (Queries.q_line_dedup _),
     "q_dsir_weights" -> (Queries.q_dsir_weights _),
     "q_mm_afp" -> (Queries.q_mm_afp _),
+    "q_semdedup_incremental" -> (Queries.q_semdedup_incremental _),
     "q_contamination" -> (Queries.q_contamination _),
     "q_decontaminate" -> (Queries.q_decontaminate _),
     "q_bm25_topk" -> (Queries.q_bm25_topk _),

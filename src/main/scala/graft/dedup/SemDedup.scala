@@ -83,4 +83,58 @@ object SemDedup {
       .withColumn("cluster_size", count(lit(1)).over(w).cast("int"))
       .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("int"))
   }
+
+  /** INCREMENTAL SemDeDup — the continuous-ingest operating mode the
+    * batch form cannot serve at 100 TB (refitting and re-pairing the
+    * whole corpus per delta): the k-means fits on HISTORY only, the
+    * incoming batch assigns to those frozen centroids map-side, and a
+    * batch vector is a duplicate iff ε-close to a same-cell HISTORY
+    * vector (smallest id wins) or, failing that, to an EARLIER
+    * same-cell batch vector — [[graft.dedup.Dedup]]'s delta-ingest
+    * first-wins discipline lifted from exact fingerprints to the
+    * ε-neighborhood (no transitive closure: an incremental stream
+    * resolves against what is already admitted, the same rule
+    * q_dedup_incremental pins).
+    *
+    * 100 TB shape: the batch BROADCASTS (deltas are small); history
+    * streams past it cell-by-cell — the corpus is never reshuffled,
+    * never refit, and only same-cell (history, batch) pairs are
+    * scored. Returns one row per batch vector:
+    * `(vec_id, cell, dup_of, keep)` — `dup_of` −1 when fresh. */
+  def semanticDedupIncremental(history: DataFrame, batch: DataFrame,
+      nCells: Int = 8, rounds: Int = 2,
+      epsNum: Long = 361L, epsDen: Long = 400L): DataFrame = {
+    val dq = graft.vector.Quantize.dotQ _
+    def close(dot: org.apache.spark.sql.Column,
+        na: org.apache.spark.sql.Column,
+        nb: org.apache.spark.sql.Column) =
+      dot > 0 && dot * dot * lit(epsDen) >= lit(epsNum) * na * nb
+    val (histAssigned, cents) =
+      graft.vector.Ivf.boundedIndex(history, nCells = nCells, rounds = rounds)
+    val hist = histAssigned.select(col("vec_id").as("hist_id"),
+      col("cell"), col("qv").as("hqv"), dq(col("qv"), col("qv")).as("hnn"))
+    val b = batch
+      .withColumn("bqv", graft.vector.Quantize.int8(col("embedding")))
+      .select(col("vec_id"), col("bqv"),
+        graft.vector.FloatVecExpr.nearestCellF(col("bqv"), cents).as("cell"),
+        dq(col("bqv"), col("bqv")).as("bnn"))
+      .persistTracked("semdedup.batch")
+    val vsHist = hist.join(broadcast(b), Seq("cell"))
+      .filter(close(dq(col("hqv"), col("bqv")), col("hnn"), col("bnn")))
+      .groupBy(col("vec_id")).agg(min(col("hist_id")).as("dup_of_hist"))
+    val intra = b.as("x").join(b.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(close(dq(col("x.bqv"), col("y.bqv")),
+        col("x.bnn"), col("y.bnn")))
+      .groupBy(col("y.vec_id").as("vec_id"))
+      .agg(min(col("x.vec_id")).as("dup_of_batch"))
+    b.select(col("vec_id"), col("cell"))
+      .join(vsHist, Seq("vec_id"), "left")
+      .join(intra, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup_of_hist"), col("dup_of_batch"), lit(-1L))
+          .as("dup_of"),
+        (col("dup_of_hist").isNull && col("dup_of_batch").isNull)
+          .cast("int").as("keep"))
+  }
 }

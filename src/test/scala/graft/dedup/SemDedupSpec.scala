@@ -45,6 +45,29 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("incremental: history wins, then earlier batch, fresh stays fresh") {
+    val out = graft.Queries.q_semdedup_incremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    val twins = out.filter(r => r._1 >= 200000L && r._1 < 300000L)
+    val fresh = out.filter(r => r._1 >= 300000L && r._1 < 400000L)
+    val fdup = out.filter(_._1 >= 400000L)
+    assert(twins.length == 25 && fresh.length == 10 && fdup.length == 5)
+    // every planted twin resolves against HISTORY (its base), never
+    // against another batch row, and is dropped
+    twins.foreach { case (id, dup, keep) =>
+      assert(dup == id - 200000L && keep == 0, s"twin $id -> $dup keep=$keep")
+    }
+    // reversed vectors match nothing: admitted as fresh
+    fresh.foreach { case (id, dup, keep) =>
+      assert(dup == -1L && keep == 1, s"fresh $id -> $dup keep=$keep")
+    }
+    // intra-batch duplicates resolve against their EARLIER sibling
+    // (+300000), not history
+    fdup.foreach { case (id, dup, keep) =>
+      assert(dup == id - 100000L && keep == 0, s"intra $id -> $dup keep=$keep")
+    }
+  }
+
   test("kept count == corpus minus dropped duplicates") {
     val dropped = out.count(_.getInt(4) == 0)
     assert(out.size == 540) // 500 base + 40 twins on this fixture
