@@ -46,25 +46,35 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("incremental: history wins, then earlier batch, fresh stays fresh") {
-    val out = graft.Queries.q_semdedup_incremental(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
-    val twins = out.filter(r => r._1 >= 200000L && r._1 < 300000L)
-    val fresh = out.filter(r => r._1 >= 300000L && r._1 < 400000L)
-    val fdup = out.filter(_._1 >= 400000L)
+    val rows = graft.Queries.q_semdedup_incremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    val twins = rows.filter(r => r._1 >= 200000L && r._1 < 300000L)
+    val fresh = rows.filter(r => r._1 >= 300000L && r._1 < 400000L)
+    val fdup = rows.filter(_._1 >= 400000L)
     assert(twins.length == 25 && fresh.length == 10 && fdup.length == 5)
     // every planted twin resolves against HISTORY (its base), never
-    // against another batch row, and is dropped
-    twins.foreach { case (id, dup, keep) =>
+    // against another batch row, and is dropped; a miss is legitimate
+    // ONLY cross-cell (the base's cell isn't visible here, so twins
+    // are held to full recovery at this fixture's separation — a
+    // failure would mean the epsilon predicate moved)
+    twins.foreach { case (id, _, dup, keep) =>
       assert(dup == id - 200000L && keep == 0, s"twin $id -> $dup keep=$keep")
     }
     // reversed vectors match nothing: admitted as fresh
-    fresh.foreach { case (id, dup, keep) =>
+    fresh.foreach { case (id, _, dup, keep) =>
       assert(dup == -1L && keep == 1, s"fresh $id -> $dup keep=$keep")
     }
     // intra-batch duplicates resolve against their EARLIER sibling
-    // (+300000), not history
-    fdup.foreach { case (id, dup, keep) =>
-      assert(dup == id - 100000L && keep == 0, s"intra $id -> $dup keep=$keep")
+    // (+300000) — or stay fresh ONLY when the frozen assignment put
+    // the pair in different cells (the documented cross-cell trade)
+    fdup.foreach { case (id, cell, dup, keep) =>
+      if (dup == -1L)
+        assert(cell != cellOf(id - 100000L) && keep == 1,
+          s"intra $id missed its sibling while sharing its cell")
+      else
+        assert(dup == id - 100000L && keep == 0,
+          s"intra $id -> $dup keep=$keep")
     }
   }
 
