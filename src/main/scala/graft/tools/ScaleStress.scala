@@ -174,7 +174,15 @@ object ScaleStress {
     "q_chunk_recursive", "q_chunk_recursive_split",
     "q_simhash_candidates", "q_bpe_tokens",
     "q_text_overlap_pairs", "q_chunk_semantic_corpus", "q_repetition",
-    "q_classifier_filter")
+    "q_classifier_filter",
+    // r13: the lag-window-per-doc shape (posexplode → per-doc window
+    // → per-doc aggregate) — a giant document is ONE window partition
+    // task; previously unprobed (q_bigram_logprob shares it)
+    "q_dsir_weights",
+    // r13: line dedup — the per-LINE explode makes a giant document
+    // naturally parallel; expected near-flat, pinning that the shape
+    // needs no split policy
+    "q_line_dedup")
 
   /** Deterministic giant text: seeded uniform draws over a 30k-word
     * synthetic vocabulary (~270x repetition per word at 50 MB — n-gram
