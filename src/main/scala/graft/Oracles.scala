@@ -3684,6 +3684,19 @@ object Oracles {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |         AS BIGINT) AS token_offset
          |FROM keyed ORDER BY shard, pos_in_shard""".stripMargin,
+    // DSIR selection: the hash-checked weight replay joined to
+    // `source`, top-10 per source by (logw_micro DESC, doc_id) —
+    // integer weights, no rounding discipline needed before ranking
+    "q_dsir_select" ->
+      s"""WITH w AS (${base("q_dsir_weights")}),
+         |r AS (
+         |  SELECT d.source, w.doc_id, w.logw_micro,
+         |         CAST(row_number() OVER (PARTITION BY d.source
+         |           ORDER BY w.logw_micro DESC, w.doc_id) AS INTEGER) AS "rank"
+         |  FROM w JOIN documents d ON d.doc_id = w.doc_id
+         |)
+         |SELECT source, "rank", doc_id, logw_micro FROM r
+         |WHERE "rank" <= 10 ORDER BY source, "rank"""".stripMargin,
     // per-domain quota: the hash-checked quality replay joined to
     // `source`, ranked by the identical (quality DESC, doc_id) order
     "q_domain_quota" ->

@@ -2637,6 +2637,29 @@ object Queries {
         t(s, dir, "documents"), col("lang") === "en")
       .orderBy(col("doc_id"))
 
+  /** DSIR SELECTION — the last mile of [[q_dsir_weights]]: the top
+    * K = 10 documents per source by importance weight, capped through
+    * the bounded-heap [[graft.plans.TopKPerKey]] (never a per-source
+    * global sort). Weights are exact integers, so ranking needs no
+    * rounding discipline; ties break on doc_id. The paper's Gumbel
+    * resampling is replaced by deterministic rank selection
+    * (documented adaptation — the engine is reproducible end to
+    * end). */
+  def q_dsir_select(s: SparkSession, dir: String): DataFrame = {
+    val K = 10
+    val w = graft.textan.Dsir.importanceWeights(
+      t(s, dir, "documents"), col("lang") === "en")
+    val scored = w.join(
+      t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+    val kept = graft.plans.TopKPerKey(scored, Seq(col("source")),
+      Seq(col("logw_micro").desc, col("doc_id")), K)
+    val win = Window.partitionBy(col("source"))
+      .orderBy(desc("logw_micro"), col("doc_id"))
+    kept.withColumn("rank", row_number().over(win))
+      .select(col("source"), col("rank"), col("doc_id"), col("logw_micro"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Line-level exact dedup ([[Dedup.lineDedup]]) — the C4-class
     * boilerplate-removal stage: first occurrence of every 10-token
     * line wins corpus-wide, later copies are cut, documents

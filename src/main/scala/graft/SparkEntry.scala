@@ -113,6 +113,7 @@ object SparkEntry {
     "q_dsir_weights" -> (Queries.q_dsir_weights _),
     "q_mm_afp" -> (Queries.q_mm_afp _),
     "q_semdedup_incremental" -> (Queries.q_semdedup_incremental _),
+    "q_dsir_select" -> (Queries.q_dsir_select _),
     "q_contamination" -> (Queries.q_contamination _),
     "q_decontaminate" -> (Queries.q_decontaminate _),
     "q_bm25_topk" -> (Queries.q_bm25_topk _),
