@@ -481,7 +481,8 @@ object Queries {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     val path = vector.Ivf.ensureSavedBoundedIndex(emb, nCells = 8,
-      rounds = 2, cacheKey = s"ivf-bounded-$dir")
+      rounds = 2, cacheKey = s"ivf-bounded-$dir",
+      epoch = tableEpoch(s, dir, "embeddings"))
     val (diskCorpus, centroids) = vector.Ivf.loadIndex(s, path)
     vector.Ivf.topKIndexed(diskCorpus, centroids, queries, 5, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
@@ -2691,11 +2692,22 @@ object Queries {
     * integer predicate on the int8 lattice (400·dot² ≥ 361·‖a‖²‖b‖²),
     * transitive closure, smallest-id keeper. Hash-checked end to end:
     * DuckDB replays the k-means rounds, the integer threshold, and
-    * the closure over the same planted-twin corpus. */
-  def q_semdedup(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.SemDedup.semanticDedup(
-        semDedupCorpus(t(s, dir, "embeddings")))
+    * the closure over the same planted-twin corpus. Since r13 the
+    * fit SERVES from a memoized saved bounded index over the
+    * augmented corpus (epoch-vouched, the q_topk_ivf discipline):
+    * the rounds+1 fit scans run once per corpus version, every later
+    * dedup call reads assignments off the `partitionBy("cell")`
+    * layout — qv ints and cell ids round-trip parquet losslessly, so
+    * the decision stage and the oracle are unchanged. */
+  def q_semdedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = semDedupCorpus(t(s, dir, "embeddings"))
+    val path = vector.Ivf.ensureSavedBoundedIndex(corpus, nCells = 8,
+      rounds = 2, cacheKey = s"semdedup-$dir",
+      epoch = tableEpoch(s, dir, "embeddings"))
+    val (assigned, _) = vector.Ivf.loadIndex(s, path)
+    graft.dedup.SemDedup.semanticDedupAssigned(assigned)
       .orderBy(col("vec_id"))
+  }
 
   /** The halve-dimension-1 float-exact perturbation shared by every
     * planted-twin fixture (double multiply by 0.5 then cast back —
@@ -2736,8 +2748,17 @@ object Queries {
     * k-means, the batch derivation + assignment, both pair scans and
     * the precedence. */
   def q_semdedup_incremental(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    graft.dedup.SemDedup.semanticDedupIncremental(emb, semDedupBatch(emb))
+    val emb = t(s, dir, "embeddings")
+    // the frozen history fit IS q_topk_ivf's saved bounded index
+    // (same corpus, same nCells/rounds, same cache key): continuous
+    // ingest serves the fit from disk — zero history scans per batch
+    val path = vector.Ivf.ensureSavedBoundedIndex(emb, nCells = 8,
+      rounds = 2, cacheKey = s"ivf-bounded-$dir",
+      epoch = tableEpoch(s, dir, "embeddings"))
+    val (histAssigned, cents) = vector.Ivf.loadIndex(s, path)
+    graft.dedup.SemDedup.semanticDedupIncrementalAssigned(
+        histAssigned, cents,
+        semDedupBatch(emb.select(col("vec_id"), col("embedding"))))
       .orderBy(col("vec_id"))
   }
 

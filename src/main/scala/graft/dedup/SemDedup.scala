@@ -55,6 +55,19 @@ object SemDedup {
       epsNum: Long = 361L, epsDen: Long = 400L): DataFrame = {
     val (assigned, _) =
       graft.vector.Ivf.boundedIndex(emb, nCells = nCells, rounds = rounds)
+    semanticDedupAssigned(assigned, epsNum, epsDen)
+  }
+
+  /** [[semanticDedup]]'s decision stage over a PRE-ASSIGNED corpus
+    * (`vec_id`, `qv`, `cell` — e.g. a loaded
+    * [[graft.vector.Ivf.ensureSavedBoundedIndex]]): the fit is the
+    * build-once half of the pipeline, the ε-pairing the serve-many
+    * half, and at 100 TB a dedup service refits per corpus VERSION,
+    * not per call — this seam is where the epoch'd saved index plugs
+    * in. Bit-identical to the inline path (qv ints and cell ids
+    * round-trip parquet losslessly). */
+  def semanticDedupAssigned(assigned: DataFrame,
+      epsNum: Long = 361L, epsDen: Long = 400L): DataFrame = {
     val dq = graft.vector.Quantize.dotQ _
     // norms are per-VECTOR (n rows), never per-pair (n²/cells rows):
     // computed once here and carried through the banded join. The
@@ -104,13 +117,27 @@ object SemDedup {
   def semanticDedupIncremental(history: DataFrame, batch: DataFrame,
       nCells: Int = 8, rounds: Int = 2,
       epsNum: Long = 361L, epsDen: Long = 400L): DataFrame = {
+    val (histAssigned, cents) =
+      graft.vector.Ivf.boundedIndex(history, nCells = nCells, rounds = rounds)
+    semanticDedupIncrementalAssigned(histAssigned, cents, batch,
+      epsNum, epsDen)
+  }
+
+  /** [[semanticDedupIncremental]] over a PRE-ASSIGNED history — the
+    * form a continuous-ingest service actually runs: the frozen fit
+    * is a loaded saved index (assignments + centroids from disk,
+    * epoch-vouched), so admitting a delta batch costs ZERO fit scans
+    * of history. Bit-identical to the inline path (doubles round-trip
+    * parquet losslessly, so batch cell assignment against loaded
+    * centroids matches the in-memory fit). */
+  def semanticDedupIncrementalAssigned(histAssigned: DataFrame,
+      cents: Array[Array[Double]], batch: DataFrame,
+      epsNum: Long = 361L, epsDen: Long = 400L): DataFrame = {
     val dq = graft.vector.Quantize.dotQ _
     def close(dot: org.apache.spark.sql.Column,
         na: org.apache.spark.sql.Column,
         nb: org.apache.spark.sql.Column) =
       dot > 0 && dot * dot * lit(epsDen) >= lit(epsNum) * na * nb
-    val (histAssigned, cents) =
-      graft.vector.Ivf.boundedIndex(history, nCells = nCells, rounds = rounds)
     val hist = histAssigned.select(col("vec_id").as("hist_id"),
       col("cell"), col("qv").as("hqv"), dq(col("qv"), col("qv")).as("hnn"))
     val b = batch

@@ -382,6 +382,43 @@ object Profile {
         time("full (2nd run)") {
           noop(graft.Queries.q_topk_ivf(spark, sfDir))
         }
+      case "semdedup" =>
+        import graft.vector.{Ivf, Quantize}
+        val emb = Tables.table(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        time("emb noop") { noop(emb) }
+        time("boundedIndex fit") {
+          noop(Ivf.boundedIndex(emb, nCells = 8, rounds = 2)._1)
+        }
+        time("boundedIndex fit (2nd)") {
+          noop(Ivf.boundedIndex(emb, nCells = 8, rounds = 2)._1)
+        }
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        time("fit (no wholestage)") {
+          noop(Ivf.boundedIndex(emb, nCells = 8, rounds = 2)._1)
+        }
+        time("fit (no wholestage 2nd)") {
+          noop(Ivf.boundedIndex(emb, nCells = 8, rounds = 2)._1)
+        }
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        val (assigned, _) = Ivf.boundedIndex(emb, nCells = 8, rounds = 2)
+        val dq = Quantize.dotQ _
+        val keyed = assigned.select(col("vec_id").as("doc_id"), col("cell"),
+          col("qv"), dq(col("qv"), col("qv")).as("nn"))
+        time("pairs (no persist)") {
+          noop(graft.dedup.Banded
+            .candidatePairs(keyed, Seq("cell"), carry = Seq("qv", "nn")))
+        }
+        for (i <- 1 to 3)
+          time(s"full q_semdedup $i") {
+            noop(graft.Queries.q_semdedup(spark, sfDir))
+            graft.io.Caches.clearAll(spark)
+          }
+        for (i <- 1 to 3)
+          time(s"full q_semdedup_incr $i") {
+            noop(graft.Queries.q_semdedup_incremental(spark, sfDir))
+            graft.io.Caches.clearAll(spark)
+          }
       case other =>
         System.err.println(s"unknown profile target: $other")
     }
