@@ -1612,6 +1612,50 @@ object Oracles {
          |) WHERE jaccard >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // graft.textan.Html replay: the same fixture page, the same
+    // RE2-safe patterns with inline (?is) flags (DuckDB only adds
+    // 'g'), the same entity decode order (amp LAST), the same
+    // whitespace collapse. Engine difference noted: none — every
+    // step is a shared-dialect regex or literal replace.
+    "q_html_extract" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><!-- id:' || doc_id || ' --><head><title>Doc ' ||
+         |    doc_id || ' &amp; ' || source ||
+         |    '</title><style type="text/css">body { color: #000; }' ||
+         |    '</style><script>if (1 &lt; 2) { var x = "y"; }' ||
+         |    '</script></head><body><h1>Heading &quot;' || doc_id ||
+         |    '&quot;</h1><p>' || text ||
+         |    '</p><p>See <a href="https://host/d/' || doc_id ||
+         |    '">more&nbsp;info</a> &#39;here&#39;</p></body></html>'
+         |      AS html
+         |  FROM documents
+         |), x AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(regexp_replace(regexp_replace(
+         |          regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+         |          '(?is)<script\\b[^>]*>.*?</script>', '', 'g'),
+         |          '(?is)<style\\b[^>]*>.*?</style>', '', 'g'),
+         |          '<[^>]*>', ' ', 'g'),
+         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |      '\\s+', ' ', 'g')) AS txt,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |      '\\s+', ' ', 'g')) AS title,
+         |    CAST(len(regexp_extract_all(html, '(?i)\\bhref="')) AS INTEGER)
+         |      AS n_links
+         |  FROM h
+         |)
+         |SELECT doc_id, title, n_links,
+         |  CAST(length(txt) AS INTEGER) AS n_chars, md5(txt) AS text_md5
+         |FROM x ORDER BY doc_id""".stripMargin,
+
     // same three patterns, same order as graft.textan.Scrub; DuckDB
     // needs the 'g' flag to replace all matches like Spark does
     "q_redact" ->

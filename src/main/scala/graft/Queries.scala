@@ -1832,6 +1832,42 @@ object Queries {
         TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
       .sortedOnce("q_fingerprint")(col("doc_id"))
 
+  /** HTML → text extraction ([[graft.textan.Html]]) — the ingest
+    * stage between the reference's Selenium scrape (S1,
+    * `web_scraper.py` page sources) and every text operator: strip
+    * comments/script/style whole, tags to spaces, decode the six
+    * common entities (amp last), collapse whitespace; plus the title
+    * and the outbound-link count (the crawl-frontier signal). The
+    * fixture wraps each document in an HTML page with entity/script/
+    * style/comment noise, so the planted markup is the KNOWN truth
+    * extraction must remove — and the text md5 proves it removed
+    * nothing else. Pure codegen'd regexp chain riding the scan (zero
+    * shuffle, the [[q_redact]] discipline); the oracle runs the
+    * byte-identical RE2-safe patterns. */
+  def q_html_extract(s: SparkSession, dir: String): DataFrame = {
+    val page = t(s, dir, "documents")
+      .select(col("doc_id"), concat(
+        lit("<html><!-- id:"), col("doc_id"),
+        lit(" --><head><title>Doc "), col("doc_id"), lit(" &amp; "),
+        col("source"),
+        lit("</title><style type=\"text/css\">body { color: #000; }" +
+          "</style><script>if (1 &lt; 2) { var x = \"y\"; }" +
+          "</script></head><body><h1>Heading &quot;"), col("doc_id"),
+        lit("&quot;</h1><p>"), col("text"),
+        lit("</p><p>See <a href=\"https://host/d/"), col("doc_id"),
+        lit("\">more&nbsp;info</a> &#39;here&#39;</p></body></html>"))
+        .as("html"))
+    page
+      .select(col("doc_id"),
+        graft.textan.Html.extractTitle(col("html")).as("title"),
+        graft.textan.Html.linkCount(col("html")).as("n_links"),
+        graft.textan.Html.extractText(col("html")).as("txt"))
+      .select(col("doc_id"), col("title"), col("n_links"),
+        length(col("txt")).cast("int").as("n_chars"),
+        md5(col("txt")).as("text_md5"))
+      .sortedOnce("q_html_extract")(col("doc_id"))
+  }
+
   /** PII-style redaction: emails → URLs → long digit runs, in that
     * order (regexp_replace chain, zero shuffle). */
   def q_redact(s: SparkSession, dir: String): DataFrame =

@@ -136,6 +136,7 @@ object SparkEntry {
     "q_repetition" -> (Queries.q_repetition _),
     "q_corpus_filter" -> (Queries.q_corpus_filter _),
     "q_redact" -> (Queries.q_redact _),
+    "q_html_extract" -> (Queries.q_html_extract _),
     "q_normalize_nfc" -> (Queries.q_normalize_nfc _),
     "q_unigram_logprob" -> (Queries.q_unigram_logprob _),
     "q_bigram_logprob" -> (Queries.q_bigram_logprob _),
