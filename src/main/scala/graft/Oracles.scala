@@ -2522,6 +2522,64 @@ object Oracles {
          |       n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // textan.TextAnalysis.gopherRules replay: words are whitespace
+    // runs (Gopher's notion), every count exact-integer, every ratio
+    // the same int/int division — so the RAW-double threshold
+    // comparisons in `pass` match Spark bit for bit; rounding is
+    // display-only, applied after the comparisons like the engine
+    "q_gopher_rules" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(text, '[^\\s]+') AS words,
+         |    str_split(text, chr(10)) AS lines,
+         |    CAST(length(regexp_replace(text, '[^#]', '', 'g')) AS INTEGER)
+         |      AS n_hash,
+         |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS INTEGER)
+         |      AS n_ell
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, n_hash, n_ell,
+         |    CAST(len(words) AS INTEGER) AS n_words,
+         |    CAST(len(lines) AS INTEGER) AS n_lines,
+         |    CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+         |      AS BIGINT) AS sum_len,
+         |    CAST(len(list_filter(lines, l ->
+         |      list_contains(['-', '*', '•'], left(ltrim(l), 1))))
+         |      AS INTEGER) AS n_bullet,
+         |    CAST(len(list_filter(lines, l ->
+         |      ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+         |      AS INTEGER) AS n_ellline,
+         |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+         |      AS INTEGER) AS n_alpha,
+         |    CAST(len(list_filter(words, x ->
+         |      list_contains(['the','be','to','of','and','that','have','with'],
+         |        lower(x)))) AS INTEGER) AS n_stop
+         |  FROM w
+         |), r AS (
+         |  SELECT doc_id, n_words, n_stop,
+         |    CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE sum_len / CAST(n_words AS DOUBLE) END AS mean_raw,
+         |    CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE (n_hash + n_ell) / CAST(n_words AS DOUBLE) END AS sym_raw,
+         |    n_bullet / CAST(n_lines AS DOUBLE) AS bullet_raw,
+         |    n_ellline / CAST(n_lines AS DOUBLE) AS ell_raw,
+         |    CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE n_alpha / CAST(n_words AS DOUBLE) END AS alpha_raw
+         |  FROM m
+         |)
+         |SELECT doc_id, n_words,
+         |  round(mean_raw, 6) AS mean_word_len,
+         |  round(sym_raw, 6) AS symbol_ratio,
+         |  round(bullet_raw, 6) AS bullet_frac,
+         |  round(ell_raw, 6) AS ellipsis_frac,
+         |  round(alpha_raw, 6) AS alpha_frac,
+         |  n_stop AS n_stop_hits,
+         |  CAST(n_words >= 50 AND n_words <= 100000
+         |    AND mean_raw >= 3.0 AND mean_raw <= 10.0
+         |    AND sym_raw <= 0.1 AND bullet_raw <= 0.9 AND ell_raw <= 0.3
+         |    AND alpha_raw >= 0.8 AND n_stop >= 2 AS INTEGER) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     // BPE train+encode replay on the crafted corpus: two unrolled
     // merge rounds (pair-count -> argmax with the (-count, left,
     // right) tie rule; tuple-lex == lex on the space-joined pair

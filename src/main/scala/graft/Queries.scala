@@ -1097,6 +1097,22 @@ object Queries {
         col("digit_ratio"), col("stopword_ratio"), col("quality"))
       .sortedOnce("q_quality_score")(col("doc_id"))
 
+  /** Gopher/MassiveText hard-threshold quality rules
+    * ([[textan.TextAnalysis.gopherRules]], Rae et al. 2021 App. A1.1)
+    * — word-count bounds, mean word length, symbol ratio,
+    * bullet/ellipsis line fractions, alpha-word fraction, stopword
+    * probe; metrics + the conjunction `pass`. Complements
+    * [[q_quality_score]]'s soft composite with the named filter set
+    * pretraining pipelines actually gate on. Zero shuffle; every
+    * ratio divides the same two exact integers in both engines, so
+    * the raw-double threshold comparisons replay identically. */
+  def q_gopher_rules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+        col("alpha_frac"), col("n_stop_hits"), col("pass"))
+      .sortedOnce("q_gopher_rules")(col("doc_id"))
+
   /** Frozen linear-classifier corpus filter
     * ([[textan.TextAnalysis.classifierScore]]): hashing-trick
     * unigram+bigram features folded to an exact integer weight sum

@@ -122,6 +122,7 @@ object SparkEntry {
     // text analysis
     "q_lang_id" -> (Queries.q_lang_id _),
     "q_quality_score" -> (Queries.q_quality_score _),
+    "q_gopher_rules" -> (Queries.q_gopher_rules _),
     "q_classifier_filter" -> (Queries.q_classifier_filter _),
     "q_corpus_shuffle" -> (Queries.q_corpus_shuffle _),
     "q_datacard" -> (Queries.q_datacard _),

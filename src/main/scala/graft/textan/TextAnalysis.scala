@@ -345,4 +345,76 @@ object TextAnalysis {
     finish(small.unionByName(giant
       .select(small.columns.map(col): _*)))
   }
+
+  /** The Gopher stopword probe set (Rae et al. 2021, Appendix A —
+    * "contains at least two of" these). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText quality-rule metrics (Rae et al. 2021,
+    * "Scaling Language Models: ...", arXiv:2112.11446, Appendix A1.1)
+    * — the hard-threshold document filter every pretraining pipeline
+    * runs, distinct from [[withQuality]]'s soft composite score:
+    *
+    *  - 50 ≤ word count ≤ 100,000;
+    *  - 3 ≤ mean word length ≤ 10;
+    *  - symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1;
+    *  - ≤ 90% of lines start with a bullet (-, *, •);
+    *  - ≤ 30% of lines end with an ellipsis;
+    *  - ≥ 80% of words contain an alphabetic character;
+    *  - ≥ 2 hits on the [[GopherStops]] probe set.
+    *
+    * Words are whitespace runs (`[^\s]+` — Gopher's notion, NOT the
+    * engine tokenizer: punctuation stays attached to its word, which
+    * is what mean-word-length and alpha-fraction are defined over).
+    * One staged projection per row, zero shuffle; every count is an
+    * exact integer and every ratio divides the same two integers in
+    * both engines, so thresholds compare identically and the oracle
+    * replays bit-for-bit. Emits the metrics plus `pass` (INT — the
+    * conjunction), so a caller can re-threshold without rescanning. */
+  def gopherRules(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val staged = df
+      .withColumn("__words", regexp_extract_all(t, lit("[^\\s]+"), lit(0)))
+      .withColumn("__lines", split(t, "\n", -1))
+      .withColumn("__nhash",
+        length(regexp_replace(t, "[^#]", "")).cast("int"))
+      .withColumn("__nell",
+        size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))).cast("int"))
+    val words = col("__words"); val lines = col("__lines")
+    val nWords = size(words)
+    val nLines = size(lines)
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nBullet = size(filter(lines, l =>
+      array_contains(array(lit("-"), lit("*"), lit("•")),
+        substring(ltrim(l), 1, 1))))
+    val nEllLine = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val nStop = size(filter(words, w =>
+      array_contains(array(GopherStops.map(lit): _*), lower(w))))
+    val nw = nWords.cast("double")
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(sumLen.cast("double") / nw)
+    val symRatio = when(nWords === 0, lit(0.0))
+      .otherwise((col("__nhash") + col("__nell")).cast("double") / nw)
+    val bulletFrac = nBullet.cast("double") / nLines.cast("double")
+    val ellFrac = nEllLine.cast("double") / nLines.cast("double")
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(nAlpha.cast("double") / nw)
+    staged
+      .withColumn("n_words", nWords.cast("int"))
+      .withColumn("mean_word_len", round(meanLen, 6))
+      .withColumn("symbol_ratio", round(symRatio, 6))
+      .withColumn("bullet_frac", round(bulletFrac, 6))
+      .withColumn("ellipsis_frac", round(ellFrac, 6))
+      .withColumn("alpha_frac", round(alphaFrac, 6))
+      .withColumn("n_stop_hits", nStop.cast("int"))
+      .withColumn("pass",
+        (nWords >= 50 && nWords <= 100000 &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          symRatio <= 0.1 && bulletFrac <= 0.9 && ellFrac <= 0.3 &&
+          alphaFrac >= 0.8 && nStop >= 2).cast("int"))
+      .drop("__words", "__lines", "__nhash", "__nell")
+  }
 }

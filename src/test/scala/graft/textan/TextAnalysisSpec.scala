@@ -144,4 +144,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       assert(split == perRow, s"divergence at round $round stride $stride")
     }
   }
+
+  test("gopherRules: crafted docs hit each rule") {
+    import org.apache.spark.sql.functions.col
+    val good = ("the cat sat with the dog and that was fine " * 5).trim
+    val bullets = "- one\n- two\n- three\n- four"
+    val ells = "first line...\nsecond line...\nthird"
+    val symbols = "the " + ("### " * 20) + ("word " * 20)
+    val empty = ""
+    val rows = Seq((0L, good), (1L, bullets), (2L, ells), (3L, symbols),
+      (4L, empty)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(rows)
+      .select("doc_id", "n_words", "bullet_frac", "ellipsis_frac",
+        "symbol_ratio", "n_stop_hits", "pass")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getInt(1) === 50)          // 10 words x 5
+    assert(got(0L).getInt(6) === 1)           // the one passing doc
+    assert(got(1L).getDouble(2) === 1.0)      // all lines bulleted
+    assert(got(1L).getInt(6) === 0)
+    assert(got(2L).getDouble(3) > 0.3)        // 2/3 ellipsis lines
+    assert(got(3L).getDouble(4) > 0.1)        // symbol-heavy
+    assert(got(3L).getInt(6) === 0)
+    assert(got(4L).getInt(1) === 0)           // empty: no crash
+    assert(got(4L).getInt(6) === 0)
+  }
 }
