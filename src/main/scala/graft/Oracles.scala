@@ -932,6 +932,49 @@ object Oracles {
         |             ' ' ORDER BY p), '')) AS clean_md5
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // k-means topics: the SHARED bounded k-means chain on the raw
+    // lattice (a3 = assignments), the bm25 postings chain, cell-level
+    // tf, LIFT score (cell share / corpus share — same exact-int
+    // divisions, same association) rounded BEFORE ranking, ctf >= 5
+    // support floor. Unused serve CTEs (qs/probe) never evaluate.
+    "q_kmeans_topics" ->
+      s"""WITH $latticeCte
+         |, $ivfCoarseCte
+         |, p0 AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$RE')) AS term
+         |  FROM documents
+         |), postings AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM p0 GROUP BY 1, 2
+         |), ctf AS (
+         |  SELECT a.cell, p.term, CAST(sum(p.tf) AS BIGINT) AS ctf
+         |  FROM postings p JOIN a3 a ON a.vec_id = p.doc_id GROUP BY 1, 2
+         |), gtf AS (
+         |  SELECT term, CAST(sum(ctf) AS BIGINT) AS gtf FROM ctf GROUP BY 1
+         |), celltot AS (
+         |  SELECT cell, CAST(sum(ctf) AS BIGINT) AS cell_tot
+         |  FROM ctf GROUP BY 1
+         |), gt AS (SELECT CAST(sum(ctf) AS BIGINT) AS g_tot FROM ctf),
+         |sizes AS (
+         |  SELECT cell, CAST(count(*) AS INTEGER) AS n_docs FROM a3 GROUP BY 1
+         |), scored AS (
+         |  SELECT c.cell, c.term,
+         |         round((CAST(c.ctf AS DOUBLE) / ct.cell_tot) /
+         |               (CAST(g.gtf AS DOUBLE) / gt.g_tot), 6) AS score
+         |  FROM ctf c JOIN gtf g USING (term)
+         |  JOIN celltot ct USING (cell) CROSS JOIN gt
+         |  WHERE c.ctf >= 5
+         |), ranked AS (
+         |  SELECT cell, term, score,
+         |         CAST(row_number() OVER (PARTITION BY cell
+         |           ORDER BY score DESC, term) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT r.cell, s.n_docs, r.rank, r.term, r.score
+         |FROM ranked r JOIN sizes s USING (cell)
+         |WHERE r.rank <= 5
+         |ORDER BY cell, rank""".stripMargin,
+
     // SemDeDup replay: planted-twin lattice, the SHARED bounded
     // k-means chain (c0..a3, verbatim from q_topk_ivf — unused serve
     // CTEs are never evaluated), the exact integer ε²=361/400

@@ -1686,6 +1686,61 @@ object Queries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Corpus TOPIC DISCOVERY — k-means cells as topics, labeled by
+    * their top TF-IDF terms: the "what is in my corpus" report a
+    * training-data curator runs before choosing mixture weights
+    * (the cluster-then-describe recipe of WIMBD-style corpus audits
+    * and SemDeDup's cell view, composed from two already-audited
+    * fits). Cells come from the SAME epoch'd saved bounded index as
+    * q_topk_ivf (build once, describe many); term stats ride
+    * [[graft.text.Bm25.buildIndex]]'s one tokenize pass. Terms rank
+    * by LIFT — cell-relative frequency over corpus-relative
+    * frequency — which surfaces what a cell OVER-represents even
+    * when every term occurs in every cell (where tf·idf saturates
+    * to zero); a ctf ≥ 5 support floor keeps one-off terms from
+    * posting infinite-looking lifts. Top-5 per cell via the
+    * bounded-heap [[graft.plans.TopKPerKey]] — no per-cell sort of
+    * the full vocabulary. Every count is exact-integer, lift divides
+    * the same exact ints in the same association both engines, and
+    * the score rounds before ranking, so the DuckDB replay (shared
+    * k-means CTEs + the postings chain) hash-matches. */
+  def q_kmeans_topics(s: SparkSession, dir: String): DataFrame = {
+    val nCells = 8
+    val emb = t(s, dir, "embeddings")
+    val path = vector.Ivf.ensureSavedBoundedIndex(emb, nCells = nCells,
+      rounds = 2, cacheKey = s"ivf-bounded-$dir",
+      epoch = tableEpoch(s, dir, "embeddings"))
+    val (assigned, _) = vector.Ivf.loadIndex(s, path)
+    val cells = assigned.select(col("vec_id").as("doc_id"), col("cell"))
+    val idx = graft.text.Bm25.buildIndex(t(s, dir, "documents"))
+    val ctf = idx.postings.join(cells, "doc_id")
+      .groupBy(col("cell"), col("term"))
+      .agg(sum(col("tf")).cast("long").as("ctf"))
+      .persistTracked("topics.ctf")
+    val gtf = ctf.groupBy(col("term"))
+      .agg(sum(col("ctf")).as("gtf"))
+    val cellTot = ctf.groupBy(col("cell"))
+      .agg(sum(col("ctf")).as("cell_tot"))
+    val gTot = ctf.agg(sum(col("ctf")).as("g_tot"))
+    val sizes = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).cast("int").as("n_docs"))
+    val scored = ctf.join(gtf, "term")
+      .join(broadcast(cellTot), "cell").crossJoin(broadcast(gTot))
+      .filter(col("ctf") >= 5)
+      .withColumn("score", round(
+        (col("ctf").cast("double") / col("cell_tot")) /
+          (col("gtf").cast("double") / col("g_tot")), 6))
+    val top = graft.plans.TopKPerKey(scored, Seq(col("cell")),
+      Seq(col("score").desc, col("term")), 5)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(desc("score"), col("term"))
+    top.withColumn("rank", row_number().over(w))
+      .join(broadcast(sizes), "cell")
+      .select(col("cell"), col("n_docs"), col("rank"), col("term"),
+        col("score"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
   /** KMV distinct-count sketch ([[graft.rel.Sketches]]) vs the exact
     * count, in one row: estimate = (k−1)/u_k over the k smallest
     * distinct md5-uniform hashes of the corpus's token 3-SHINGLES

@@ -109,6 +109,7 @@ object SparkEntry {
     "q_dup_clusters" -> (Queries.q_dup_clusters _),
     "q_dup_clusters_embedding" -> (Queries.q_dup_clusters_embedding _),
     "q_semdedup" -> (Queries.q_semdedup _),
+    "q_kmeans_topics" -> (Queries.q_kmeans_topics _),
     "q_line_dedup" -> (Queries.q_line_dedup _),
     "q_dsir_weights" -> (Queries.q_dsir_weights _),
     "q_mm_afp" -> (Queries.q_mm_afp _),
