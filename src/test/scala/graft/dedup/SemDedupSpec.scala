@@ -84,4 +84,34 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count(_.getInt(4) == 1) == out.size - dropped)
     assert(dropped >= 35 && dropped <= 40) // one drop per found twin
   }
+
+  test("saved-index serve is bit-identical to the inline fit") {
+    // q_semdedup serves from the epoch'd saved bounded index; the
+    // library inline path fits in memory. Same corpus, same rows.
+    val emb = graft.io.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val inline = SemDedup.semanticDedup(emb)
+      .orderBy(col("vec_id")).collect().toSeq
+    val path = graft.vector.Ivf.ensureSavedBoundedIndex(emb, nCells = 8,
+      rounds = 2, cacheKey = "semdedup-serve-spec")
+    val (assigned, _) = graft.vector.Ivf.loadIndex(spark, path)
+    val served = SemDedup.semanticDedupAssigned(assigned)
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(served == inline)
+    // and the incremental frozen-fit serve matches its inline form
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val (histA, cents) = graft.vector.Ivf.boundedIndex(emb, 8, 2)
+    val incInline = SemDedup.semanticDedupIncremental(emb, batch)
+      .orderBy(col("vec_id")).collect().toSeq
+    val incServed = SemDedup
+      .semanticDedupIncrementalAssigned(histA, cents, batch)
+      .orderBy(col("vec_id")).collect().toSeq
+    val (histD, centsD) = graft.vector.Ivf.loadIndex(spark, path)
+    val incDisk = SemDedup
+      .semanticDedupIncrementalAssigned(histD, centsD, batch)
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(incServed == incInline && incDisk == incInline)
+    graft.io.Caches.clearAll(spark)
+  }
 }
