@@ -182,7 +182,11 @@ object ScaleStress {
     // r13: line dedup — the per-LINE explode makes a giant document
     // naturally parallel; expected near-flat, pinning that the shape
     // needs no split policy
-    "q_line_dedup")
+    "q_line_dedup",
+    // r13b: the two new per-row regex kernels — a giant document is
+    // one regexp task (words/lines arrays sized by the doc); probed
+    // here to decide whether they need the split policy
+    "q_html_extract", "q_gopher_rules")
 
   /** Deterministic giant text: seeded uniform draws over a 30k-word
     * synthetic vocabulary (~270x repetition per word at 50 MB — n-gram
