@@ -3829,6 +3829,75 @@ object Oracles {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |         AS BIGINT) AS token_offset
          |FROM keyed ORDER BY shard, pos_in_shard""".stripMargin,
+    // 3-round integer PageRank over the deterministic synthetic link
+    // table: each round = the identical truncating-division damped
+    // walk (// here, div in Spark — positive longs, bit-identical),
+    // exact long sums, unnormalized 150000-microunit teleport
+    "q_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+        |ids AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 131 + 37 * k) % n_docs AS dst
+        |  FROM ids, nn, (SELECT unnest(generate_series(1, 3)) AS k)
+        |),
+        |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.outdeg
+        |       FROM edges e JOIN deg d USING (src)),
+        |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM ids),
+        |c1 AS (SELECT ed.dst,
+        |         CAST(SUM((85 * r.pr) // (100 * ed.outdeg)) AS BIGINT) AS in_mass
+        |       FROM ed JOIN r0 r ON r.doc_id = ed.src GROUP BY ed.dst),
+        |r1 AS (SELECT i.doc_id, 150000 + COALESCE(c.in_mass, 0) AS pr
+        |       FROM ids i LEFT JOIN c1 c ON c.dst = i.doc_id),
+        |c2 AS (SELECT ed.dst,
+        |         CAST(SUM((85 * r.pr) // (100 * ed.outdeg)) AS BIGINT) AS in_mass
+        |       FROM ed JOIN r1 r ON r.doc_id = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT i.doc_id, 150000 + COALESCE(c.in_mass, 0) AS pr
+        |       FROM ids i LEFT JOIN c2 c ON c.dst = i.doc_id),
+        |c3 AS (SELECT ed.dst,
+        |         CAST(SUM((85 * r.pr) // (100 * ed.outdeg)) AS BIGINT) AS in_mass
+        |       FROM ed JOIN r2 r ON r.doc_id = ed.src GROUP BY ed.dst),
+        |r3 AS (SELECT i.doc_id, 150000 + COALESCE(c.in_mass, 0) AS pr
+        |       FROM ids i LEFT JOIN c3 c ON c.dst = i.doc_id)
+        |SELECT i.doc_id, COALESCE(d.outdeg, 0) AS outdeg, r.pr
+        |FROM ids i
+        |LEFT JOIN deg d ON d.src = i.doc_id
+        |JOIN r3 r ON r.doc_id = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
+    // leak-proof split: the split is a function of the exact-dup
+    // cluster representative's 16-bit md5 bucket (same bucket math
+    // as q_sample_det), 90/5/5
+    "q_split_leakproof" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+        |rep AS (SELECT text_md5, MIN(doc_id) AS rep FROM fp GROUP BY text_md5),
+        |b AS (
+        |  SELECT fp.doc_id, rep.rep,
+        |         CAST(CAST('0x' || substr(md5(CAST(rep.rep AS VARCHAR)), 1, 4)
+        |           AS INTEGER) AS INTEGER) AS bucket
+        |  FROM fp JOIN rep USING (text_md5)
+        |)
+        |SELECT doc_id, rep, bucket,
+        |       CASE WHEN bucket < 58982 THEN 'train'
+        |            WHEN bucket < 62259 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // soft dedup: floor(1e6 / cluster_size) microweights, rolled up
+    // per source — integer division + exact long sums
+    "q_dedup_weights" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source, md5(text) AS text_md5 FROM documents
+        |),
+        |sz AS (
+        |  SELECT text_md5, count(*) AS csize FROM fp GROUP BY text_md5
+        |)
+        |SELECT fp.source,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT fp.text_md5) AS n_distinct,
+        |       CAST(sum(1000000 // sz.csize) AS BIGINT) AS eff_docs_micro
+        |FROM fp JOIN sz USING (text_md5)
+        |GROUP BY fp.source
+        |ORDER BY fp.source""".stripMargin,
     // DSIR selection: the hash-checked weight replay joined to
     // `source`, top-10 per source by (logw_micro DESC, doc_id) —
     // integer weights, no rounding discipline needed before ranking

@@ -2768,6 +2768,72 @@ object Queries {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Link-graph QUALITY PRIOR ([[graft.rel.LinkGraph]]) — 3-round
+    * integer PageRank over the deterministic synthetic out-link
+    * table (doc i → (131·i + 37k) mod N, the modeled S1 scrape link
+    * structure): the Common-Crawl-style endorsement signal a curator
+    * mixes into document quality scores. Every rank is an exact
+    * long microunit — the damped-walk round is integer truncating
+    * division plus an order-free long sum, so DuckDB replays the
+    * three rounds as three chained CTEs and hash-matches. Scale
+    * shape: out-degree rides each persisted edge, one shuffle per
+    * round, fixed round count. */
+  def q_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val edges = graft.rel.LinkGraph.syntheticEdges(docs, fanout = 3)
+    graft.rel.LinkGraph.pageRank(docs.select(col("doc_id")), edges,
+        rounds = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Leak-proof train/val/test assignment — the split stage every
+    * evaluation pipeline needs: the split is a pure function of the
+    * document's exact-dup CLUSTER representative (min doc_id per
+    * text md5), so byte-identical copies can never straddle
+    * train/test (the canonical contamination-by-split bug).
+    * 90/5/5 via the same 16-bit md5 bucket as
+    * [[graft.rel.Sampling]] — reproducible across runs,
+    * partitionings and re-ingestion, no RNG. Only (md5, doc_id)
+    * pairs shuffle; swapping the representative for
+    * [[graft.dedup.Clusters]]' near-dup component id upgrades the
+    * guarantee to near-duplicates with the same shape. */
+  def q_split_leakproof(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val rep = fp.groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("rep"))
+    fp.join(rep, "text_md5")
+      .withColumn("bucket", graft.rel.Sampling.hashBucket(col("rep")))
+      .withColumn("split",
+        when(col("bucket") < 58982, "train")
+          .when(col("bucket") < 62259, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SOFT dedup — duplicate-aware training weights instead of drops
+    * (the "count each duplicated document once in expectation"
+    * policy): every doc weighs floor(1e6 / cluster_size) microunits,
+    * so an n-copy cluster contributes ≈1 effective document. The
+    * per-source report (docs, distinct fingerprints, effective docs)
+    * is the shrinkage table a curator reads before setting mixture
+    * weights. Exact integers end to end — cluster sizes are counts,
+    * the weight is one truncating division, the rollup a long sum. */
+  def q_dedup_weights(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+    val sz = fp.groupBy(col("text_md5"))
+      .agg(count(lit(1)).as("csize"))
+    fp.join(sz, "text_md5")
+      .withColumn("w_micro", expr("1000000 div csize"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text_md5")).as("n_distinct"),
+        sum(col("w_micro")).as("eff_docs_micro"))
+      .orderBy(col("source"))
+  }
+
   /** Line-level exact dedup ([[Dedup.lineDedup]]) — the C4-class
     * boilerplate-removal stage: first occurrence of every 10-token
     * line wins corpus-wide, later copies are cut, documents
