@@ -31,6 +31,17 @@ object Oracles {
        |  FROM c
        |)""".stripMargin
 
+  /** Shared CTE prefix: the deterministic synthetic link table
+    * (keep identical to [[graft.rel.LinkGraph.syntheticEdges]]). */
+  private val linkCte =
+    """nn AS (SELECT count(*) AS n_docs FROM documents),
+      |ids AS (SELECT doc_id FROM documents),
+      |e0 AS (
+      |  SELECT doc_id AS src, (doc_id * 131 + 37 * k) % n_docs AS dst
+      |  FROM ids, nn, (SELECT unnest(generate_series(1, 3)) AS k)
+      |),
+      |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)""".stripMargin
+
   /** Shared CTE: token 3-gram distinct shingles per doc. */
   /** Corpus-wide semantic-chunker replay (engine pipeline op for op:
     * `block`-word min-split → `dim`-bucket md5 integer-count
@@ -3834,13 +3845,7 @@ object Oracles {
     // walk (// here, div in Spark — positive longs, bit-identical),
     // exact long sums, unnormalized 150000-microunit teleport
     "q_pagerank" ->
-      """WITH nn AS (SELECT count(*) AS n_docs FROM documents),
-        |ids AS (SELECT doc_id FROM documents),
-        |e0 AS (
-        |  SELECT doc_id AS src, (doc_id * 131 + 37 * k) % n_docs AS dst
-        |  FROM ids, nn, (SELECT unnest(generate_series(1, 3)) AS k)
-        |),
-        |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      s"""WITH $linkCte,
         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
         |ed AS (SELECT e.src, e.dst, d.outdeg
         |       FROM edges e JOIN deg d USING (src)),
@@ -3882,6 +3887,68 @@ object Oracles {
         |            WHEN bucket < 62259 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // URL canonicalization: identical regex literals + list ops;
+    // the collapse count is a canon-partitioned window
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/g'
+        |        || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&b=2&a=1#sec'
+        |      WHEN 1 THEN 'https://www.example.com/docs/g'
+        |        || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 2 THEN 'http://Host' || CAST((doc_id // 5) % 7 AS VARCHAR)
+        |        || '.example.org:80/p/g' || CAST(doc_id // 5 AS VARCHAR) || '/'
+        |      WHEN 3 THEN 'http://host' || CAST((doc_id // 5) % 7 AS VARCHAR)
+        |        || '.example.org/p/g' || CAST(doc_id // 5 AS VARCHAR)
+        |      ELSE 'https://cdn.example.net/a' || CAST(doc_id // 5 AS VARCHAR)
+        |        || '?gclid=x&utm_campaign=z'
+        |    END AS url
+        |  FROM documents
+        |),
+        |s1 AS (SELECT doc_id, url,
+        |         regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |s2 AS (SELECT *,
+        |         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |         lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |         regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+        |       FROM s1),
+        |s3 AS (SELECT *,
+        |         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |              ELSE hostport END AS host,
+        |         regexp_extract(rest, '^([^?]*)', 1) AS path,
+        |         CASE WHEN contains(rest, '?')
+        |              THEN regexp_replace(rest, '^[^?]*\?', '')
+        |              ELSE '' END AS query
+        |       FROM s2),
+        |s4 AS (SELECT *,
+        |         list_sort(list_filter(string_split(query, '&'),
+        |           p -> NOT (regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')
+        |                     OR p = ''))) AS kept
+        |       FROM s3),
+        |s5 AS (SELECT doc_id, url,
+        |         scheme || '://' || host ||
+        |         (CASE WHEN regexp_matches(path, '^/.+/$')
+        |               THEN regexp_replace(path, '/$', '') ELSE path END) ||
+        |         (CASE WHEN array_to_string(kept, '&') <> ''
+        |               THEN '?' || array_to_string(kept, '&') ELSE '' END) AS canon
+        |       FROM s4)
+        |SELECT doc_id, url, canon,
+        |       count(*) OVER (PARTITION BY canon) AS n_same_canon
+        |FROM s5 ORDER BY doc_id""".stripMargin,
+    // incoming anchor-text profile over the shared link table:
+    // bounded distinct-anchor set, sorted before joining
+    "q_anchor_text" ->
+      s"""WITH $linkCte,
+        |a AS (
+        |  SELECT dst, 'Q' || CAST(src % 4 + 1 AS VARCHAR) || ' Report' AS anchor
+        |  FROM edges
+        |)
+        |SELECT dst AS doc_id, count(*) AS n_inlinks,
+        |       count(DISTINCT anchor) AS n_uniq_anchors,
+        |       string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchor_profile
+        |FROM a GROUP BY dst ORDER BY dst""".stripMargin,
     // soft dedup: floor(1e6 / cluster_size) microweights, rolled up
     // per source — integer division + exact long sums
     "q_dedup_weights" ->

@@ -2834,6 +2834,57 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** URL canonicalization ([[graft.rel.Urls]]) — the ingest
+    * normalization before URL-keyed dedup: five deterministic messy
+    * variants per 5-doc block (uppercase scheme/host, default ports,
+    * tracking params, fragments, trailing slashes) collapse to their
+    * canonical forms, and `n_same_canon` shows the collapse (messy
+    * pairs land on one key). Pure codegen'd string/array expressions
+    * — no UDF — and the window is partitioned by the canonical key,
+    * so the count never funnels the corpus through one task. */
+  def q_url_canonical(s: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id div 5").cast("string")
+    val h = (expr("doc_id div 5") % 7).cast("string")
+    val c = col("doc_id") % 5
+    val url = when(c === 0, concat(lit("HTTPS://WWW.Example.COM:443/docs/g"),
+        g, lit("?utm_source=feed&b=2&a=1#sec")))
+      .when(c === 1, concat(lit("https://www.example.com/docs/g"),
+        g, lit("?a=1&b=2")))
+      .when(c === 2, concat(lit("http://Host"), h,
+        lit(".example.org:80/p/g"), g, lit("/")))
+      .when(c === 3, concat(lit("http://host"), h,
+        lit(".example.org/p/g"), g))
+      .otherwise(concat(lit("https://cdn.example.net/a"), g,
+        lit("?gclid=x&utm_campaign=z")))
+    val w = Window.partitionBy(col("canon"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canon", graft.rel.Urls.canonical(col("url")))
+      .withColumn("n_same_canon", count(lit(1)).over(w))
+      .select(col("doc_id"), col("url"), col("canon"), col("n_same_canon"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incoming ANCHOR-TEXT profile per document — the classic
+    * web-quality signal (what the rest of the corpus calls this
+    * page), aggregated from the same deterministic link table as
+    * [[q_pagerank]] with q_url_parse's modeled link text. One
+    * shuffle on the target id; the per-target state is a bounded
+    * set (≤4 distinct anchor strings), sorted before joining so the
+    * profile is partitioning-independent. */
+  def q_anchor_text(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.rel.LinkGraph.syntheticEdges(docs, fanout = 3)
+      .withColumn("anchor", concat(lit("Q"),
+        (col("src") % 4 + 1).cast("string"), lit(" Report")))
+      .groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).as("n_inlinks"),
+        countDistinct(col("anchor")).as("n_uniq_anchors"),
+        array_join(array_sort(collect_set(col("anchor"))), "|")
+          .as("anchor_profile"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Line-level exact dedup ([[Dedup.lineDedup]]) — the C4-class
     * boilerplate-removal stage: first occurrence of every 10-token
     * line wins corpus-wide, later copies are cut, documents

@@ -56,12 +56,19 @@ object LinkGraph {
     * with no in-links settle at the 150000 µ teleport floor. */
   def pageRank(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val deg = edges.groupBy(col("src"))
+    // persist the raw edge frame first: deg and the deg-join both
+    // read it, and without the cache the one-time withDeg
+    // materialization would synthesize/scan the edge input twice
+    val e = edges.persistTracked("linkgraph.edges.raw")
+    val deg = e.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
     // out-degree travels WITH each edge so a round never re-joins it
-    val withDeg = edges.join(deg, "src")
+    val withDeg = e.join(deg, "src")
       .persistTracked("linkgraph.edges")
+    // the node id column re-enters the plan once per round — persist
+    // so rounds read the cached ids, not the source scan
     val ids = nodes.select(col("doc_id"))
+      .persistTracked("linkgraph.ids")
     var ranks = ids.withColumn("pr", lit(1000000L))
     for (_ <- 1 to rounds) {
       val contrib = withDeg

@@ -95,7 +95,11 @@ object ExplainAudit {
     // exchange, integer threshold), line dedup (fingerprint-keyed
     // first-wins window, no self-join), DSIR (broadcast hashed LMs —
     // the corpus never reshuffles by feature)
-    "q_semdedup", "q_line_dedup", "q_dsir_weights")
+    "q_semdedup", "q_line_dedup", "q_dsir_weights",
+    // round 13b: iterative integer PageRank (out-degree rides the
+    // persisted edge frame; one shuffle per round) and the
+    // cluster-keyed leak-proof split (only (md5, id) shuffles)
+    "q_pagerank", "q_split_leakproof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
