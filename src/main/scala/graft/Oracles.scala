@@ -31,6 +31,60 @@ object Oracles {
        |  FROM c
        |)""".stripMargin
 
+  /** Messy-URL CASE chain on long column `key` — keep identical to
+    * the synthesis in `Queries.messyUrl`. */
+  private def messyUrlSql(key: String): String =
+    s"""CASE $key % 5
+       |      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/g'
+       |        || CAST($key // 5 AS VARCHAR) || '?utm_source=feed&b=2&a=1#sec'
+       |      WHEN 1 THEN 'https://www.example.com/docs/g'
+       |        || CAST($key // 5 AS VARCHAR) || '?a=1&b=2'
+       |      WHEN 2 THEN 'http://Host' || CAST(($key // 5) % 7 AS VARCHAR)
+       |        || '.example.org:80/p/g' || CAST($key // 5 AS VARCHAR) || '/'
+       |      WHEN 3 THEN 'http://host' || CAST(($key // 5) % 7 AS VARCHAR)
+       |        || '.example.org/p/g' || CAST($key // 5 AS VARCHAR)
+       |      ELSE 'https://cdn.example.net/a' || CAST($key // 5 AS VARCHAR)
+       |        || '?gclid=x&utm_campaign=z'
+       |    END"""
+
+  /** URL-canonicalization CTE chain from `u($idCols, url)` to
+    * `s5($idCols, url, canon)` — identical regex literals + list ops
+    * to [[graft.rel.Urls.canonical]].
+    *
+    * NOTE both helpers return MARGIN-PIPED text (no stripMargin):
+    * the caller's template strips margins once after interpolation —
+    * pre-stripped lines beginning with the SQL `||` operator would
+    * otherwise lose a pipe to the outer stripMargin. */
+  private def urlCanonChainSql(idCols: String): String =
+    s"""s1 AS (SELECT $idCols, url,
+       |         regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
+       |s2 AS (SELECT *,
+       |         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |         lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+       |         regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+       |       FROM s1),
+       |s3 AS (SELECT *,
+       |         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |              ELSE hostport END AS host,
+       |         regexp_extract(rest, '^([^?]*)', 1) AS path,
+       |         CASE WHEN contains(rest, '?')
+       |              THEN regexp_replace(rest, '^[^?]*\\?', '')
+       |              ELSE '' END AS query
+       |       FROM s2),
+       |s4 AS (SELECT *,
+       |         list_sort(list_filter(string_split(query, '&'),
+       |           p -> NOT (regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')
+       |                     OR p = ''))) AS kept
+       |       FROM s3),
+       |s5 AS (SELECT $idCols, url,
+       |         scheme || '://' || host ||
+       |         (CASE WHEN regexp_matches(path, '^/.+/$$')
+       |               THEN regexp_replace(path, '/$$', '') ELSE path END) ||
+       |         (CASE WHEN array_to_string(kept, '&') <> ''
+       |               THEN '?' || array_to_string(kept, '&') ELSE '' END) AS canon
+       |       FROM s4)"""
+
   /** Shared CTE prefix: the deterministic synthetic link table
     * (keep identical to [[graft.rel.LinkGraph.syntheticEdges]]). */
   private val linkCte =
@@ -3890,53 +3944,37 @@ object Oracles {
     // URL canonicalization: identical regex literals + list ops;
     // the collapse count is a canon-partitioned window
     "q_url_canonical" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 5
-        |      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/g'
-        |        || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=feed&b=2&a=1#sec'
-        |      WHEN 1 THEN 'https://www.example.com/docs/g'
-        |        || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
-        |      WHEN 2 THEN 'http://Host' || CAST((doc_id // 5) % 7 AS VARCHAR)
-        |        || '.example.org:80/p/g' || CAST(doc_id // 5 AS VARCHAR) || '/'
-        |      WHEN 3 THEN 'http://host' || CAST((doc_id // 5) % 7 AS VARCHAR)
-        |        || '.example.org/p/g' || CAST(doc_id // 5 AS VARCHAR)
-        |      ELSE 'https://cdn.example.net/a' || CAST(doc_id // 5 AS VARCHAR)
-        |        || '?gclid=x&utm_campaign=z'
-        |    END AS url
+      s"""WITH u AS (
+        |  SELECT doc_id, ${messyUrlSql("doc_id")} AS url
         |  FROM documents
         |),
-        |s1 AS (SELECT doc_id, url,
-        |         regexp_replace(url, '#.*$', '') AS nofrag FROM u),
-        |s2 AS (SELECT *,
-        |         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |         lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-        |         regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
-        |       FROM s1),
-        |s3 AS (SELECT *,
-        |         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-        |              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-        |              ELSE hostport END AS host,
-        |         regexp_extract(rest, '^([^?]*)', 1) AS path,
-        |         CASE WHEN contains(rest, '?')
-        |              THEN regexp_replace(rest, '^[^?]*\?', '')
-        |              ELSE '' END AS query
-        |       FROM s2),
-        |s4 AS (SELECT *,
-        |         list_sort(list_filter(string_split(query, '&'),
-        |           p -> NOT (regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')
-        |                     OR p = ''))) AS kept
-        |       FROM s3),
-        |s5 AS (SELECT doc_id, url,
-        |         scheme || '://' || host ||
-        |         (CASE WHEN regexp_matches(path, '^/.+/$')
-        |               THEN regexp_replace(path, '/$', '') ELSE path END) ||
-        |         (CASE WHEN array_to_string(kept, '&') <> ''
-        |               THEN '?' || array_to_string(kept, '&') ELSE '' END) AS canon
-        |       FROM s4)
+        |${urlCanonChainSql("doc_id")}
         |SELECT doc_id, url, canon,
         |       count(*) OVER (PARTITION BY canon) AS n_same_canon
         |FROM s5 ORDER BY doc_id""".stripMargin,
+    // CDX recrawl dedup: (canonical URL, digest) first-wins over the
+    // modeled fetch log — revisits collapse, revisions survive
+    "q_cdx_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+        |f AS (
+        |  SELECT doc_id AS fetch_id, doc_id AS url_key, text FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 50000, doc_id, text FROM d WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 60000, doc_id, text || ' updated' FROM d
+        |  WHERE doc_id >= 100 AND doc_id < 150
+        |),
+        |u AS (
+        |  SELECT fetch_id, md5(text) AS digest,
+        |         ${messyUrlSql("url_key")} AS url
+        |  FROM f
+        |),
+        |${urlCanonChainSql("fetch_id, digest")}
+        |SELECT fetch_id, canon, digest,
+        |       CAST((fetch_id = min(fetch_id) OVER (PARTITION BY canon, digest))
+        |         AS INTEGER) AS keep,
+        |       min(fetch_id) OVER (PARTITION BY canon, digest) AS keeper_id
+        |FROM s5 ORDER BY fetch_id""".stripMargin,
     // incoming anchor-text profile over the shared link table:
     // bounded distinct-anchor set, sorted before joining
     "q_anchor_text" ->

@@ -2842,11 +2842,15 @@ object Queries {
     * pairs land on one key). Pure codegen'd string/array expressions
     * — no UDF — and the window is partitioned by the canonical key,
     * so the count never funnels the corpus through one task. */
-  def q_url_canonical(s: SparkSession, dir: String): DataFrame = {
-    val g = expr("doc_id div 5").cast("string")
-    val h = (expr("doc_id div 5") % 7).cast("string")
-    val c = col("doc_id") % 5
-    val url = when(c === 0, concat(lit("HTTPS://WWW.Example.COM:443/docs/g"),
+  /** Deterministic messy-URL synthesis keyed on `keyName` (a long
+    * column): five variant shapes per 5-key block — shared by
+    * [[q_url_canonical]] and [[q_cdx_dedup]], mirrored verbatim in
+    * the oracle's CASE chain. */
+  private def messyUrl(keyName: String): Column = {
+    val g = expr(s"$keyName div 5").cast("string")
+    val h = (expr(s"$keyName div 5") % 7).cast("string")
+    val c = col(keyName) % 5
+    when(c === 0, concat(lit("HTTPS://WWW.Example.COM:443/docs/g"),
         g, lit("?utm_source=feed&b=2&a=1#sec")))
       .when(c === 1, concat(lit("https://www.example.com/docs/g"),
         g, lit("?a=1&b=2")))
@@ -2856,13 +2860,49 @@ object Queries {
         lit(".example.org/p/g"), g))
       .otherwise(concat(lit("https://cdn.example.net/a"), g,
         lit("?gclid=x&utm_campaign=z")))
+  }
+
+  def q_url_canonical(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("canon"))
     t(s, dir, "documents")
-      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), messyUrl("doc_id").as("url"))
       .withColumn("canon", graft.rel.Urls.canonical(col("url")))
       .withColumn("n_same_canon", count(lit(1)).over(w))
       .select(col("doc_id"), col("url"), col("canon"), col("n_same_canon"))
       .orderBy(col("doc_id"))
+  }
+
+  /** CDX-style recrawl dedup — the CommonCrawl index discipline:
+    * a fetch is a duplicate iff an EARLIER fetch of the same
+    * canonical URL returned byte-identical content
+    * ((canon, digest) first-wins; a changed page under the same URL
+    * is a new revision, identical content at a different URL is NOT
+    * collapsed — mirror detection is [[q_dedup_exact]]'s job). The
+    * fetch log models revisits: every doc once, docs <100 re-fetched
+    * unchanged (dup), docs 100–149 re-fetched with edited content
+    * (kept as revisions). Composes [[graft.rel.Urls.canonical]] with
+    * the md5 digest; the only shuffle is the (canon, digest)-keyed
+    * window — text never self-joins. */
+  def q_cdx_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val orig = docs.select(col("doc_id").as("fetch_id"),
+      col("doc_id").as("url_key"), col("text"))
+    val refetch = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 50000L).as("fetch_id"),
+        col("doc_id").as("url_key"), col("text"))
+    val changed = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+      .select((col("doc_id") + 60000L).as("fetch_id"),
+        col("doc_id").as("url_key"),
+        concat(col("text"), lit(" updated")).as("text"))
+    val w = Window.partitionBy(col("canon"), col("digest"))
+    orig.unionByName(refetch).unionByName(changed)
+      .withColumn("canon", graft.rel.Urls.canonical(messyUrl("url_key")))
+      .withColumn("digest", md5(col("text")))
+      .withColumn("keeper_id", min(col("fetch_id")).over(w))
+      .withColumn("keep", (col("fetch_id") === col("keeper_id")).cast("int"))
+      .select(col("fetch_id"), col("canon"), col("digest"), col("keep"),
+        col("keeper_id"))
+      .orderBy(col("fetch_id"))
   }
 
   /** Incoming ANCHOR-TEXT profile per document — the classic

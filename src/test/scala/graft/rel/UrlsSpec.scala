@@ -1,0 +1,59 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+class UrlsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("canonical: each rule on a crafted URL") {
+    val cases = Seq(
+      // fragment + tracking params + sort + default port + host case
+      ("HTTPS://WWW.Ex.COM:443/a/b?z=1&utm_source=f&a=2#frag",
+        "https://www.ex.com/a/b?a=2&z=1"),
+      // http default port + trailing slash on non-root path
+      ("http://Host.ORG:80/p/q/", "http://host.org/p/q"),
+      // non-default port preserved; fbclid/gclid dropped
+      ("https://h.io:8443/x?fbclid=1&gclid=2&k=v", "https://h.io:8443/x?k=v"),
+      // root path untouched; emptied query drops its '?'
+      ("https://h.io/?utm_campaign=c", "https://h.io/"),
+      // no query, no fragment — identity modulo case
+      ("HTTP://A.B/c", "http://a.b/c"))
+    val got = cases.toDF("url", "want")
+      .withColumn("got", Urls.canonical(col("url")))
+      .as[(String, String, String)].collect()
+    got.foreach { case (url, want, g) =>
+      assert(g == want, s"canonical($url)")
+    }
+  }
+
+  test("q_url_canonical: messy variant pairs collapse onto one key") {
+    val out = graft.Queries.q_url_canonical(spark, sf)
+    // cases 0/1 and 2/3 of every complete 5-doc block share a canon
+    val collapsed = out.filter(col("doc_id") % 5 <= 3)
+      .filter(col("n_same_canon") < 2).count()
+    assert(collapsed == 0, "every 0/1 and 2/3 variant pair must collapse")
+    assert(out.filter(col("canon").contains("utm_")).count() == 0)
+    assert(out.filter(col("canon").rlike("#")).count() == 0)
+  }
+
+  test("q_cdx_dedup: revisits collapse, revisions survive") {
+    val out = graft.Queries.q_cdx_dedup(spark, sf).cache()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    // unchanged re-fetches (fetch_id in [50000, 50100)) are dups of
+    // their original fetch (keeper == fetch_id - 50000)
+    val refetch = out.filter(col("fetch_id") >= 50000 && col("fetch_id") < 50000 + 100)
+    assert(refetch.filter(col("keep") =!= 0).count() == 0)
+    assert(refetch.filter(col("keeper_id") =!= col("fetch_id") - 50000L)
+      .count() == 0)
+    // edited re-fetches are NEW revisions under the same URL
+    val changed = out.filter(col("fetch_id") >= 60000)
+    assert(changed.filter(col("keep") =!= 1).count() == 0)
+    // every original fetch is its own keeper
+    val orig = out.filter(col("fetch_id") < 50000)
+    assert(orig.count() == n)
+    assert(orig.filter(col("keep") =!= 1).count() == 0)
+    out.unpersist()
+  }
+}
