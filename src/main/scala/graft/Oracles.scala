@@ -2535,6 +2535,36 @@ object Oracles {
         |  FROM rr
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // MRL two-stage funnel: head-slice cosine shortlist, full-dim
+    // rerank — both scores rounded before ranking, vec_id tiebreak
+    "q_topk_mrl" ->
+      """WITH hs AS (
+        |  SELECT z.vec_id AS query_id, c.vec_id,
+        |         round(list_cosine_similarity(CAST(c.embedding[1:16] AS DOUBLE[]),
+        |           CAST(z.embedding[1:16] AS DOUBLE[])), 6) AS hscore
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) z
+        |), top AS (
+        |  SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY hscore DESC, vec_id) AS crank
+        |  FROM hs
+        |), rr AS (
+        |  SELECT t.query_id, t.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |           CAST(qe.embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM top t
+        |  JOIN embeddings e ON e.vec_id = t.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = t.query_id
+        |  WHERE t.crank <= 20
+        |)
+        |SELECT query_id, rank, vec_id, cos_sim FROM (
+        |  SELECT query_id, vec_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM rr
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // per-stratum quotas on the same md5-bucket math; absent strata
     // (es, zh) threshold to 0 → dropped
     "q_sample_stratified" ->

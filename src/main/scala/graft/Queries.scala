@@ -429,6 +429,48 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Matryoshka (MRL) two-stage retrieval — the
+    * truncated-embedding serving trick: stage 1 shortlists top-20
+    * by cosine over the FIRST 16 dimensions (a 4× cheaper dot for
+    * 64-dim vectors; with MRL-trained embeddings the head carries
+    * most of the signal), stage 2 reranks the shortlist with the
+    * full vector. Same funnel discipline as [[q_topk_int8_rerank]]
+    * (scores rounded to 6dp BEFORE every ranking, vec_id tiebreak),
+    * so the DuckDB replay (list slicing + double cosine) hash-
+    * matches. At scale stage 1 is where an index goes (IVF/PQ over
+    * the head dims); the full vectors are touched only for the
+    * shortlist. */
+  def q_topk_mrl(s: SparkSession, dir: String): DataFrame = {
+    import graft.vector.FloatVecExpr
+    val headDims = 16
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      slice(col("embedding"), 1, headDims).as("head"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"),
+        slice(col("embedding"), 1, headDims).as("q_head"))
+    val wFirst = Window.partitionBy(col("query_id"))
+      .orderBy(desc("hscore"), col("vec_id"))
+    val wRerank = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("hscore",
+        round(FloatVecExpr.dotF(col("head"), col("q_head")) /
+          (FloatVecExpr.normF(col("head")) *
+            FloatVecExpr.normF(col("q_head"))), 6))
+      .withColumn("crank", row_number().over(wFirst))
+      .filter(col("crank") <= 20)
+      .withColumn("cos_sim",
+        round(FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
+          (FloatVecExpr.normF(col("embedding")) *
+            FloatVecExpr.normF(col("q_embedding"))), 6))
+      .withColumn("rank", row_number().over(wRerank))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Raw BRP floor-bucket keys for vec_id < 200 — the direct value
     * pin of the projection/bucket kernel (the near-dup and top-k rows
     * exercise it through joins; this row checks every key). Twin of
