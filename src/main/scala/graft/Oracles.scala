@@ -4017,6 +4017,34 @@ object Oracles {
         |       count(DISTINCT anchor) AS n_uniq_anchors,
         |       string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchor_profile
         |FROM a GROUP BY dst ORDER BY dst""".stripMargin,
+    // near-dup leak-proof split: the q_dup_clusters recursive closure
+    // as the split key (singletons key on themselves), then the same
+    // 16-bit md5 bucket as q_split_leakproof
+    "q_split_neardup" ->
+      s"""${minhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ")}
+         |, e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand
+         |), reach AS (
+         |  SELECT a AS node, a AS x FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.x
+         |), comp AS (
+         |  SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+         |), b AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+         |), bk AS (
+         |  SELECT doc_id, rep,
+         |         CAST(CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4)
+         |           AS INTEGER) AS INTEGER) AS bucket
+         |  FROM b
+         |)
+         |SELECT doc_id, rep, bucket,
+         |       CASE WHEN bucket < 58982 THEN 'train'
+         |            WHEN bucket < 62259 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin,
     // soft dedup: floor(1e6 / cluster_size) microweights, rolled up
     // per source — integer division + exact long sums
     "q_dedup_weights" ->

@@ -2854,6 +2854,33 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** NEAR-dup leak-proof split — [[q_split_leakproof]] upgraded to
+    * the leak that actually matters after exact dedup: the split key
+    * is the doc's minhash-candidate CONNECTED COMPONENT id
+    * (singletons key on themselves), so near-duplicate rewrites
+    * can't straddle train/test either. Composes two already
+    * hash-checked stages (the saved signature index's banded
+    * candidates + the recursive-closure clustering of
+    * [[q_dup_clusters]]) with the same md5-bucket split math; the
+    * corpus shuffles only ids and 16-byte keys. */
+  def q_split_neardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = Dedup.ensureSavedSignatureIndex(docs, dir,
+      epoch = tableEpoch(s, dir, "documents"))
+    val comp = graft.dedup.Clusters.connectedComponents(
+      Dedup.candidatesFromIndex(s.read.parquet(path)))
+    docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("node"), "left")
+      .withColumn("rep", coalesce(col("comp"), col("doc_id")))
+      .withColumn("bucket", graft.rel.Sampling.hashBucket(col("rep")))
+      .withColumn("split",
+        when(col("bucket") < 58982, "train")
+          .when(col("bucket") < 62259, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SOFT dedup — duplicate-aware training weights instead of drops
     * (the "count each duplicated document once in expectation"
     * policy): every doc weighs floor(1e6 / cluster_size) microunits,

@@ -60,6 +60,20 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  test("split_neardup: minhash candidate pairs always share a split") {
+    val out = graft.Queries.q_split_neardup(spark, sf)
+      .select(col("doc_id"), col("split"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = graft.dedup.Dedup.ensureSavedSignatureIndex(docs, sf)
+    val pairs = graft.dedup.Dedup.candidatesFromIndex(
+      spark.read.parquet(path))
+    val a = out.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+    val b = out.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+    val straddlers = pairs.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(straddlers == 0, "near-dup candidates must live in ONE split")
+  }
+
   test("dedup_weights: every cluster contributes ~1 effective doc") {
     val out = graft.Queries.q_dedup_weights(spark, sf)
     val eff = out.agg(sum(col("eff_docs_micro"))).head().getLong(0)
