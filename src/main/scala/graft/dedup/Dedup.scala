@@ -595,6 +595,20 @@ object Dedup {
     * position) owner. The compact history a stream of incoming
     * documents joins against — fingerprints only, never line text at
     * the join. */
+  /** Compact CDX history index over a fetch log
+    * (fetch_id, url, text): one row per distinct
+    * (canonical URL, content digest) pair with its first fetch id —
+    * the static side of
+    * [[graft.streaming.DocStreams.cdxDupAgainstStatic]]. At 100 TB
+    * this table is bytes per distinct page VERSION (two 16-byte
+    * hashes + an id), never the crawl itself. */
+  def cdxIndex(fetches: DataFrame): DataFrame =
+    fetches.select(col("fetch_id"),
+        graft.rel.Urls.canonical(col("url")).as("canon"),
+        md5(col("text")).as("digest"))
+      .groupBy(col("canon"), col("digest"))
+      .agg(min(col("fetch_id")).as("first_fetch"))
+
   def lineIndex(docs: DataFrame, lineTokens: Int = 10): DataFrame =
     linesOf(docs, lineTokens)
       .groupBy(md5(col("line")).as("line_md5"))

@@ -79,6 +79,27 @@ object DocStreams {
       .select(col("doc_id"), col("p"),
         col("first_doc").as("dup_of"), col("first_p"))
 
+  /** Stream-static CDX dedup — the continuous-crawl twin of
+    * [[graft.Queries.q_cdx_dedup]]: incoming fetches
+    * (fetch_id, url, text) are duplicates iff the HISTORICAL index
+    * already holds their (canonical URL, content digest) pair. The
+    * projection is narrow and per-row (canonicalization expressions
+    * + md5 — no aggregate, no window), so it runs on an unbounded
+    * stream; the history side is the compact
+    * (canon, digest, first_fetch) table, not the crawl. A changed
+    * page (same canon, new digest) does NOT join — it flows through
+    * as a new revision, exactly the batch row's keep=1 semantics.
+    * Returns one row per historically-duplicate fetch. */
+  def cdxDupAgainstStatic(incoming: DataFrame,
+      cdxIndex: DataFrame): DataFrame =
+    incoming
+      .select(col("fetch_id"),
+        graft.rel.Urls.canonical(col("url")).as("canon"),
+        md5(col("text")).as("digest"))
+      .join(cdxIndex, Seq("canon", "digest"))
+      .select(col("fetch_id"), col("canon"), col("digest"),
+        col("first_fetch").as("dup_of"))
+
   /** Watermarked event dedup: drops re-deliveries of the same
     * `event_id` arriving within `delay` of the watermark — bounded
     * state for at-least-once upstreams. */

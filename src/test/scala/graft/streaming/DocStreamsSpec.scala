@@ -161,6 +161,38 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static CDX dedup: revisits flagged, revisions and mirrors pass") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // history: docs < 30 fetched once at clean URLs
+    val history = Tables.documents(spark, sf).filter(col("doc_id") < 30)
+      .select(col("doc_id").as("fetch_id"),
+        concat(lit("https://ex.com/p/"), col("doc_id")).as("url"),
+        col("text"))
+    val idx = graft.dedup.Dedup.cdxIndex(history)
+    val t3 = history.filter(col("fetch_id") === 3).head().getString(2)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = DocStreams.cdxDupAgainstStatic(
+        mem.toDF().toDF("fetch_id", "url", "text"), idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdx_stream_out").start()
+    try {
+      mem.addData(
+        // revisit: doc 3's URL dressed in tracking junk, same bytes
+        (9000L, "HTTPS://ex.com:443/p/3?utm_source=rss#top", t3),
+        // revision: same canonical URL, changed content
+        (9001L, "https://ex.com/p/3", t3 + " updated"),
+        // mirror: identical content at a DIFFERENT URL — not CDX's job
+        (9002L, "https://mirror.net/p/3", t3))
+      q.processAllAvailable()
+      val got = spark.table("cdx_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(got == Seq((9000L, 3L)),
+        s"exactly the revisit flags, owned by fetch 3; got $got")
+    } finally q.stop()
+  }
+
   test("stream-static line dedup: historical lines flagged, fresh lines pass") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
