@@ -1720,6 +1720,39 @@ object Oracles {
          |) WHERE jaccard >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // banding recall vs exact-Jaccard truth: the integer predicate
+    // 100*inter >= pct*union buckets truth pairs; candidates are the
+    // full-corpus band joins filtered to the truth subset (band keys
+    // are per-doc, so subset == filter)
+    "q_minhash_recall" ->
+      s"""$minhashCandCte
+         |, shr AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+         |          WHERE doc_id < 500),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM shr GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS inter
+         |  FROM shr a JOIN shr b2 ON a.shingle = b2.shingle
+         |  WHERE a.doc_id < b2.doc_id GROUP BY 1, 2
+         |), truth AS (
+         |  SELECT doc_a, doc_b, inter,
+         |         sa.set_size AS size_a, sb.set_size AS size_b,
+         |         round(inter / (sa.set_size + sb.set_size - inter), 6) AS jacc
+         |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |), tt AS (SELECT * FROM truth WHERE jacc >= 0.2),
+         |fj AS (
+         |  SELECT tt.*, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS found
+         |  FROM tt LEFT JOIN (SELECT * FROM cand
+         |                     WHERE doc_a < 500 AND doc_b < 500) c
+         |    ON c.doc_a = tt.doc_a AND c.doc_b = tt.doc_b
+         |), x AS (
+         |  SELECT fj.*, p.pct FROM fj, (SELECT unnest([20, 30, 40, 50]) AS pct) p
+         |  WHERE inter * 100 >= pct * (size_a + size_b - inter)
+         |)
+         |SELECT pct, count(*) AS n_true, CAST(sum(found) AS BIGINT) AS n_found,
+         |       (1000000 * CAST(sum(found) AS BIGINT)) // count(*) AS recall_micro
+         |FROM x GROUP BY pct ORDER BY pct""".stripMargin,
+
     // graft.textan.Html replay: the same fixture page, the same
     // RE2-safe patterns with inline (?is) flags (DuckDB only adds
     // 'g'), the same entity decode order (amp LAST), the same

@@ -1116,6 +1116,33 @@ object Queries {
       minJaccard = 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** MinHash banding RECALL evaluation — the [[q_ann_recall]] of the
+    * dedup stack: exact shingle-Jaccard truth pairs (doc_id < 500,
+    * the bounded brute twin) bucketed by integer threshold
+    * (100·inter ≥ pct·union — zero float in the predicate), each
+    * bucket reporting how many truth pairs the 8-hash/4-band LSH
+    * candidates recovered. The curve a curator reads before trusting
+    * banding at a Jaccard cutoff: recall rises with the threshold
+    * (4 bands of 2 hashes catch ≥0.5-Jaccard pairs with prob
+    * 1−(1−j²)⁴). Exact integers end to end; recall in microunits. */
+  def q_minhash_recall(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+    val truth = Dedup.ngramJaccard(docs, minJaccard = 0.2)
+    val cand = Dedup.minhashCandidates(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("found"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("found", coalesce(col("found"), lit(0)))
+      .select(col("*"),
+        explode(array(Seq(20, 30, 40, 50).map(lit): _*)).as("pct"))
+      .filter(col("inter") * 100 >=
+        col("pct") * (col("size_a") + col("size_b") - col("inter")))
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("found")).cast("long").as("n_found"))
+      .withColumn("recall_micro", expr("(1000000 * n_found) div n_true"))
+      .orderBy(col("pct"))
+  }
+
   /** SimHash near-dup candidates (md5 bit math — oracle-checked; the
     * DuckDB side reconstructs the digest bits from the hex string). */
   def q_simhash_candidates(s: SparkSession, dir: String): DataFrame =
