@@ -96,6 +96,32 @@ object Oracles {
       |),
       |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)""".stripMargin
 
+  /** Shared CTE chain: 3-round integer PageRank over `edges`/`ids`
+    * (follows [[linkCte]]) — each round the identical
+    * truncating-division damped walk (`//` here, `div` in Spark —
+    * positive longs, bit-identical), exact long sums, unnormalized
+    * 150000-microunit teleport. Ends with `deg` and `r3`. */
+  private val pagerankCtes =
+    """deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |ed AS (SELECT e.src, e.dst, d.outdeg
+      |       FROM edges e JOIN deg d USING (src)),
+      |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM ids),
+      |c1 AS (SELECT ed.dst,
+      |         CAST(SUM((85 * r.pr) // (100 * ed.outdeg)) AS BIGINT) AS in_mass
+      |       FROM ed JOIN r0 r ON r.doc_id = ed.src GROUP BY ed.dst),
+      |r1 AS (SELECT i.doc_id, 150000 + COALESCE(c.in_mass, 0) AS pr
+      |       FROM ids i LEFT JOIN c1 c ON c.dst = i.doc_id),
+      |c2 AS (SELECT ed.dst,
+      |         CAST(SUM((85 * r.pr) // (100 * ed.outdeg)) AS BIGINT) AS in_mass
+      |       FROM ed JOIN r1 r ON r.doc_id = ed.src GROUP BY ed.dst),
+      |r2 AS (SELECT i.doc_id, 150000 + COALESCE(c.in_mass, 0) AS pr
+      |       FROM ids i LEFT JOIN c2 c ON c.dst = i.doc_id),
+      |c3 AS (SELECT ed.dst,
+      |         CAST(SUM((85 * r.pr) // (100 * ed.outdeg)) AS BIGINT) AS in_mass
+      |       FROM ed JOIN r2 r ON r.doc_id = ed.src GROUP BY ed.dst),
+      |r3 AS (SELECT i.doc_id, 150000 + COALESCE(c.in_mass, 0) AS pr
+      |       FROM ids i LEFT JOIN c3 c ON c.dst = i.doc_id)""".stripMargin
+
   /** Shared CTE: token 3-gram distinct shingles per doc. */
   /** Corpus-wide semantic-chunker replay (engine pipeline op for op:
     * `block`-word min-split → `dim`-bucket md5 integer-count
@@ -3963,30 +3989,41 @@ object Oracles {
     // exact long sums, unnormalized 150000-microunit teleport
     "q_pagerank" ->
       s"""WITH $linkCte,
-        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-        |ed AS (SELECT e.src, e.dst, d.outdeg
-        |       FROM edges e JOIN deg d USING (src)),
-        |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM ids),
-        |c1 AS (SELECT ed.dst,
-        |         CAST(SUM((85 * r.pr) // (100 * ed.outdeg)) AS BIGINT) AS in_mass
-        |       FROM ed JOIN r0 r ON r.doc_id = ed.src GROUP BY ed.dst),
-        |r1 AS (SELECT i.doc_id, 150000 + COALESCE(c.in_mass, 0) AS pr
-        |       FROM ids i LEFT JOIN c1 c ON c.dst = i.doc_id),
-        |c2 AS (SELECT ed.dst,
-        |         CAST(SUM((85 * r.pr) // (100 * ed.outdeg)) AS BIGINT) AS in_mass
-        |       FROM ed JOIN r1 r ON r.doc_id = ed.src GROUP BY ed.dst),
-        |r2 AS (SELECT i.doc_id, 150000 + COALESCE(c.in_mass, 0) AS pr
-        |       FROM ids i LEFT JOIN c2 c ON c.dst = i.doc_id),
-        |c3 AS (SELECT ed.dst,
-        |         CAST(SUM((85 * r.pr) // (100 * ed.outdeg)) AS BIGINT) AS in_mass
-        |       FROM ed JOIN r2 r ON r.doc_id = ed.src GROUP BY ed.dst),
-        |r3 AS (SELECT i.doc_id, 150000 + COALESCE(c.in_mass, 0) AS pr
-        |       FROM ids i LEFT JOIN c3 c ON c.dst = i.doc_id)
+        |$pagerankCtes
         |SELECT i.doc_id, COALESCE(d.outdeg, 0) AS outdeg, r.pr
         |FROM ids i
         |LEFT JOIN deg d ON d.src = i.doc_id
         |JOIN r3 r ON r.doc_id = i.doc_id
         |ORDER BY i.doc_id""".stripMargin,
+    // graph-aware quality prior: 60% checked content quality +
+    // 40% max-normalized pagerank, all integer microunits
+    "q_quality_prior" ->
+      s"""WITH $linkCte,
+        |$pagerankCtes,
+        |q AS (${base("q_quality_score")}),
+        |mx AS (SELECT max(pr) AS max_pr FROM r3)
+        |SELECT q.doc_id,
+        |       CAST(round(q.quality * 1000000, 0) AS BIGINT) AS qk_micro,
+        |       (1000000 * r.pr) // mx.max_pr AS npr_micro,
+        |       (6 * CAST(round(q.quality * 1000000, 0) AS BIGINT)
+        |        + 4 * ((1000000 * r.pr) // mx.max_pr)) // 10 AS score_micro
+        |FROM q JOIN r3 r ON r.doc_id = q.doc_id, mx
+        |ORDER BY q.doc_id""".stripMargin,
+    // tokenizer fertility: the checked BPE chain's per-doc counts
+    // rolled up per lang, two truncating divisions into microunits
+    "q_tokenizer_fertility" ->
+      s"""WITH b AS (${base("q_bpe_tokens")})
+        |SELECT d.lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(b.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+        |       CAST(sum(b.n_regex_tokens) AS BIGINT) AS regex_tokens,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+        |       (1000000 * CAST(sum(b.n_bpe_tokens) AS BIGINT))
+        |         // CAST(sum(d.n_chars) AS BIGINT) AS fert_char_micro,
+        |       (1000000 * CAST(sum(b.n_bpe_tokens) AS BIGINT))
+        |         // CAST(sum(b.n_regex_tokens) AS BIGINT) AS fert_word_micro
+        |FROM b JOIN documents d ON d.doc_id = b.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // leak-proof split: the split is a function of the exact-dup
     // cluster representative's 16-bit md5 bucket (same bucket math
     // as q_sample_det), 90/5/5

@@ -2855,6 +2855,59 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Graph-aware QUALITY PRIOR — the blended keep-score a
+    * Common-Crawl-class pipeline derives per document: 60% content
+    * quality ([[q_quality_score]]'s checked heuristic) + 40%
+    * link-graph endorsement ([[q_pagerank]]'s rank, normalized by
+    * the corpus max — one broadcast 1-row aggregate). Both
+    * ingredients are independently hash-checked; this row checks the
+    * blend. Integer discipline: quality (already 4dp) scales to
+    * microunits via round-then-cast (never a bare cast of a
+    * float product), the pagerank share is one truncating division,
+    * the blend another. */
+  def q_quality_prior(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pr = graft.rel.LinkGraph.pageRank(docs.select(col("doc_id")),
+        graft.rel.LinkGraph.syntheticEdges(docs, fanout = 3), rounds = 3)
+      .select(col("doc_id"), col("pr"))
+    val q = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("quality"))
+    val mx = pr.agg(max(col("pr")).as("max_pr"))
+    q.join(pr, "doc_id").crossJoin(broadcast(mx))
+      .withColumn("qk_micro", round(col("quality") * 1000000, 0).cast("long"))
+      .withColumn("npr_micro", expr("(1000000 * pr) div max_pr"))
+      .withColumn("score_micro",
+        expr("(6 * qk_micro + 4 * npr_micro) div 10"))
+      .select(col("doc_id"), col("qk_micro"), col("npr_micro"),
+        col("score_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokenizer FERTILITY report — the per-language tokens/char and
+    * tokens/word table every tokenizer evaluation publishes (high
+    * fertility on a language = that language pays more sequence
+    * budget per character). Rides the ORACLE-CHECKED BPE chain
+    * ([[q_bpe_tokens]]'s per-doc counts — trained and applied on
+    * this corpus), rolled up per lang with exact integer sums and
+    * two truncating divisions into microunits. */
+  def q_tokenizer_fertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sig = bpeTokenSignals(docs)
+      .select(col("doc_id"), col("n_bpe_tokens"), col("n_regex_tokens"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(sig, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).cast("long").as("bpe_tokens"),
+        sum(col("n_regex_tokens")).cast("long").as("regex_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .withColumn("fert_char_micro",
+        expr("(1000000 * bpe_tokens) div n_chars"))
+      .withColumn("fert_word_micro",
+        expr("(1000000 * bpe_tokens) div regex_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Leak-proof train/val/test assignment — the split stage every
     * evaluation pipeline needs: the split is a pure function of the
     * document's exact-dup CLUSTER representative (min doc_id per
