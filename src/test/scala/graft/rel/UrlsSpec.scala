@@ -28,6 +28,42 @@ class UrlsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("canonical is IDEMPOTENT on well-formed URLs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // structured generator: scheme://Host[:port]/path[?params][#frag]
+    // — the precondition is a parseable absolute URL; canonical's
+    // output must be a fixed point of canonical
+    val seg = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaNumChar))
+    val host = for {
+      a <- seg; b <- Gen.oneOf("com", "org", "NET", "Io")
+      up <- Gen.oneOf(identity[String] _, (s: String) => s.toUpperCase)
+    } yield up(a) + "." + b
+    val param = for {
+      k <- Gen.oneOf("a", "b", "utm_source", "fbclid", "gclid", "z9")
+      v <- seg
+    } yield s"$k=$v"
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+      h <- host
+      port <- Gen.oneOf("", ":80", ":443", ":8443")
+      segs <- Gen.listOf(seg)
+      slash <- Gen.oneOf("", "/")
+      ps <- Gen.listOf(param)
+      frag <- Gen.oneOf("", "#x", "#sec2")
+      q = if (ps.isEmpty) "" else ps.mkString("?", "&", "")
+    } yield s"$scheme://$h$port/${segs.mkString("/")}$slash$q$frag"
+    val prop = Prop.forAll(Gen.listOfN(40, urlGen)) { urls =>
+      val df = urls.toDF("url")
+        .withColumn("c1", Urls.canonical(col("url")))
+        .withColumn("c2", Urls.canonical(col("c1")))
+      df.filter(col("c1") =!= col("c2")).isEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q_url_canonical: messy variant pairs collapse onto one key") {
     val out = graft.Queries.q_url_canonical(spark, sf)
     // cases 0/1 and 2/3 of every complete 5-doc block share a canon

@@ -448,6 +448,38 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming Gopher-gate parity: hard-threshold rules over a MemoryStream equal batch") {
+    // the Gopher rules are pure per-row expressions (regex + array
+    // HOFs, no aggregate, no window) — the SAME transform runs
+    // unchanged on a stream, so the ingest gate composes with the
+    // continuous-crawl path like the classifier gate does
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cols = Seq("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+      "bullet_frac", "ellipsis_frac", "alpha_frac", "n_stop_hits", "pass")
+    val batchDocs = Tables.documents(spark, sf).limit(30)
+      .select(col("doc_id"), col("text"))
+    val rows = batchDocs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.textan.TextAnalysis
+      .gopherRules(mem.toDF().toDF("doc_id", "text"))
+      .select(cols.map(col): _*)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_stream_out").start()
+    try {
+      mem.addData(rows.take(15): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(15): _*)
+      q.processAllAvailable()
+      val got = spark.table("gopher_stream_out").collect().map(_.toSeq).toSet
+      val batch = graft.textan.TextAnalysis.gopherRules(batchDocs)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(got == batch, "streamed Gopher rows must equal batch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming classifier parity: frozen-model gate over a MemoryStream equals batch") {
     // the classifier gate is a pure map (integer fold per row), so the
     // SAME transform runs unchanged on a stream; the giant-document
