@@ -2846,13 +2846,17 @@ object Queries {
     * division plus an order-free long sum, so DuckDB replays the
     * three rounds as three chained CTEs and hash-matches. Scale
     * shape: out-degree rides each persisted edge, one shuffle per
-    * round, fixed round count. */
+    * round, fixed round count — and the catalog row SERVES from the
+    * epoch'd saved rank table ([[graft.rel.LinkGraph
+    * .ensureSavedRanks]]): build once per corpus version, read many
+    * (longs round-trip parquet exactly, so the serve is
+    * bit-identical to the inline walk — spec-pinned). */
   def q_pagerank(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val edges = graft.rel.LinkGraph.syntheticEdges(docs, fanout = 3)
-    graft.rel.LinkGraph.pageRank(docs.select(col("doc_id")), edges,
-        rounds = 3)
-      .orderBy(col("doc_id"))
+    val path = graft.rel.LinkGraph.ensureSavedRanks(docs,
+      cacheKey = s"pagerank-$dir",
+      epoch = tableEpoch(s, dir, "documents"))
+    s.read.parquet(path).orderBy(col("doc_id"))
   }
 
   /** Graph-aware QUALITY PRIOR — the blended keep-score a
@@ -2867,9 +2871,12 @@ object Queries {
     * the blend another. */
   def q_quality_prior(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pr = graft.rel.LinkGraph.pageRank(docs.select(col("doc_id")),
-        graft.rel.LinkGraph.syntheticEdges(docs, fanout = 3), rounds = 3)
-      .select(col("doc_id"), col("pr"))
+    // serve the graph side from the SAME saved rank table as
+    // q_pagerank (build once per corpus version, blend many)
+    val path = graft.rel.LinkGraph.ensureSavedRanks(docs,
+      cacheKey = s"pagerank-$dir",
+      epoch = tableEpoch(s, dir, "documents"))
+    val pr = s.read.parquet(path).select(col("doc_id"), col("pr"))
     val q = TextAnalysis.withQuality(docs)
       .select(col("doc_id"), col("quality"))
     val mx = pr.agg(max(col("pr")).as("max_pr"))

@@ -86,4 +86,24 @@ object LinkGraph {
       .select(ranks("doc_id"),
         coalesce(col("outdeg"), lit(0L)).as("outdeg"), col("pr"))
   }
+
+  /** One saved rank table per cache key per JVM — the production
+    * shape for a graph prior: ranks are recomputed when the CORPUS
+    * VERSION moves (epoch token / content fingerprint — the
+    * [[graft.io.SavedIndex]] staleness contract shared with the
+    * BM25/IVF/signature indexes), and every downstream consumer
+    * (quality blending, corpus filters, frontier scheduling) serves
+    * from the materialized (doc_id, outdeg, pr) table instead of
+    * re-walking the graph per query. Longs round-trip parquet
+    * exactly, so the serve is bit-identical to the inline fit. */
+  private val savedRanks = new graft.io.SavedIndex("graft-pagerank")
+
+  def ensureSavedRanks(docs: DataFrame, cacheKey: String,
+      epoch: Option[String] = None, rounds: Int = 3,
+      fanout: Int = 3): String =
+    savedRanks.ensure(cacheKey, docs, epoch) { p =>
+      pageRank(docs.select(col("doc_id")),
+          syntheticEdges(docs, fanout), rounds)
+        .write.mode("overwrite").parquet(p)
+    }
 }

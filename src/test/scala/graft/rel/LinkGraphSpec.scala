@@ -34,6 +34,18 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
       "integer PageRank must not depend on partitioning")
   }
 
+  test("saved ranks serve == inline pageRank fit, bit-identical") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = LinkGraph.ensureSavedRanks(docs,
+      cacheKey = s"pagerank-spec-$sf")
+    val served = spark.read.parquet(path)
+    val inline = LinkGraph.pageRank(docs.select(col("doc_id")),
+      LinkGraph.syntheticEdges(docs, fanout = 3), rounds = 3)
+    assert(served.exceptAll(inline).isEmpty &&
+      inline.exceptAll(served).isEmpty,
+      "the parquet round-trip must not change a single long")
+  }
+
   test("syntheticEdges: no self-loops, no duplicate edges, fanout bound") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val edges = LinkGraph.syntheticEdges(docs, fanout = 3)
