@@ -372,49 +372,118 @@ object TextAnalysis {
     * both engines, so thresholds compare identically and the oracle
     * replays bit-for-bit. Emits the metrics plus `pass` (INT — the
     * conjunction), so a caller can re-threshold without rescanning. */
-  def gopherRules(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val staged = df
-      .withColumn("__words", regexp_extract_all(t, lit("[^\\s]+"), lit(0)))
-      .withColumn("__lines", split(t, "\n", -1))
-      .withColumn("__nhash",
-        length(regexp_replace(t, "[^#]", "")).cast("int"))
-      .withColumn("__nell",
-        size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))).cast("int"))
-    val words = col("__words"); val lines = col("__lines")
-    val nWords = size(words)
-    val nLines = size(lines)
-    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-    val nBullet = size(filter(lines, l =>
+  /** Giant-document crossover for [[gopherRules]]'s line-exploded
+    * branch — the per-char regex kernel sits between the repetition
+    * kernel (2 Mchar) and the cheaper classifier fold (8 Mchar). */
+  val GopherSplitChars: Long = 1L << 22
+
+  def gopherRules(df: DataFrame, textCol: String = "text",
+      splitChars: Long = GopherSplitChars): DataFrame = {
+    // shared per-WORD / per-LINE counter expressions — the giant
+    // branch evaluates them per exploded line and SUMS: a word
+    // ([^\s]+) and a dot run cannot span a newline and a line lives
+    // whole in one row, so per-line counters compose into exactly
+    // the whole-document integers (spec-pinned split == per-row)
+    def wordsOf(c: Column): Column =
+      regexp_extract_all(c, lit("[^\\s]+"), lit(0))
+    def sumLenOf(words: Column): Column =
+      aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    def nAlphaOf(words: Column): Column =
+      size(filter(words, w => w.rlike("[A-Za-z]")))
+    def nStopOf(words: Column): Column =
+      size(filter(words, w =>
+        array_contains(array(GopherStops.map(lit): _*), lower(w))))
+    def nHashOf(c: Column): Column =
+      length(regexp_replace(c, "[^#]", "")).cast("int")
+    def nEllOf(c: Column): Column =
+      size(regexp_extract_all(c, lit("\\.\\.\\."), lit(0))).cast("int")
+    def isBullet(l: Column): Column =
       array_contains(array(lit("-"), lit("*"), lit("•")),
-        substring(ltrim(l), 1, 1))))
-    val nEllLine = size(filter(lines, l =>
-      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
-    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
-    val nStop = size(filter(words, w =>
-      array_contains(array(GopherStops.map(lit): _*), lower(w))))
-    val nw = nWords.cast("double")
-    val meanLen = when(nWords === 0, lit(0.0))
-      .otherwise(sumLen.cast("double") / nw)
-    val symRatio = when(nWords === 0, lit(0.0))
-      .otherwise((col("__nhash") + col("__nell")).cast("double") / nw)
-    val bulletFrac = nBullet.cast("double") / nLines.cast("double")
-    val ellFrac = nEllLine.cast("double") / nLines.cast("double")
-    val alphaFrac = when(nWords === 0, lit(0.0))
-      .otherwise(nAlpha.cast("double") / nw)
-    staged
-      .withColumn("n_words", nWords.cast("int"))
-      .withColumn("mean_word_len", round(meanLen, 6))
-      .withColumn("symbol_ratio", round(symRatio, 6))
-      .withColumn("bullet_frac", round(bulletFrac, 6))
-      .withColumn("ellipsis_frac", round(ellFrac, 6))
-      .withColumn("alpha_frac", round(alphaFrac, 6))
-      .withColumn("n_stop_hits", nStop.cast("int"))
-      .withColumn("pass",
-        (nWords >= 50 && nWords <= 100000 &&
-          meanLen >= 3.0 && meanLen <= 10.0 &&
-          symRatio <= 0.1 && bulletFrac <= 0.9 && ellFrac <= 0.3 &&
-          alphaFrac >= 0.8 && nStop >= 2).cast("int"))
-      .drop("__words", "__lines", "__nhash", "__nell")
+        substring(ltrim(l), 1, 1))
+    def isEllLine(l: Column): Column =
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")
+
+    // metric derivation from the exact integer counters — one shared
+    // Column tree, so both branches round the same divisions
+    def finish(staged: DataFrame): DataFrame = {
+      val nWords = col("__n_words"); val nLines = col("__n_lines")
+      val nw = nWords.cast("double")
+      val meanLen = when(nWords === 0, lit(0.0))
+        .otherwise(col("__sum_len").cast("double") / nw)
+      val symRatio = when(nWords === 0, lit(0.0))
+        .otherwise((col("__nhash") + col("__nell")).cast("double") / nw)
+      val bulletFrac = col("__n_bullet").cast("double") / nLines.cast("double")
+      val ellFrac = col("__n_ell_line").cast("double") / nLines.cast("double")
+      val alphaFrac = when(nWords === 0, lit(0.0))
+        .otherwise(col("__n_alpha").cast("double") / nw)
+      staged
+        .withColumn("n_words", nWords.cast("int"))
+        .withColumn("mean_word_len", round(meanLen, 6))
+        .withColumn("symbol_ratio", round(symRatio, 6))
+        .withColumn("bullet_frac", round(bulletFrac, 6))
+        .withColumn("ellipsis_frac", round(ellFrac, 6))
+        .withColumn("alpha_frac", round(alphaFrac, 6))
+        .withColumn("n_stop_hits", col("__n_stop").cast("int"))
+        .withColumn("pass",
+          (nWords >= 50 && nWords <= 100000 &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            symRatio <= 0.1 && bulletFrac <= 0.9 && ellFrac <= 0.3 &&
+            alphaFrac >= 0.8 && col("__n_stop") >= 2).cast("int"))
+        .drop("__n_words", "__n_lines", "__sum_len", "__n_bullet",
+          "__n_ell_line", "__n_alpha", "__n_stop", "__nhash", "__nell")
+    }
+
+    def perRow(d: DataFrame): DataFrame = {
+      val t = col(textCol)
+      val staged = d
+        .withColumn("__words", wordsOf(t))
+        .withColumn("__lines", split(t, "\n", -1))
+      val words = col("__words"); val lines = col("__lines")
+      staged
+        .withColumn("__n_words", size(words))
+        .withColumn("__n_lines", size(lines))
+        .withColumn("__sum_len", sumLenOf(words))
+        .withColumn("__n_bullet", size(filter(lines, isBullet(_))))
+        .withColumn("__n_ell_line", size(filter(lines, isEllLine(_))))
+        .withColumn("__n_alpha", nAlphaOf(words))
+        .withColumn("__n_stop", nStopOf(words))
+        .withColumn("__nhash", nHashOf(t))
+        .withColumn("__nell", nEllOf(t))
+        .drop("__words", "__lines")
+    }
+
+    // streaming frames can't run the existence probe (no eager
+    // actions) — they take the per-row map, the right shape for
+    // micro-batch-sized documents (stream==batch spec-pinned)
+    val canSplit = df.columns.contains("n_chars") && !df.isStreaming
+    if (!canSplit || df.filter(col("n_chars") > splitChars).isEmpty)
+      return finish(perRow(df))
+
+    val small = perRow(df.filter( // null n_chars routes per-row
+      graft.text.chunk.DocSplit.subThreshold(col("n_chars"), splitChars)))
+    val giants = df.filter(col("n_chars") > splitChars)
+    val nsp = df.sparkSession.sessionState.conf.numShufflePartitions
+    // one giant document = one regexp task no longer: explode LINES
+    // (a Generate on the scan, then an explicit spread so AQE's
+    // byte-based coalesce can't re-serialize compute-dense text),
+    // evaluate the same counter expressions per line, sum exactly
+    val lineCounters = giants
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__ln", "__line")))
+      .repartition(nsp, col("doc_id"), col("__ln"))
+      .withColumn("__w", wordsOf(col("__line")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(size(col("__w"))).cast("int").as("__n_words"),
+        count(lit(1)).cast("int").as("__n_lines"),
+        sum(sumLenOf(col("__w"))).as("__sum_len"),
+        sum(isBullet(col("__line")).cast("int")).cast("int").as("__n_bullet"),
+        sum(isEllLine(col("__line")).cast("int")).cast("int").as("__n_ell_line"),
+        sum(nAlphaOf(col("__w"))).cast("int").as("__n_alpha"),
+        sum(nStopOf(col("__w"))).cast("int").as("__n_stop"),
+        sum(nHashOf(col("__line"))).cast("int").as("__nhash"),
+        sum(nEllOf(col("__line"))).cast("int").as("__nell"))
+    val giant = giants.join(lineCounters, "doc_id")
+    finish(small.unionByName(giant.select(small.columns.map(col): _*)))
   }
 }

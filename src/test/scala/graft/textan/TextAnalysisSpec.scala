@@ -145,6 +145,43 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("gopherRules: line-exploded giant branch == per-row, bit-identically") {
+    // adversarial shapes at line granularity: bullet lines, ellipsis
+    // line-ends, long dot runs (non-overlapping count), empty lines
+    // (split -1 trailing empties), '#' density, a no-newline giant
+    // (degenerates to ONE exploded line — still exact), empty and
+    // null text
+    val docs = Seq(
+      (1L, "- bullet one\n* bullet two\n• third\nplain line"),
+      (2L, "ends with dots...\nand unicode…\nno dots"),
+      (3L, "......\n.....\n....\n..."), // runs of 6/5/4/3 dots
+      (4L, "## hash # line\n\n\ntrailing empties\n\n"),
+      (5L, ("the be to of and that have with " * 30).trim), // stop hits
+      (6L, "oneline without any newline " * 20),
+      (7L, ""),
+      (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars",
+        when(col("text").isNull, lit(null).cast("long"))
+          .otherwise(length(col("text")).cast("long")))
+    val cols = Seq("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+      "bullet_frac", "ellipsis_frac", "alpha_frac", "n_stop_hits", "pass")
+    // splitChars = 1: every non-null doc takes the giant branch
+    val split = TextAnalysis.gopherRules(docs, splitChars = 1L)
+      .select(cols.map(col): _*).orderBy(col("doc_id")).collect()
+    val whole = TextAnalysis.gopherRules(docs, splitChars = Long.MaxValue)
+      .select(cols.map(col): _*).orderBy(col("doc_id")).collect()
+    assert(split.length == whole.length)
+    split.zip(whole).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // the fixture corpus end-to-end (real texts, both routes)
+    val fx = spark.read.parquet(s"$sf/documents.parquet")
+    val fxSplit = TextAnalysis.gopherRules(fx, splitChars = 100L)
+      .select(cols.map(col): _*).orderBy(col("doc_id")).collect()
+    val fxWhole = TextAnalysis.gopherRules(fx, splitChars = Long.MaxValue)
+      .select(cols.map(col): _*).orderBy(col("doc_id")).collect()
+    fxSplit.zip(fxWhole).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("gopherRules: crafted docs hit each rule") {
     import org.apache.spark.sql.functions.col
     val good = ("the cat sat with the dog and that was fine " * 5).trim
