@@ -463,27 +463,59 @@ object TextAnalysis {
       graft.text.chunk.DocSplit.subThreshold(col("n_chars"), splitChars)))
     val giants = df.filter(col("n_chars") > splitChars)
     val nsp = df.sparkSession.sessionState.conf.numShufflePartitions
-    // one giant document = one regexp task no longer: explode LINES
-    // (a Generate on the scan, then an explicit spread so AQE's
-    // byte-based coalesce can't re-serialize compute-dense text),
-    // evaluate the same counter expressions per line, sum exactly
-    val lineCounters = giants
+    // one giant document = one regexp task no longer. Two levels:
+    //  (1) explode LINES — line-level flags (bullet start, ellipsis
+    //      end) are END-LOCAL expressions, cheap even on a giant
+    //      single line, and a line lives whole in one row;
+    //  (2) sub-split LONG lines at whitespace (DocSplit.cutOffsets,
+    //      seps=" ") so the O(chars) regex counters parallelize even
+    //      on a newline-free 50 MB document — a word ([^\s]+) and a
+    //      dot run cannot span a whitespace-snapped cut, so per-piece
+    //      integer counters sum into exactly the whole-line values.
+    // The text is projected away before every exchange; only the
+    // pieces shuffle (the giant text once), with an explicit
+    // partition count pinning AQE away from re-coalescing
+    // compute-dense text.
+    val giantLines = giants
       .select(col("doc_id"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("__ln", "__line")))
-      .repartition(nsp, col("doc_id"), col("__ln"))
-      .withColumn("__w", wordsOf(col("__line")))
+    val lineAgg = giantLines
+      .select(col("doc_id"),
+        isBullet(col("__line")).cast("int").as("__b"),
+        isEllLine(col("__line")).cast("int").as("__e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("__n_lines"),
+        sum(col("__b")).cast("int").as("__n_bullet"),
+        sum(col("__e")).cast("int").as("__n_ell_line"))
+    val pieceUdf = udf((line: String) =>
+      if (line == null) Array.empty[String]
+      else graft.text.chunk.DocSplit
+        .cutOffsets(line, maxChars = 1 << 20, seps = Seq(" "))
+        .map { case (s, e) => line.substring(s, e) })
+    val wordAgg = giantLines
+      .select(col("doc_id"), col("__ln"),
+        posexplode(pieceUdf(col("__line"))).as(Seq("__pi", "__piece")))
+      .repartition(nsp, col("doc_id"), col("__ln"), col("__pi"))
+      .withColumn("__w", wordsOf(col("__piece")))
       .groupBy(col("doc_id"))
       .agg(
         sum(size(col("__w"))).cast("int").as("__n_words"),
-        count(lit(1)).cast("int").as("__n_lines"),
         sum(sumLenOf(col("__w"))).as("__sum_len"),
-        sum(isBullet(col("__line")).cast("int")).cast("int").as("__n_bullet"),
-        sum(isEllLine(col("__line")).cast("int")).cast("int").as("__n_ell_line"),
         sum(nAlphaOf(col("__w"))).cast("int").as("__n_alpha"),
         sum(nStopOf(col("__w"))).cast("int").as("__n_stop"),
-        sum(nHashOf(col("__line"))).cast("int").as("__nhash"),
-        sum(nEllOf(col("__line"))).cast("int").as("__nell"))
-    val giant = giants.join(lineCounters, "doc_id")
+        sum(nHashOf(col("__piece"))).cast("int").as("__nhash"),
+        sum(nEllOf(col("__piece"))).cast("int").as("__nell"))
+    // a giant whose every line is empty has NO piece rows (explode of
+    // an empty cut array) — word counters coalesce to the zeros the
+    // per-row kernel would produce; the line side always has >= 1 row
+    val giant = giants.join(lineAgg, "doc_id")
+      .join(wordAgg, Seq("doc_id"), "left")
+      .withColumn("__n_words", coalesce(col("__n_words"), lit(0)))
+      .withColumn("__sum_len", coalesce(col("__sum_len"), lit(0L)))
+      .withColumn("__n_alpha", coalesce(col("__n_alpha"), lit(0)))
+      .withColumn("__n_stop", coalesce(col("__n_stop"), lit(0)))
+      .withColumn("__nhash", coalesce(col("__nhash"), lit(0)))
+      .withColumn("__nell", coalesce(col("__nell"), lit(0)))
     finish(small.unionByName(giant.select(small.columns.map(col): _*)))
   }
 }

@@ -159,7 +159,8 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       (5L, ("the be to of and that have with " * 30).trim), // stop hits
       (6L, "oneline without any newline " * 20),
       (7L, ""),
-      (8L, null.asInstanceOf[String]))
+      (8L, null.asInstanceOf[String]),
+      (9L, "\n\n\n")) // giant of only empty lines: zero piece rows
       .toDF("doc_id", "text")
       .withColumn("n_chars",
         when(col("text").isNull, lit(null).cast("long"))
