@@ -3,7 +3,6 @@ package graft.textan
 import graft.io.Caches.TrackedPersistOps
 import graft.text.Tok
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -19,19 +18,31 @@ import org.apache.spark.sql.functions._
   * documented adaptation.)
   *
   * 100 TB shape: ONE feature pass over the corpus (tokenize →
-  * per-doc lag bigrams → bucket), one (doc, bucket) aggregate —
-  * persisted once, feeding both consumers — and both hashed LMs are
-  * ≤`Buckets` rows, so the scoring join BROADCASTS: the corpus-sized
-  * side never reshuffles by feature. Per-term contributions are
-  * rounded to integer microunits before the per-doc sum (the
-  * engine's bigram-LM rule), so the reduction is order-free and the
-  * output is exact integers. */
+  * consecutive-pair bigrams straight off the token array, no window,
+  * no per-doc sort → bucket), one (doc, bucket) aggregate — persisted
+  * once, feeding both consumers — and both hashed LMs are ≤`Buckets`
+  * rows, so the scoring join BROADCASTS: the corpus-sized side never
+  * reshuffles by feature. Per-term contributions are rounded to
+  * integer microunits before the per-doc sum (the engine's bigram-LM
+  * rule), so the reduction is order-free and the output is exact
+  * integers. Giant documents (the web-crawl fat tail) split into
+  * token-stride parts with a one-token lookahead, so no single task
+  * ever hashes a whole 50 MB document's bigrams. */
 object Dsir {
 
   /** Hashed-feature space size. The paper uses 10k for full web
     * crawls; 1024 keeps the fixture buckets multiply-occupied so the
     * smoothing arithmetic is actually exercised. */
   val Buckets = 1024L
+
+  /** Giant-routing threshold — same md5-per-feature kernel family as
+    * the classifier, so the classifier's measured ~10 MB crossover
+    * transfers (per-row cost at 8 MB ≲ 2 s, tolerable against the
+    * 100 TB task median; above it the split pays for itself). */
+  val SplitChars: Long = 1L << 23
+
+  /** Token stride of one split part. */
+  val PartTokens: Int = 1 << 16
 
   /** md5-derived deterministic bucket — same idiom as
     * [[TextAnalysis.featureWeight]], DuckDB-replayable. */
@@ -45,17 +56,10 @@ object Dsir {
     * distribution defines p̂_target; all rows define p̂_raw.
     * Documents with fewer than two tokens have no bigram features
     * and no row (the weight is undefined, not zero). */
-  def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
-    val toks = docs.select(col("doc_id"), isTarget.cast("int").as("tgt"),
-      posexplode(Tok.tokens(lower(col("text")))).as(Seq("pos", "tok")))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val perDoc = toks
-      .withColumn("a", lag(col("tok"), 1).over(wDoc))
-      .filter(col("a").isNotNull)
-      .select(col("doc_id"), col("tgt"),
-        bucketOf(concat(col("a"), lit("_"), col("tok"))).as("bucket"))
-      .groupBy(col("doc_id"), col("tgt"), col("bucket"))
-      .agg(count(lit(1)).as("m"))
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      splitChars: Long = SplitChars,
+      partTokens: Int = PartTokens): DataFrame = {
+    val perDoc = bucketCounts(docs, isTarget, splitChars, partTokens)
       .persistTracked("dsir.perdoc")
     // both hashed LMs from ONE aggregate over the persisted frame;
     // ≤Buckets rows each → broadcast, the corpus never reshuffles
@@ -72,5 +76,66 @@ object Dsir {
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).cast("long").as("n_feats"),
         sum(col("contrib")).cast("long").as("logw_micro"))
+  }
+
+  /** `(doc_id, tgt, bucket, m)` hashed-bigram bucket counts — the one
+    * corpus-sized pass. Bigrams are consecutive token-array pairs
+    * (`zip_with` over two slices), bit-identical to a lag-over-window
+    * but with no shuffle and no per-document sort; the count
+    * aggregation is order-free, so any decomposition that produces
+    * the same bigram multiset produces the same rows. Giants split
+    * into [[PartTokens]]-stride parts with a ONE-TOKEN lookahead —
+    * each part owns exactly the bigrams STARTING inside it, so the
+    * part union is the document's bigram multiset with nothing
+    * double-counted — spread with an explicit partition count
+    * (pinning AQE away from re-coalescing compute-dense parts, the
+    * DocSplit discipline) before the md5 hashing they parallelize. */
+  private def bucketCounts(docs: DataFrame, isTarget: Column,
+      splitChars: Long, partTokens: Int): DataFrame = {
+    def aggBuckets(exploded: DataFrame): DataFrame = exploded
+      .select(col("doc_id"), col("tgt"), bucketOf(col("bg")).as("bucket"))
+      .groupBy(col("doc_id"), col("tgt"), col("bucket"))
+      .agg(count(lit(1)).as("m"))
+    def perRow(d: DataFrame): DataFrame = aggBuckets(
+      d.select(col("doc_id"), isTarget.cast("int").as("tgt"),
+        explode(TextAnalysis.bind(Tok.tokens(lower(col("text"))), ts =>
+          zip_with(
+            slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+            slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+            (a, b) => concat(a, lit("_"), b)))).as("bg")))
+    // streaming frames can't run the existence probe (no eager action
+    // on a stream); micro-batch documents are the per-row shape anyway
+    val canSplit = docs.columns.contains("n_chars") && !docs.isStreaming
+    if (!canSplit || docs.filter(col("n_chars") > splitChars).isEmpty)
+      return perRow(docs)
+    val small = perRow(docs.filter( // null n_chars routes per-row
+      graft.text.chunk.DocSplit.subThreshold(col("n_chars"), splitChars)))
+    val giants = docs.filter(col("n_chars") > splitChars)
+    val S = partTokens
+    val nsp = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // slice BEFORE the spread: the shuffle moves part-sized arrays
+    // (≈ the giant text once), never the whole token array per part
+    val parts = giants
+      .select(col("doc_id"), isTarget.cast("int").as("tgt"),
+        coalesce(Tok.tokens(lower(col("text"))),
+          array().cast("array<string>")).as("ts"))
+      .withColumn("L", size(col("ts")))
+      .select(col("doc_id"), col("tgt"), col("ts"), col("L"),
+        explode(sequence(lit(0),
+          greatest(ceil(col("L").cast("double") / S) - 1, lit(0))
+            .cast("int"))).as("p"))
+      .select(col("doc_id"), col("tgt"),
+        slice(col("ts"), col("p") * S + 1, lit(S + 1)).as("pts"),
+        least(lit(S), col("L") - 1 - col("p") * S).cast("int").as("bc"),
+        col("p"))
+      .repartition(nsp, col("doc_id"), col("p"))
+    // sequence(1, n) DESCENDS for n < 1 — guard the empty case
+    val biFeats = when(col("bc") >= 1,
+      transform(sequence(lit(1), col("bc")),
+        i => concat(element_at(col("pts"), i), lit("_"),
+          element_at(col("pts"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    small.unionByName(aggBuckets(
+      parts.select(col("doc_id"), col("tgt"), explode(biFeats).as("bg"))))
   }
 }

@@ -23,6 +23,27 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     // which resampling by rank preserves exactly
   }
 
+  test("giant split == per-row bit-identically over randomized docs and strides") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "the", "x", "42", "...")
+    for (round <- 0 until 8) {
+      val stride = 2 + rnd.nextInt(9) // 2..10 tokens per part
+      val docs = (0 until 12).map { i =>
+        val n = rnd.nextInt(40) // 0..39 tokens, many multi-part
+        val t = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+        (i.toLong, t, if (i == 11) "en" else "fr", t.length.toLong)
+      } :+ ((12L, null.asInstanceOf[String], "en", 0L)) // null text
+      val df = docs.toDF("doc_id", "text", "lang", "n_chars")
+      def run(sc: Long, pt: Int) = Dsir
+        .importanceWeights(df, col("lang") === "en", sc, pt)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val split = run(2L, stride) // nearly everything giants
+      val perRow = run(Long.MaxValue, stride)
+      assert(split == perRow, s"divergence at round $round stride $stride")
+    }
+  }
+
   test("scoring join broadcasts the hashed LM (corpus never reshuffles by bucket)") {
     val docs = graft.io.Tables.documents(spark, sf)
     val plan = Dsir.importanceWeights(docs, col("lang") === "en")
