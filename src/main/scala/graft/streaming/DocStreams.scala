@@ -100,6 +100,27 @@ object DocStreams {
       .select(col("fetch_id"), col("canon"), col("digest"),
         col("first_fetch").as("dup_of"))
 
+  /** Stream-static DSIR scoring — the continuous-ingest twin of
+    * [[graft.Queries.q_dsir_weights]]: incoming documents are scored
+    * against FROZEN hashed LMs ([[graft.textan.Dsir.collectLm]] over
+    * the history corpus — ≤1024 entries, a driver map, never a
+    * corpus-sized side). The scorer is a pure per-row map
+    * ([[graft.textan.Dsir.scoreExpr]] — tokenize, bucket, per-bucket
+    * microunit fold in one pass), so it runs on an unbounded stream
+    * with NO aggregation state, no shuffle and no watermark; scoring
+    * a document against the LMs its own corpus froze is bit-identical
+    * to the batch operator's row (spec-pinned). Emits
+    * `(doc_id, n_feats, logw_micro)`; sub-2-token documents drop,
+    * matching the batch operator's no-row semantics. */
+  def dsirScoreAgainstStatic(incoming: DataFrame,
+      lm: Map[Long, (Long, Long)], tt: Long, tq: Long): DataFrame =
+    incoming
+      .select(col("doc_id"),
+        graft.textan.Dsir.scoreExpr(lm, tt, tq)(col("text")).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("doc_id"), col("__s._1").as("n_feats"),
+        col("__s._2").as("logw_micro"))
+
   /** Watermarked event dedup: drops re-deliveries of the same
     * `event_id` arriving within `delay` of the watermark — bounded
     * state for at-least-once upstreams. */

@@ -78,6 +78,72 @@ object Dsir {
         sum(col("contrib")).cast("long").as("logw_micro"))
   }
 
+  /** FROZEN hashed LMs for continuous-ingest scoring: the history
+    * corpus's per-bucket counts collected to a driver map (≤
+    * [[Buckets]] entries by construction — the whole point of the
+    * hashing trick is that the LM state is corpus-size-independent).
+    * Returns `(bucket → (c_t, c_q), tt, tq)` — everything
+    * [[scoreExpr]] needs to score an unbounded stream of new
+    * documents statelessly. */
+  def collectLm(history: DataFrame, isTarget: Column)
+      : (Map[Long, (Long, Long)], Long, Long) = {
+    val perDoc = bucketCounts(history, isTarget, SplitChars, PartTokens)
+    val lm = perDoc.groupBy(col("bucket"))
+      .agg(sum(when(col("tgt") === 1, col("m")).otherwise(lit(0L))).as("c_t"),
+        sum(col("m")).as("c_q"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    (lm, lm.valuesIterator.map(_._1).sum, lm.valuesIterator.map(_._2).sum)
+  }
+
+  /** Per-row closed-form DSIR scorer over FROZEN LMs — the stateless
+    * kernel of the streaming twin ([[graft.streaming.DocStreams
+    * .dsirScoreAgainstStatic]]): one document row in, `(n_feats,
+    * logw_micro)` out, no shuffle, no window, no aggregation state.
+    * Mirrors [[importanceWeights]]' arithmetic EXACTLY — driver-side
+    * tokenizer with the shared [[Tok.pattern]], the md5 bucket of
+    * [[bucketOf]] (first 8 hex chars, unsigned, mod [[Buckets]]),
+    * per-bucket counts first, then `round((m * ln(ratio)) * 1e6)`
+    * per bucket with Spark's HALF_UP `BigDecimal.valueOf` semantics
+    * and the same association — so scoring a document against the
+    * LMs its own corpus froze is bit-identical to the batch
+    * operator's row (spec-pinned). Documents with fewer than two
+    * tokens return null, matching the batch operator's no-row. */
+  def scoreExpr(lm: Map[Long, (Long, Long)], tt: Long, tq: Long)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) None
+      else {
+        val toks = Tok.tokenize(text.toLowerCase(java.util.Locale.ROOT))
+        if (toks.size < 2) None
+        else {
+          val counts = new java.util.HashMap[Long, Long]()
+          var i = 0
+          while (i < toks.size - 1) {
+            val f = toks(i) + "_" + toks(i + 1)
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(("dsir|" + f).getBytes("UTF-8"))
+              .take(4).map("%02x".format(_)).mkString
+            counts.merge(java.lang.Long.parseLong(hex, 16) % Buckets,
+              1L, (a, b) => a + b)
+            i += 1
+          }
+          var nf = 0L
+          var lw = 0L
+          counts.forEach { (b, m) =>
+            val (ct, cq) = lm.getOrElse(b, (0L, 0L))
+            val ratio = ((ct + 1).toDouble / (tt + Buckets)) /
+              ((cq + 1).toDouble / (tq + Buckets))
+            lw += java.math.BigDecimal
+              .valueOf(m.toDouble * math.log(ratio) * 1e6)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            nf += m
+          }
+          Some((nf, lw))
+        }
+      }
+    }
+
   /** `(doc_id, tgt, bucket, m)` hashed-bigram bucket counts — the one
     * corpus-sized pass. Bigrams are consecutive token-array pairs
     * (`zip_with` over two slices), bit-identical to a lag-over-window

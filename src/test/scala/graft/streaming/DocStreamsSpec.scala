@@ -220,6 +220,37 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static DSIR scoring: new docs scored against frozen LMs == batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val history = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+    val (lm, tt, tq) = graft.textan.Dsir.collectLm(history, col("lang") === "en")
+    // "new" documents the frozen LMs have never seen, plus the
+    // batch-parity shapes: empty and one-token docs must drop
+    val newDocs = Seq(
+      (9000L, "the quick brown fox jumps over the lazy dog"),
+      (9001L, "zq1 zq2 zq3 zq4 zq5 unseen vocabulary entirely"),
+      (9002L, "solo"), (9003L, ""))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.dsirScoreAgainstStatic(
+        mem.toDF().toDF("doc_id", "text"), lm, tt, tq)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_stream_out").start()
+    try {
+      mem.addData(newDocs: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream_out")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val batch = DocStreams.dsirScoreAgainstStatic(
+          newDocs.toDF("doc_id", "text"), lm, tt, tq)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == batch, s"stream != batch: $got vs $batch")
+      assert(got.map(_._1) == Seq(9000L, 9001L),
+        "sub-2-token docs must drop, scored docs must emit exactly once")
+    } finally q.stop()
+  }
+
   test("minhashBandKeys (narrow) equals the aggregate pipeline's keys batch-side") {
     val docs = Tables.documents(spark, sf).limit(50)
       .select(col("doc_id"), col("text"))

@@ -44,6 +44,24 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("frozen-LM per-row scorer == batch operator bit-identically") {
+    import spark.implicits._
+    val docs = graft.io.Tables.documents(spark, sf).limit(120)
+    val batch = Dsir.importanceWeights(docs, col("lang") === "en")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // scoring a document against the LMs its own corpus froze must
+    // reproduce the batch row exactly: same tokenizer, same bucket,
+    // same per-bucket rounding, same association
+    val (lm, tt, tq) = Dsir.collectLm(docs, col("lang") === "en")
+    assert(lm.size <= Dsir.Buckets, "LM state must be bucket-bounded")
+    val scored = docs
+      .select(col("doc_id"), Dsir.scoreExpr(lm, tt, tq)(col("text")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s._1"), col("s._2"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(scored == batch, "per-row frozen-LM scorer diverged from batch")
+  }
+
   test("scoring join broadcasts the hashed LM (corpus never reshuffles by bucket)") {
     val docs = graft.io.Tables.documents(spark, sf)
     val plan = Dsir.importanceWeights(docs, col("lang") === "en")
