@@ -1761,8 +1761,12 @@ object Queries {
     * (the cluster-then-describe recipe of WIMBD-style corpus audits
     * and SemDeDup's cell view, composed from two already-audited
     * fits). Cells come from the SAME epoch'd saved bounded index as
-    * q_topk_ivf (build once, describe many); term stats ride
-    * [[graft.text.Bm25.buildIndex]]'s one tokenize pass. Terms rank
+    * q_topk_ivf, and the term side serves from the SAME epoch'd
+    * saved BM25 index as q_bm25_indexed (build once per corpus
+    * version, describe many — the report never re-tokenizes the
+    * corpus; postings read back is the token volume, and the one
+    * (cell, term) aggregate shuffles only the cell-joined counts).
+    * Terms rank
     * by LIFT — cell-relative frequency over corpus-relative
     * frequency — which surfaces what a cell OVER-represents even
     * when every term occurs in every cell (where tf·idf saturates
@@ -1781,7 +1785,9 @@ object Queries {
       epoch = tableEpoch(s, dir, "embeddings"))
     val (assigned, _) = vector.Ivf.loadIndex(s, path)
     val cells = assigned.select(col("vec_id").as("doc_id"), col("cell"))
-    val idx = graft.text.Bm25.buildIndex(t(s, dir, "documents"))
+    val bm25Path = graft.text.Bm25.ensureSavedIndex(
+      t(s, dir, "documents"), dir, epoch = tableEpoch(s, dir, "documents"))
+    val idx = graft.text.Bm25.loadIndex(s, bm25Path)
     val ctf = idx.postings.join(cells, "doc_id")
       .groupBy(col("cell"), col("term"))
       .agg(sum(col("tf")).cast("long").as("ctf"))
