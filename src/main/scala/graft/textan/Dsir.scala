@@ -96,36 +96,67 @@ object Dsir {
     (lm, lm.valuesIterator.map(_._1).sum, lm.valuesIterator.map(_._2).sum)
   }
 
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Mirror of Spark's `lower()` semantics for the driver/executor
+    * scorer: `UTF8String.toLowerCase` lowers pure-ASCII strings with
+    * the locale-independent fast path and falls back to
+    * `String.toLowerCase()` under the JVM DEFAULT locale for anything
+    * else — `Locale.ROOT` here would diverge from the batch column
+    * under tr/az/lt default locales (dotted/dotless I). */
+  private def lowerLikeSpark(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { ascii = s.charAt(i) < 0x80; i += 1 }
+    if (ascii) {
+      val out = new Array[Char](s.length)
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        out(j) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        j += 1
+      }
+      new String(out)
+    } else s.toLowerCase()
+  }
+
   /** Per-row closed-form DSIR scorer over FROZEN LMs — the stateless
     * kernel of the streaming twin ([[graft.streaming.DocStreams
     * .dsirScoreAgainstStatic]]): one document row in, `(n_feats,
     * logw_micro)` out, no shuffle, no window, no aggregation state.
     * Mirrors [[importanceWeights]]' arithmetic EXACTLY — driver-side
-    * tokenizer with the shared [[Tok.pattern]], the md5 bucket of
-    * [[bucketOf]] (first 8 hex chars, unsigned, mod [[Buckets]]),
-    * per-bucket counts first, then `round((m * ln(ratio)) * 1e6)`
-    * per bucket with Spark's HALF_UP `BigDecimal.valueOf` semantics
-    * and the same association — so scoring a document against the
-    * LMs its own corpus froze is bit-identical to the batch
-    * operator's row (spec-pinned). Documents with fewer than two
-    * tokens return null, matching the batch operator's no-row. */
+    * tokenizer with the shared [[Tok.pattern]] over the Spark-parity
+    * lowercase, the md5 bucket of [[bucketOf]] (first 4 digest bytes
+    * unsigned, mod [[Buckets]] — computed arithmetically on a
+    * thread-local digest, no per-feature allocation), per-bucket
+    * counts first, then `round((m * ln(ratio)) * 1e6)` per bucket
+    * with Spark's HALF_UP `BigDecimal.valueOf` semantics and the
+    * same association — so scoring a document against the LMs its
+    * own corpus froze is bit-identical to the batch operator's row
+    * (spec-pinned). Documents with fewer than two tokens return
+    * null, matching the batch operator's no-row. */
   def scoreExpr(lm: Map[Long, (Long, Long)], tt: Long, tq: Long)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (text: String) =>
       if (text == null) None
       else {
-        val toks = Tok.tokenize(text.toLowerCase(java.util.Locale.ROOT))
+        val toks = Tok.tokenize(lowerLikeSpark(text))
         if (toks.size < 2) None
         else {
           val counts = new java.util.HashMap[Long, Long]()
+          val md = md5Local.get()
           var i = 0
           while (i < toks.size - 1) {
-            val f = toks(i) + "_" + toks(i + 1)
-            val hex = java.security.MessageDigest.getInstance("MD5")
-              .digest(("dsir|" + f).getBytes("UTF-8"))
-              .take(4).map("%02x".format(_)).mkString
-            counts.merge(java.lang.Long.parseLong(hex, 16) % Buckets,
-              1L, (a, b) => a + b)
+            md.reset()
+            md.update("dsir|".getBytes("UTF-8"))
+            md.update(toks(i).getBytes("UTF-8"))
+            md.update('_'.toByte)
+            md.update(toks(i + 1).getBytes("UTF-8"))
+            val d = md.digest()
+            val b = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % Buckets
+            counts.merge(b, 1L, (a, c) => a + c)
             i += 1
           }
           var nf = 0L

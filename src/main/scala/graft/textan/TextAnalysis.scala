@@ -1,5 +1,6 @@
 package graft.textan
 
+import graft.io.Caches.TrackedPersistOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.text.Tok
@@ -377,8 +378,17 @@ object TextAnalysis {
     * kernel (2 Mchar) and the cheaper classifier fold (8 Mchar). */
   val GopherSplitChars: Long = 1L << 22
 
+  /** Target stride of one sub-piece of a newline-free long line.
+    * Pieces cut ONLY at intra-line whitespace — a space-free run
+    * longer than this stays one piece (serial by construction, exact
+    * by construction) rather than taking a mid-word hard cut that
+    * would shear a `[^\s]+` word or a dot run across pieces and
+    * break split == per-row bit-identity. */
+  val GopherPieceChars: Int = 1 << 20
+
   def gopherRules(df: DataFrame, textCol: String = "text",
-      splitChars: Long = GopherSplitChars): DataFrame = {
+      splitChars: Long = GopherSplitChars,
+      pieceChars: Int = GopherPieceChars): DataFrame = {
     // shared per-WORD / per-LINE counter expressions — the giant
     // branch evaluates them per exploded line and SUMS: a word
     // ([^\s]+) and a dot run cannot span a newline and a line lives
@@ -467,18 +477,21 @@ object TextAnalysis {
     //  (1) explode LINES — line-level flags (bullet start, ellipsis
     //      end) are END-LOCAL expressions, cheap even on a giant
     //      single line, and a line lives whole in one row;
-    //  (2) sub-split LONG lines at whitespace (DocSplit.cutOffsets,
-    //      seps=" ") so the O(chars) regex counters parallelize even
-    //      on a newline-free 50 MB document — a word ([^\s]+) and a
-    //      dot run cannot span a whitespace-snapped cut, so per-piece
-    //      integer counters sum into exactly the whole-line values.
+    //  (2) sub-split LONG lines at intra-line whitespace ONLY — a
+    //      word ([^\s]+) and a dot run cannot span a whitespace cut,
+    //      so per-piece integer counters sum into exactly the
+    //      whole-line values; a whitespace-FREE run longer than the
+    //      stride stays one piece (serial by construction) instead
+    //      of taking a mid-word hard cut that would change counts.
     // The text is projected away before every exchange; only the
     // pieces shuffle (the giant text once), with an explicit
     // partition count pinning AQE away from re-coalescing
-    // compute-dense text.
+    // compute-dense text. The exploded lines persist so the line-flag
+    // and word-counter aggregates share ONE split of the giant text.
     val giantLines = giants
       .select(col("doc_id"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("__ln", "__line")))
+      .persistTracked("gopher.lines")
     val lineAgg = giantLines
       .select(col("doc_id"),
         isBullet(col("__line")).cast("int").as("__b"),
@@ -487,11 +500,30 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("int").as("__n_lines"),
         sum(col("__b")).cast("int").as("__n_bullet"),
         sum(col("__e")).cast("int").as("__n_ell_line"))
+    // cuts land ONLY on intra-line whitespace (the \s set minus \n,
+    // which cannot appear inside a split line): scan forward from the
+    // stride target to the next whitespace char, and if none exists
+    // the piece runs to end-of-line — no hard cut ever shears a word
+    // or a dot run, so piece sums equal the whole-line counters
+    // exactly for EVERY input, including space-free blobs
+    val S = pieceChars
     val pieceUdf = udf((line: String) =>
-      if (line == null) Array.empty[String]
-      else graft.text.chunk.DocSplit
-        .cutOffsets(line, maxChars = 1 << 20, seps = Seq(" "))
-        .map { case (s, e) => line.substring(s, e) })
+      if (line == null || line.isEmpty) Array.empty[String]
+      else {
+        def isWs(c: Char) =
+          c == ' ' || c == '\t' || c == '\u000B' || c == '\f' || c == '\r'
+        val n = line.length
+        val out = Array.newBuilder[String]
+        var start = 0
+        while (n - start > S) {
+          var cut = start + S
+          while (cut < n && !isWs(line.charAt(cut))) cut += 1
+          out += line.substring(start, cut)
+          start = cut
+        }
+        if (start < n) out += line.substring(start)
+        out.result()
+      })
     val wordAgg = giantLines
       .select(col("doc_id"), col("__ln"),
         posexplode(pieceUdf(col("__line"))).as(Seq("__pi", "__piece")))

@@ -183,6 +183,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     fxSplit.zip(fxWhole).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("gopherRules: multi-piece line sub-split == per-row, incl. space-free blobs") {
+    // pieceChars = 7 forces MANY pieces per line; shapes chosen so a
+    // wrong cut would visibly change a counter: long words around the
+    // stride boundary, a dot run longer than the stride, tab-separated
+    // tokens (tab is a snap point), and a space-FREE blob longer than
+    // the stride (must stay ONE piece — a hard cut would split the
+    // word and the dot run)
+    val docs = Seq(
+      (1L, "the quick brown foxes jumped over lazy dogs repeatedly"),
+      (2L, "supercalifragilistic expialidocious " * 4),
+      (3L, ".............." + " " + "word" + " " + ".........."),
+      (4L, "aaaa\tbbbb\tcccc\tdddd\teeee\tffff"),
+      (5L, "zqx9" * 12), // 48-char space-free blob: one piece
+      (6L, ("#" * 30) + " the end..."),
+      (7L, "a b c d e f g h i j k l m n o p"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val cols = Seq("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+      "bullet_frac", "ellipsis_frac", "alpha_frac", "n_stop_hits", "pass")
+    val split = TextAnalysis
+      .gopherRules(docs, splitChars = 1L, pieceChars = 7)
+      .select(cols.map(col): _*).orderBy(col("doc_id")).collect()
+    val whole = TextAnalysis.gopherRules(docs, splitChars = Long.MaxValue)
+      .select(cols.map(col): _*).orderBy(col("doc_id")).collect()
+    split.zip(whole).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("gopherRules: crafted docs hit each rule") {
     import org.apache.spark.sql.functions.col
     val good = ("the cat sat with the dog and that was fine " * 5).trim
