@@ -995,6 +995,44 @@ object Oracles {
          |FROM pd JOIN lm USING (bucket) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // frozen-LM DSIR scoring: the hashed LMs freeze over the history
+    // slice (doc_id % 10 < 8), the held-out slice scores against
+    // them — buckets the history never saw smooth to the add-one
+    // floor (LEFT JOIN + COALESCE 0), replaying the per-row scorer's
+    // closed form exactly
+    "q_dsir_frozen" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, tgt, CAST(i - 1 AS INTEGER) AS pos, ts[i] AS tok
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+         |          regexp_extract_all(lower(text), '$RE') AS ts
+         |        FROM documents),
+         |       LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u
+         |), bg AS (
+         |  SELECT doc_id, tgt, pos, tok,
+         |         lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS a
+         |  FROM toks
+         |), pd AS (
+         |  SELECT doc_id, tgt,
+         |         CAST('0x' || substr(md5('dsir|' || a || '_' || tok), 1, 8)
+         |           AS BIGINT) % 1024 AS bucket,
+         |         count(*) AS m
+         |  FROM bg WHERE a IS NOT NULL GROUP BY 1, 2, 3
+         |), lm AS (
+         |  SELECT bucket,
+         |         sum(CASE WHEN tgt = 1 THEN m ELSE 0 END) AS c_t,
+         |         sum(m) AS c_q
+         |  FROM pd WHERE doc_id % 10 < 8 GROUP BY bucket
+         |), tot AS (SELECT sum(c_t) AS tt, sum(c_q) AS tq FROM lm)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+         |       CAST(sum(round(m * ln(
+         |             (CAST(COALESCE(c_t, 0) + 1 AS DOUBLE) / (tt + 1024)) /
+         |             (CAST(COALESCE(c_q, 0) + 1 AS DOUBLE) / (tq + 1024))) * 1e6))
+         |         AS BIGINT) AS logw_micro
+         |FROM (SELECT * FROM pd WHERE doc_id % 10 >= 8)
+         |     LEFT JOIN lm USING (bucket) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // line-level exact dedup: 10-token segmentation, md5-keyed
     // first-wins window (doc order, then position), reassembled-text
     // md5; all-removed documents coalesce to md5('') like Spark's

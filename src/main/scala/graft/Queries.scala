@@ -2843,6 +2843,26 @@ object Queries {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** FROZEN-LM DSIR scoring — the oracle-checked form of the
+    * streaming scorer ([[graft.streaming.DocStreams
+    * .dsirScoreAgainstStatic]]): the hashed LMs freeze over a HISTORY
+    * slice (doc_id % 10 < 8 — sf-independent), and the held-out slice
+    * scores through the stateless per-row kernel
+    * ([[graft.textan.Dsir.scoreExpr]] — the exact closed form a
+    * continuous-ingest pipeline applies to documents the LMs have
+    * never seen; buckets absent from the history LM smooth to the
+    * add-one floor). DuckDB replays the frozen LMs and the held-out
+    * scoring end to end, so the scorer's tokenizer/md5/rounding
+    * parity is hash-checked, not just spec-pinned. */
+  def q_dsir_frozen(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (lm, tt, tq) = graft.textan.Dsir.collectLm(
+      docs.filter(pmod(col("doc_id"), lit(10)) < 8), col("lang") === "en")
+    graft.streaming.DocStreams.dsirScoreAgainstStatic(
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 8), lm, tt, tq)
+      .orderBy(col("doc_id"))
+  }
+
   /** Link-graph QUALITY PRIOR ([[graft.rel.LinkGraph]]) — 3-round
     * integer PageRank over the deterministic synthetic out-link
     * table (doc i → (131·i + 37k) mod N, the modeled S1 scrape link
