@@ -14,7 +14,12 @@ package graft
 object Oracles {
 
   /** Token regex — keep identical to [[graft.text.Tok.pattern]]. */
-  private val RE = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  private val RE = graft.text.Tok.oracleRegex
+
+  /** Explicit whitespace class body ([[graft.text.Tok.Ws]]) — RE2's
+    * `\s` excludes VT while Java's includes it; both engines run
+    * the same spelled-out set. */
+  private val WS = graft.text.Tok.Ws
 
   /** Shared CTE: fixed chunker (C1) — 400-char windows, stride 350. */
   private val chunkCte =
@@ -34,17 +39,20 @@ object Oracles {
   /** Messy-URL CASE chain on long column `key` — keep identical to
     * the synthesis in `Queries.messyUrl`. */
   private def messyUrlSql(key: String): String =
-    s"""CASE $key % 5
+    s"""CASE $key % 7
        |      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/g'
-       |        || CAST($key // 5 AS VARCHAR) || '?utm_source=feed&b=2&a=1#sec'
+       |        || CAST($key // 7 AS VARCHAR) || '?utm_source=feed&b=2&a=1#sec'
        |      WHEN 1 THEN 'https://www.example.com/docs/g'
-       |        || CAST($key // 5 AS VARCHAR) || '?a=1&b=2'
-       |      WHEN 2 THEN 'http://Host' || CAST(($key // 5) % 7 AS VARCHAR)
-       |        || '.example.org:80/p/g' || CAST($key // 5 AS VARCHAR) || '/'
-       |      WHEN 3 THEN 'http://host' || CAST(($key // 5) % 7 AS VARCHAR)
-       |        || '.example.org/p/g' || CAST($key // 5 AS VARCHAR)
-       |      ELSE 'https://cdn.example.net/a' || CAST($key // 5 AS VARCHAR)
+       |        || CAST($key // 7 AS VARCHAR) || '?a=1&b=2'
+       |      WHEN 2 THEN 'http://Host' || CAST(($key // 7) % 7 AS VARCHAR)
+       |        || '.example.org:80/p/g' || CAST($key // 7 AS VARCHAR) || '/'
+       |      WHEN 3 THEN 'http://host' || CAST(($key // 7) % 7 AS VARCHAR)
+       |        || '.example.org/p/g' || CAST($key // 7 AS VARCHAR)
+       |      WHEN 4 THEN 'https://cdn.example.net/a' || CAST($key // 7 AS VARCHAR)
        |        || '?gclid=x&utm_campaign=z'
+       |      WHEN 5 THEN '/docs/rel/g' || CAST($key // 7 AS VARCHAR) || '?x=1'
+       |      ELSE 'https://cdn.example.net/b' || CAST($key // 7 AS VARCHAR)
+       |        || '?fbclid&utm_&x=1'
        |    END"""
 
   /** URL-canonicalization CTE chain from `u($idCols, url)` to
@@ -74,15 +82,17 @@ object Oracles {
        |       FROM s2),
        |s4 AS (SELECT *,
        |         list_sort(list_filter(string_split(query, '&'),
-       |           p -> NOT (regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')
+       |           p -> NOT (regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$$)')
        |                     OR p = ''))) AS kept
        |       FROM s3),
        |s5 AS (SELECT $idCols, url,
+       |         CASE WHEN scheme = '' THEN url ELSE
        |         scheme || '://' || host ||
        |         (CASE WHEN regexp_matches(path, '^/.+/$$')
        |               THEN regexp_replace(path, '/$$', '') ELSE path END) ||
        |         (CASE WHEN array_to_string(kept, '&') <> ''
-       |               THEN '?' || array_to_string(kept, '&') ELSE '' END) AS canon
+       |               THEN '?' || array_to_string(kept, '&') ELSE '' END)
+       |         END AS canon
        |       FROM s4)"""
 
   /** Shared CTE prefix: the deterministic synthetic link table
@@ -1039,7 +1049,7 @@ object Oracles {
     // concat_ws over an empty list
     "q_line_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts FROM documents
         |), lines AS (
         |  SELECT doc_id, p,
         |         array_to_string(ts[p*10+1 : p*10+10], ' ') AS line
@@ -1846,13 +1856,13 @@ object Oracles {
          |          '<[^>]*>', ' ', 'g'),
          |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
          |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-         |      '\\s+', ' ', 'g')) AS txt,
+         |      '[$WS]+', ' ', 'g')) AS txt,
          |    trim(regexp_replace(
          |      replace(replace(replace(replace(replace(replace(
          |        regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
          |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
          |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-         |      '\\s+', ' ', 'g')) AS title,
+         |      '[$WS]+', ' ', 'g')) AS title,
          |    CAST(len(regexp_extract_all(html, '(?i)\\bhref="')) AS INTEGER)
          |      AS n_links
          |  FROM h
@@ -1869,7 +1879,7 @@ object Oracles {
          |    regexp_replace(
          |      regexp_replace(text,
          |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |      'https?://[^\\s]+', '<URL>', 'g'),
+         |      'https?://[^$WS]+', '<URL>', 'g'),
          |    '[0-9]{4,}', '<NUM>', 'g') AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -2729,7 +2739,7 @@ object Oracles {
          |  SELECT doc_id,
          |    CAST(length(text) AS DOUBLE) AS n_chars_d,
          |    CAST(len(regexp_extract_all(lower(text), '$RE')) AS DOUBLE) AS n_tokens,
-         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9$WS]', '', 'g')) AS DOUBLE) AS punct,
          |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
          |    CAST(len(list_filter(regexp_extract_all(lower(text), '$RE'),
          |      t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS DOUBLE) AS stop_hits
@@ -2765,7 +2775,7 @@ object Oracles {
     "q_gopher_rules" ->
       s"""WITH w AS (
          |  SELECT doc_id,
-         |    regexp_extract_all(text, '[^\\s]+') AS words,
+         |    regexp_extract_all(text, '[^$WS]+') AS words,
          |    str_split(text, chr(10)) AS lines,
          |    CAST(length(regexp_replace(text, '[^#]', '', 'g')) AS INTEGER)
          |      AS n_hash,
@@ -2855,7 +2865,7 @@ object Oracles {
       }
       s"""WITH words AS (
          |  SELECT doc_id, w FROM (
-         |    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+         |    SELECT doc_id, unnest(regexp_split_to_array(text, '[$WS]+')) AS w FROM documents)
          |  WHERE w <> ''
          |), wc AS (
          |  SELECT w, count(*) AS c FROM words GROUP BY w
@@ -3023,7 +3033,7 @@ object Oracles {
          |  SELECT doc_id,
          |    CAST(length(text) AS DOUBLE) AS n_chars_d,
          |    CAST(len(regexp_extract_all(lower(text), '$RE')) AS DOUBLE) AS n_tokens,
-         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9$WS]', '', 'g')) AS DOUBLE) AS punct,
          |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
          |    CAST(len(list_filter(regexp_extract_all(lower(text), '$RE'),
          |      t2 -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t2))) AS DOUBLE) AS stop_hits

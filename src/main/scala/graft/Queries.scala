@@ -3017,21 +3017,22 @@ object Queries {
   }
 
   /** URL canonicalization ([[graft.rel.Urls]]) — the ingest
-    * normalization before URL-keyed dedup: five deterministic messy
-    * variants per 5-doc block (uppercase scheme/host, default ports,
+    * normalization before URL-keyed dedup: seven deterministic messy
+    * variants per 7-doc block (uppercase scheme/host, default ports,
     * tracking params, fragments, trailing slashes) collapse to their
     * canonical forms, and `n_same_canon` shows the collapse (messy
     * pairs land on one key). Pure codegen'd string/array expressions
     * — no UDF — and the window is partitioned by the canonical key,
     * so the count never funnels the corpus through one task. */
   /** Deterministic messy-URL synthesis keyed on `keyName` (a long
-    * column): five variant shapes per 5-key block — shared by
+    * column): seven variant shapes per 7-key block (incl. a
+    * scheme-less passthrough and bare no-`=` tracking params) — shared by
     * [[q_url_canonical]] and [[q_cdx_dedup]], mirrored verbatim in
     * the oracle's CASE chain. */
   private def messyUrl(keyName: String): Column = {
-    val g = expr(s"$keyName div 5").cast("string")
-    val h = (expr(s"$keyName div 5") % 7).cast("string")
-    val c = col(keyName) % 5
+    val g = expr(s"$keyName div 7").cast("string")
+    val h = (expr(s"$keyName div 7") % 7).cast("string")
+    val c = col(keyName) % 7
     when(c === 0, concat(lit("HTTPS://WWW.Example.COM:443/docs/g"),
         g, lit("?utm_source=feed&b=2&a=1#sec")))
       .when(c === 1, concat(lit("https://www.example.com/docs/g"),
@@ -3040,8 +3041,15 @@ object Queries {
         lit(".example.org:80/p/g"), g, lit("/")))
       .when(c === 3, concat(lit("http://host"), h,
         lit(".example.org/p/g"), g))
-      .otherwise(concat(lit("https://cdn.example.net/a"), g,
+      .when(c === 4, concat(lit("https://cdn.example.net/a"), g,
         lit("?gclid=x&utm_campaign=z")))
+      // r14: scheme-less path — canonical() must pass it through
+      // UNCHANGED (the frontier-consumer guard, ADVICE r13)
+      .when(c === 5, concat(lit("/docs/rel/g"), g, lit("?x=1")))
+      // r14: tracking params WITHOUT '=' (bare fbclid / utm_) are
+      // still dropped; the real param survives
+      .otherwise(concat(lit("https://cdn.example.net/b"), g,
+        lit("?fbclid&utm_&x=1")))
   }
 
   def q_url_canonical(s: SparkSession, dir: String): DataFrame = {

@@ -573,14 +573,84 @@ object Dedup {
     * reassembled text. When nothing is removed the reassembly is the
     * identity (disjoint token segments re-joined by the same single
     * space), so `clean_md5 == md5(text)` — spec-pinned. */
+  /** Characters above which a document's segmentation leaves the
+    * narrow per-row explode for the token-snapped piece split: a
+    * giant document's `split(text, ' ')` + per-line slicing is one
+    * serial task (6.32× at 50 MB in the r13 row-skew probe). 4 Mchar
+    * is far above any fixture document and the routing predicate is
+    * the pushable `n_chars` column, so the giant branch prunes to
+    * nothing at the parquet scan when no giant exists. */
+  val LineSplitChars: Long = 1L << 22
+
+  /** Lines per split piece — ~40 k tokens of text per piece at the
+    * default 10-token line, so a 50 MB giant fans ~180 ways. */
+  val LinesPerPiece: Int = 1 << 12
+
+  /** One token-snapped piece of a giant document: `base` is the
+    * piece's first LINE index, `piece` its text. */
+  private[dedup] case class LinePiece(base: Int, piece: String)
+
+  /** Cut `text` after every `linesPerPiece × lineTokens`-th token,
+    * consuming the delimiting space — a token is a single-space-
+    * separated segment, exactly `split(text, ' ')`'s notion (empty
+    * tokens from doubled/trailing spaces count). Every piece except
+    * the last carries a whole number of LINES, so per-piece
+    * segmentation with a `base` line offset reproduces the global
+    * `(p, line)` rows bit for bit. One forward pass; a space-free
+    * run stays one piece (serial by construction, exact by
+    * construction — the gopher split's discipline). */
+  private[dedup] def linePieces(text: String, lineTokens: Int,
+      linesPerPiece: Int): Array[LinePiece] = {
+    // same rule as the narrow branch's coalesce(text, ''): a null
+    // text segments like the empty text (one empty-line row). The
+    // production routing (n_chars > threshold) never sends nulls
+    // here, but the branch must not crash if a caller forces it.
+    if (text == null) return Array(LinePiece(0, ""))
+    val cutTokens = lineTokens * linesPerPiece
+    val out = Array.newBuilder[LinePiece]
+    val n = text.length
+    var start = 0
+    var tok = 0
+    var base = 0
+    var i = 0
+    while (i < n) {
+      if (text.charAt(i) == ' ') {
+        tok += 1
+        if (tok == cutTokens) {
+          out += LinePiece(base, text.substring(start, i))
+          base += linesPerPiece
+          start = i + 1
+          tok = 0
+        }
+      }
+      i += 1
+    }
+    out += LinePiece(base, text.substring(start, n))
+    out.result()
+  }
+
   /** `(doc_id, p, line)` segmentation shared by [[lineDedup]], the
     * static [[lineIndex]] and the streaming ingest path — a NARROW
-    * per-row explode (no window, no shuffle), so it runs unchanged on
-    * a streaming frame. */
-  def linesOf(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
+    * per-row explode (no window, no shuffle) for every document at
+    * or under [[LineSplitChars]], so it runs unchanged on a
+    * streaming frame (streaming frames can't run the existence
+    * probe and always take the per-row branch). Null text coalesces
+    * to '' BEFORE the split — a null-text document emits the same
+    * single empty-line row an empty document does (the engine's
+    * null-routing discipline; `split(null)` would silently drop the
+    * document from the per-doc report). Documents OVER the
+    * threshold — one 50 MB row was one serial split/slice task —
+    * pre-cut into [[linePieces]] whole-line pieces that fan out as
+    * ordinary rows and segment partition-parallel with a base line
+    * offset; both branches emit bit-identical rows for the same
+    * document (spec-pinned in LineSplitSpec). */
+  def linesOf(docs: DataFrame, lineTokens: Int = 10,
+      splitChars: Long = LineSplitChars,
+      linesPerPiece: Int = LinesPerPiece): DataFrame = {
     val L = lineTokens
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    def narrow(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("ts"))
       .select(col("doc_id"), col("ts"),
         explode(sequence(lit(0),
           greatest(ceil(size(col("ts")).cast("double") / L) - 1, lit(0))
@@ -588,6 +658,32 @@ object Dedup {
       .filter(col("p") * L < size(col("ts")))
       .select(col("doc_id"), col("p"),
         array_join(slice(col("ts"), col("p") * L + 1, lit(L)), " ").as("line"))
+    val canSplit = docs.columns.contains("n_chars") && !docs.isStreaming
+    if (!canSplit || docs.filter(col("n_chars") > splitChars).isEmpty)
+      return narrow(docs)
+    val small = narrow(docs.filter( // null n_chars routes per-row
+      graft.text.chunk.DocSplit.subThreshold(col("n_chars"), splitChars)))
+    // giant branch: n_chars > threshold implies non-null text. The
+    // pieces spread with an explicit partition count (the DocSplit
+    // discipline — AQE would re-coalesce compute-dense text), then
+    // segment per piece with the piece's base line offset.
+    val pieceUdf = udf((text: String) => linePieces(text, L, linesPerPiece))
+    val nsp = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val giant = docs.filter(col("n_chars") > splitChars)
+      .select(col("doc_id"),
+        posexplode(pieceUdf(col("text"))).as(Seq("__pi", "__pc")))
+      .repartition(nsp, col("doc_id"), col("__pi"))
+      .select(col("doc_id"), col("__pc.base").as("__bp"),
+        split(col("__pc.piece"), " ").as("ts"))
+      .select(col("doc_id"), col("__bp"), col("ts"),
+        explode(sequence(lit(0),
+          greatest(ceil(size(col("ts")).cast("double") / L) - 1, lit(0))
+            .cast("int"))).as("__lp"))
+      .filter(col("__lp") * L < size(col("ts")))
+      .select(col("doc_id"), (col("__bp") + col("__lp")).as("p"),
+        array_join(slice(col("ts"), col("__lp") * L + 1, lit(L)), " ")
+          .as("line"))
+    small.unionByName(giant)
   }
 
   /** Static line-fingerprint index for the continuous-ingest path:
@@ -616,10 +712,12 @@ object Dedup {
       .select(col("line_md5"), col("f.doc_id").as("first_doc"),
         col("f.p").as("first_p"))
 
-  def lineDedup(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
+  def lineDedup(docs: DataFrame, lineTokens: Int = 10,
+      splitChars: Long = LineSplitChars,
+      linesPerPiece: Int = LinesPerPiece): DataFrame = {
     val w = Window.partitionBy(md5(col("line")))
       .orderBy(col("doc_id"), col("p"))
-    linesOf(docs, lineTokens)
+    linesOf(docs, lineTokens, splitChars, linesPerPiece)
       .withColumn("kept", (row_number().over(w) === 1).cast("int"))
       .groupBy(col("doc_id")).agg(
         count(lit(1)).cast("int").as("n_lines"),

@@ -36,7 +36,13 @@ object Urls {
   private def restOf(noFrag: Column): Column =
     regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
 
-  /** The canonical form of `url` (null-safe: null stays null). */
+  /** The canonical form of `url` (null-safe: null stays null). A
+    * scheme-less or relative input — anything the absolute-URL
+    * grammar doesn't match — passes through UNCHANGED: the pre-r14
+    * form assembled `'://' + input` out of the empty regex extracts,
+    * a mangled key a frontier/serve consumer would emit as a garbage
+    * URL. Tracking params are dropped whether or not they carry an
+    * `=value` (a bare `fbclid` is still tracking noise). */
   def canonical(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = schemeOf(noFrag)
@@ -50,13 +56,14 @@ object Urls {
     val query = when(rest.contains("?"),
       regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
     val keptParams = array_sort(filter(split(query, "&"),
-      p => !(p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)=") ||
+      p => !(p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)(=|$)") ||
         p === "")))
     val canonQuery = array_join(keptParams, "&")
     val canonPath = when(path.rlike("^/.+/$"),
       regexp_replace(path, "/$", "")).otherwise(path)
-    concat(scheme, lit("://"), host, canonPath,
-      when(canonQuery =!= "", concat(lit("?"), canonQuery))
-        .otherwise(lit("")))
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, canonPath,
+        when(canonQuery =!= "", concat(lit("?"), canonQuery))
+          .otherwise(lit(""))))
   }
 }

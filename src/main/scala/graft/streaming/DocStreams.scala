@@ -62,8 +62,11 @@ object DocStreams {
 
   /** LINE-level boilerplate detection on the ingest stream — the
     * continuous twin of [[graft.dedup.Dedup.lineDedup]]: each
-    * incoming document segments into 10-token lines per-row (narrow
-    * explode, [[graft.dedup.Dedup.linesOf]] — no stateful op), the
+    * incoming document segments into `lineTokens`-token lines
+    * per-row (narrow explode, [[graft.dedup.Dedup.linesOf]] — no
+    * stateful op; pass the SAME `lineTokens` the index was built
+    * with, or the join matches fingerprints across mismatched
+    * segmentations and flags nothing — ADVICE r13), the
     * line fingerprints equi-join the precomputed history index
     * (stream-static inner join, stateless on the stream side), and
     * one (doc_id, p, dup_of, first_p) row emits per historically-
@@ -72,8 +75,8 @@ object DocStreams {
     * reassembly drops the flagged positions exactly as the batch
     * operator does. */
   def lineDupAgainstStatic(incoming: DataFrame,
-      lineIndex: DataFrame): DataFrame =
-    graft.dedup.Dedup.linesOf(incoming)
+      lineIndex: DataFrame, lineTokens: Int = 10): DataFrame =
+    graft.dedup.Dedup.linesOf(incoming, lineTokens)
       .select(col("doc_id"), col("p"), md5(col("line")).as("line_md5"))
       .join(lineIndex, Seq("line_md5"))
       .select(col("doc_id"), col("p"),

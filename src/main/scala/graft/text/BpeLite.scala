@@ -129,7 +129,7 @@ object BpeLite {
   /** Encode whitespace-split text. Subwords concat back to the word. */
   def encode(text: String, merges: Seq[Merge]): Vector[String] =
     if (text == null) Vector.empty
-    else text.split("\\s+").filter(_.nonEmpty).toVector
+    else text.split(s"[${Tok.Ws}]+").filter(_.nonEmpty).toVector
       .flatMap(encodeWord(_, merges))
 
   /** Distributed training sample: top-N words by frequency (one
@@ -141,7 +141,7 @@ object BpeLite {
     require(topN <= (1 << 20),
       s"wordCounts collects topN=$topN words to the driver; " +
         "full-vocabulary training must use trainDistributed")
-    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+    docs.select(explode(split(col(textCol), s"[${Tok.Ws}]+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), col("w")).limit(topN)
@@ -152,7 +152,7 @@ object BpeLite {
     * with each word pre-split into single-character symbols — the
     * distributed twin of the `words` map inside [[train]]. */
   private[text] def wordFrame(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+    docs.select(explode(split(col(textCol), s"[${Tok.Ws}]+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(split(col("w"), "").as("syms"), col("c"))
@@ -356,7 +356,7 @@ object BpeLite {
       merges: Seq[Merge]): DataFrame = {
     val m = merges.toVector
     val lenUdf = udf((w: String) => encodeWord(w, m).length)
-    docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+    docs.select(col("doc_id"), explode(split(col("text"), s"[${Tok.Ws}]+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .select(col("doc_id"), (col("c") * lenUdf(col("w"))).as("subw"))

@@ -15,10 +15,20 @@ import org.apache.spark.sql.functions._
   * token counts on both sides.
   */
 object Tok {
+  /** Portable whitespace CLASS BODY (interpolate inside `[...]`).
+    * Java's `\s` includes vertical tab U+000B while DuckDB's RE2 `\s`
+    * is `[\t\n\f\r ]` — a document containing VT would silently break
+    * cross-engine parity for every whitespace-driven count. Spelling
+    * the set explicitly (JAVA's set, so Spark-side behavior is
+    * bit-identical to the historical `\s` forms) makes both engines
+    * agree by construction; `\x0B` parses identically in
+    * java.util.regex and RE2. */
+  val Ws: String = " \\t\\n\\x0B\\f\\r"
+
   /** Shared token pattern — keep in sync with [[Tok.oracleRegex]]. */
-  val pattern: String = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  val pattern: String = s"[A-Za-z0-9]+|[^A-Za-z0-9$Ws]"
   /** The literal to embed in DuckDB oracle SQL. */
-  val oracleRegex: String = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  val oracleRegex: String = pattern
 
   private val compiled = java.util.regex.Pattern.compile(pattern)
 

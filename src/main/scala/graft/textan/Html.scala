@@ -36,7 +36,9 @@ object Html {
   val ScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
   val StyleRe = "(?is)<style\\b[^>]*>.*?</style>"
   val TagRe = "<[^>]*>"
-  val WsRe = "\\s+"
+  // explicit whitespace class ([[graft.text.Tok.Ws]]): Java `\s`
+  // includes VT, RE2's does not — spelled out so both engines agree
+  val WsRe = s"[${graft.text.Tok.Ws}]+"
   val TitleRe = "(?is)<title[^>]*>(.*?)</title>"
   val HrefRe = "(?i)\\bhref=\""
 

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object Scrub {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://[^\\s]+"
+  // explicit whitespace class ([[graft.text.Tok.Ws]]): Java `\s`
+  // includes VT, RE2's does not — spelled out so both engines agree
+  val UrlRe = s"https?://[^${graft.text.Tok.Ws}]+"
   val NumRe = "[0-9]{4,}"
 
   def redact(c: Column): Column =

@@ -96,7 +96,7 @@ object TextAnalysis {
     val nChars = length(textCol).cast("double")
     val toks = Tok.tokens(lower(textCol))
     val nToks = size(toks).cast("double")
-    val punct = length(regexp_replace(textCol, "[A-Za-z0-9\\s]", "")).cast("double")
+    val punct = length(regexp_replace(textCol, s"[A-Za-z0-9${graft.text.Tok.Ws}]", "")).cast("double")
     val digits = length(regexp_replace(textCol, "[^0-9]", "")).cast("double")
     val stopHits = size(filter(toks, t =>
       array_contains(array(stopwords("en").map(lit): _*), t))).cast("double")
@@ -118,7 +118,7 @@ object TextAnalysis {
     val nChars = length(textCol).cast("double")
     val toks = Tok.tokens(lower(textCol))
     val nToks = size(toks).cast("double")
-    val punctRatio = length(regexp_replace(textCol, "[A-Za-z0-9\\s]", ""))
+    val punctRatio = length(regexp_replace(textCol, s"[A-Za-z0-9${graft.text.Tok.Ws}]", ""))
       .cast("double") / greatest(nChars, lit(1.0))
     val digitRatio = length(regexp_replace(textCol, "[^0-9]", ""))
       .cast("double") / greatest(nChars, lit(1.0))
@@ -148,7 +148,7 @@ object TextAnalysis {
       .withColumn("__toks", Tok.tokens(lower(t)))
       .withColumn("__nchars", length(t).cast("double"))
       .withColumn("__punct",
-        length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double"))
+        length(regexp_replace(t, s"[A-Za-z0-9${graft.text.Tok.Ws}]", "")).cast("double"))
       .withColumn("__digits",
         length(regexp_replace(t, "[^0-9]", "")).cast("double"))
       .withColumn("__ntoks", size(col("__toks")).cast("double"))
@@ -176,7 +176,7 @@ object TextAnalysis {
   /** md5 content fingerprint of the normalized text (collapse runs of
     * whitespace, lowercase) — the cheap exact-dup key. */
   def contentFingerprint(textCol: Column): Column =
-    md5(lower(regexp_replace(trim(textCol), "\\s+", " ")))
+    md5(lower(regexp_replace(trim(textCol), s"[${graft.text.Tok.Ws}]+", " ")))
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): k-gram
     * rolling hashes, minimum per sliding window, distinct retained
@@ -395,7 +395,7 @@ object TextAnalysis {
     // whole in one row, so per-line counters compose into exactly
     // the whole-document integers (spec-pinned split == per-row)
     def wordsOf(c: Column): Column =
-      regexp_extract_all(c, lit("[^\\s]+"), lit(0))
+      regexp_extract_all(c, lit(s"[^${graft.text.Tok.Ws}]+"), lit(0))
     def sumLenOf(words: Column): Column =
       aggregate(words, lit(0L), (acc, w) => acc + length(w))
     def nAlphaOf(words: Column): Column =

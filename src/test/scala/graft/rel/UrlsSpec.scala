@@ -19,7 +19,13 @@ class UrlsSpec extends AnyFunSuite with SparkTestBase {
       // root path untouched; emptied query drops its '?'
       ("https://h.io/?utm_campaign=c", "https://h.io/"),
       // no query, no fragment — identity modulo case
-      ("HTTP://A.B/c", "http://a.b/c"))
+      ("HTTP://A.B/c", "http://a.b/c"),
+      // bare tracking params (no '=') are still dropped
+      ("https://h.io/x?fbclid&utm_&k=v", "https://h.io/x?k=v"),
+      // scheme-less / relative input passes through UNCHANGED —
+      // never the mangled '://<input>' form (ADVICE r13)
+      ("/docs/rel/g1?x=1", "/docs/rel/g1?x=1"),
+      ("mailto:a@b.c", "mailto:a@b.c"))
     val got = cases.toDF("url", "want")
       .withColumn("got", Urls.canonical(col("url")))
       .as[(String, String, String)].collect()
@@ -66,12 +72,20 @@ class UrlsSpec extends AnyFunSuite with SparkTestBase {
 
   test("q_url_canonical: messy variant pairs collapse onto one key") {
     val out = graft.Queries.q_url_canonical(spark, sf)
-    // cases 0/1 and 2/3 of every complete 5-doc block share a canon
-    val collapsed = out.filter(col("doc_id") % 5 <= 3)
+    // cases 0/1 and 2/3 of every COMPLETE 7-doc block share a canon
+    // (the trailing partial block has no partner for its variants)
+    val nFull = spark.read.parquet(s"$sf/documents.parquet").count() / 7 * 7
+    val collapsed = out.filter(col("doc_id") < nFull)
+      .filter(col("doc_id") % 7 <= 3)
       .filter(col("n_same_canon") < 2).count()
     assert(collapsed == 0, "every 0/1 and 2/3 variant pair must collapse")
     assert(out.filter(col("canon").contains("utm_")).count() == 0)
+    assert(out.filter(col("canon").contains("fbclid")).count() == 0)
     assert(out.filter(col("canon").rlike("#")).count() == 0)
+    // variant 5 is scheme-less: canonical passes it through verbatim
+    val rel = out.filter(col("doc_id") % 7 === 5)
+    assert(rel.filter(col("canon") =!= col("url")).count() == 0)
+    assert(rel.filter(col("canon").startsWith("://")).count() == 0)
   }
 
   test("q_cdx_dedup: revisits collapse, revisions survive") {
