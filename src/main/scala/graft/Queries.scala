@@ -1324,22 +1324,30 @@ object Queries {
     * where a one-task gram count starts to straggle. */
   private[graft] val RepetitionSplitChars = 1L << 21
 
-  /** Token stride of one split part — the per-task gram-count unit
-    * (≈ 64k tokens → ≤ 256k map entries per task). */
-  private[graft] val RepetitionPartTokens = 1 << 16
+  /** Char stride of one split piece — the per-task tokenize+gram-
+    * count unit (~512 Kchar ≈ 75k tokens → ≤ 300k map entries per
+    * task; a 50 MB giant fans ~100 ways). r14: the split unit moved
+    * from token-array slices to TEXT pieces ([[graft.text.Tok
+    * .lookaheadPieces]]) because the r13 profile attributed 4.4 s of
+    * the 13 s giant wall to the single-task `regexp_extract_all`
+    * tokenize feeding the slicer — cutting text first makes the
+    * tokenize itself partition-parallel. */
+  private[graft] val RepetitionPieceChars = 1 << 19
 
   /** [[q_repetition]]'s engine: Gopher repetition signals with the
     * giant-document split. Documents at or under `splitChars` take
     * the per-row native kernel (zero aggregation state — the right
     * shape for a normal corpus); documents OVER it — one row, one
-    * task, the worst r11 row-skew exponent at 11.2× — slice their
-    * token array into `partTokens`-stride parts with a maxN−1
-    * lookahead, count grams per part in parallel
-    * ([[graft.text.StrExpr.partGramCounts]]), and merge with
-    * (doc, n, gram) / (doc, n) aggregates whose state is bounded by
-    * the giant documents' distinct grams and spread across the
-    * shuffle. The composition is EXACT (each global gram start is
-    * counted by exactly one part), so both branches emit identical
+    * task, the worst r11 row-skew exponent at 11.2× — cut their TEXT
+    * into `pieceChars`-stride whitespace-snapped pieces, each piece
+    * carrying its 3-token lookahead from the cutter
+    * ([[graft.text.Tok.lookaheadPieces]]), tokenize AND count grams
+    * per piece in parallel ([[graft.text.StrExpr.partGramCounts]]),
+    * and merge with (doc, n, gram) / (doc, n) aggregates whose state
+    * is bounded by the giant documents' distinct grams and spread
+    * across the shuffle. The composition is EXACT (each global gram
+    * start is counted by exactly one piece — its owner; the
+    * lookahead supplies the cross-cut tail), so both branches emit identical
     * signals for the same document and sub-threshold corpora — every
     * fixture — are bit-identical to the unsplit form; the routing
     * predicate is the pushable `n_chars` storage column, so the
@@ -1347,7 +1355,7 @@ object Queries {
     * giant exists. */
   private[graft] def repetitionSignals(docs: DataFrame,
       splitChars: Long = RepetitionSplitChars,
-      partTokens: Int = RepetitionPartTokens): DataFrame = {
+      pieceChars: Int = RepetitionPieceChars): DataFrame = {
     // dup-occurrences = total − singletons, top share = max frequency
     // / total — the per-(doc, gram) COUNT(*) family, from flat
     // t/d/s/m columns so both branches share one output projection.
@@ -1391,22 +1399,26 @@ object Queries {
     val small = perRow(docs.filter( // null n_chars routes per-row
       graft.text.chunk.DocSplit.subThreshold(col("n_chars"), splitChars)))
 
-    val S = partTokens
-    // slice BEFORE the spread so the shuffle moves part-sized arrays
-    // (≈ giant text once), never the full token array per part row;
-    // the explicit partition count pins AQE away from coalescing the
-    // compute-dense parts back together (the DocSplit discipline)
+    // r14 giant fan-out: cut the TEXT first (whitespace-snapped
+    // pieces, each carrying its 3-token lookahead from the cutter —
+    // Tok.lookaheadPieces), so the tokenize runs per piece in
+    // parallel instead of once per 50 MB row; a gram starting in a
+    // piece reads its cross-cut tail from `look`, so every global
+    // gram start is counted exactly once. The explicit partition
+    // count pins AQE away from coalescing the compute-dense pieces
+    // back together (the DocSplit discipline).
+    val pieceUdf = udf((text: String) =>
+      graft.text.Tok.lookaheadPieces(text, pieceChars, 3))
     val nsp = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val gramRows = tokensOf(docs.filter(col("n_chars") > splitChars))
-      .select(col("doc_id"), col("ts"), col("n_tokens"),
-        explode(sequence(lit(0),
-          greatest(ceil(col("n_tokens").cast("double") / S) - 1, lit(0))
-            .cast("int"))).as("p"))
+    val gramRows = docs.filter(col("n_chars") > splitChars)
       .select(col("doc_id"),
-        slice(col("ts"), col("p") * S + 1, lit(S + 3)).as("pts"),
-        least(lit(S), col("n_tokens") - col("p") * S).cast("int").as("valid"),
-        col("p"))
+        posexplode(pieceUdf(col("text"))).as(Seq("p", "pc")))
       .repartition(nsp, col("doc_id"), col("p"))
+      .select(col("doc_id"),
+        Tok.tokens(col("pc.piece")).as("ts"), col("pc.look").as("look"))
+      .select(col("doc_id"),
+        concat(col("ts"), col("look")).as("pts"),
+        size(col("ts")).as("valid"))
       // explode_OUTER + n=0 sentinel: a token-less giant (n_chars
       // over the threshold, zero regex tokens) yields an empty count
       // array, and a plain explode would drop the document from the
@@ -1417,10 +1429,11 @@ object Queries {
         explode_outer(graft.text.StrExpr.partGramCounts(
           col("pts"), col("valid"))).as("g"))
       .select(col("doc_id"), coalesce(col("g.n"), lit(0)).as("n"),
-        coalesce(col("g.gram"), lit("")).as("gram"),
+        coalesce(col("g.h1"), lit(0L)).as("h1"),
+        coalesce(col("g.h2"), lit(0L)).as("h2"),
         coalesce(col("g.cnt"), lit(0L)).as("cnt"))
     val perN = gramRows
-      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .groupBy(col("doc_id"), col("n"), col("h1"), col("h2"))
       .agg(sum(col("cnt")).as("c"))
       .groupBy(col("doc_id"), col("n"))
       .agg(sum(col("c")).as("t"), count(lit(1)).as("d"),
@@ -1992,7 +2005,7 @@ object Queries {
     * byte-identical RE2-safe patterns. */
   def q_html_extract(s: SparkSession, dir: String): DataFrame = {
     val page = t(s, dir, "documents")
-      .select(col("doc_id"), concat(
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), concat(
         lit("<html><!-- id:"), col("doc_id"),
         lit(" --><head><title>Doc "), col("doc_id"), lit(" &amp; "),
         col("source"),
@@ -2003,14 +2016,11 @@ object Queries {
         lit("</p><p>See <a href=\"https://host/d/"), col("doc_id"),
         lit("\">more&nbsp;info</a> &#39;here&#39;</p></body></html>"))
         .as("html"))
-    page
-      .select(col("doc_id"),
-        graft.textan.Html.extractTitle(col("html")).as("title"),
-        graft.textan.Html.linkCount(col("html")).as("n_links"),
-        graft.textan.Html.extractText(col("html")).as("txt"))
-      .select(col("doc_id"), col("title"), col("n_links"),
-        length(col("txt")).cast("int").as("n_chars"),
-        md5(col("txt")).as("text_md5"))
+    // r14: routed through the tag-safe giant-page split (the r13
+    // row-skew tail, 8.09× at 50 MB) — sub-threshold pages (every
+    // fixture) run the identical per-row chain, routed by the
+    // pushable n_chars storage column
+    graft.textan.Html.pageReport(page, sizeCol = Some(col("n_chars")))
       .sortedOnce("q_html_extract")(col("doc_id"))
   }
 

@@ -311,23 +311,37 @@ case class RepetitionCounts(child: Expression)
 /** `partGramCounts(tokens, validStarts)` — the PER-PART half of the
   * giant-document split for [[RepetitionCounts]]: local n-gram
   * occurrence counts (n ∈ 1..4) over one token-array slice, as
-  * `array<struct<n:int, gram:string, cnt:bigint>>`.
+  * `array<struct<n:int, h1:bigint, h2:bigint, cnt:bigint>>` where
+  * `(h1, h2)` is a 128-bit gram FINGERPRINT (two independent-seed
+  * XXH64s over the space-joined gram bytes), not the gram string.
   *
   * WHY it exists: [[RepetitionCounts]] is per-row by construction —
   * the right shape for normal documents (zero aggregation state),
   * but a 50 MB document is one row and therefore ONE serial task
-  * (the worst r11 row-skew exponent, 11.2×). The split path slices
-  * the giant's token array into overlapping parts (lookahead
-  * `maxN − 1` tokens so boundary-spanning grams are counted by
-  * exactly one part), computes these local counts partition-parallel,
-  * and merges with one `groupBy(doc, n, gram).sum(cnt)` — whose
-  * state is bounded by the GIANT documents' distinct grams, spread
-  * over the shuffle, not held per-task. Composition is exact:
-  * a gram of size n starting at local position i is counted iff
-  * `i < validStarts && i + n <= len(tokens)`, so summed over parts
+  * (the worst r11 row-skew exponent, 11.2×). The split path cuts
+  * the giant into pieces (each with a `maxN − 1`-token lookahead so
+  * boundary-spanning grams are counted by exactly one piece),
+  * computes these local counts partition-parallel, and merges with
+  * one `groupBy(doc, n, h1, h2).sum(cnt)` — whose state is bounded
+  * by the GIANT documents' distinct grams, spread over the shuffle,
+  * not held per-task. Composition is exact: a gram of size n
+  * starting at local position i is counted iff
+  * `i < validStarts && i + n <= len(tokens)`, so summed over pieces
   * every global start position 0..L−n contributes exactly once and
   * the merged (total, distinct, singletons, max) equal the unsplit
-  * kernel's. CodegenFallback, same reasoning as [[RepetitionCounts]].
+  * kernel's.
+  *
+  * WHY hashes (r14): the r13 profile attributed most of the giant
+  * wall to materializing ~30 M gram-STRING rows through two
+  * exchanges. The downstream statistics (total/distinct/singleton/
+  * max) need gram IDENTITY only, never gram text, and this branch is
+  * oracle-invisible (no fixture document crosses the split
+  * threshold; its contract is the split == per-row parity spec).
+  * 128 bits of fingerprint for the ≤ tens-of-millions distinct grams
+  * of ONE document is the same equality-by-fingerprint trust the
+  * engine's md5 dedup discipline rests on — and fixed-width long
+  * keys shuffle and hash-aggregate far cheaper than variable
+  * strings. CodegenFallback, same reasoning as [[RepetitionCounts]].
   */
 case class PartGramCounts(left: Expression, right: Expression)
     extends BinaryExpression
@@ -335,7 +349,8 @@ case class PartGramCounts(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("n", IntegerType, nullable = false),
-    StructField("gram", StringType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false),
     StructField("cnt", LongType, nullable = false))), containsNull = false)
   override def nullable: Boolean = left.nullable || right.nullable
 
@@ -353,31 +368,45 @@ case class PartGramCounts(left: Expression, right: Expression)
     val arr = input.asInstanceOf[ArrayData]
     val L = arr.numElements()
     val validStarts = math.min(valid.asInstanceOf[Int], L)
-    val toks = new Array[String](L)
+    // token BYTES once per token (not per gram): UTF-8, the exact
+    // byte stream `gram string`.getBytes would produce
+    val toks = new Array[Array[Byte]](L)
     var i = 0
     while (i < L) {
       val u = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
-      toks(i) = if (u == null) "" else u.toString
+      toks(i) = if (u == null) Array.emptyByteArray else u.getBytes
       i += 1
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    val sb = new java.lang.StringBuilder
+    var buf = new Array[Byte](256)
     var n = 1
     while (n <= 4) {
       val starts = math.min(validStarts, L - n + 1)
       if (starts > 0) {
         val counts =
-          new java.util.LinkedHashMap[String, Array[Long]](starts * 2)
+          new java.util.LinkedHashMap[PartGramCounts.GramKey, Array[Long]](
+            starts * 2)
         var p = 0
         while (p < starts) {
-          sb.setLength(0)
+          var len = 0
           var q = 0
           while (q < n) {
-            if (q > 0) sb.append(' ')
-            sb.append(toks(p + q))
+            val tb = toks(p + q)
+            if (len + tb.length + 1 > buf.length)
+              buf = java.util.Arrays.copyOf(buf,
+                math.max(buf.length * 2, len + tb.length + 1))
+            if (q > 0) { buf(len) = ' '; len += 1 }
+            System.arraycopy(tb, 0, buf, len, tb.length)
+            len += tb.length
             q += 1
           }
-          val k = sb.toString
+          val k = new PartGramCounts.GramKey(
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len,
+              PartGramCounts.Seed1),
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len,
+              PartGramCounts.Seed2))
           val prev = counts.get(k)
           if (prev == null) counts.put(k, Array(1L)) else prev(0) += 1L
           p += 1
@@ -385,8 +414,9 @@ case class PartGramCounts(left: Expression, right: Expression)
         val it = counts.entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
+          val key = e.getKey
           out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](n, UTF8String.fromString(e.getKey), e.getValue()(0)))
+            Array[Any](n, key.h1, key.h2, e.getValue()(0)))
         }
       }
       n += 1
@@ -397,6 +427,20 @@ case class PartGramCounts(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PartGramCounts =
     copy(left = newLeft, right = newRight)
+}
+
+object PartGramCounts {
+  private[text] val Seed1 = 0x9E3779B97F4A7C15L
+  private[text] val Seed2 = 0xC2B2AE3D27D4EB4FL
+
+  /** 128-bit map key — both halves must agree for equality. */
+  private[text] final class GramKey(val h1: Long, val h2: Long) {
+    override def hashCode: Int = java.lang.Long.hashCode(h1 * 31 + h2)
+    override def equals(o: Any): Boolean = o match {
+      case k: GramKey => k.h1 == h1 && k.h2 == h2
+      case _ => false
+    }
+  }
 }
 
 object StrExpr {

@@ -100,4 +100,76 @@ object Tok {
     val i = java.util.Arrays.binarySearch(a, key)
     if (i >= 0) i else -(i + 1)
   }
+
+  /** One token-safe piece of a long document plus the `look` tokens
+    * that FOLLOW it — the giant-split unit for n-gram kernels whose
+    * grams may span a cut ([[graft.Queries.repetitionSignals]]'s
+    * giant branch): `tokenize(piece_0) ++ look_0 ++ …` is NOT the
+    * global stream, but `tokenize(piece_i)` concatenated over i IS,
+    * and `look_i` are exactly the first tokens of that stream after
+    * piece i — so a kernel counting gram STARTS inside its own piece
+    * with `look` as the cross-cut tail sees every global gram
+    * exactly once. */
+  case class LookPiece(piece: String, look: Array[String])
+
+  private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+      c == '\f' || c == '\r'
+
+  /** The first up-to-`k` tokens of `s` at or after `from`, matching
+    * the global tokenization (callers cut only where the previous
+    * char is whitespace, and a token never spans whitespace). The
+    * matcher runs in a bounded region grown geometrically until the
+    * k-th match provably isn't truncated by the region edge. */
+  private def nextTokens(s: String, from: Int, k: Int): Array[String] = {
+    val n = s.length
+    var regionEnd = math.min(n, from + 1024)
+    while (true) {
+      val m = compiled.matcher(s).region(from, regionEnd)
+      val found = Array.newBuilder[String]
+      var cnt = 0
+      var lastEnd = from
+      while (cnt < k && m.find()) {
+        found += m.group(); lastEnd = m.end(); cnt += 1
+      }
+      // a match ending AT the region edge may be a truncated alnum
+      // run — grow the region unless it already reaches the string end
+      if (regionEnd >= n || (cnt == k && lastEnd < regionEnd))
+        return found.result()
+      regionEnd = math.min(n, from + (regionEnd - from) * 8)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Whitespace-snapped pieces of ~`strideChars` each, every piece
+    * carrying its `nLook`-token lookahead. Cuts land only where the
+    * PREVIOUS char is whitespace ([[Ws]]'s set), so per-piece
+    * tokenization composes into the global token stream; a
+    * whitespace-free run longer than the stride stays one piece
+    * (serial by construction, exact by construction). Null/empty
+    * text yields ONE empty piece, so an explode keeps the document
+    * (the explode_outer sentinel contract). One forward pass plus a
+    * bounded lookahead probe per cut. */
+  def lookaheadPieces(text: String, strideChars: Int,
+      nLook: Int = 3): Array[LookPiece] = {
+    if (text == null || text.isEmpty)
+      return Array(LookPiece("", Array.empty))
+    val n = text.length
+    val cuts = new scala.collection.mutable.ArrayBuilder.ofInt
+    cuts += 0
+    var pos = 0
+    while (pos < n) {
+      var c = math.min(pos + strideChars, n)
+      while (c < n && !isWsChar(text.charAt(c - 1))) c += 1
+      cuts += c
+      pos = c
+    }
+    val cs = cuts.result()
+    Array.tabulate(cs.length - 1) { i =>
+      val look =
+        if (cs(i + 1) >= n) Array.empty[String]
+        else nextTokens(text, cs(i + 1), nLook)
+      LookPiece(text.substring(cs(i), cs(i + 1)), look)
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.textan
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTML → text extraction — the ingest stage between the reference's
@@ -74,4 +74,224 @@ object Html {
     * crawl-frontier signal a link graph builds from. */
   def linkCount(html: Column): Column =
     size(regexp_extract_all(html, lit(HrefRe), lit(0))).cast("int")
+
+  // ===== giant-page split (the r13 row-skew tail: 8.09×, one
+  // serial regex task per 50 MB page) =====
+
+  /** Characters above which a page leaves the per-row regex chain
+    * for the tag-safe split. */
+  val PageSplitChars: Long = 1L << 22
+
+  /** Target size of one split piece. */
+  val PagePieceChars: Int = 1 << 20
+
+  /** `(start, end)` offsets covering `html` exactly, every cut
+    * placed where it can never bisect a unit of the extraction
+    * pipeline: immediately AFTER a `>`, or immediately AFTER a
+    * whitespace char in TEXT content — both outside every protected
+    * region. Why each unit survives any such cut:
+    *
+    *  - a `TagRe` match (`<[^>]*>`) contains no interior `>` and a
+    *    removal-ASSEMBLED tag (`<p <!-- --> >` — comment removal runs
+    *    before tag stripping) is covered by the transparent tag
+    *    scanner below, which tracks `<`…`>` spans while skipping
+    *    protected spans exactly the way removal does; cuts strictly
+    *    inside any tag span are ineligible, so whitespace inside a
+    *    tag's attribute list is safe;
+    *  - an entity literal contains neither `>` nor whitespace, so
+    *    neither cut class can land inside one (including entities
+    *    assembled across a removed comment, `&am<!-- -->p;` — the
+    *    span-END protection keeps the cut off the comment's final
+    *    `>`);
+    *  - comment/script/style/title bodies MAY contain both — their
+    *    match spans (found with the very same Java patterns the
+    *    column chain runs) are protected, INCLUSIVE of the span-final
+    *    char;
+    *  - whitespace runs MAY straddle a cut — per-piece collapse
+    *    leaves single spaces at piece edges and [[pageReport]]'s
+    *    final `" {2,}" → " "` pass merges boundary runs exactly.
+    *
+    * Exactness precondition (documented, spec-pinned): a protected
+    * OPENER literal (`<!--`, `<script`, `<style`, `<title`) is not
+    * itself assembled by comment removal (`<scr<!-- -->ipt>` —
+    * invalid HTML no real corpus emits). Within it, split == per-row
+    * bit for bit for arbitrary tag soup.
+    *
+    * Cuts search BACKWARD from the stride bound to the piece start,
+    * then FORWARD past it; a span with no eligible cut stays one
+    * piece (serial by construction, exact by construction — the
+    * gopher split's discipline). One O(n) pass + four linear
+    * Matcher sweeps. */
+  def pageCutOffsets(html: String, maxChars: Int): Array[(Int, Int)] = {
+    val n = html.length
+    if (n == 0) return Array.empty
+    if (n <= maxChars) return Array((0, n))
+    // protected spans from the SAME patterns the column chain runs
+    val spans = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for (re <- Seq(CommentRe, ScriptRe, StyleRe, TitleRe)) {
+        val m = java.util.regex.Pattern.compile(re).matcher(html)
+        while (m.find()) b += ((m.start(), m.end()))
+      }
+      val sorted = b.sortBy(_._1)
+      // merge overlaps so the eligibility test is one binary search
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for ((s, e) <- sorted) {
+        if (merged.nonEmpty && s <= merged.last._2)
+          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, e))
+        else merged += ((s, e))
+      }
+      merged.toArray
+    }
+    // a cut at position c is protected iff some span has s < c <= e
+    def inSpan(c: Int): Boolean = {
+      var lo = 0; var hi = spans.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val (s, e) = spans(mid)
+        if (c <= s) hi = mid - 1
+        else if (c > e) lo = mid + 1
+        else return true
+      }
+      false
+    }
+    // tag spans with protected regions TRANSPARENT — the mirror of
+    // "comments/script/style are deleted whole before tag stripping":
+    // a '<' opens a tag, protected spans inside it neither close nor
+    // reopen it, the first '>' outside them closes it. Cuts strictly
+    // inside a tag span would bisect the (possibly assembled) TagRe
+    // match a piece-local pass could no longer see.
+    val tagSpans = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0; var open = -1; var sp = 0
+      while (i < n) {
+        while (sp < spans.length && spans(sp)._2 <= i) sp += 1
+        if (sp < spans.length && i >= spans(sp)._1) i = spans(sp)._2
+        else {
+          val ch = html.charAt(i)
+          if (open < 0) { if (ch == '<') open = i }
+          else if (ch == '>') { b += ((open, i + 1)); open = -1 }
+          i += 1
+        }
+      }
+      b.toArray
+    }
+    def inTag(c: Int): Boolean = {
+      var lo = 0; var hi = tagSpans.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val (s, e) = tagSpans(mid)
+        if (c <= s) hi = mid - 1
+        else if (c >= e) lo = mid + 1
+        else return true
+      }
+      false
+    }
+    def isWs(ch: Char): Boolean =
+      ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' ||
+        ch == '\f' || ch == '\r'
+    def eligible(c: Int): Boolean = {
+      val prev = html.charAt(c - 1)
+      (prev == '>' || isWs(prev)) && !inSpan(c) && !inTag(c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pos = 0
+    while (pos < n) {
+      val hard = math.min(pos + maxChars, n)
+      var cut = -1
+      if (hard >= n) cut = n
+      else {
+        var i = hard
+        while (i > pos && cut < 0) { if (eligible(i)) cut = i; i -= 1 }
+        if (cut < 0) {
+          var j = hard + 1
+          while (j < n && cut < 0) { if (eligible(j)) cut = j; j += 1 }
+          if (cut < 0) cut = n
+        }
+      }
+      out += ((pos, cut))
+      pos = cut
+    }
+    out.toArray
+  }
+
+  /** Per-piece strip → decode → collapse WITHOUT the trim: boundary
+    * whitespace survives as a single space so reassembly can merge
+    * runs that straddled a cut. */
+  private def pieceText(piece: Column): Column = {
+    val stripped = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(piece, CommentRe, ""),
+          ScriptRe, ""),
+        StyleRe, ""),
+      TagRe, " ")
+    regexp_replace(decodeEntities(stripped), WsRe, " ")
+  }
+
+  /** `(doc_id, title, n_links, n_chars, text_md5)` page report with
+    * the giant-page split: pages at or under `splitChars` (routed by
+    * `sizeCol`, a pushable storage column when the caller has one)
+    * run the plain per-row column chain; giants pre-cut at
+    * [[pageCutOffsets]]'s tag-safe boundaries, fan out with an
+    * explicit partition count (the DocSplit discipline), strip /
+    * decode / collapse per piece in parallel, and reassemble in one
+    * cheap pass (ordered concat + boundary-space merge + md5) — the
+    * expensive regex passes are per-piece, the single-task remainder
+    * is O(n) string work. Both branches emit bit-identical rows
+    * (HtmlSplitSpec). */
+  def pageReport(pages: DataFrame, htmlCol: String = "html",
+      sizeCol: Option[Column] = None,
+      splitChars: Long = PageSplitChars,
+      pieceChars: Int = PagePieceChars): DataFrame = {
+    val h = col(htmlCol)
+    def perRow(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        extractTitle(h).as("title"),
+        linkCount(h).as("n_links"),
+        extractText(h).as("__txt"))
+      .select(col("doc_id"), col("title"), col("n_links"),
+        length(col("__txt")).cast("int").as("n_chars"),
+        md5(col("__txt")).as("text_md5"))
+    val size0 = sizeCol.getOrElse(length(h).cast("long"))
+    val canSplit = !pages.isStreaming
+    if (!canSplit || pages.filter(size0 > splitChars).isEmpty)
+      return perRow(pages)
+    val small = perRow(pages.filter(
+      graft.text.chunk.DocSplit.subThreshold(size0, splitChars)))
+    val pieceUdf = udf((html: String) =>
+      pageCutOffsets(html, pieceChars).map { case (s, e) =>
+        html.substring(s, e)
+      })
+    val nsp = pages.sparkSession.sessionState.conf.numShufflePartitions
+    val per = pages.filter(size0 > splitChars)
+      .select(col("doc_id"), posexplode(pieceUdf(h)).as(Seq("__pi", "__pc")))
+      .repartition(nsp, col("doc_id"), col("__pi"))
+      .select(col("doc_id"), col("__pi"),
+        pieceText(col("__pc")).as("__txt"),
+        // the title match lives whole in one piece (protected span);
+        // whole-doc FIRST match == first matching piece in order
+        trim(regexp_replace(
+          decodeEntities(regexp_extract(col("__pc"), TitleRe, 1)),
+          WsRe, " ")).as("__t"),
+        col("__pc").rlike(TitleRe).as("__hasT"),
+        size(regexp_extract_all(col("__pc"), lit(HrefRe), lit(0)))
+          .cast("int").as("__lk"))
+    val giant = per.groupBy(col("doc_id")).agg(
+        min(when(col("__hasT"), struct(col("__pi").as("pi"),
+          col("__t").as("t")))).as("__ft"),
+        sum(col("__lk")).cast("int").as("n_links"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pi").as("pi"),
+            col("__txt").as("txt")))),
+          _.getField("txt")), "").as("__cat"))
+      .select(col("doc_id"),
+        coalesce(col("__ft.t"), lit("")).as("title"),
+        col("n_links"),
+        trim(regexp_replace(col("__cat"), " {2,}", " ")).as("__txt"))
+      .select(col("doc_id"), col("title"), col("n_links"),
+        length(col("__txt")).cast("int").as("n_chars"),
+        md5(col("__txt")).as("text_md5"))
+    small.unionByName(giant)
+  }
 }

@@ -279,7 +279,12 @@ object ScaleStress {
       .groupBy("lang").count().count() // session warm-up
     val loadBefore = loadavg()
     val allowed = (mbs.last.toDouble / mbs.head) * 2.5
-    val rows = PerDocKernels.map { name =>
+    // scratch-iteration subset (comma-separated kernel names). The
+    // CANONICAL committed row_skew section must come from a full run
+    // — redirect subsets with SPARK_GRAFT_SCALE_FILE.
+    val kernels = sys.env.get("SPARK_GRAFT_ROWSKEW_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(PerDocKernels)
+    val rows = kernels.map { name =>
       def t(dir: String): Either[String, Double] =
         try Right(time(spark, name, dir, 2)._2)
         catch { case e: Throwable =>

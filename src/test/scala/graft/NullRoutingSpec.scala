@@ -38,7 +38,7 @@ class NullRoutingSpec extends AnyFunSuite with SparkTestBase {
 
   test("repetitionSignals keeps and empty-scores a null-text row") {
     val routed = rowsOf(Queries.repetitionSignals(corpus, splitChars = Split,
-      partTokens = 16))
+      pieceChars = 16))
     val perRow = rowsOf(Queries.repetitionSignals(corpus,
       splitChars = Long.MaxValue))
     assert(routed.map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L))

@@ -227,18 +227,18 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       .toDF("doc_id", "text")
       // force EVERY doc onto the branch under test via fake n_chars
       .withColumn("n_chars", lit(1000L))
-    // tiny strides: many parts per doc, boundary grams (lookahead)
+    // tiny strides: many pieces per doc, boundary grams (lookahead)
     // and the (doc, n, gram) merge all genuinely exercised
-    for (partTokens <- Seq(7, 64)) {
+    for (pieceChars <- Seq(7, 64)) {
       val split = Queries.repetitionSignals(docs,
-        splitChars = 10L, partTokens = partTokens)
+        splitChars = 10L, pieceChars = pieceChars)
         .collect()
       val whole = Queries.repetitionSignals(docs,
         splitChars = Long.MaxValue).collect()
       assert(split.length == whole.length,
-        s"row count diverged at partTokens=$partTokens")
+        s"row count diverged at pieceChars=$pieceChars")
       split.zip(whole).foreach { case (a, b) =>
-        assert(a == b, s"partTokens=$partTokens: $a != $b")
+        assert(a == b, s"pieceChars=$pieceChars: $a != $b")
       }
     }
   }
@@ -312,7 +312,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
             (2L, ("w " * 40).trim, 79L))
           .toDF("doc_id", "text", "n_chars")
         val giantPlan = Queries.repetitionSignals(mixed,
-          splitChars = 50L, partTokens = 8).queryExecution.executedPlan
+          splitChars = 50L, pieceChars = 8).queryExecution.executedPlan
         val union = deepCollect(giantPlan) {
           case u: org.apache.spark.sql.execution.UnionExec => u }
         assert(union.size == 1,
