@@ -3070,6 +3070,27 @@ object Oracles {
         |       event_type, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    // the watermark contract in closed form: watermark after the
+    // on-time wave = max(on-time ts) - 1h; a late (event_id % 3 = 0)
+    // row survives iff its hour-window END is strictly past that
+    // watermark (Spark evicts windows with end <= watermark — the
+    // StreamingSpec-pinned rule the engine's streaming replay obeys)
+    "q_events_watermark" ->
+      """WITH b1 AS (
+        |  SELECT * FROM events WHERE event_id % 3 <> 0
+        |), wm AS (
+        |  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM b1
+        |), kept AS (
+        |  SELECT ts, event_type, value FROM b1
+        |  UNION ALL
+        |  SELECT e.ts, e.event_type, e.value FROM events e, wm
+        |  WHERE e.event_id % 3 = 0
+        |    AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w
+        |)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM kept GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
     "q_events_sliding" ->
       """WITH e AS (
         |  SELECT event_type, value,

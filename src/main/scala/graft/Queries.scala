@@ -2411,6 +2411,22 @@ object Queries {
       .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Watermarked event-time streaming aggregate, oracle-checked
+    * ([[EventStreams.hourlyWatermarkedReplay]]): the events table
+    * replays through a REAL Structured Streaming query (withWatermark
+    * + tumbling window + append-mode sink) in deterministic arrival
+    * waves — on-time rows first, then the `event_id % 3 == 0` late
+    * wave, then watermark advancers. Spark drops a late row iff its
+    * window end ≤ `max(on-time ts) − 1 h`; the DuckDB oracle states
+    * the same rule in closed form, so the engine's watermark
+    * BOOKKEEPING (not just the window arithmetic) is hash-checked
+    * against an independent implementation. Rows differ from
+    * [[q_events_hourly]] exactly on the windows that lost late rows. */
+  def q_events_watermark(s: SparkSession, dir: String): DataFrame =
+    EventStreams.hourlyWatermarkedReplay(Tables.events(s, dir))
+      .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy(col("hour"), col("event_type"))
+
   /** Sessionization stats per user. */
   def q_sessions(s: SparkSession, dir: String): DataFrame =
     EventStreams.sessionStats(Tables.events(s, dir))

@@ -108,6 +108,66 @@ object EventStreams {
       .drop("buy_user_id")
   }
 
+  /** Watermarked tumbling-hour aggregate DRIVEN END TO END — the
+    * executable late-data evidence row (SURVEY §2.11's stretch
+    * surface): the batch `events` frame replays through a real
+    * Structured Streaming query (`MemoryStream` → `withWatermark` →
+    * `groupBy(window(ts, '1 hour'), type)` → append-mode memory
+    * sink) in three deterministic arrival waves — on-time rows
+    * (`event_id % lateMod != 0`), then the late wave (`% lateMod ==
+    * 0`), then two far-future advancer rows that flush every real
+    * window past the final watermark. Spark's contract, which the
+    * DuckDB oracle replays in closed form:
+    *
+    *  - after wave 1 the watermark is `max(on-time ts) − delay`;
+    *  - a wave-2 row is DROPPED iff its window END (hour start + 1 h)
+    *    is ≤ that watermark (the StreamingSpec-pinned eviction rule);
+    *  - append mode emits a window once the watermark passes its end,
+    *    so after the advancers the emitted set is exactly the hourly
+    *    aggregate over on-time ∪ kept-late rows.
+    *
+    * The driver-side collect is the REPLAY HARNESS, not the scale
+    * path — production is `readStream` over an arriving directory
+    * ([[hourlyByTypeStream]]); this form exists so the watermark
+    * semantics are oracle-CHECKED, not just spec-asserted. Two
+    * advancer batches make the emitted set independent of whether
+    * no-data micro-batches fire (each batch emits with its
+    * start-of-batch watermark). */
+  def hourlyWatermarkedReplay(events: DataFrame,
+      lateMod: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+    val onTime = rows.filter(_._1 % lateMod != 0).toSeq
+    val late = rows.filter(_._1 % lateMod == 0).toSeq
+    val maxMs = rows.iterator.map(_._2.getTime).max
+    def adv(h: Long) =
+      (-1L, new java.sql.Timestamp(maxMs + h * 3600 * 1000), "__advance", 0.0)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+    val sink = "q_events_watermark_sink"
+    spark.catalog.dropTempView(sink)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      mem.addData(onTime); q.processAllAvailable()
+      mem.addData(late); q.processAllAvailable()
+      mem.addData(adv(72)); q.processAllAvailable()
+      mem.addData(adv(96)); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).filter(col("event_type") =!= "__advance")
+  }
+
   /** Structured Streaming form of [[hourlyByType]]: parquet-backed
     * stream with a watermark over a directory of (µs-timestamped)
     * event parquet. The caller starts/controls the query (memory sink

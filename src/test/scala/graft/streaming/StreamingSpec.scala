@@ -119,6 +119,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("q_events_watermark: real streaming replay equals the closed-form batch rule") {
+    val ev = Tables.events(spark, sf)
+    val got = graft.Queries.q_events_watermark(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // closed form: watermark = max(on-time ts) - 1h; a late row
+    // survives iff its hour-window END is strictly past it
+    val b1 = ev.filter(col("event_id") % 3 =!= 0)
+    val wm = java.sql.Timestamp.from(
+      b1.agg(max(col("ts"))).head.getTimestamp(0).toInstant
+        .minusSeconds(3600))
+    val keptLate = ev.filter(col("event_id") % 3 === 0)
+      .filter(date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR") > lit(wm))
+    val expected = EventStreams.hourlyByType(b1.unionByName(keptLate))
+      .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy(col("hour"), col("event_type"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+    // the drop is REAL: late rows beyond the watermark exist in the
+    // fixture and are absent from the streamed aggregate
+    val nLate = ev.filter(col("event_id") % 3 === 0).count()
+    val nKeptLate = keptLate.count()
+    assert(nLate > nKeptLate,
+      s"fixture must exercise the drop path ($nLate late, $nKeptLate kept)")
+    val fullN = graft.Queries.q_events_hourly(spark, sf)
+      .agg(sum(col("n"))).head.getLong(0)
+    val gotN = got.map(_(2).asInstanceOf[Long]).sum
+    assert(fullN - gotN == nLate - nKeptLate,
+      "missing rows must be exactly the beyond-watermark late rows")
+  }
+
   test("stream-stream funnel join: pairs equal batch; past-horizon rows drop") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
