@@ -335,6 +335,28 @@ object BpeLite {
     } finally words.unpersist(blocking = false)
   }
 
+  /** Parse an EXTERNAL merge table in the standard `merges.txt`
+    * format every published BPE vocabulary ships (one `left right`
+    * pair per line, rank = line order; `#…` comment lines and blanks
+    * skipped) into the engine's merge list. This is the real-model
+    * seam for tokenization — the mirror of `BatchModel` for
+    * embeddings: the TRAINED path ([[train]]/[[trainDistributed]])
+    * and an externally loaded vocabulary produce the same
+    * `Vector[Merge]` shape, so every downstream consumer
+    * ([[encode]], [[tokenCountCol]], [[tokenCountsExploded]], the
+    * fertility report) runs unchanged on a real tokenizer's merges.
+    * Proof of interchangeability is BpeVocabSeamSpec. */
+  def parseMerges(lines: IterableOnce[String]): Vector[Merge] =
+    lines.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.split(" ")
+        require(sp.length == 2, s"malformed merge line: '$l'")
+        (sp(0), sp(1))
+      }
+      .toVector
+
   /** Column: BPE token count of `textCol` under broadcast merges. */
   def tokenCountCol(merges: Seq[Merge]): Column = {
     val m = merges.toVector
