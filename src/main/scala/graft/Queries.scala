@@ -127,7 +127,11 @@ object Queries {
 
   /** The derived multi-paragraph corpus [[q_chunk_recursive]] chunks
     * — shared with [[q_chunk_recursive_split]] so both rows replay
-    * the identical input. */
+    * the identical input. Persisted (r14): the split row reads it
+    * THREE times (the giant existence probe plus both routing
+    * branches), and on a giant corpus each rebuild is a
+    * collect_list + concat over the full text — the r13 row-skew
+    * probe charged those rebuilds to the split policy itself. */
   private def recursiveDerivedDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .groupBy((col("doc_id") % 25).as("gid"))
@@ -137,6 +141,7 @@ object Queries {
       .select(col("gid").as("doc_id"),
         concat(lit("group-"), col("gid")).as("source"),
         col("text"), length(col("text")).cast("long").as("n_chars"))
+      .persistTracked("recursive.derived")
 
   /** Giant-document SPLIT policy, hash-checked
     * ([[graft.text.chunk.DocSplit.cutOffsets]]): every document over

@@ -227,16 +227,35 @@ object DocSplit {
         col("doc_id"), col("part_index"))
       .select((shiftleft(guardedId, 31) + col("start")).as("doc_id"),
         col("source"), col("text"), col("n_chars"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("__pstart"), col("chunk_index"))
-    val big = chunker.chunk(p)
+    val chunked = chunker.chunk(p)
+    // Renumbering (r14): the first form ranked every chunk ROW with a
+    // parent-doc row_number window — all of a giant's chunk rows,
+    // TEXT included, funneled through one window task (a second
+    // 50 MB exchange plus a serial sort; measured as the reason the
+    // split row ran SLOWER than the unsplit baseline at 50 MB). The
+    // chunker's per-part chunk_index is already dense 0..n−1, so the
+    // global index is `base(part) + local`, where base is a running
+    // sum over the PER-PART COUNT table — one tiny row per part, a
+    // parts-per-doc window over 16-byte rows, broadcast back onto
+    // the chunk rows by synthetic id: the chunk text never moves.
+    // (Broadcast size = one row per giant part; a corpus would need
+    // ~10^6 concurrent giant parts per batch to make that matter.)
+    val wParts = Window.partitionBy(col("__parent")).orderBy(col("__pstart"))
+    val bases = chunked.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
       // bit ops, not arithmetic: synth ids reach doc_id × 2^31 and a
       // double-typed `/` would lose low bits past 2^53
       .withColumn("__pstart",
         col("doc_id").bitwiseAND(lit(PartIdStride - 1)).cast("int"))
+      .withColumn("__parent", shiftright(col("doc_id"), 31))
+      .withColumn("__base", coalesce(sum(col("__n"))
+        .over(wParts.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("__base"))
+    val big = chunked.join(broadcast(bases), "doc_id")
+      .withColumn("__pstart",
+        col("doc_id").bitwiseAND(lit(PartIdStride - 1)).cast("int"))
       .withColumn("doc_id", shiftright(col("doc_id"), 31))
-      .withColumn("__ci", row_number().over(w) - 1)
-      .select(col("doc_id"), col("source"), col("__ci").as("chunk_index"),
+      .select(col("doc_id"), col("source"),
+        (col("__base") + col("chunk_index")).cast("int").as("chunk_index"),
         col("text"),
         (col("start") + col("__pstart")).as("start"),
         (col("end") + col("__pstart")).as("end"),
