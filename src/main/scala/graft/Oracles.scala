@@ -4288,6 +4288,50 @@ object Oracles {
          |FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
          |ORDER BY ks.query_id""".stripMargin,
 
+    // rank-aware retrieval metrics: the discount table and its
+    // prefix sums are the SAME driver-side literals the Spark plan
+    // uses (Queries.NdcgDiscMicro) — no cross-engine log2; RR is the
+    // truncating integer division (positive operands: // == div)
+    "q_retrieval_metrics" -> {
+      val disc = graft.Queries.NdcgDiscMicro.zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, CAST($d AS BIGINT))" }
+        .mkString(", ")
+      val pref = graft.Queries.NdcgIdealMicro.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, CAST($p AS BIGINT))" }
+        .mkString(", ")
+      s"""WITH truth AS (
+         |  SELECT query_id, vec_id FROM (${base("q_topk_cosine")}) t
+         |), approx AS (
+         |  SELECT query_id, vec_id, rank FROM (${base("q_topk_ivf")}) a
+         |), disc(r, d) AS (VALUES $disc),
+         |pref(pk, idcg) AS (VALUES $pref),
+         |hits AS (
+         |  SELECT a.query_id, CAST(count(*) AS INTEGER) AS n_hit,
+         |         CAST(min(a.rank) AS INTEGER) AS first_hit_rank,
+         |         CAST(sum(d.d) AS BIGINT) AS dcg_micro
+         |  FROM approx a
+         |  JOIN truth t ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |  JOIN disc d ON d.r = a.rank
+         |  GROUP BY a.query_id
+         |), ks AS (
+         |  SELECT query_id, CAST(count(*) AS INTEGER) AS k
+         |  FROM truth GROUP BY query_id
+         |)
+         |SELECT ks.query_id, ks.k,
+         |       coalesce(h.n_hit, 0) AS n_hit,
+         |       coalesce(h.first_hit_rank, 0) AS first_hit_rank,
+         |       CAST(coalesce(1000000 // h.first_hit_rank, 0) AS BIGINT)
+         |         AS rr_micro,
+         |       CAST(coalesce(h.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+         |       p.idcg AS idcg_micro,
+         |       round(CAST(coalesce(h.dcg_micro, 0) AS DOUBLE) / p.idcg, 6)
+         |         AS ndcg
+         |FROM ks
+         |LEFT JOIN hits h ON h.query_id = ks.query_id
+         |JOIN pref p ON p.pk = ks.k
+         |ORDER BY ks.query_id""".stripMargin
+    },
+
     // residual-tier recall vs the same exact lattice truth — what
     // residual encoding buys over raw-vector codes at identical
     // geometry

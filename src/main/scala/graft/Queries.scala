@@ -558,6 +558,56 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** Integer-microunit nDCG discount table, D(r) = round(1e6 /
+    * log2(r + 1)) for rank r = 1..5 — computed ONCE driver-side and
+    * injected as identical literals into the Spark plan and the
+    * DuckDB oracle, so no cross-engine libm log2 ever runs inside a
+    * checked expression (the [[q_retrieval_metrics]] exactness
+    * trick: rank-aware metrics become pure integer sums). */
+  private[graft] val NdcgDiscMicro: Seq[Long] =
+    (1 to 5).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Prefix sums of [[NdcgDiscMicro]]: ideal DCG for k = 1..5. */
+  private[graft] val NdcgIdealMicro: Seq[Long] =
+    NdcgDiscMicro.scanLeft(0L)(_ + _).tail
+
+  /** Rank-aware retrieval QUALITY metrics — the evaluation row that
+    * complements [[q_ann_recall]]'s set-overlap view: per query, the
+    * served IVF ranking ([[q_topk_ivf]]) is scored against the
+    * brute-force truth set ([[q_topk_cosine]]) with first-hit rank,
+    * reciprocal rank, and binary-relevance nDCG@5 — the metrics a
+    * RAG pipeline gates index changes on. All metric arithmetic is
+    * exact-integer microunits: the log2 discounts are driver-side
+    * literals shared with the oracle ([[NdcgDiscMicro]]), RR is a
+    * truncating integer division, and the only double is the final
+    * ndcg ratio of two longs, rounded with no ranking after it. At
+    * scale this is two top-k joins plus a per-query fold — metric
+    * cost is O(queries × k), corpus cost is the retrievers'. */
+  def q_retrieval_metrics(s: SparkSession, dir: String): DataFrame = {
+    val truth = q_topk_cosine(s, dir).select(col("query_id"), col("vec_id"))
+    val approx = q_topk_ivf(s, dir)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    val discCol = element_at(array(NdcgDiscMicro.map(lit): _*), col("rank"))
+    val hits = approx.join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(
+        count(lit(1)).cast("int").as("n_hit"),
+        min(col("rank")).cast("int").as("first_hit_rank"),
+        sum(discCol).as("dcg_micro"))
+    val ks = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("k"))
+    val idcgCol = element_at(array(NdcgIdealMicro.map(lit): _*), col("k"))
+    ks.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hit"), lit(0)).as("n_hit"),
+        coalesce(col("first_hit_rank"), lit(0)).as("first_hit_rank"),
+        coalesce(expr("1000000 div first_hit_rank"), lit(0L)).as("rr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        idcgCol.as("idcg_micro"),
+        round(coalesce(col("dcg_micro"), lit(0L)).cast("double") / idcgCol, 6)
+          .as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Crafted IVF fixture: THREE well-separated integer clusters
     * (A ≈ e1: vec 0–3, B ≈ e2: vec 4–7, C ≈ e3: vec 8–11). The
     * deterministic sorted-sample init picks vec 0, 4 and 8 (indices
