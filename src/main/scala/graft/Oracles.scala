@@ -1579,6 +1579,63 @@ object Oracles {
          |FROM comp c JOIN documents d ON d.doc_id = c.node
          |ORDER BY cluster_id, doc_id""".stripMargin,
 
+    // containment near-dup over the planted prefix-half corpus: the
+    // rare-shingle inverted index (df <= 20) generates candidates
+    // sharing >= 3 rare shingles; verification intersects the full
+    // distinct shingle sets; both directional containments rounded
+    // with nothing ranked after
+    "q_dup_containment" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |         array_to_string((string_split(text, ' '))[
+         |           1:CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INTEGER)],
+         |           ' ') AS text
+         |  FROM documents WHERE doc_id < 20
+         |), t AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$RE') AS toks
+         |  FROM corpus WHERE trim(text) <> ''
+         |), tf AS (
+         |  SELECT doc_id, toks FROM t WHERE len(toks) > 0
+         |), sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |                     i -> array_to_string(toks[i:i+2], ' ')))
+         |              ELSE [array_to_string(toks, ' ')] END AS shingles
+         |  FROM tf
+         |), ex AS (
+         |  SELECT doc_id, md5(unnest(shingles)) AS g FROM sh
+         |), rare AS (
+         |  SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY 1)
+         |  WHERE df <= 20
+         |), exr AS (
+         |  SELECT e.doc_id, e.g FROM ex e JOIN rare r ON r.g = e.g
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM exr a JOIN exr b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3
+         |), v AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(len(sa.shingles) AS INTEGER) AS n_a,
+         |         CAST(len(sb.shingles) AS INTEGER) AS n_b,
+         |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b
+         |)
+         |SELECT doc_a, doc_b, n_a, n_b, inter,
+         |       round(CAST(inter AS DOUBLE) / n_a, 6) AS cont_a,
+         |       round(CAST(inter AS DOUBLE) / n_b, 6) AS cont_b,
+         |       CAST(greatest(round(CAST(inter AS DOUBLE) / n_a, 6),
+         |                     round(CAST(inter AS DOUBLE) / n_b, 6)) >= 0.9
+         |         AS INTEGER) AS is_contained
+         |FROM v
+         |WHERE greatest(round(CAST(inter AS DOUBLE) / n_a, 6),
+         |               round(CAST(inter AS DOUBLE) / n_b, 6)) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_contamination" ->
       s"""${shingleCte("")}
          |, ex AS (

@@ -235,6 +235,61 @@ object Dedup {
       .distinct()
   }
 
+  /** Jaccard-CONTAINMENT near-dup pairs — the asymmetric case
+    * symmetric near-dup misses: a document EMBEDDED in a larger one
+    * (quote farms, page-plus-boilerplate, excerpt reposts) has
+    * containment |A∩B|/|A| ≈ 1 while its Jaccard is only
+    * |A|/|B| — below every banding threshold. MinHash banding
+    * therefore can't generate these candidates; the generator here
+    * is the shingle INVERTED INDEX (the q_contamination shape):
+    * pairs sharing ≥ `minShared` rare shingles, where "rare" means
+    * document frequency ≤ `maxDf` — the standard blowup guard (a
+    * boilerplate shingle in 10k documents would otherwise emit 10k²
+    * join rows; dropping high-df shingles from CANDIDATE GENERATION
+    * only loses pairs whose every shared shingle is ubiquitous,
+    * which containment-dedup deliberately ignores). Verification
+    * computes the exact intersection over the FULL distinct shingle
+    * sets of candidates only. Shingles travel as md5 through the
+    * index join; sets join in only for the bounded candidate set.
+    *
+    * Emits one row per candidate pair (doc_a < doc_b) with both
+    * directional containments and the `is_contained` decision at
+    * 0.9, filtered to max-containment ≥ `minCont`. */
+  def containmentPairs(docs: DataFrame, shingleN: Int = 3,
+      maxDf: Int = 20, minShared: Int = 3,
+      minCont: Double = 0.5): DataFrame = {
+    val sh = docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+      .persistTracked("containment.sh")
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("g"))
+    val rare = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val exr = ex.join(rare, "g")
+    val cand = exr.select(col("g"), col("doc_id").as("doc_a"))
+      .join(exr.select(col("g"), col("doc_id").as("doc_b")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val conts = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_a", size(col("sh_a")))
+      .withColumn("n_b", size(col("sh_b")))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("cont_a",
+        round(col("inter").cast("double") / col("n_a"), 6))
+      .withColumn("cont_b",
+        round(col("inter").cast("double") / col("n_b"), 6))
+    conts
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minCont)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("inter"), col("cont_a"), col("cont_b"),
+        (greatest(col("cont_a"), col("cont_b")) >= 0.9).cast("int")
+          .as("is_contained"))
+  }
+
   // ===== saved signature index (build-once / serve-many) =====
 
   /** Materialize the MinHash signature index: one row per non-blank

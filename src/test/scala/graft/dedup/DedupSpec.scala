@@ -212,6 +212,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(got.contains((1L, 2L)))
   }
 
+  test("containmentPairs: embedded doc detected where symmetric jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val embedded = (1 to 20).map(i => s"w$i").mkString(" ") // prefix of big
+    val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, embedded), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs).collect()
+    assert(out.length == 1, s"exactly the embedded pair: ${out.toSeq}")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    val (nA, nB, inter) = (r.getInt(2), r.getInt(3), r.getInt(4))
+    // the embedded side is FULLY contained...
+    assert(r.getDouble(6) == 1.0 && r.getInt(7) == 1)
+    // ...while the symmetric jaccard sits far below any banding
+    // threshold — the case this operator exists for
+    assert(inter.toDouble / (nA + nB - inter) < 0.5)
+  }
+
   test("lineDedup: first occurrence wins, reassembly is the identity") {
     import spark.implicits._
     val docs = Seq(
