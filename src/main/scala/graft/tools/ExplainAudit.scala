@@ -99,7 +99,9 @@ object ExplainAudit {
     // round 13b: iterative integer PageRank (out-degree rides the
     // persisted edge frame; one shuffle per round) and the
     // cluster-keyed leak-proof split (only (md5, id) shuffles)
-    "q_pagerank", "q_split_leakproof")
+    "q_pagerank", "q_split_leakproof",
+    // r14: the new oracle rows + the rewritten giant-branch shapes
+    "q_retrieval_metrics", "q_dup_containment", "q_html_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
