@@ -4178,6 +4178,36 @@ object Oracles {
         |SELECT doc_id, url, canon,
         |       count(*) OVER (PARTITION BY canon) AS n_same_canon
         |FROM s5 ORDER BY doc_id""".stripMargin,
+    // frontier politeness scheduling: canonicalize -> first-wins per
+    // canon -> per-host 2s-spaced queue; relative URLs dropped
+    "q_crawl_frontier" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, ${messyUrlSql("doc_id")} AS url
+        |  FROM documents
+        |),
+        |${urlCanonChainSql("doc_id")},
+        |h AS (
+        |  SELECT doc_id, canon,
+        |         regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+        |           AS host
+        |  FROM s5
+        |), hf AS (
+        |  SELECT * FROM h WHERE host <> ''
+        |), kept AS (
+        |  SELECT doc_id, canon, host FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY canon ORDER BY doc_id)
+        |             AS rn
+        |    FROM hf) WHERE rn = 1
+        |)
+        |SELECT doc_id, host, canon,
+        |       CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+        |         AS INTEGER) AS host_rank,
+        |       CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id)
+        |         - 1) * 2 AS BIGINT) AS fetch_at_sec,
+        |       CAST(count(*) OVER (PARTITION BY host) AS INTEGER)
+        |         AS n_host_queue
+        |FROM kept ORDER BY doc_id""".stripMargin,
+
     // CDX recrawl dedup: (canonical URL, digest) first-wins over the
     // modeled fetch log — revisits collapse, revisions survive
     "q_cdx_dedup" ->

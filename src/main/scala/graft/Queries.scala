@@ -3165,6 +3165,39 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Crawl-frontier politeness scheduling — the stage between URL
+    * canonicalization and the fetcher: canonical URLs dedup
+    * first-wins (one fetch per page), every RELATIVE/scheme-less
+    * entry is dropped (never fetchable), and each host's queue is
+    * spaced `2 s` apart (`fetch_at_sec = (host_rank − 1) × 2`) — the
+    * per-host politeness contract every crawler honors. Both windows
+    * are HOST-/CANON-partitioned (the natural frontier partitioning:
+    * per-host state is one queue, never the corpus), so the shape is
+    * two keyed exchanges and no global sort before the output order.
+    * Hash-checked: the oracle replays canonicalization, the
+    * first-wins dedup, and both partitioned windows. */
+  def q_crawl_frontier(s: SparkSession, dir: String): DataFrame = {
+    val u = t(s, dir, "documents")
+      .select(col("doc_id"), messyUrl("doc_id").as("url"))
+      .withColumn("canon", graft.rel.Urls.canonical(col("url")))
+      .withColumn("host",
+        regexp_extract(col("canon"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
+      .filter(col("host") =!= "")
+    val wC = Window.partitionBy(col("canon")).orderBy(col("doc_id"))
+    val kept = u.withColumn("__rn", row_number().over(wC))
+      .filter(col("__rn") === 1).drop("__rn")
+    val wH = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+    kept
+      .withColumn("host_rank", row_number().over(wH).cast("int"))
+      .withColumn("fetch_at_sec",
+        ((col("host_rank") - 1) * 2).cast("long"))
+      .withColumn("n_host_queue",
+        count(lit(1)).over(Window.partitionBy(col("host"))).cast("int"))
+      .select(col("doc_id"), col("host"), col("canon"), col("host_rank"),
+        col("fetch_at_sec"), col("n_host_queue"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CDX-style recrawl dedup — the CommonCrawl index discipline:
     * a fetch is a duplicate iff an EARLIER fetch of the same
     * canonical URL returned byte-identical content
