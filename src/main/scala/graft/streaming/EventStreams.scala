@@ -157,8 +157,18 @@ object EventStreams {
         col("n"), col("total_value"))
     val sink = "q_events_watermark_sink"
     spark.catalog.dropTempView(sink)
-    val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
+    // the replay runs 4 micro-batches, each paying one state-store
+    // task per shuffle partition; at the session's 32 partitions that
+    // is 128 mostly-empty state tasks for ~1k windows. A streaming
+    // query pins its state partitioning at START, so narrow it for
+    // the replay only and restore the session conf after — values
+    // are partition-independent (determinism sweep covers this row).
+    val prevNsp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevNsp)
     try {
       mem.addData(onTime); q.processAllAvailable()
       mem.addData(late); q.processAllAvailable()
