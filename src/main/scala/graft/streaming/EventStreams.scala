@@ -142,6 +142,11 @@ object EventStreams {
     val rows = events
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .as[(Long, java.sql.Timestamp, String, Double)].collect()
+    // an empty input has no watermark to advance and nothing to emit —
+    // return the aggregate's shape rather than throwing on max-of-empty
+    if (rows.isEmpty)
+      return Seq.empty[(java.sql.Timestamp, String, Long, Double)]
+        .toDF("hour", "event_type", "n", "total_value")
     val onTime = rows.filter(_._1 % lateMod != 0).toSeq
     val late = rows.filter(_._1 % lateMod == 0).toSeq
     val maxMs = rows.iterator.map(_._2.getTime).max
