@@ -29,7 +29,10 @@ object SpillBench {
     * pipeline). */
   private val Heavy = Seq(
     "q_substr_dedup", "q_corpus_filter", "q_unigram_logprob",
-    "q_bpe_tokens", "q_bm25_indexed", "q_semdedup", "q_training_mix")
+    "q_bpe_tokens", "q_bm25_indexed", "q_semdedup", "q_training_mix",
+    // r14: the new inverted-index dedup (widest fresh shuffle) and
+    // the streaming replay (state-store memory under starvation)
+    "q_dup_containment", "q_events_watermark")
 
   private class SpillListener extends SparkListener {
     @volatile var memSpilled = 0L
