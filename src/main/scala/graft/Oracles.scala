@@ -1581,14 +1581,16 @@ object Oracles {
 
     // containment near-dup over the planted prefix-half corpus: the
     // rare-shingle inverted index (df <= 20) generates candidates
-    // sharing >= 3 rare shingles; verification intersects the full
-    // distinct shingle sets; both directional containments rounded
-    // with nothing ranked after
+    // sharing >= 3 rare shingles; verification intersects the
+    // 60-bit-hashed distinct shingle sets (identity is all the
+    // intersection needs; the hash — BIGINT of the first 15 md5 hex
+    // chars — is replayed bit-identically by the engine); both
+    // directional containments rounded with nothing ranked after
     "q_dup_containment" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 200000 AS doc_id,
+         |  SELECT doc_id + 1000000000 AS doc_id,
          |         array_to_string((string_split(text, ' '))[
          |           1:CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INTEGER)],
          |           ' ') AS text
@@ -1605,8 +1607,12 @@ object Oracles {
          |                     i -> array_to_string(toks[i:i+2], ' ')))
          |              ELSE [array_to_string(toks, ' ')] END AS shingles
          |  FROM tf
+         |), shh AS (
+         |  SELECT doc_id, list_transform(shingles,
+         |           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS shh
+         |  FROM sh
          |), ex AS (
-         |  SELECT doc_id, md5(unnest(shingles)) AS g FROM sh
+         |  SELECT doc_id, unnest(shh) AS g FROM shh
          |), rare AS (
          |  SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY 1)
          |  WHERE df <= 20
@@ -1618,12 +1624,12 @@ object Oracles {
          |  GROUP BY 1, 2 HAVING count(*) >= 3
          |), v AS (
          |  SELECT c.doc_a, c.doc_b,
-         |         CAST(len(sa.shingles) AS INTEGER) AS n_a,
-         |         CAST(len(sb.shingles) AS INTEGER) AS n_b,
-         |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS inter
+         |         CAST(len(sa.shh) AS INTEGER) AS n_a,
+         |         CAST(len(sb.shh) AS INTEGER) AS n_b,
+         |         CAST(len(list_intersect(sa.shh, sb.shh)) AS INTEGER) AS inter
          |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b
+         |  JOIN shh sa ON sa.doc_id = c.doc_a
+         |  JOIN shh sb ON sb.doc_id = c.doc_b
          |)
          |SELECT doc_a, doc_b, n_a, n_b, inter,
          |       round(CAST(inter AS DOUBLE) / n_a, 6) AS cont_a,

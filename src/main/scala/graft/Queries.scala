@@ -1150,19 +1150,22 @@ object Queries {
   /** Containment near-dup ([[Dedup.containmentPairs]]) — the
     * ASYMMETRIC duplication case (a document embedded in a larger
     * one) that symmetric Jaccard banding structurally misses: the
-    * planted prefix-half twins (doc_id + 200000 for doc_id < 20,
-    * text = the first ⌈n/2⌉ space-words) have containment 1.0 toward
+    * planted prefix-half twins (doc_id + 1e9 for doc_id < 20 — an
+    * offset above any single-ingest corpus this engine shards, so
+    * planted ids can never collide with real doc_ids; text = the
+    * first ⌈n/2⌉ space-words) have containment 1.0 toward
     * their parents while their Jaccard sits near 0.5 — below the
     * 0.5-banding radar, above nothing. Candidates come from the
     * rare-shingle inverted index (df ≤ 20 guard), verification is
-    * the exact intersection over candidates' full distinct shingle
-    * sets; hash-checked end to end (the oracle replays the planted
-    * corpus, the df cap, and both directional containments). */
+    * the exact intersection over candidates' 60-bit-hashed distinct
+    * shingle sets; hash-checked end to end (the oracle replays the
+    * planted corpus, the hash, the df cap, and both directional
+    * containments). */
   def q_dup_containment(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val ws = split(col("text"), " ")
     val halves = t(s, dir, "documents").filter(col("doc_id") < 20)
-      .select((col("doc_id") + 200000L).as("doc_id"),
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
         array_join(slice(ws, lit(1),
           ceil(size(ws).cast("double") / 2).cast("int")), " ").as("text"))
     Dedup.containmentPairs(docs.unionByName(halves))

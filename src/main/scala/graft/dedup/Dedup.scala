@@ -249,8 +249,19 @@ object Dedup {
     * only loses pairs whose every shared shingle is ubiquitous,
     * which containment-dedup deliberately ignores). Verification
     * computes the exact intersection over the FULL distinct shingle
-    * sets of candidates only. Shingles travel as md5 through the
-    * index join; sets join in only for the bounded candidate set.
+    * sets of candidates only.
+    *
+    * Shingles travel EVERYWHERE as 60-bit longs — `conv` of the first
+    * 15 hex chars of md5 — because identity is all the inverted index
+    * AND the exact intersection need: a long array is several times
+    * narrower than the shingle strings it replaces, and the verify
+    * join carrying full string arrays was the widest shuffle on HEAD
+    * (SPILL_BENCH r14 peak_exec 10998 MB starved; factor-10 min-ratio
+    * 3.29×, the one super-linear number). DuckDB replays the identical
+    * hash (`CAST('0x'||substr(md5(s),1,15) AS BIGINT)`), so parity is
+    * by construction; a 60-bit collision would have to land INSIDE a
+    * single document's distinct shingle set to change any count, and
+    * even then both engines would agree on the collided value.
     *
     * Emits one row per candidate pair (doc_a < doc_b) with both
     * directional containments and the `is_contained` decision at
@@ -258,11 +269,12 @@ object Dedup {
   def containmentPairs(docs: DataFrame, shingleN: Int = 3,
       maxDf: Int = 20, minShared: Int = 3,
       minCont: Double = 0.5): DataFrame = {
-    val sh = docs.filter(trim(col("text")) =!= "")
-      .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
-      .persistTracked("containment.sh")
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), md5(col("shingle")).as("g"))
+    val shh = docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        transform(shingles(col("text"), shingleN),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("shh"))
+      .persistTracked("containment.shh")
+    val ex = shh.select(col("doc_id"), explode(col("shh")).as("g"))
     val rare = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("g"))
     val exr = ex.join(rare, "g")
@@ -273,8 +285,8 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     val conts = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(shh.select(col("doc_id").as("doc_a"), col("shh").as("sh_a")), "doc_a")
+      .join(shh.select(col("doc_id").as("doc_b"), col("shh").as("sh_b")), "doc_b")
       .withColumn("n_a", size(col("sh_a")))
       .withColumn("n_b", size(col("sh_b")))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))

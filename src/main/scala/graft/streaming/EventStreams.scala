@@ -137,7 +137,6 @@ object EventStreams {
       lateMod: Int = 3): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = events
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -147,11 +146,31 @@ object EventStreams {
     if (rows.isEmpty)
       return Seq.empty[(java.sql.Timestamp, String, Long, Double)]
         .toDF("hour", "event_type", "n", "total_value")
-    val onTime = rows.filter(_._1 % lateMod != 0).toSeq
-    val late = rows.filter(_._1 % lateMod == 0).toSeq
+    val onTime0 = rows.filter(_._1 % lateMod != 0).toSeq
+    val late0 = rows.filter(_._1 % lateMod == 0).toSeq
+    // ALL-LATE degenerate case (every event_id % lateMod == 0): wave 1
+    // would be an empty batch, which establishes NO watermark, so the
+    // real stream keeps the whole of wave 2 — equivalently, everything
+    // arrives in one wave. Fold it so explicitly; an oracle deriving
+    // the watermark as max(on-time ts) would read NULL here and
+    // silently drop everything instead (the result is identical either
+    // way for the real stream, and StreamingSpec pins this branch).
+    val (onTime, late) =
+      if (onTime0.isEmpty) (late0, Nil) else (onTime0, late0)
     val maxMs = rows.iterator.map(_._2.getTime).max
     def adv(h: Long) =
       (-1L, new java.sql.Timestamp(maxMs + h * 3600 * 1000), "__advance", 0.0)
+    // the replay runs 4 micro-batches, each paying one state-store
+    // task per shuffle partition; at the session's 32 partitions that
+    // is 128 mostly-empty state tasks for ~1k windows. A streaming
+    // query pins its state partitioning at START, so run the replay in
+    // a DEDICATED session with 8 partitions — mutating the shared
+    // session conf (the r14 form) silently re-planned any concurrent
+    // query at 8. Values are partition-independent (determinism sweep
+    // covers this row); the sessions share one SparkContext.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    implicit val ssCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
     val agg = mem.toDF().toDF("event_id", "ts", "event_type", "value")
       .withWatermark("ts", "1 hour")
@@ -161,26 +180,16 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
     val sink = "q_events_watermark_sink"
-    spark.catalog.dropTempView(sink)
-    // the replay runs 4 micro-batches, each paying one state-store
-    // task per shuffle partition; at the session's 32 partitions that
-    // is 128 mostly-empty state tasks for ~1k windows. A streaming
-    // query pins its state partitioning at START, so narrow it for
-    // the replay only and restore the session conf after — values
-    // are partition-independent (determinism sweep covers this row).
-    val prevNsp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try agg.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevNsp)
+    ss.catalog.dropTempView(sink)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
     try {
       mem.addData(onTime); q.processAllAvailable()
-      mem.addData(late); q.processAllAvailable()
+      if (late.nonEmpty) { mem.addData(late); q.processAllAvailable() }
       mem.addData(adv(72)); q.processAllAvailable()
       mem.addData(adv(96)); q.processAllAvailable()
     } finally q.stop()
-    spark.table(sink).filter(col("event_type") =!= "__advance")
+    ss.table(sink).filter(col("event_type") =!= "__advance")
   }
 
   /** Structured Streaming form of [[hourlyByType]]: parquet-backed

@@ -16,6 +16,11 @@ import org.apache.spark.sql.DataFrame
   *   char_length INT, token_length INT, strategy STRING)`.
   * `start`/`end` are 0-based char offsets carried from birth so the
   * interval analytics (SURVEY §2 J3/J4/W4) never re-locate chunks.
+  * `chunk_index` MUST be dense 0..n−1 per document — the giant-doc
+  * renumbering ([[DocSplit.chunkParts]]) computes global indexes as
+  * base(part) + local and ASSERTS this density per part (raise_error
+  * on the tiny per-part count table), so a violating implementation
+  * fails fast instead of silently emitting gapped global ids.
   *
   * Scale note: every implementation is embarrassingly parallel in
   * `doc_id` — no shuffle is introduced by chunking itself; rows fan

@@ -241,7 +241,22 @@ object DocSplit {
     // (Broadcast size = one row per giant part; a corpus would need
     // ~10^6 concurrent giant parts per batch to make that matter.)
     val wParts = Window.partitionBy(col("__parent")).orderBy(col("__pstart"))
-    val bases = chunked.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+    // base+local is only correct if the chunker's per-part chunk_index
+    // is DENSE 0..n−1 (the Chunker contract; the old row_number form
+    // was robust to a violation, this form would silently emit gapped
+    // ids). Assert it on the tiny per-part table: min 0, max n−1, and
+    // n distinct values — one comparison per PART row, not chunk row.
+    val bases = chunked.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"),
+        min(col("chunk_index")).as("__mn"), max(col("chunk_index")).as("__mx"),
+        countDistinct(col("chunk_index")).as("__nd"))
+      .withColumn("__n", when(
+        col("__mn") =!= 0 || col("__mx") =!= col("__n") - 1 ||
+          col("__nd") =!= col("__n"),
+        raise_error(concat(
+          lit("DocSplit.chunkParts: chunker broke the dense chunk_index "),
+          lit("contract (0..n-1 per part) for part "),
+          col("doc_id").cast("string"))))
+        .otherwise(col("__n")))
       // bit ops, not arithmetic: synth ids reach doc_id × 2^31 and a
       // double-typed `/` would lose low bits past 2^53
       .withColumn("__pstart",

@@ -114,8 +114,14 @@ object Html {
     * Exactness precondition (documented, spec-pinned): a protected
     * OPENER literal (`<!--`, `<script`, `<style`, `<title`) is not
     * itself assembled by comment removal (`<scr<!-- -->ipt>` —
-    * invalid HTML no real corpus emits). Within it, split == per-row
-    * bit for bit for arbitrary tag soup.
+    * invalid HTML no real corpus emits). A comment-assembled CLOSER
+    * (`</scr<!-- -->ipt>`) needs no such precondition: the raw
+    * pattern then finds no match for that opener, and the unclosed-
+    * opener guard below protects the opener's span to end-of-string,
+    * so the whole region lands in one piece — and within one piece,
+    * per-piece strip == per-row strip by definition (both run comment
+    * removal first and see the same assembled closer). Within these
+    * rules, split == per-row bit for bit for arbitrary tag soup.
     *
     * Cuts search BACKWARD from the stride bound to the piece start,
     * then FORWARD past it; a span with no eligible cut stays one
@@ -140,6 +146,41 @@ object Html {
         if (merged.nonEmpty && s <= merged.last._2)
           merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, e))
         else merged += ((s, e))
+      }
+      // UNCLOSED-OPENER guard: a `<script`/`<style`/`<title` opener
+      // whose closer is missing in the RAW html (including a closer
+      // assembled by comment removal, `</scr<!-- -->ipt>`) has no
+      // pattern match above, so its body would be unprotected and a
+      // cut could bisect the unit the per-row chain deletes whole.
+      // Protect the FIRST such opener's span to END-OF-STRING (every
+      // later opener is inside it): the region stays one piece, and
+      // within one piece per-piece == per-row. Serial for that tail by
+      // construction — the invalid-HTML degenerate case, not a corpus
+      // shape.
+      def covered(p: Int): Boolean = {
+        var lo = 0; var hi = merged.length - 1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val (s, e) = merged(mid)
+          if (p < s) hi = mid - 1
+          else if (p >= e) lo = mid + 1
+          else return true
+        }
+        false
+      }
+      val om = java.util.regex.Pattern
+        .compile("(?i)<script\\b|<style\\b|<title")
+        .matcher(html)
+      var guard = -1
+      while (guard < 0 && om.find())
+        if (!covered(om.start())) guard = om.start()
+      if (guard >= 0) {
+        // drop spans at/after the guard, extend/append to string end
+        while (merged.nonEmpty && merged.last._1 >= guard)
+          merged.remove(merged.length - 1)
+        if (merged.nonEmpty && merged.last._2 >= guard)
+          merged(merged.length - 1) = (merged.last._1, n)
+        else merged += ((guard, n))
       }
       merged.toArray
     }

@@ -149,6 +149,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "missing rows must be exactly the beyond-watermark late rows")
   }
 
+  test("watermark replay: ALL-LATE input keeps everything (no watermark established)") {
+    // every event_id % 3 == 0 → the on-time wave would be an EMPTY
+    // batch, which establishes no watermark, so the real stream keeps
+    // the whole late wave; the replay folds this into one wave and
+    // must emit exactly the plain hourly aggregate (r15 ADVICE guard —
+    // a max(on-time ts) oracle would read NULL and drop everything)
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (3L, ts("2024-01-01 10:05:00"), "view", 1.0),
+      (6L, ts("2024-01-01 10:40:00"), "view", 2.0),
+      (9L, ts("2024-01-01 12:10:00"), "click", 3.0),
+      (12L, ts("2024-01-01 09:00:30"), "click", 4.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = EventStreams.hourlyWatermarkedReplay(ev)
+      .orderBy(col("hour"), col("event_type"))
+      .collect().map(_.toSeq).toSeq
+    val expected = EventStreams.hourlyByType(ev)
+      .orderBy(col("hour"), col("event_type"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("stream-stream funnel join: pairs equal batch; past-horizon rows drop") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

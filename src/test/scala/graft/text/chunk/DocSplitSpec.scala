@@ -207,6 +207,32 @@ class DocSplitSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length == 1 && out.head.getLong(0) == (1L << 40) + 7L)
   }
 
+  test("chunkParts: a chunker violating the dense chunk_index contract fails fast") {
+    // base+local renumbering is only sound for dense 0..n-1 per part;
+    // a 1-based chunker must hit the density assert, not silently
+    // emit gapped global indexes (r15 ADVICE guard)
+    val oneBased = new Chunker {
+      def strategy = "one-based"
+      def chunk(docs: org.apache.spark.sql.DataFrame) =
+        RecursiveChunker().chunk(docs)
+          .withColumn("chunk_index", col("chunk_index") + 1)
+    }
+    val giant = "alpha beta gamma delta. " * 40
+    val docs = Seq((1L, "g", giant)).toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      DocSplit.chunkParts(docs, oneBased, maxChars = 300).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dense chunk_index")),
+      s"expected the density assert, got: ${msgs(e)}")
+    // the same violating chunker on the SMALL branch is untouched —
+    // renumbering (and its assert) exists only for split giants
+    val small = Seq((2L, "g", "short doc")).toDF("doc_id", "source", "text")
+    assert(DocSplit.chunkParts(small, oneBased, maxChars = 300)
+      .collect().length >= 1)
+  }
+
   test("cutOffsets rejects maxChars < 2 (astral invariant unsatisfiable)") {
     intercept[IllegalArgumentException] { DocSplit.cutOffsets("abc", 1) }
     intercept[IllegalArgumentException] { DocSplit.cutOffsets("abc", 0) }

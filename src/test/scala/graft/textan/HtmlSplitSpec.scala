@@ -44,7 +44,16 @@ class HtmlSplitSpec extends AnyFunSuite with SparkTestBase {
     (9L, "<p>" + ("q" * 300) + " tail</p>"),
     // empty + null pages
     (10L, ""),
-    (11L, null.asInstanceOf[String]))
+    (11L, null.asInstanceOf[String]),
+    // comment-ASSEMBLED closers (r15): the raw pattern finds no match
+    // for these openers, so the unclosed-opener guard must protect
+    // opener→end and keep each region one piece — per-row assembles
+    // `</script>`/`</style>` after comment removal and deletes the
+    // bodies; an unguarded cut inside them would keep deleted text
+    (12L, ("lead " * 40) + "<script>assembled body " + ("x " * 50) +
+      "</scr<!-- gap -->ipt><p>kept after</p>"),
+    (13L, ("pre " * 30) + "<style>h1{a:b} " + ("y " * 40) +
+      "</sty<!-- hole -->le><p>visible tail</p>" + ("post " * 30)))
     .toDF("doc_id", "html")
 
   private def report(df: org.apache.spark.sql.DataFrame) =
@@ -109,6 +118,22 @@ class HtmlSplitSpec extends AnyFunSuite with SparkTestBase {
           assert(c <= m.start() || c > m.end(),
             s"cut $c inside protected [${m.start()},${m.end()}] of $re")
         }
+      }
+    }
+  }
+
+  test("pageCutOffsets: unclosed/assembled-closer opener protected to end") {
+    // assembled closer: no raw ScriptRe match, guard must keep the
+    // opener's tail in ONE piece (no interior cuts past the opener)
+    val html = ("a " * 30) + "<script>body " + ("w " * 30) +
+      "</scr<!-- gap -->ipt><p>kept</p>"
+    val open = html.indexOf("<script")
+    for (maxChars <- Seq(11, 40, 100)) {
+      val cuts = Html.pageCutOffsets(html, maxChars)
+      assert(cuts.map { case (s, e) => html.substring(s, e) }
+        .mkString == html)
+      cuts.drop(1).foreach { case (c, _) =>
+        assert(c <= open, s"cut $c inside the unclosed opener's tail")
       }
     }
   }
