@@ -552,7 +552,13 @@ object Oracles {
     * assignment `a3`, float-cast centroids `gc`, raw queries `qs`,
     * and the cosine `probe` (top-2 cells per query). Shared verbatim
     * by q_topk_ivf and the IVF+PQ composition. */
-  private lazy val ivfCoarseCte: String = {
+  private lazy val ivfCoarseCte: String = ivfCoarseCteN(3)
+
+  /** [[ivfCoarseCte]] with a parameterized query set (`vec_id < nQ`)
+    * — the recall rows judge [[graft.Queries.RecallQueryCount]]
+    * queries over the SAME fit/probe chain the 3-query serve rows
+    * hash-check. */
+  private def ivfCoarseCteN(nQ: Int): String = {
     // one assignment CTE per round: argmin over the given centroid
     // CTE by (ordered-fold distance, cell)
     def assignCte(name: String, centCte: String) =
@@ -594,7 +600,7 @@ object Oracles {
        |  SELECT cell, list_transform(cent, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS g
        |  FROM c2
        |), qs AS (
-       |  SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < 3
+       |  SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < $nQ
        |), probe AS (
        |  SELECT query_id, cell FROM (
        |    SELECT q.query_id, g.cell,
@@ -667,10 +673,12 @@ object Oracles {
 
   /** [[pqCodebookCte]] on the raw lattice + the plain-PQ query side
     * (`pqs` quantized queries, `dt` per-query distance tables). */
-  private lazy val pqFitCte: String =
+  private lazy val pqFitCte: String = pqFitCteN(3)
+
+  private def pqFitCteN(nQ: Int): String =
     s"""${pqCodebookCte("qvt")}
        |, pqs AS (
-       |  SELECT vec_id AS query_id, qv AS qq FROM qvt WHERE vec_id < 3
+       |  SELECT vec_id AS query_id, qv AS qq FROM qvt WHERE vec_id < $nQ
        |), dt AS (
        |  SELECT q.query_id, c.s, c.code,
        |         list_sum(list_transform(generate_series(1, $pqSub),
@@ -682,8 +690,10 @@ object Oracles {
   /** [[pqFitCte]] + the full-corpus ADC ranking (`pqscored`,
     * `pqranked`) — the serve shape of q_topk_pq and the rerank
     * shortlist. */
-  private lazy val pqRankedCte: String =
-    s"""$pqFitCte
+  private lazy val pqRankedCte: String = pqRankedCteN(3)
+
+  private def pqRankedCteN(nQ: Int): String =
+    s"""${pqFitCteN(nQ)}
        |, pqscored AS (
        |  SELECT e.vec_id, d.query_id,
        |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
@@ -695,6 +705,111 @@ object Oracles {
        |           ORDER BY adc_dist, vec_id) AS rank
        |  FROM pqscored
        |)""".stripMargin
+
+  /** Serve SQL bodies parameterized over the query-set size — the
+    * nQ=3 forms ARE the catalog serve rows; the recall rows embed the
+    * [[graft.Queries.RecallQueryCount]] forms of the identical SQL,
+    * so widening the denominator never forks the serve semantics. */
+  private def topkCosineSqlN(nQ: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+       |  FROM embeddings WHERE vec_id < $nQ
+       |), s AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS cos_sim
+       |  FROM embeddings e CROSS JOIN q
+       |), r AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  private def topkIvfSqlN(nQ: Int): String =
+    s"""WITH $latticeCte
+       |, ${ivfCoarseCteN(nQ)}
+       |, fine AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |               CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+       |  FROM probe p
+       |  JOIN a3 a USING (cell)
+       |  JOIN emb e ON e.vec_id = a.vec_id
+       |  JOIN qs q ON q.query_id = p.query_id
+       |)
+       |SELECT query_id, rank, vec_id, cos_sim FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+       |  FROM fine
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def topkPqSqlN(nQ: Int): String =
+    s"""WITH $latticeCte
+       |, ${pqRankedCteN(nQ)}
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, adc_dist
+       |FROM pqranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def topkIvfpqSqlN(nQ: Int): String =
+    s"""WITH $latticeCte
+       |, ${ivfCoarseCteN(nQ)}
+       |, ${pqFitCteN(nQ)}
+       |, ipsc AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
+       |  FROM probe p
+       |  JOIN a3 a USING (cell)
+       |  JOIN enc e ON e.vec_id = a.vec_id
+       |  JOIN dt d ON d.query_id = p.query_id
+       |    AND d.s = e.s AND d.code = e.code
+       |  GROUP BY p.query_id, a.vec_id
+       |)
+       |SELECT query_id, rank, vec_id, adc_dist FROM (
+       |  SELECT query_id, vec_id, adc_dist,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+       |  FROM ipsc
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def topkIvfpqResSqlN(nQ: Int): String =
+    s"""WITH $latticeCte
+       |, ${ivfCoarseCteN(nQ)}
+       |, rqt AS (
+       |  SELECT v.vec_id,
+       |         list_transform(generate_series(1, 64),
+       |           j -> CAST(floor((CAST(v.qv[j] AS DOUBLE) - c.cent[j]) * 8 + 0.5) AS INTEGER)) AS qv
+       |  FROM qvt v JOIN a3 a USING (vec_id)
+       |  JOIN c2 c ON c.cell = a.cell
+       |), ${pqCodebookCte("rqt")}
+       |, rqs AS (
+       |  SELECT p.query_id, p.cell,
+       |         list_transform(generate_series(1, 64),
+       |           j -> CAST(floor((CAST(v.qv[j] AS DOUBLE) - c.cent[j]) * 8 + 0.5) AS INTEGER)) AS qq
+       |  FROM probe p JOIN qvt v ON v.vec_id = p.query_id
+       |  JOIN c2 c ON c.cell = p.cell
+       |), rdt AS (
+       |  SELECT q.query_id, q.cell, c.s, c.code,
+       |         list_sum(list_transform(generate_series(1, $pqSub),
+       |           j -> (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j])
+       |              * (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j]))) AS d
+       |  FROM rqs q CROSS JOIN cb2 c
+       |), rsc AS (
+       |  SELECT d.query_id, e.vec_id,
+       |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
+       |  FROM a3 a
+       |  JOIN enc e ON e.vec_id = a.vec_id
+       |  JOIN rdt d ON d.cell = a.cell AND d.s = e.s AND d.code = e.code
+       |  GROUP BY d.query_id, e.vec_id
+       |)
+       |SELECT query_id, rank, vec_id, adc_dist FROM (
+       |  SELECT query_id, vec_id, adc_dist,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+       |  FROM rsc
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val base: Map[String, String] = Map(
 
@@ -765,22 +880,7 @@ object Oracles {
          |FROM sw WHERE seg_end IS NOT NULL AND active > 0
          |ORDER BY doc_id, seg_start""".stripMargin,
 
-    "q_topk_cosine" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
-         |  FROM embeddings WHERE vec_id < 3
-         |), s AS (
-         |  SELECT q.query_id, e.vec_id,
-         |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS cos_sim
-         |  FROM embeddings e CROSS JOIN q
-         |), r AS (
-         |  SELECT query_id, vec_id, cos_sim,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
-         |  FROM s
-         |)
-         |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q_topk_cosine" -> topkCosineSqlN(3),
 
     "q_topk_many" ->
       s"""WITH q AS (
@@ -2514,24 +2614,7 @@ object Oracles {
     // lowest-cell ties, then float-cast-centroid probe (top-2 cells)
     // and exact-cosine fine search (round 6). Mirrors
     // Ivf.boundedIndex + Ivf.topK op for op.
-    "q_topk_ivf" ->
-      s"""WITH $latticeCte
-         |, $ivfCoarseCte
-         |, fine AS (
-         |  SELECT p.query_id, a.vec_id,
-         |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-         |               CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
-         |  FROM probe p
-         |  JOIN a3 a USING (cell)
-         |  JOIN emb e ON e.vec_id = a.vec_id
-         |  JOIN qs q ON q.query_id = p.query_id
-         |)
-         |SELECT query_id, rank, vec_id, cos_sim FROM (
-         |  SELECT query_id, vec_id, cos_sim,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
-         |  FROM fine
-         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_topk_ivf" -> topkIvfSqlN(3),
 
     // PQ on REAL embeddings: per-subspace bounded-rounds k-means on
     // the int8 lattice (pqM subspaces × pqSub dims, pqK codes, 2
@@ -2541,12 +2624,7 @@ object Oracles {
     // table, ascending-dimension and ascending-subspace double
     // folds). Mirrors Pq.boundedTrain + Pq.encode + Pq.adcTopK op
     // for op; pqRankedCte is shared with the rerank row's shortlist.
-    "q_topk_pq" ->
-      s"""WITH $latticeCte
-         |, $pqRankedCte
-         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, adc_dist
-         |FROM pqranked
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_topk_pq" -> topkPqSqlN(3),
 
     // ADC-shortlist + exact-lattice rerank — the standard production
     // PQ serving pattern (FAISS IVFPQ + refine): the compressed scan
@@ -2580,68 +2658,14 @@ object Oracles {
     // (query, probed cell) because the query's residual depends on
     // the cell. Mirrors Pq.boundedTrainResidual +
     // Pq.adcTopKIndexedResidual (saved serve is bit-identical).
-    "q_topk_ivfpq_res" ->
-      s"""WITH $latticeCte
-         |, $ivfCoarseCte
-         |, rqt AS (
-         |  SELECT v.vec_id,
-         |         list_transform(generate_series(1, 64),
-         |           j -> CAST(floor((CAST(v.qv[j] AS DOUBLE) - c.cent[j]) * 8 + 0.5) AS INTEGER)) AS qv
-         |  FROM qvt v JOIN a3 a USING (vec_id)
-         |  JOIN c2 c ON c.cell = a.cell
-         |), ${pqCodebookCte("rqt")}
-         |, rqs AS (
-         |  SELECT p.query_id, p.cell,
-         |         list_transform(generate_series(1, 64),
-         |           j -> CAST(floor((CAST(v.qv[j] AS DOUBLE) - c.cent[j]) * 8 + 0.5) AS INTEGER)) AS qq
-         |  FROM probe p JOIN qvt v ON v.vec_id = p.query_id
-         |  JOIN c2 c ON c.cell = p.cell
-         |), rdt AS (
-         |  SELECT q.query_id, q.cell, c.s, c.code,
-         |         list_sum(list_transform(generate_series(1, $pqSub),
-         |           j -> (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j])
-         |              * (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j]))) AS d
-         |  FROM rqs q CROSS JOIN cb2 c
-         |), rsc AS (
-         |  SELECT d.query_id, e.vec_id,
-         |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
-         |  FROM a3 a
-         |  JOIN enc e ON e.vec_id = a.vec_id
-         |  JOIN rdt d ON d.cell = a.cell AND d.s = e.s AND d.code = e.code
-         |  GROUP BY d.query_id, e.vec_id
-         |)
-         |SELECT query_id, rank, vec_id, adc_dist FROM (
-         |  SELECT query_id, vec_id, adc_dist,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
-         |  FROM rsc
-         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_topk_ivfpq_res" -> topkIvfpqResSqlN(3),
 
     // IVF+PQ composition (the FAISS IVFPQ shape): the coarse chain's
     // probe restricts the ADC scan to the 2 probed cells per query —
     // both fits replay from the SAME shared lattice/coarse/PQ CTEs
     // the standalone rows already hash-check. Mirrors
     // Pq.adcTopKProbed over Ivf.boundedIndex cells.
-    "q_topk_ivfpq" ->
-      s"""WITH $latticeCte
-         |, $ivfCoarseCte
-         |, $pqFitCte
-         |, ipsc AS (
-         |  SELECT p.query_id, a.vec_id,
-         |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
-         |  FROM probe p
-         |  JOIN a3 a USING (cell)
-         |  JOIN enc e ON e.vec_id = a.vec_id
-         |  JOIN dt d ON d.query_id = p.query_id
-         |    AND d.s = e.s AND d.code = e.code
-         |  GROUP BY p.query_id, a.vec_id
-         |)
-         |SELECT query_id, rank, vec_id, adc_dist FROM (
-         |  SELECT query_id, vec_id, adc_dist,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
-         |  FROM ipsc
-         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_topk_ivfpq" -> topkIvfpqSqlN(3),
 
     "q_quantize_int8" ->
       """WITH base AS (
@@ -2951,6 +2975,43 @@ object Oracles {
          |JOIN enc e ON d.w = e.w
          |JOIN documents dd ON dd.doc_id = d.doc_id
          |CROSS JOIN mergestr m
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
+
+    // BPE encode under the COMMITTED merges.txt fixture
+    // (BpeLite.fixtureMerges — the SAME parse both engines consume):
+    // no training rounds, just the parsed pairs injected as a
+    // rank-ordered replace chain over the double-space symbol
+    // wrapping (see q_bpe_tokens above for why ' a  b ' -> ' ab '
+    // equals applyMerge exactly for ANY vocabulary)
+    "q_bpe_real_vocab" -> {
+      val ms = graft.text.BpeLite.fixtureMerges
+      require(ms.nonEmpty && ms.forall { case (a, b) =>
+        (a + b).forall(_.isLetterOrDigit) },
+        "fixture merge symbols must be SQL-literal safe")
+      val chain = ms.foldLeft("seq") { case (acc, (a, b)) =>
+        s"replace($acc, ' $a  $b ', ' $a$b ')" }
+      val mergesStr = ms.map { case (a, b) => s"$a+$b" }.mkString(",")
+      s"""WITH words AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(text, '[$WS]+')) AS w FROM documents)
+         |  WHERE w <> ''
+         |), wc AS (
+         |  SELECT w FROM words GROUP BY w
+         |), w0 AS (
+         |  SELECT w, ' ' || array_to_string(list_transform(
+         |    generate_series(1, length(w)), i -> substr(w, i, 1)), '  ') || ' ' AS seq
+         |  FROM wc
+         |), enc AS (
+         |  SELECT w, CAST(len(string_split(trim($chain), '  ')) AS INTEGER) AS n_sub
+         |  FROM w0
+         |)
+         |SELECT d.doc_id, CAST(sum(e.n_sub) AS INTEGER) AS n_bpe_tokens,
+         |       CAST(len(regexp_extract_all(any_value(dd.text), '$RE')) AS INTEGER) AS n_regex_tokens,
+         |       '$mergesStr' AS merges
+         |FROM words d
+         |JOIN enc e ON d.w = e.w
+         |JOIN documents dd ON dd.doc_id = d.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },
 
@@ -4362,24 +4423,9 @@ object Oracles {
          |       md5(substr(d.text, p.pstart + 1, p.pend - p.pstart)) AS part_md5
          |FROM p JOIN d ON d.doc_id = p.doc_id
          |ORDER BY p.doc_id, p.part_index""".stripMargin,
-    "q_ann_recall" ->
-      s"""WITH truth AS (
-         |  SELECT query_id, vec_id FROM (${base("q_topk_cosine")}) t
-         |), approx AS (
-         |  SELECT query_id, vec_id FROM (${base("q_topk_ivf")}) a
-         |), hits AS (
-         |  SELECT t.query_id, count(*) AS n_hit
-         |  FROM truth t
-         |  JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
-         |  GROUP BY t.query_id
-         |), ks AS (
-         |  SELECT query_id, count(*) AS k FROM truth GROUP BY query_id
-         |)
-         |SELECT ks.query_id, CAST(ks.k AS INTEGER) AS k,
-         |       CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
-         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ks.k, 4) AS recall
-         |FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
-         |ORDER BY ks.query_id""".stripMargin,
+    "q_ann_recall" -> recallSql(
+      topkCosineSqlN(graft.Queries.RecallQueryCount),
+      topkIvfSqlN(graft.Queries.RecallQueryCount)),
 
     // rank-aware retrieval metrics: the discount table and its
     // prefix sums are the SAME driver-side literals the Spark plan
@@ -4428,126 +4474,78 @@ object Oracles {
     // residual-tier recall vs the same exact lattice truth — what
     // residual encoding buys over raw-vector codes at identical
     // geometry
-    "q_ivfpq_res_recall" ->
-      s"""WITH lqv AS (
-         |  SELECT vec_id,
-         |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
-         |              ELSE list_transform(embedding,
-         |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
-         |         END AS qv
-         |  FROM (SELECT vec_id, embedding,
-         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-         |        FROM embeddings)
-         |), lqs AS (
-         |  SELECT vec_id AS query_id, qv AS qq FROM lqv WHERE vec_id < 3
-         |), ld AS (
-         |  SELECT q.query_id, v.vec_id,
-         |         list_sum(list_transform(generate_series(1, 64),
-         |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2
-         |  FROM lqv v CROSS JOIN lqs q
-         |), truth AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY l2, vec_id) AS rn
-         |    FROM ld) WHERE rn <= 5
-         |), approx AS (
-         |  SELECT query_id, vec_id FROM (${base("q_topk_ivfpq_res")}) a
-         |), hits AS (
-         |  SELECT t.query_id, count(*) AS n_hit
-         |  FROM truth t
-         |  JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
-         |  GROUP BY t.query_id
-         |), ks AS (
-         |  SELECT query_id, count(*) AS k FROM truth GROUP BY query_id
-         |)
-         |SELECT ks.query_id, CAST(ks.k AS INTEGER) AS k,
-         |       CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
-         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ks.k, 4) AS recall
-         |FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
-         |ORDER BY ks.query_id""".stripMargin,
+    "q_ivfpq_res_recall" -> recallSql(
+      exactLatticeTruthSqlN(graft.Queries.RecallQueryCount),
+      topkIvfpqResSqlN(graft.Queries.RecallQueryCount)),
 
     // IVF+PQ recall vs the same exact lattice truth — what the cell
     // pruning costs on top of the codebook approximation
-    "q_ivfpq_recall" ->
-      s"""WITH lqv AS (
-         |  SELECT vec_id,
-         |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
-         |              ELSE list_transform(embedding,
-         |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
-         |         END AS qv
-         |  FROM (SELECT vec_id, embedding,
-         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-         |        FROM embeddings)
-         |), lqs AS (
-         |  SELECT vec_id AS query_id, qv AS qq FROM lqv WHERE vec_id < 3
-         |), ld AS (
-         |  SELECT q.query_id, v.vec_id,
-         |         list_sum(list_transform(generate_series(1, 64),
-         |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2
-         |  FROM lqv v CROSS JOIN lqs q
-         |), truth AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY l2, vec_id) AS rn
-         |    FROM ld) WHERE rn <= 5
-         |), approx AS (
-         |  SELECT query_id, vec_id FROM (${base("q_topk_ivfpq")}) a
-         |), hits AS (
-         |  SELECT t.query_id, count(*) AS n_hit
-         |  FROM truth t
-         |  JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
-         |  GROUP BY t.query_id
-         |), ks AS (
-         |  SELECT query_id, count(*) AS k FROM truth GROUP BY query_id
-         |)
-         |SELECT ks.query_id, CAST(ks.k AS INTEGER) AS k,
-         |       CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
-         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ks.k, 4) AS recall
-         |FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
-         |ORDER BY ks.query_id""".stripMargin,
+    "q_ivfpq_recall" -> recallSql(
+      exactLatticeTruthSqlN(graft.Queries.RecallQueryCount),
+      topkIvfpqSqlN(graft.Queries.RecallQueryCount)),
 
     // PQ recall vs the EXACT int8-lattice squared-L2 truth (pure
-    // integer distances) — the approx side embeds q_topk_pq's SQL
-    // verbatim, so the eval replays from the already-hash-checked
-    // ranking
-    "q_pq_recall" ->
-      s"""WITH lqv AS (
-         |  SELECT vec_id,
-         |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
-         |              ELSE list_transform(embedding,
-         |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
-         |         END AS qv
-         |  FROM (SELECT vec_id, embedding,
-         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-         |        FROM embeddings)
-         |), lqs AS (
-         |  SELECT vec_id AS query_id, qv AS qq FROM lqv WHERE vec_id < 3
-         |), ld AS (
-         |  SELECT q.query_id, v.vec_id,
-         |         list_sum(list_transform(generate_series(1, 64),
-         |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2
-         |  FROM lqv v CROSS JOIN lqs q
-         |), truth AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY l2, vec_id) AS rn
-         |    FROM ld) WHERE rn <= 5
-         |), approx AS (
-         |  SELECT query_id, vec_id FROM (${base("q_topk_pq")}) a
-         |), hits AS (
-         |  SELECT t.query_id, count(*) AS n_hit
-         |  FROM truth t
-         |  JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
-         |  GROUP BY t.query_id
-         |), ks AS (
-         |  SELECT query_id, count(*) AS k FROM truth GROUP BY query_id
-         |)
-         |SELECT ks.query_id, CAST(ks.k AS INTEGER) AS k,
-         |       CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
-         |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ks.k, 4) AS recall
-         |FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
-         |ORDER BY ks.query_id""".stripMargin)
+    // integer distances) — the approx side embeds q_topk_pq's serve
+    // SQL (widened only in its query CTE), so the eval replays from
+    // the already-hash-checked ranking
+    "q_pq_recall" -> recallSql(
+      exactLatticeTruthSqlN(graft.Queries.RecallQueryCount),
+      topkPqSqlN(graft.Queries.RecallQueryCount)))
+
+  /** Exact int8-lattice squared-L2 top-5 truth over the first `nQ`
+    * queries (pure integer distances) — the truth side of the PQ-tier
+    * recall rows. */
+  private def exactLatticeTruthSqlN(nQ: Int): String =
+    s"""WITH lqv AS (
+       |  SELECT vec_id,
+       |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+       |              ELSE list_transform(embedding,
+       |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER))
+       |         END AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+       |        FROM embeddings)
+       |), lqs AS (
+       |  SELECT vec_id AS query_id, qv AS qq FROM lqv WHERE vec_id < $nQ
+       |), ld AS (
+       |  SELECT q.query_id, v.vec_id,
+       |         list_sum(list_transform(generate_series(1, 64),
+       |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2
+       |  FROM lqv v CROSS JOIN lqs q
+       |)
+       |SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY l2, vec_id) AS rn
+       |  FROM ld) WHERE rn <= 5""".stripMargin
+
+  /** Shared recall-row SQL: per-query recall@k of `approxSql` vs
+    * `truthSql` plus the micro-averaged tier mean on every row — the
+    * DuckDB twin of Queries.recallFrame. */
+  private def recallSql(truthSql: String, approxSql: String): String =
+    s"""WITH truth AS (
+       |  SELECT query_id, vec_id FROM ($truthSql) t
+       |), approx AS (
+       |  SELECT query_id, vec_id FROM ($approxSql) a
+       |), hits AS (
+       |  SELECT t.query_id, count(*) AS n_hit
+       |  FROM truth t
+       |  JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |  GROUP BY t.query_id
+       |), ks AS (
+       |  SELECT query_id, count(*) AS k FROM truth GROUP BY query_id
+       |), tot AS (
+       |  SELECT CAST(sum(coalesce(h.n_hit, 0)) AS INTEGER) AS total_hit,
+       |         CAST(sum(ks.k) AS INTEGER) AS total_k
+       |  FROM ks LEFT JOIN hits h ON h.query_id = ks.query_id
+       |)
+       |SELECT ks.query_id, CAST(ks.k AS INTEGER) AS k,
+       |       CAST(coalesce(h.n_hit, 0) AS INTEGER) AS n_hit,
+       |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ks.k, 4) AS recall,
+       |       t.total_hit, t.total_k,
+       |       round(CAST(t.total_hit AS DOUBLE) / t.total_k, 4) AS mean_recall
+       |FROM ks
+       |LEFT JOIN hits h ON h.query_id = ks.query_id
+       |CROSS JOIN tot t
+       |ORDER BY ks.query_id""".stripMargin
 }

@@ -357,6 +357,19 @@ object BpeLite {
       }
       .toVector
 
+  /** The COMMITTED real-vocab fixture (resources `graft/bpe/
+    * merges.txt`, standard merges.txt format) through [[parseMerges]]
+    * — the single source of truth for the q_bpe_real_vocab oracle
+    * row: the engine encodes under these merges and the DuckDB oracle
+    * replays the very same parsed pairs as injected literals, so a
+    * fixture edit changes both engines or neither. */
+  lazy val fixtureMerges: Vector[Merge] = {
+    val in = getClass.getResourceAsStream("/graft/bpe/merges.txt")
+    require(in != null, "fixture graft/bpe/merges.txt missing from classpath")
+    try parseMerges(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
   /** Column: BPE token count of `textCol` under broadcast merges. */
   def tokenCountCol(merges: Seq[Merge]): Column = {
     val m = merges.toVector
