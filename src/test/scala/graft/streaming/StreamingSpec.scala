@@ -172,6 +172,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("watermarked FILE-source arrival: 3 parquet waves == the MemoryStream replay") {
+    // the production shape of q_events_watermark: readStream over a
+    // directory that receives the SAME deterministic waves the
+    // MemoryStream replay feeds (on-time, late, two advancers), each
+    // followed by processAllAvailable — one micro-batch per wave, so
+    // the watermark bookkeeping is identical and the append-mode
+    // emitted set must equal the replay's row bit for bit. Closes the
+    // r14 "MemoryStream-only" caveat on the watermark evidence.
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val expected = EventStreams.hourlyWatermarkedReplay(ev)
+      .orderBy(col("hour"), col("event_type"))
+      .collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-wave").toString
+    val rows = ev.select(col("event_id"), col("ts"), col("event_type"),
+      col("value"))
+    val maxTs = rows.agg(max(col("ts"))).head.getTimestamp(0)
+    def advFrame(h: Long) = Seq((-1L,
+      new java.sql.Timestamp(maxTs.getTime + h * 3600 * 1000),
+      "__advance", 0.0)).toDF("event_id", "ts", "event_type", "value")
+
+    // wave 1 must be on disk before the stream starts (schema probe)
+    rows.filter(col("event_id") % 3 =!= 0).write.mode("append").parquet(dir)
+    val q = EventStreams.hourlyByTypeStream(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wave_sink").start()
+    try {
+      q.processAllAvailable()
+      rows.filter(col("event_id") % 3 === 0).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      advFrame(72).write.mode("append").parquet(dir); q.processAllAvailable()
+      advFrame(96).write.mode("append").parquet(dir); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wave_sink")
+      .filter(col("event_type") =!= "__advance")
+      .orderBy(col("hour"), col("event_type"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+
   test("stream-stream funnel join: pairs equal batch; past-horizon rows drop") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
