@@ -1396,14 +1396,19 @@ object Queries {
       if (giants.isEmpty) perRow(docs)
       else perRow(docs.filter( // null n_chars routes per-row, not dropped
           graft.text.chunk.DocSplit.subThreshold(col("n_chars"), splitChars)))
-        .unionByName(giants
-          .join(graft.text.BpeLite.tokenCountsExploded(giants, merges),
+        // BOTH giant counts ride one whitespace-snapped piece fan-out
+        // ([[graft.text.BpeLite.giantSignals]]): the r14 row-skew
+        // residual was two SERIAL single-task passes over the giant
+        // (the 7 M-word split array and the full-text regex count),
+        // not the merge loop
+        .unionByName(giants.select(col("doc_id"))
+          .join(graft.text.BpeLite.giantSignals(giants, merges),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_bpe_tokens"), lit(0)).as("n_bpe_tokens"),
             // null text == empty text, both branches (a null-text row
             // can still land HERE when a caller supplies n_chars)
-            coalesce(Tok.tokenCount(col("text")), lit(0)).as("n_regex_tokens"),
+            coalesce(col("n_regex_tokens"), lit(0)).as("n_regex_tokens"),
             lit(mergesStr).as("merges")))
     out.sortedOnce(tag)(col("doc_id"))
   }

@@ -148,12 +148,41 @@ object BpeLite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /** Giant routing threshold for the word-stream piece split — above
+    * this, `split(text)` builds a multi-million-element array in ONE
+    * task (the serial tail the r14 row-skew harness measured at
+    * 11.3 s for q_bpe_tokens' 50 MB giant). Same threshold class as
+    * Queries.RepetitionSplitChars. */
+  private[text] val GiantChars = 1L << 21
+  /** Whitespace-snapped piece stride (the q_repetition discipline). */
+  private[text] val PieceChars = 1 << 19
+
+  /** Corpus word stream `(w)` — the per-document `split`+`explode`,
+    * with GIANT documents pre-cut into whitespace-snapped pieces
+    * ([[Tok.wsPieces]]) that REDISTRIBUTE before the per-word
+    * explode, so the 7 M-word array build and the map-side partial
+    * aggregation run partition-parallel instead of in the giant's
+    * single scan task. Cuts land only where the previous char is
+    * whitespace, so the word multiset is exactly the per-row
+    * split's; small documents keep the direct no-exchange path. */
+  private[text] def wordStream(docs: DataFrame, textCol: String): DataFrame = {
+    val len = length(col(textCol))
+    val small = docs.filter(len.isNull || len <= GiantChars)
+      .select(explode(split(col(textCol), s"[${Tok.Ws}]+")).as("w"))
+    val pieceUdf = udf((t: String) => Tok.wsPieces(t, PieceChars))
+    val nsp = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val giant = docs.filter(len > GiantChars)
+      .select(posexplode(pieceUdf(col(textCol))).as(Seq("pi", "p")))
+      .repartition(nsp, col("pi"), col("p"))
+      .select(explode(split(col("p"), s"[${Tok.Ws}]+")).as("w"))
+    small.unionByName(giant).filter(col("w") =!= "")
+  }
+
   /** Distinct-word frequency frame `(syms: array<string>, c: long)`
     * with each word pre-split into single-character symbols — the
     * distributed twin of the `words` map inside [[train]]. */
   private[text] def wordFrame(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(col(textCol), s"[${Tok.Ws}]+")).as("w"))
-      .filter(col("w") =!= "")
+    wordStream(docs, textCol)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(split(col("w"), "").as("syms"), col("c"))
 
@@ -391,11 +420,53 @@ object BpeLite {
       merges: Seq[Merge]): DataFrame = {
     val m = merges.toVector
     val lenUdf = udf((w: String) => encodeWord(w, m).length)
-    docs.select(col("doc_id"), explode(split(col("text"), s"[${Tok.Ws}]+")).as("w"))
+    docPieces(docs)
+      .select(col("doc_id"), explode(split(col("p"), s"[${Tok.Ws}]+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .select(col("doc_id"), (col("c") * lenUdf(col("w"))).as("subw"))
       .groupBy(col("doc_id"))
       .agg(sum(col("subw")).cast("int").as("n_bpe_tokens"))
+  }
+
+  /** Per-document `(doc_id, pi, p)` whitespace-snapped pieces,
+    * redistributed so downstream per-piece kernels parallelize (the
+    * [[wordStream]] giant discipline, doc-keyed). */
+  private def docPieces(docs: DataFrame): DataFrame = {
+    val pieceUdf = udf((t: String) => Tok.wsPieces(t, PieceChars))
+    val nsp = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(col("doc_id"), posexplode(pieceUdf(col("text"))).as(Seq("pi", "p")))
+      .repartition(nsp, col("doc_id"), col("pi"))
+  }
+
+  /** Per-GIANT-document `(doc_id, n_bpe_tokens, n_regex_tokens)` over
+    * ONE shared piece fan-out: the r14 row-skew harness put
+    * q_bpe_tokens' 50 MB giant at 11.3 s — the residual after the
+    * word-exploded encode was two SERIAL single-task passes over the
+    * giant (`split` building the 7 M-word array for the explode, and
+    * the full-text `regexp_extract_all` token count), not the merge
+    * loop. Both now run per piece after a redistribute: words explode
+    * piece-parallel into the distinct-(doc, word) reduce, and the
+    * regex count sums per-piece counts (a token never spans a cut
+    * whose previous char is whitespace — [[Tok.wsPieces]]), so both
+    * numbers are bit-identical to the per-row forms. The piece frame
+    * persists: two consumers, one fan-out. */
+  def giantSignals(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val m = merges.toVector
+    val lenUdf = udf((w: String) => encodeWord(w, m).length)
+    val pieces = graft.io.Caches.persistTracked(docPieces(docs), "bpe.pieces")
+    val regexC = pieces.groupBy(col("doc_id"))
+      .agg(sum(Tok.tokenCount(col("p"))).cast("int").as("n_regex_tokens"))
+    val bpeC = pieces
+      .select(col("doc_id"), explode(split(col("p"), s"[${Tok.Ws}]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), (col("c") * lenUdf(col("w"))).as("subw"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("subw")).cast("int").as("n_bpe_tokens"))
+    regexC.join(bpeC, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bpe_tokens"), lit(0)).as("n_bpe_tokens"),
+        col("n_regex_tokens"))
   }
 }

@@ -150,6 +150,31 @@ object Tok {
     * text yields ONE empty piece, so an explode keeps the document
     * (the explode_outer sentinel contract). One forward pass plus a
     * bounded lookahead probe per cut. */
+  /** Plain whitespace-snapped pieces — [[lookaheadPieces]] without
+    * the lookahead, for kernels whose unit never crosses whitespace
+    * (BPE word counts, regex token counts: a token is an alnum run or
+    * a single non-ws symbol, a word is a non-ws run — neither can
+    * span a cut whose previous char is whitespace). Per-piece results
+    * therefore SUM to the per-row result exactly. Null/empty text
+    * yields ONE empty piece (the explode-keeps-the-document
+    * contract); a whitespace-free run longer than the stride stays
+    * one piece — serial by construction, exact by construction. */
+  def wsPieces(text: String, strideChars: Int): Array[String] = {
+    if (text == null || text.isEmpty) return Array("")
+    val n = text.length
+    val cuts = new scala.collection.mutable.ArrayBuilder.ofInt
+    cuts += 0
+    var pos = 0
+    while (pos < n) {
+      var c = math.min(pos + strideChars, n)
+      while (c < n && !isWsChar(text.charAt(c - 1))) c += 1
+      cuts += c
+      pos = c
+    }
+    val cs = cuts.result()
+    Array.tabulate(cs.length - 1)(i => text.substring(cs(i), cs(i + 1)))
+  }
+
   def lookaheadPieces(text: String, strideChars: Int,
       nLook: Int = 3): Array[LookPiece] = {
     if (text == null || text.isEmpty)
