@@ -41,7 +41,22 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: one fit (rounds+1 scans, nCells·dim driver state),
   * one cell-keyed exchange for the pair join (cell sizes bounded by
   * nCells scaling with corpus, per the paper), pair volume bounded by
-  * cell occupancy, component state bounded by duplicate volume. */
+  * cell occupancy, component state bounded by duplicate volume.
+  *
+  * Duplicate-CLIQUE caveat (r15, measured): a TRUE near-dup cluster
+  * of m members emits Θ(m²) verified pairs in ANY pair-emitting
+  * near-dup design — that is the semantics, not a plan defect (the
+  * pairs exist; star-edges to a bucket leader would silently
+  * under-merge whenever the leader fails ε against a member that
+  * another member passes). The r15 factor-100 probe manufactured
+  * exactly this: ±1%-noised tile replicas sat at cosine ≈ 0.9999,
+  * creating 100-member true cliques and a 726× wall — fixed in the
+  * TILER (per-replica dimension rotation, ScaleStress.tile), because
+  * the fixture was measuring the data's clique structure, not the
+  * plan. On a real corpus the production mitigations are upstream
+  * and orthogonal: exact-dedup first (collapses the worst cliques —
+  * dedup/Dedup.exactDupGroups), then nCells ∝ corpus per the paper.
+  */
 object SemDedup {
 
   /** Per-vector dedup decision over `emb` (`vec_id`, `embedding`):

@@ -101,7 +101,11 @@ object ExplainAudit {
     // cluster-keyed leak-proof split (only (md5, id) shuffles)
     "q_pagerank", "q_split_leakproof",
     // r14: the new oracle rows + the rewritten giant-branch shapes
-    "q_retrieval_metrics", "q_dup_containment", "q_html_extract")
+    "q_retrieval_metrics", "q_dup_containment", "q_html_extract",
+    // r15: the external-vocab encode (shared routing with
+    // q_bpe_tokens) and the widened 20-query recall eval (serve +
+    // brute truth + micro-averaged mean via a 1-row broadcast)
+    "q_bpe_real_vocab", "q_ann_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -92,15 +92,31 @@ object ScaleStress {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    // Per-replica DIMENSION ROTATION + ±1% seeded noise. The noise
+    // alone (the pre-r15 form) left replicas at cosine ≈ 0.9999 to
+    // their base — genuine SEMANTIC near-dups — so every
+    // embedding-near-dup query inherited factor-sized TRUE dup
+    // cliques and an O(factor²) pair volume that measured the data,
+    // not the plan (q_semdedup read 726× at factor 100 — a breach
+    // manufactured entirely by the fixture, the embedding twin of
+    // the text-perturbation rationale above). Rotating the dimension
+    // order by r (mod dim) drops cross-replica cosine to the
+    // corpus's random-pair level (~0.5 here); replicas dim apart
+    // share a rotation but differ by the noise, so residual clique
+    // size is bounded by ⌈factor/dim⌉, not factor. Replica 0 keeps
+    // the original vectors byte-for-byte.
+    // Cast back to array<float>: the noise division promotes to
+    // double, and a tiled dir must be a schema-exact drop-in
+    // (float-strict expressions like FloatVecDot reject doubles).
     emb.crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("r") * IdStride).as("vec_id"),
-        // ±1% seeded noise so replicas aren't exact-duplicate vectors
-        // cast back to array<float>: the noise division promotes to
-        // double, and a tiled dir must be a schema-exact drop-in
-        // (float-strict expressions like FloatVecDot reject doubles)
         when(col("r") === 0, col("embedding")).otherwise(
-          zip_with(col("embedding"),
+          zip_with(
+            transform(sequence(lit(0), size(col("embedding")) - 1),
+              i => element_at(col("embedding"),
+                (pmod(i + col("r"), size(col("embedding"))) + 1)
+                  .cast("int"))),
             transform(sequence(lit(0), size(col("embedding")) - 1),
               i => ((pmod(xxhash64(col("vec_id"), col("r"), i), lit(1000))
                 - 500).cast("float") / lit(50000f))),
