@@ -547,6 +547,53 @@ object Oracles {
        |  FROM embeddings WHERE vec_id < 40
        |), $qvtCte""".stripMargin
 
+  /** SemDeDup replay over a given coarse-fit chain: planted-twin
+    * lattice ([[semLatticeCte]]), the bounded k-means chain (c0..a3
+    * — unused serve CTEs are never evaluated), the exact integer
+    * ε²=361/400 threshold on intra-cell pairs, recursive min-label
+    * closure, smallest-id keeper. Every arithmetic step is integer.
+    * Parameterized over the coarse CTE so the fixed-8-cell row
+    * (q_semdedup) and the √n scale-geometry row (q_semdedup_scaled)
+    * share one replay verbatim. */
+  private def semDedupSqlOver(coarseCte: String): String =
+    s"""WITH RECURSIVE $semLatticeCte
+       |, $coarseCte
+       |, nrm AS (
+       |  SELECT vec_id,
+       |         CAST(list_sum(list_transform(qv,
+       |           x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nn
+       |  FROM qvt
+       |), sp AS (
+       |  SELECT a, b FROM (
+       |    SELECT x.vec_id AS a, y.vec_id AS b, nx.nn AS na, ny.nn AS nb,
+       |           CAST(list_sum(list_transform(generate_series(1, 64),
+       |             i -> CAST(vx.qv[i] AS BIGINT) * vy.qv[i])) AS BIGINT) AS dot
+       |    FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |    JOIN qvt vx ON vx.vec_id = x.vec_id
+       |    JOIN qvt vy ON vy.vec_id = y.vec_id
+       |    JOIN nrm nx ON nx.vec_id = x.vec_id
+       |    JOIN nrm ny ON ny.vec_id = y.vec_id)
+       |  WHERE dot > 0 AND 400 * dot * dot >= 361 * na * nb
+       |), e AS (
+       |  SELECT a, b FROM sp UNION SELECT b, a FROM sp
+       |), reach AS (
+       |  SELECT a AS node, a AS x FROM (SELECT DISTINCT a FROM e)
+       |  UNION
+       |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.x
+       |), comp AS (
+       |  SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+       |), labeled AS (
+       |  SELECT q.vec_id, s.cell,
+       |         coalesce(c.cluster_id, q.vec_id) AS cluster_id
+       |  FROM qvt q JOIN a3 s ON s.vec_id = q.vec_id
+       |  LEFT JOIN comp c ON c.node = q.vec_id
+       |)
+       |SELECT vec_id, cell, cluster_id,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
+       |       CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM labeled
+       |ORDER BY vec_id""".stripMargin
+
   /** IVF coarse chain (mirrors Ivf.boundedIndex + Ivf.probe): seed
     * centroids `c0`, two unrolled exact-integer update rounds, final
     * assignment `a3`, float-cast centroids `gc`, raw queries `qs`,
@@ -557,8 +604,11 @@ object Oracles {
   /** [[ivfCoarseCte]] with a parameterized query set (`vec_id < nQ`)
     * — the recall rows judge [[graft.Queries.RecallQueryCount]]
     * queries over the SAME fit/probe chain the 3-query serve rows
-    * hash-check. */
-  private def ivfCoarseCteN(nQ: Int): String = {
+    * hash-check. `seedSql` is the cell-count expression the seed CTE
+    * compares vec_id against — a literal for the fixed-geometry rows,
+    * a scalar subquery (corpus-proportional) for q_semdedup_scaled;
+    * the assign/update rounds are cell-count-agnostic. */
+  private def ivfCoarseCteN(nQ: Int, seedSql: String = "8"): String = {
     // one assignment CTE per round: argmin over the given centroid
     // CTE by (ordered-fold distance, cell)
     def assignCte(name: String, centCte: String) =
@@ -590,7 +640,7 @@ object Oracles {
     s"""c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |         list_transform(qv, x -> CAST(x AS DOUBLE)) AS cent
-       |  FROM qvt WHERE vec_id < 8
+       |  FROM qvt WHERE vec_id < ($seedSql)
        |), ${assignCte("a1", "c0")}
        |, ${updateCte("s1", "c1", "a1", "c0")}
        |, ${assignCte("a2", "c1")}
@@ -689,9 +739,7 @@ object Oracles {
 
   /** [[pqFitCte]] + the full-corpus ADC ranking (`pqscored`,
     * `pqranked`) — the serve shape of q_topk_pq and the rerank
-    * shortlist. */
-  private lazy val pqRankedCte: String = pqRankedCteN(3)
-
+    * shortlist, parameterized over the query-set size. */
   private def pqRankedCteN(nQ: Int): String =
     s"""${pqFitCteN(nQ)}
        |, pqscored AS (
@@ -752,6 +800,31 @@ object Oracles {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, adc_dist
        |FROM pqranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ADC-shortlist + exact-lattice rerank parameterized over the
+    * query-set size — nQ=3 IS the q_topk_pq_rerank catalog row; the
+    * recall row embeds the [[graft.Queries.RecallQueryCount]] form of
+    * the identical SQL. Mirrors Pq.adcRerankTopK (served from the
+    * saved codes, bit-identical by the lossless round-trip). */
+  private def topkPqRerankSqlN(nQ: Int): String =
+    s"""WITH $latticeCte
+       |, ${pqRankedCteN(nQ)}
+       |, sl AS (
+       |  SELECT query_id, vec_id FROM pqranked WHERE rank <= 40
+       |), rr AS (
+       |  SELECT s.query_id, s.vec_id,
+       |         list_sum(list_transform(generate_series(1, 64),
+       |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2_dist
+       |  FROM sl s
+       |  JOIN qvt v ON v.vec_id = s.vec_id
+       |  JOIN pqs q ON q.query_id = s.query_id
+       |)
+       |SELECT query_id, rank, vec_id, CAST(l2_dist AS BIGINT) AS l2_dist FROM (
+       |  SELECT query_id, vec_id, l2_dist,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY l2_dist, vec_id) AS INTEGER) AS rank
+       |  FROM rr
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def topkIvfpqSqlN(nQ: Int): String =
     s"""WITH $latticeCte
@@ -1219,44 +1292,17 @@ object Oracles {
     // CTEs are never evaluated), the exact integer ε²=361/400
     // threshold on intra-cell pairs, recursive min-label closure,
     // smallest-id keeper. Every arithmetic step is integer.
-    "q_semdedup" ->
-      s"""WITH RECURSIVE $semLatticeCte
-         |, $ivfCoarseCte
-         |, nrm AS (
-         |  SELECT vec_id,
-         |         CAST(list_sum(list_transform(qv,
-         |           x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS nn
-         |  FROM qvt
-         |), sp AS (
-         |  SELECT a, b FROM (
-         |    SELECT x.vec_id AS a, y.vec_id AS b, nx.nn AS na, ny.nn AS nb,
-         |           CAST(list_sum(list_transform(generate_series(1, 64),
-         |             i -> CAST(vx.qv[i] AS BIGINT) * vy.qv[i])) AS BIGINT) AS dot
-         |    FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
-         |    JOIN qvt vx ON vx.vec_id = x.vec_id
-         |    JOIN qvt vy ON vy.vec_id = y.vec_id
-         |    JOIN nrm nx ON nx.vec_id = x.vec_id
-         |    JOIN nrm ny ON ny.vec_id = y.vec_id)
-         |  WHERE dot > 0 AND 400 * dot * dot >= 361 * na * nb
-         |), e AS (
-         |  SELECT a, b FROM sp UNION SELECT b, a FROM sp
-         |), reach AS (
-         |  SELECT a AS node, a AS x FROM (SELECT DISTINCT a FROM e)
-         |  UNION
-         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.x
-         |), comp AS (
-         |  SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
-         |), labeled AS (
-         |  SELECT q.vec_id, s.cell,
-         |         coalesce(c.cluster_id, q.vec_id) AS cluster_id
-         |  FROM qvt q JOIN a3 s ON s.vec_id = q.vec_id
-         |  LEFT JOIN comp c ON c.node = q.vec_id
-         |)
-         |SELECT vec_id, cell, cluster_id,
-         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
-         |       CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS INTEGER) AS keep
-         |FROM labeled
-         |ORDER BY vec_id""".stripMargin,
+    "q_semdedup" -> semDedupSqlOver(ivfCoarseCte),
+
+    // SemDeDup at the SCALE geometry: identical replay, but the
+    // bounded k-means seeds greatest(8, floor(sqrt(n))) cells from a
+    // scalar subquery over the same augmented corpus — the
+    // cost-balanced cell count (assignment n·c + intra-cell pairs
+    // ~n²/c is minimized at c ≈ √n when assignment is exact argmin),
+    // replayed identically by both engines because IEEE sqrt/floor
+    // are exactly rounded
+    "q_semdedup_scaled" -> semDedupSqlOver(ivfCoarseCteN(3,
+      "SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM qvt")),
 
     // incremental SemDeDup: the history k-means chain (shared CTEs),
     // batch derivation (planted twins / reversed fresh / reversed+
@@ -2623,7 +2669,7 @@ object Oracles {
     // with lowest-code ties, serve = ADC (per-query m×k distance
     // table, ascending-dimension and ascending-subspace double
     // folds). Mirrors Pq.boundedTrain + Pq.encode + Pq.adcTopK op
-    // for op; pqRankedCte is shared with the rerank row's shortlist.
+    // for op; pqRankedCteN is shared with the rerank row's shortlist.
     "q_topk_pq" -> topkPqSqlN(3),
 
     // ADC-shortlist + exact-lattice rerank — the standard production
@@ -2631,25 +2677,7 @@ object Oracles {
     // proposes `shortlist` candidates per query, then ONLY those are
     // re-scored with the exact integer L2 on the full lattice
     // vectors. Mirrors Pq.adcRerankTopK.
-    "q_topk_pq_rerank" ->
-      s"""WITH $latticeCte
-         |, $pqRankedCte
-         |, sl AS (
-         |  SELECT query_id, vec_id FROM pqranked WHERE rank <= 40
-         |), rr AS (
-         |  SELECT s.query_id, s.vec_id,
-         |         list_sum(list_transform(generate_series(1, 64),
-         |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2_dist
-         |  FROM sl s
-         |  JOIN qvt v ON v.vec_id = s.vec_id
-         |  JOIN pqs q ON q.query_id = s.query_id
-         |)
-         |SELECT query_id, rank, vec_id, CAST(l2_dist AS BIGINT) AS l2_dist FROM (
-         |  SELECT query_id, vec_id, l2_dist,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY l2_dist, vec_id) AS INTEGER) AS rank
-         |  FROM rr
-         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_topk_pq_rerank" -> topkPqRerankSqlN(3),
 
     // RESIDUAL IVFPQ: the PQ chain rides `rqt` — each vector's
     // ×8-lattice residual against its coarse centroid (×8 is a power
@@ -4490,7 +4518,15 @@ object Oracles {
     // the already-hash-checked ranking
     "q_pq_recall" -> recallSql(
       exactLatticeTruthSqlN(graft.Queries.RecallQueryCount),
-      topkPqSqlN(graft.Queries.RecallQueryCount)))
+      topkPqSqlN(graft.Queries.RecallQueryCount)),
+
+    // rerank-funnel recall vs the same exact lattice truth — the
+    // number showing shortlist(40)→exact-rerank recovers the recall
+    // flat ADC loses to codebook approximation (the production
+    // answer to q_pq_recall's partial recall)
+    "q_pq_rerank_recall" -> recallSql(
+      exactLatticeTruthSqlN(graft.Queries.RecallQueryCount),
+      topkPqRerankSqlN(graft.Queries.RecallQueryCount)))
 
   /** Exact int8-lattice squared-L2 top-5 truth over the first `nQ`
     * queries (pure integer distances) — the truth side of the PQ-tier

@@ -766,10 +766,8 @@ object Queries {
 
   def q_topk_pq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val (_, books, _) = pqEnsured(s, dir)
-    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
-    vector.Pq.adcTopK(vector.Pq.encode(quantized, books), books,
-        pqQueries(emb), 5)
+    val (codes, books, _) = pqEnsured(s, dir)
+    vector.Pq.adcTopK(codes, books, pqQueries(emb), 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -781,9 +779,9 @@ object Queries {
     * ADC ([[q_pq_recall]]) is partial. */
   def q_topk_pq_rerank(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val (_, books, _) = pqEnsured(s, dir)
+    val (codes, books, _) = pqEnsured(s, dir)
     val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
-    vector.Pq.adcRerankTopK(vector.Pq.encode(quantized, books), books,
+    vector.Pq.adcRerankTopK(codes, books,
         quantized, pqQueries(emb), 5, shortlist = 40)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -898,14 +896,35 @@ object Queries {
   def q_pq_recall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb, RecallQueryCount)
-    val (_, books, _) = pqEnsured(s, dir)
+    val (codes, books, _) = pqEnsured(s, dir)
     val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
     val truth = vector.Pq.exactTopK(quantized, queries, 5)
       .select(col("query_id"), col("vec_id"))
     val approx = vector.Pq
-      .adcTopK(vector.Pq.encode(quantized, books), books, queries, 5)
+      .adcTopK(codes, books, queries, 5)
       .select(col("query_id"), col("vec_id"))
     recallFrame(truth, approx, "q_pq_recall")
+  }
+
+  /** Recall@5 of the ADC-shortlist + exact-rerank serve
+    * ([[q_topk_pq_rerank]], shortlist=40) against the exact lattice
+    * truth — the committed number showing the production funnel
+    * recovers the recall that flat ADC ([[q_pq_recall]]) loses to
+    * codebook approximation: a true neighbor only gets lost if ADC
+    * ranks it below 40 of 6144, so the rerank recall sits near 1
+    * where pure ADC is partial. Same 20-query composed-oracle shape
+    * as the other recall rows; serve reads the SAVED codes. */
+  def q_pq_rerank_recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = pqQueries(emb, RecallQueryCount)
+    val (codes, books, _) = pqEnsured(s, dir)
+    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
+    val truth = vector.Pq.exactTopK(quantized, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = vector.Pq
+      .adcRerankTopK(codes, books, quantized, queries, 5, shortlist = 40)
+      .select(col("query_id"), col("vec_id"))
+    recallFrame(truth, approx, "q_pq_rerank_recall")
   }
 
   // ===== tabular surface (P/A/O/F series) =====
@@ -3359,6 +3378,33 @@ object Queries {
     val corpus = semDedupCorpus(t(s, dir, "embeddings"))
     val path = vector.Ivf.ensureSavedBoundedIndex(corpus, nCells = 8,
       rounds = 2, cacheKey = s"semdedup-$dir",
+      epoch = tableEpoch(s, dir, "embeddings"))
+    val (assigned, _) = vector.Ivf.loadIndex(s, path)
+    graft.dedup.SemDedup.semanticDedupAssigned(assigned)
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[q_semdedup]] at the SCALE geometry — the oracle-checked row
+    * for the production cell count instead of the fixed-8 fixture
+    * geometry: nCells = max(8, ⌊√n⌋) over the augmented corpus. With
+    * exact argmin assignment the total cost (assignment n·c +
+    * intra-cell pairs ~n²/c) is minimized at c ≈ √n, and the
+    * SCALE_STRESS `semdedup_cells` ladder confirms the shape on the
+    * 100× tile (8 cells 622 s → 800 cells 15.0 s; √n there is ~710).
+    * Both engines derive the count from the same table and IEEE
+    * sqrt/floor are exactly rounded, so the geometry — and therefore
+    * every k-means round, pair decision, and closure label — replays
+    * bit-identically. SemDeDup's paper geometry (nCells ∝ n) makes
+    * the pair stage linear but the exact assignment quadratic; √n is
+    * the balanced exact-assignment point, and an approximate
+    * assigner (itself an ANN serve) is what buys ∝ n at extreme
+    * scale. */
+  def q_semdedup_scaled(s: SparkSession, dir: String): DataFrame = {
+    val corpus = semDedupCorpus(t(s, dir, "embeddings"))
+    val nCells = math.max(8,
+      math.floor(math.sqrt(corpus.count().toDouble)).toInt)
+    val path = vector.Ivf.ensureSavedBoundedIndex(corpus, nCells = nCells,
+      rounds = 2, cacheKey = s"semdedup-scaled-$dir",
       epoch = tableEpoch(s, dir, "embeddings"))
     val (assigned, _) = vector.Ivf.loadIndex(s, path)
     graft.dedup.SemDedup.semanticDedupAssigned(assigned)

@@ -259,9 +259,13 @@ object Dedup {
     * (SPILL_BENCH r14 peak_exec 10998 MB starved; factor-10 min-ratio
     * 3.29×, the one super-linear number). DuckDB replays the identical
     * hash (`CAST('0x'||substr(md5(s),1,15) AS BIGINT)`), so parity is
-    * by construction; a 60-bit collision would have to land INSIDE a
-    * single document's distinct shingle set to change any count, and
-    * even then both engines would agree on the collided value.
+    * by construction — both engines replay the identical hash, so
+    * they agree row for row even on a collided value. A collision
+    * ANYWHERE can perturb the semantics slightly (two distinct
+    * shingles colliding across documents inflates their exact
+    * intersection, and can inflate a shingle's df in the rare-shingle
+    * index, suppressing a candidate pair); the safety argument is the
+    * 2^-60 per-pair collision probability, not structural immunity.
     *
     * Emits one row per candidate pair (doc_a < doc_b) with both
     * directional containments and the `is_contained` decision at

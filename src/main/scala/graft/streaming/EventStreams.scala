@@ -183,22 +183,31 @@ object EventStreams {
     ss.catalog.dropTempView(sink)
     val q = agg.writeStream.outputMode("append")
       .format("memory").queryName(sink).start()
-    try {
+    val emitted = try {
       mem.addData(onTime); q.processAllAvailable()
       if (late.nonEmpty) { mem.addData(late); q.processAllAvailable() }
       mem.addData(adv(72)); q.processAllAvailable()
       mem.addData(adv(96)); q.processAllAvailable()
+      ss.table(sink).filter(col("event_type") =!= "__advance").collect()
     } finally q.stop()
-    ss.table(sink).filter(col("event_type") =!= "__advance")
+    // hand the result back as a PARENT-session local DataFrame and
+    // drop the child's memory-sink view: repeated invocations
+    // (min-of-3 bench, determinism sweeps) must not accumulate live
+    // sessions or retained sink rows — after this the child session
+    // holds no registered state and is unreachable once we return
+    ss.catalog.dropTempView(sink)
+    spark.createDataFrame(
+      java.util.Arrays.asList(emitted: _*), agg.schema)
   }
 
   /** Structured Streaming form of [[hourlyByType]]: parquet-backed
     * stream with a watermark over a directory of (µs-timestamped)
     * event parquet. The caller starts/controls the query (memory sink
     * in tests). */
-  def hourlyByTypeStream(spark: SparkSession, path: String): DataFrame = {
+  def hourlyByTypeStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema)
+    spark.readStream.schema(schema).options(options)
       .parquet(path)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

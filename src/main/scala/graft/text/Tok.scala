@@ -160,6 +160,7 @@ object Tok {
     * contract); a whitespace-free run longer than the stride stays
     * one piece — serial by construction, exact by construction. */
   def wsPieces(text: String, strideChars: Int): Array[String] = {
+    require(strideChars >= 1, s"strideChars must be >= 1, got $strideChars")
     if (text == null || text.isEmpty) return Array("")
     val n = text.length
     val cuts = new scala.collection.mutable.ArrayBuilder.ofInt

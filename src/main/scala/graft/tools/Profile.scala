@@ -419,6 +419,58 @@ object Profile {
             noop(graft.Queries.q_semdedup_incremental(spark, sfDir))
             graft.io.Caches.clearAll(spark)
           }
+      case "rowskew2" =>
+        // r16: attribute the two worst giant ratios (q_repetition
+        // 5.71×, q_html_extract 5.66× at the 50 MB giant) stage by
+        // stage — the q_bpe_tokens method: find the serial pass.
+        val dir50 = time("build 50MB giant-only corpus") {
+          ScaleStress.skewDir(spark, sfDir, 50, giantOnly = true)
+        }
+        val docs = Tables.documents(spark, dir50)
+        // --- q_repetition stages ---
+        val pieceUdf = udf((text: String) =>
+          Tok.lookaheadPieces(text, 1 << 19, 3))
+        val nsp = spark.sessionState.conf.numShufflePartitions
+        val cut = docs.filter(col("n_chars") > (1L << 21))
+          .select(col("doc_id"),
+            posexplode(pieceUdf(col("text"))).as(Seq("p", "pc")))
+        for (i <- 1 to 2)
+          time(s"rep: cut+explode $i") { noop(cut) }
+        val shuffled = cut.repartition(nsp, col("doc_id"), col("p"))
+        for (i <- 1 to 2)
+          time(s"rep: cut+shuffle $i") { noop(shuffled) }
+        val grams = shuffled
+          .select(col("doc_id"),
+            Tok.tokens(col("pc.piece")).as("ts"), col("pc.look").as("look"))
+          .select(col("doc_id"), concat(col("ts"), col("look")).as("pts"),
+            size(col("ts")).as("valid"))
+          .select(col("doc_id"),
+            explode_outer(graft.text.StrExpr.partGramCounts(
+              col("pts"), col("valid"))).as("g"))
+        for (i <- 1 to 2)
+          time(s"rep: +tokenize+grams $i") { noop(grams) }
+        for (i <- 1 to 2)
+          time(s"rep: full q_repetition $i") {
+            noop(graft.Queries.q_repetition(spark, dir50))
+            graft.io.Caches.clearAll(spark)
+          }
+        // --- q_html_extract stages ---
+        val page = docs
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            concat(lit("<html><body><p>"), col("text"),
+              lit("</p></body></html>")).as("html"))
+        val hcut = page.filter(col("n_chars") > graft.textan.Html.PageSplitChars)
+          .select(col("doc_id"), posexplode(udf((h: String) =>
+            graft.textan.Html.pageCutOffsets(h, 1 << 20).map {
+              case (s, e) => h.substring(s, e) })
+            .apply(col("html"))).as(Seq("pi", "pc")))
+        for (i <- 1 to 2)
+          time(s"html: cut+explode $i") { noop(hcut) }
+        for (i <- 1 to 2)
+          time(s"html: full q_html_extract $i") {
+            noop(graft.Queries.q_html_extract(spark, dir50))
+            graft.io.Caches.clearAll(spark)
+          }
       case other =>
         System.err.println(s"unknown profile target: $other")
     }

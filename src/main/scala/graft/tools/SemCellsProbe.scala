@@ -27,7 +27,7 @@ object SemCellsProbe {
     val factor = if (args.length > 1) args(1).toInt else 100
     val cellsLadder: Seq[Int] =
       if (args.length > 2) args(2).split(",").map(_.trim.toInt).toSeq
-      else Seq(8, 8 * factor / 10, 8 * factor)
+      else Seq(8, 8 * factor / 10, 8 * factor).map(math.max(1, _))
     val outFile =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "SCALE_STRESS.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -214,6 +214,113 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("maxFilesPerTrigger=1: per-FILE micro-batches + out-of-order file arrival == MemoryStream replay of the same batch sequence") {
+    // r15's file-source test fed one file per wave, so one wave == one
+    // micro-batch by construction. This pins the stronger claim: with
+    // maxFilesPerTrigger=1 the source carves PENDING files into
+    // single-file micro-batches in MODIFICATION-TIME order (oldest
+    // first) — not arrival/write order — and the watermark bookkeeping
+    // under that finer, re-ordered batching still matches a
+    // MemoryStream replay of the identical batch sequence bit for bit.
+    // The late chunk lands on disk AFTER the second on-time chunk but
+    // with an OLDER mtime, so processing order ≠ write order.
+    //
+    // No-data micro-batches are disabled for BOTH paths: the late-data
+    // admission filter runs one batch behind the watermark the
+    // progress/offsets report, so an extra no-data batch between two
+    // data batches changes which rows are admitted (measured here:
+    // processAllAvailable interleaves them, Trigger.AvailableNow does
+    // not, and one borderline-late row diverged). With them off, both
+    // engines execute the IDENTICAL five-batch sequence.
+    import spark.implicits._
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val noDataPrev = spark.conf.get(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    try {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val maxTs = rows.agg(max(col("ts"))).head.getTimestamp(0)
+    def adv(h: Long) = Seq((-1L,
+      new java.sql.Timestamp(maxTs.getTime + h * 3600 * 1000),
+      "__advance", 0.0)).toDF("event_id", "ts", "event_type", "value")
+    val onA = rows.filter(col("event_id") % 3 =!= 0 && col("event_id") % 2 === 0)
+    val lateC = rows.filter(col("event_id") % 3 === 0)
+    val onB = rows.filter(col("event_id") % 3 =!= 0 && col("event_id") % 2 =!= 0)
+    // batch sequence both sides must replay: onA | lateC | onB | advancers
+    val chunks = Seq(onA, lateC, onB, adv(72), adv(96))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+    val mq = agg.writeStream.outputMode("append")
+      .format("memory").queryName("mft_mem").start()
+    try {
+      chunks.foreach { c =>
+        mem.addData(c.as[(Long, java.sql.Timestamp, String, Double)]
+          .collect().toSeq)
+        mq.processAllAvailable()
+      }
+    } finally mq.stop()
+    val expected = spark.table("mft_mem")
+      .filter(col("event_type") =!= "__advance")
+      .orderBy(col("hour"), col("event_type"))
+      .collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+
+    // one parquet part file per chunk, mtime pinned per chunk. Files
+    // land only while NO query is running (a live stream polls
+    // continuously and would list a file the instant it is written,
+    // before its mtime pin); each arrival state is then drained by an
+    // AvailableNow run restarting from one shared checkpoint, so the
+    // watermark carries across runs exactly like batches of one query.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mft").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mft-ck").toString
+    def land(df: org.apache.spark.sql.DataFrame, mtimeMs: Long): Unit = {
+      df.coalesce(1).write.mode("append").parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet"))
+        .maxBy(_.lastModified())
+      assert(part.setLastModified(mtimeMs))
+    }
+    // a parquet FILE sink (not memory: it can't recover from a
+    // checkpoint) accumulates the emitted set exactly-once across the
+    // restarts via its _spark_metadata log
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-mft-out").toString
+    def runAvailable(): Unit = {
+      val q = EventStreams
+        .hourlyByTypeStream(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val t0 = System.currentTimeMillis()
+    land(onA, t0 - 600000)
+    runAvailable()
+    // out-of-order arrival: onB hits the disk FIRST but carries the
+    // NEWER mtime; the source must batch lateC's file before it
+    land(onB, t0 - 300000)
+    land(lateC, t0 - 400000)
+    runAvailable()
+    land(adv(72), t0 - 200000); runAvailable()
+    land(adv(96), t0 - 100000); runAvailable()
+    val got = spark.read.parquet(sinkDir)
+      .filter(col("event_type") =!= "__advance")
+      .orderBy(col("hour"), col("event_type"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+    } finally spark.conf.set(noDataKey, noDataPrev)
+  }
+
   test("stream-stream funnel join: pairs equal batch; past-horizon rows drop") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
