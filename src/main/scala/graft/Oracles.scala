@@ -810,7 +810,8 @@ object Oracles {
     s"""WITH $latticeCte
        |, ${pqRankedCteN(nQ)}
        |, sl AS (
-       |  SELECT query_id, vec_id FROM pqranked WHERE rank <= 40
+       |  SELECT query_id, vec_id FROM pqranked
+       |  WHERE rank <= ${graft.Queries.PqRerankShortlist}
        |), rr AS (
        |  SELECT s.query_id, s.vec_id,
        |         list_sum(list_transform(generate_series(1, 64),

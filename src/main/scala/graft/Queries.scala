@@ -771,18 +771,27 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** PQ shortlist-then-rerank — ADC proposes 40 candidates per query
-    * from the codes-only corpus, then only those 40 rows re-score
-    * with the exact lattice L2 ([[vector.Pq.adcRerankTopK]]). The
-    * production accuracy/memory trade every quantized index serves
-    * behind; its recall against the exact truth is near-1 where pure
+  /** The rerank funnel's width, shared verbatim with the oracle SQL
+    * ([[Oracles]] interpolates it) so the two engines cannot drift.
+    * 64 (r16, was 40): on these near-random embeddings ADC ranks true
+    * neighbors poorly (flat recall@5 0.39), and 40 left the funnel at
+    * 0.83; 64 buys ≳0.9 while staying a trivially broadcastable
+    * |queries| × 64 shortlist at any corpus size. */
+  private[graft] val PqRerankShortlist = 64
+
+  /** PQ shortlist-then-rerank — ADC proposes [[PqRerankShortlist]]
+    * candidates per query from the codes-only corpus, then only those
+    * rows re-score with the exact lattice L2
+    * ([[vector.Pq.adcRerankTopK]]). The production accuracy/memory
+    * trade every quantized index serves behind; its recall against
+    * the exact truth ([[q_pq_rerank_recall]]) is near-1 where pure
     * ADC ([[q_pq_recall]]) is partial. */
   def q_topk_pq_rerank(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val (codes, books, _) = pqEnsured(s, dir)
     val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
     vector.Pq.adcRerankTopK(codes, books,
-        quantized, pqQueries(emb), 5, shortlist = 40)
+        quantized, pqQueries(emb), 5, shortlist = PqRerankShortlist)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -907,13 +916,14 @@ object Queries {
   }
 
   /** Recall@5 of the ADC-shortlist + exact-rerank serve
-    * ([[q_topk_pq_rerank]], shortlist=40) against the exact lattice
-    * truth — the committed number showing the production funnel
-    * recovers the recall that flat ADC ([[q_pq_recall]]) loses to
-    * codebook approximation: a true neighbor only gets lost if ADC
-    * ranks it below 40 of 6144, so the rerank recall sits near 1
-    * where pure ADC is partial. Same 20-query composed-oracle shape
-    * as the other recall rows; serve reads the SAVED codes. */
+    * ([[q_topk_pq_rerank]], shortlist = [[PqRerankShortlist]])
+    * against the exact lattice truth — the committed number showing
+    * the production funnel recovers the recall that flat ADC
+    * ([[q_pq_recall]]) loses to codebook approximation: a true
+    * neighbor only gets lost if ADC ranks it below the shortlist
+    * bound, so the rerank recall sits near 1 where pure ADC is
+    * partial. Same 20-query composed-oracle shape as the other
+    * recall rows; serve reads the SAVED codes. */
   def q_pq_rerank_recall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb, RecallQueryCount)
@@ -922,7 +932,8 @@ object Queries {
     val truth = vector.Pq.exactTopK(quantized, queries, 5)
       .select(col("query_id"), col("vec_id"))
     val approx = vector.Pq
-      .adcRerankTopK(codes, books, quantized, queries, 5, shortlist = 40)
+      .adcRerankTopK(codes, books, quantized, queries, 5,
+        shortlist = PqRerankShortlist)
       .select(col("query_id"), col("vec_id"))
     recallFrame(truth, approx, "q_pq_rerank_recall")
   }

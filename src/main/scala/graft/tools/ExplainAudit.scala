@@ -105,7 +105,13 @@ object ExplainAudit {
     // r15: the external-vocab encode (shared routing with
     // q_bpe_tokens) and the widened 20-query recall eval (serve +
     // brute truth + micro-averaged mean via a 1-row broadcast)
-    "q_bpe_real_vocab", "q_ann_recall")
+    "q_bpe_real_vocab", "q_ann_recall",
+    // r16: the flat-PQ family now serves from the SAVED codes (zero
+    // encode jobs above the serve — q_topk_pq's scan should be the
+    // partitioned codes parquet), the rerank-funnel recall row, and
+    // SemDeDup at the √n scale geometry (plan identical to q_semdedup
+    // modulo the cell count baked into the saved-index build)
+    "q_pq_recall", "q_pq_rerank_recall", "q_semdedup_scaled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

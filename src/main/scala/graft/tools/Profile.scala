@@ -427,6 +427,19 @@ object Profile {
           ScaleStress.skewDir(spark, sfDir, 50, giantOnly = true)
         }
         val docs = Tables.documents(spark, dir50)
+        // driver-side DIRECT cutter timings: the pre-split pass is
+        // the one irreducibly serial stage of both kernels
+        val giantTxt = docs.orderBy(col("n_chars").desc)
+          .select(col("text")).head.getString(0)
+        val giantHtml = "<html><body><p>" + giantTxt + "</p></body></html>"
+        for (i <- 1 to 3)
+          time(s"rep: lookaheadPieces(50MB) driver $i") {
+            Tok.lookaheadPieces(giantTxt, 1 << 19, 3).length
+          }
+        for (i <- 1 to 3)
+          time(s"html: pageCutOffsets(50MB) driver $i") {
+            graft.textan.Html.pageCutOffsets(giantHtml, 1 << 20).length
+          }
         // --- q_repetition stages ---
         val pieceUdf = udf((text: String) =>
           Tok.lookaheadPieces(text, 1 << 19, 3))
