@@ -827,9 +827,11 @@ object Oracles {
        |  FROM rr
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  private def topkIvfpqSqlN(nQ: Int): String =
-    s"""WITH $latticeCte
-       |, ${ivfCoarseCteN(nQ)}
+  /** The shared cell-pruned ADC scoring chain of the IVFPQ rows:
+    * coarse probe restricts the scan to probed cells, PQ codes ADC-
+    * score inside them (`ipsc` = (query_id, vec_id, adc_dist)). */
+  private def ivfpqScoredCteN(nQ: Int): String =
+    s"""${ivfCoarseCteN(nQ)}
        |, ${pqFitCteN(nQ)}
        |, ipsc AS (
        |  SELECT p.query_id, a.vec_id,
@@ -840,12 +842,45 @@ object Oracles {
        |  JOIN dt d ON d.query_id = p.query_id
        |    AND d.s = e.s AND d.code = e.code
        |  GROUP BY p.query_id, a.vec_id
-       |)
+       |)""".stripMargin
+
+  private def topkIvfpqSqlN(nQ: Int): String =
+    s"""WITH $latticeCte
+       |, ${ivfpqScoredCteN(nQ)}
        |SELECT query_id, rank, vec_id, adc_dist FROM (
        |  SELECT query_id, vec_id, adc_dist,
        |         CAST(row_number() OVER (PARTITION BY query_id
        |           ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
        |  FROM ipsc
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVFPQ + refine (FAISS IndexRefineFlat over the inverted lists):
+    * the cell-pruned ADC chain proposes the shortlist, the exact
+    * integer lattice L2 re-scores it. Mirrors
+    * Pq.adcTopKIndexed(shortlist) → Pq.exactRerank. */
+  private def topkIvfpqRerankSqlN(nQ: Int): String =
+    s"""WITH $latticeCte
+       |, ${ivfpqScoredCteN(nQ)}
+       |, isl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY adc_dist, vec_id) AS rank
+       |    FROM ipsc)
+       |  WHERE rank <= ${graft.Queries.PqRerankShortlist}
+       |), rr AS (
+       |  SELECT s.query_id, s.vec_id,
+       |         list_sum(list_transform(generate_series(1, 64),
+       |           j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2_dist
+       |  FROM isl s
+       |  JOIN qvt v ON v.vec_id = s.vec_id
+       |  JOIN pqs q ON q.query_id = s.query_id
+       |)
+       |SELECT query_id, rank, vec_id, CAST(l2_dist AS BIGINT) AS l2_dist FROM (
+       |  SELECT query_id, vec_id, l2_dist,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY l2_dist, vec_id) AS INTEGER) AS rank
+       |  FROM rr
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def topkIvfpqResSqlN(nQ: Int): String =
@@ -2696,6 +2731,11 @@ object Oracles {
     // Pq.adcTopKProbed over Ivf.boundedIndex cells.
     "q_topk_ivfpq" -> topkIvfpqSqlN(3),
 
+    // IVFPQ + refine: cell-pruned ADC shortlist, exact-lattice rerank
+    // — FAISS's IndexRefineFlat over the saved inverted lists.
+    // Mirrors Pq.adcTopKIndexed(PqRerankShortlist) -> Pq.exactRerank.
+    "q_topk_ivfpq_rerank" -> topkIvfpqRerankSqlN(3),
+
     "q_quantize_int8" ->
       """WITH base AS (
         |  SELECT vec_id, embedding,
@@ -4522,12 +4562,20 @@ object Oracles {
       topkPqSqlN(graft.Queries.RecallQueryCount)),
 
     // rerank-funnel recall vs the same exact lattice truth — the
-    // number showing shortlist(40)→exact-rerank recovers the recall
+    // number showing shortlist→exact-rerank recovers the recall
     // flat ADC loses to codebook approximation (the production
     // answer to q_pq_recall's partial recall)
     "q_pq_rerank_recall" -> recallSql(
       exactLatticeTruthSqlN(graft.Queries.RecallQueryCount),
-      topkPqRerankSqlN(graft.Queries.RecallQueryCount)))
+      topkPqRerankSqlN(graft.Queries.RecallQueryCount)),
+
+    // IVFPQ+refine recall — with q_pq_rerank_recall and
+    // q_ivfpq_recall this completes the loss decomposition: refine
+    // recovers the codebook half inside probed cells, the residual
+    // gap to 1.0 is the coarse tier's cell pruning
+    "q_ivfpq_rerank_recall" -> recallSql(
+      exactLatticeTruthSqlN(graft.Queries.RecallQueryCount),
+      topkIvfpqRerankSqlN(graft.Queries.RecallQueryCount)))
 
   /** Exact int8-lattice squared-L2 top-5 truth over the first `nQ`
     * queries (pure integer distances) — the truth side of the PQ-tier

@@ -846,6 +846,53 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVFPQ + refine — FAISS's `IndexRefineFlat` over the saved
+    * inverted lists, the standard production vector serve: the
+    * cell-pruned ADC scan proposes [[PqRerankShortlist]] candidates
+    * per query (reading ONLY probed cell directories of the
+    * compressed codes), then only those rows re-score with the exact
+    * integer lattice L2 ([[vector.Pq.exactRerank]]). Completes the
+    * loss decomposition the recall rows pin: refine recovers the
+    * CODEBOOK half of IVFPQ's loss, while the cell-pruning half is
+    * bounded by the coarse tier's own recall ([[q_ann_recall]]) —
+    * more probes, not a wider shortlist, is the knob for that. */
+  private def ivfpqRerankServe(s: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (codes, books, cents) = pqEnsured(s, dir)
+    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
+    val sl = vector.Pq.adcTopKIndexed(codes, books, cents, queries,
+        PqRerankShortlist, nProbe = 2)
+      .select(col("query_id"), col("vec_id"))
+    vector.Pq.exactRerank(quantized, sl, queries, 5)
+  }
+
+  def q_topk_ivfpq_rerank(s: SparkSession, dir: String): DataFrame =
+    ivfpqRerankServe(s, dir, pqQueries(t(s, dir, "embeddings")))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Recall@5 of the IVFPQ+refine serve vs the exact lattice truth —
+    * with [[q_pq_rerank_recall]] (0.94) and [[q_ivfpq_recall]]
+    * (0.38) this row completes the committed loss decomposition:
+    * refine recovers the codebook half (0.38 → 0.63 at sf0.01), and
+    * the residual gap to 1.0 is pure CELL PRUNING — at 2 probed
+    * cells of 8 over a 500-vector corpus the shortlist (64 of ~125
+    * in-cell candidates) is nearly exhaustive, so 0.63 IS the
+    * nProbe=2 pruning ceiling under the lattice-L2 truth (the 0.77
+    * of [[q_ann_recall]] is the same ceiling under its own
+    * float-cosine truth and probe). More probes, not a wider
+    * shortlist, is the production knob for that half. */
+  def q_ivfpq_rerank_recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = pqQueries(emb, RecallQueryCount)
+    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
+    val truth = vector.Pq.exactTopK(quantized, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ivfpqRerankServe(s, dir, queries)
+      .select(col("query_id"), col("vec_id"))
+    recallFrame(truth, approx, "q_ivfpq_rerank_recall")
+  }
+
   /** RESIDUAL IVFPQ — the authentic FAISS shape: PQ codebooks trained
     * on `vector − coarse centroid` over an ×8 lattice (the scale is a
     * power of two, so every residual step stays exact-replayable),

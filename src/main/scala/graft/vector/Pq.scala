@@ -447,9 +447,20 @@ object Pq {
     * over the shortlist. */
   def adcRerankTopK(encoded: DataFrame, books: Codebooks,
       quantized: DataFrame, queries: DataFrame, k: Int,
-      shortlist: Int): DataFrame = {
-    val sl = adcTopK(encoded, books, queries, shortlist)
-      .select(col("query_id"), col("vec_id"))
+      shortlist: Int): DataFrame =
+    exactRerank(quantized,
+      adcTopK(encoded, books, queries, shortlist)
+        .select(col("query_id"), col("vec_id")),
+      queries, k)
+
+  /** The exact-rerank half of every refine funnel: re-score ONLY the
+    * `(query_id, vec_id)` shortlist rows with the exact integer
+    * lattice L2 and keep the top `k`. The shortlist broadcasts (it is
+    * |queries| × width at any corpus size) and the full-vector table
+    * is touched for shortlist rows only — shared by the flat-PQ
+    * funnel ([[adcRerankTopK]]) and the IVFPQ+refine serve. */
+  def exactRerank(quantized: DataFrame, shortlist: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
       .select(col("query_id"), col("qq"))
     val d = aggregate(
@@ -459,7 +470,7 @@ object Pq {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("l2_dist"), col("vec_id"))
     quantized.select(col("vec_id"), col("qv"))
-      .join(broadcast(sl), "vec_id")
+      .join(broadcast(shortlist), "vec_id")
       .join(broadcast(qs), "query_id")
       .withColumn("l2_dist", d)
       .withColumn("rank", row_number().over(w))
