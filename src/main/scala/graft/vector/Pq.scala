@@ -459,20 +459,27 @@ object Pq {
     * |queries| × width at any corpus size) and the full-vector table
     * is touched for shortlist rows only — shared by the flat-PQ
     * funnel ([[adcRerankTopK]]) and the IVFPQ+refine serve. */
+  /** Exact integer squared L2 via the codegen'd [[IntVecDotL]]:
+    * ‖q−v‖² = q·q + v·v − 2·q·v. Every term is an exact Long sum of
+    * int products, so the value is IDENTICAL to the elementwise
+    * (q_i−v_i)² fold the oracle runs — but the three dots live inside
+    * whole-stage codegen where Catalyst's higher-order-function
+    * lambdas (`zip_with`/`aggregate`) stay interpreted; the truth
+    * pass of every recall row rides this. */
+  private def l2Q(qq: Column, qv: Column): Column =
+    FloatVecExpr.dotI(qq, qq) + FloatVecExpr.dotI(qv, qv) -
+      lit(2L) * FloatVecExpr.dotI(qq, qv)
+
   def exactRerank(quantized: DataFrame, shortlist: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
       .select(col("query_id"), col("qq"))
-    val d = aggregate(
-      zip_with(col("qq"), col("qv"),
-        (x, y) => ((x - y) * (x - y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("l2_dist"), col("vec_id"))
     quantized.select(col("vec_id"), col("qv"))
       .join(broadcast(shortlist), "vec_id")
       .join(broadcast(qs), "query_id")
-      .withColumn("l2_dist", d)
+      .withColumn("l2_dist", l2Q(col("qq"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("l2_dist"))
@@ -485,14 +492,10 @@ object Pq {
       : DataFrame = {
     val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
       .select(col("query_id"), col("qq"))
-    val d = aggregate(
-      zip_with(col("qq"), col("qv"),
-        (x, y) => ((x - y) * (x - y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("l2_dist"), col("vec_id"))
     quantized.select(col("vec_id"), col("qv")).crossJoin(broadcast(qs))
-      .withColumn("l2_dist", d)
+      .withColumn("l2_dist", l2Q(col("qq"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("l2_dist"))
