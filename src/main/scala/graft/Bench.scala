@@ -93,6 +93,12 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
       if (only.isEmpty) "BENCH_LOCAL.json" else "/tmp/bench_filtered.json")
     val prev = prevTimes(outFile)
+    // pre-run host attestation, captured BEFORE the HostCal guard
+    // burns the box with its own 9 timed query runs — the field
+    // exists to carry the PRE-run state (r5/r6 inflated-artifact
+    // history), and until r17 it was read after the guard and so
+    // included the guard's self-inflicted load
+    val loadBefore = loadavg()
     // measurement-of-record guard (r16): a full sweep aimed at
     // BENCH_LOCAL.json first runs the HostCal 3-kernel micro-bench on
     // this very session. If the host is in a slow window (median
@@ -102,11 +108,20 @@ object Bench {
     // BENCH_LOCAL.rejected.json — a loaded rerun can never displace
     // the committed idle measurement again (it did in r15, by the
     // driver's own hand). Override with SPARK_GRAFT_BENCH_FORCE=1.
+    // the gate only has meaning at the baseline's pinned config
+    // (sf0.1, local[32]): under any other sf/cpus the measured walls
+    // are incommensurable with HostCal.Baseline and the redirect
+    // would mis-fire silently (always trips at fewer cores, never at
+    // a smaller sf) — skip the guard and stamp the mismatch instead
+    val gateConfigOk = sfDir.endsWith("sf0.1") && cpus == "32"
     val hostRatio: Option[Double] =
-      if (only.isEmpty) {
+      if (only.isEmpty && gateConfigOk) {
         val rows = graft.tools.HostCal.measure(spark, sfDir)
         Some(graft.tools.HostCal.hostRatioOf(rows))
       } else None
+    if (only.isEmpty && !gateConfigOk)
+      System.err.println(
+        s"[bench] host gate skipped: sfDir=$sfDir cpus=$cpus != pinned sf0.1/local[32]")
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     val fileTarget = hostRatio match {
       case Some(r) if r > 1.3 && !force && outFile == "BENCH_LOCAL.json" =>
@@ -116,7 +131,6 @@ object Bench {
         "BENCH_LOCAL.rejected.json"
       case _ => outFile
     }
-    val loadBefore = loadavg()
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
@@ -151,7 +165,10 @@ object Bench {
     // higher than pre-r7 artifacts, where runs 2-3 reused run 1's
     // cache (q_minhash_verified 1.26 -> 2.49 is this, not code)
     val hostJson = hostRatio
-      .map(r => f""""host_ratio":$r%.3f,""").getOrElse("")
+      .map(r => f""""host_ratio":$r%.3f,""")
+      .getOrElse(if (only.isEmpty && !gateConfigOk)
+        s""""host_gate":"skipped (sfDir=$sfDir cpus=$cpus != pinned sf0.1/local[32])","""
+      else "")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"self_contained_runs":true,${hostJson}"errors":$errJson,"loadavg_before":${JsonText.quote(loadBefore)},"loadavg_after":${JsonText.quote(loadAfter)},"reruns":$rr,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also land the whole line in a file: the committed BENCH_r04.json

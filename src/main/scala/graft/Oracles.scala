@@ -607,8 +607,12 @@ object Oracles {
     * hash-check. `seedSql` is the cell-count expression the seed CTE
     * compares vec_id against — a literal for the fixed-geometry rows,
     * a scalar subquery (corpus-proportional) for q_semdedup_scaled;
-    * the assign/update rounds are cell-count-agnostic. */
-  private def ivfCoarseCteN(nQ: Int, seedSql: String = "8"): String = {
+    * the assign/update rounds are cell-count-agnostic. `nProbe` is
+    * the probe depth (2 for every catalog serve row); `keepRank`
+    * additionally emits the probe rank `crank` so the probe-curve
+    * row can score ONE widest-depth chain and slice it per depth. */
+  private def ivfCoarseCteN(nQ: Int, seedSql: String = "8",
+      nProbe: Int = 2, keepRank: Boolean = false): String = {
     // one assignment CTE per round: argmin over the given centroid
     // CTE by (ordered-fold distance, cell)
     def assignCte(name: String, centCte: String) =
@@ -652,7 +656,7 @@ object Oracles {
        |), qs AS (
        |  SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < $nQ
        |), probe AS (
-       |  SELECT query_id, cell FROM (
+       |  SELECT query_id, cell${if (keepRank) ", crank" else ""} FROM (
        |    SELECT q.query_id, g.cell,
        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
        |             list_sum(list_transform(generate_series(1, 64),
@@ -662,7 +666,7 @@ object Oracles {
        |                * sqrt(list_sum(list_transform(g.g, x -> x * x)))) DESC,
        |             g.cell) AS crank
        |    FROM qs q CROSS JOIN gc g)
-       |  WHERE crank <= 2
+       |  WHERE crank <= $nProbe
        |)""".stripMargin
   }
 
@@ -882,6 +886,71 @@ object Oracles {
        |           ORDER BY l2_dist, vec_id) AS INTEGER) AS rank
        |  FROM rr
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The nProbe-vs-recall curve of the IVFPQ+refine serve: ONE
+    * widest-depth probe chain (crank kept), sliced per depth in
+    * [[graft.Queries.IvfpqProbeLadder]] — each slice `crank <= p` is
+    * exactly the candidate set of an nProbe = p serve because a
+    * vector lives in one cell and ADC distances don't depend on the
+    * probe. Each depth then runs the identical shortlist → exact
+    * lattice rerank of [[topkIvfpqRerankSqlN]] and scores recall@5
+    * against the exact lattice truth. */
+  private def ivfpqProbeRecallSql(nQ: Int): String = {
+    val sl = graft.Queries.PqRerankShortlist
+    val ladder = graft.Queries.IvfpqProbeLadder
+    def depthCtes(p: Int): String =
+      s"""isl$p AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc_dist, vec_id) AS rank
+         |    FROM ipsc WHERE crank <= $p)
+         |  WHERE rank <= $sl
+         |), rr$p AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT r.query_id, r.vec_id,
+         |           row_number() OVER (PARTITION BY r.query_id
+         |             ORDER BY r.l2_dist, r.vec_id) AS rank
+         |    FROM (
+         |      SELECT s.query_id, s.vec_id,
+         |             list_sum(list_transform(generate_series(1, 64),
+         |               j -> CAST(q.qq[j] - v.qv[j] AS BIGINT) * (q.qq[j] - v.qv[j]))) AS l2_dist
+         |      FROM isl$p s
+         |      JOIN qvt v ON v.vec_id = s.vec_id
+         |      JOIN pqs q ON q.query_id = s.query_id) r)
+         |  WHERE rank <= 5
+         |), hit$p AS (
+         |  SELECT CAST(count(*) AS INTEGER) AS total_hit
+         |  FROM rr$p a JOIN truth t
+         |    ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |)""".stripMargin
+    val branches = ladder.map(p =>
+      s"""SELECT $p AS n_probe, (SELECT total_hit FROM hit$p) AS total_hit,
+         |       (SELECT total_k FROM tot) AS total_k""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $latticeCte
+       |, ${ivfCoarseCteN(nQ, nProbe = ladder.max, keepRank = true)}
+       |, ${pqFitCteN(nQ)}
+       |, ipsc AS (
+       |  SELECT p.query_id, p.crank, a.vec_id,
+       |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
+       |  FROM probe p
+       |  JOIN a3 a USING (cell)
+       |  JOIN enc e ON e.vec_id = a.vec_id
+       |  JOIN dt d ON d.query_id = p.query_id
+       |    AND d.s = e.s AND d.code = e.code
+       |  GROUP BY p.query_id, p.crank, a.vec_id
+       |), truth AS (
+       |  SELECT query_id, vec_id FROM (${exactLatticeTruthSqlN(nQ)}) t
+       |), tot AS (
+       |  SELECT CAST(count(*) AS INTEGER) AS total_k FROM truth
+       |), ${ladder.map(depthCtes).mkString("\n, ")}
+       |SELECT n_probe, total_hit, total_k,
+       |       round(CAST(total_hit AS DOUBLE) / total_k, 4) AS mean_recall
+       |FROM (
+       |  $branches
+       |) ORDER BY n_probe""".stripMargin
+  }
 
   private def topkIvfpqResSqlN(nQ: Int): String =
     s"""WITH $latticeCte
@@ -3387,6 +3456,53 @@ object Oracles {
     // (x*srcW)//16). The grid is a bounded cross join filtered to each
     // asset's true dims (max w 16, max h 11 — version-portable, no
     // lateral table functions needed).
+    // cross-modal image<->caption retrieval: the image side's decoded
+    // embedding row and the caption side's parsed-dequantized tokens
+    // are both predicted from the shared clipPixel formula (Spark
+    // runs the REAL ImageIO decode and the REAL string parse); the
+    // cosine/rank replay is q_topk_cosine's proven pattern, plus the
+    // planted-pair recall@1 carried on every row
+    "q_crossmodal_topk" -> {
+      val n = graft.Queries.CrossModalN
+      val dim = graft.multimodal.Multimodal.ClipDim
+      s"""WITH ids AS (
+         |  SELECT unnest(generate_series(0, ${n - 1})) AS id
+         |), xs AS (
+         |  SELECT unnest(generate_series(0, ${dim - 1})) AS x
+         |), ev AS (
+         |  SELECT id, x,
+         |         (id*131 + x*79 + id*x*57 + id*x*x*23) % 256 AS e
+         |  FROM ids CROSS JOIN xs
+         |), img AS (
+         |  SELECT id AS vec_id, list(CAST(e AS DOUBLE) ORDER BY x) AS emb
+         |  FROM ev GROUP BY id
+         |), cap AS (
+         |  SELECT id AS query_id,
+         |         list(CAST((e // 4) * 4 + 2 AS DOUBLE) ORDER BY x) AS qe
+         |  FROM ev GROUP BY id
+         |), sc AS (
+         |  SELECT c.query_id, i.vec_id,
+         |         round(list_cosine_similarity(i.emb, c.qe), 6) AS cos_sim
+         |  FROM img i CROSS JOIN cap c
+         |), r AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM sc
+         |), top AS (
+         |  SELECT query_id, rank, vec_id, cos_sim,
+         |         CAST(CASE WHEN rank = 1 AND vec_id = query_id
+         |              THEN 1 ELSE 0 END AS INTEGER) AS hit
+         |  FROM r WHERE rank <= 3
+         |), tot AS (
+         |  SELECT CAST(sum(hit) AS INTEGER) AS total_hit FROM top
+         |)
+         |SELECT t.query_id, t.rank, t.vec_id, t.cos_sim, t.hit,
+         |       round(CAST(o.total_hit AS DOUBLE) / $n, 4) AS recall_at_1
+         |FROM top t CROSS JOIN tot o
+         |ORDER BY t.query_id, t.rank""".stripMargin
+    },
+
     // perceptual-hash image near-dup: every decoded luminance is
     // predicted from the crafted gray-pixel formula (grayscale ITU
     // luminance == the pixel value), then the 8x8 nearest-neighbor
@@ -4575,7 +4691,13 @@ object Oracles {
     // gap to 1.0 is the coarse tier's cell pruning
     "q_ivfpq_rerank_recall" -> recallSql(
       exactLatticeTruthSqlN(graft.Queries.RecallQueryCount),
-      topkIvfpqRerankSqlN(graft.Queries.RecallQueryCount)))
+      topkIvfpqRerankSqlN(graft.Queries.RecallQueryCount)),
+
+    // the measured nProbe-vs-recall curve (r16 verdict #4): one row
+    // per probed depth, same shortlist -> exact-rerank funnel — the
+    // ceiling at nProbe = nCells must meet q_pq_rerank_recall's
+    "q_ivfpq_probe_recall" ->
+      ivfpqProbeRecallSql(graft.Queries.RecallQueryCount))
 
   /** Exact int8-lattice squared-L2 top-5 truth over the first `nQ`
     * queries (pure integer distances) — the truth side of the PQ-tier

@@ -857,12 +857,12 @@ object Queries {
     * bounded by the coarse tier's own recall ([[q_ann_recall]]) —
     * more probes, not a wider shortlist, is the knob for that. */
   private def ivfpqRerankServe(s: SparkSession, dir: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, nProbe: Int = 2): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val (codes, books, cents) = pqEnsured(s, dir)
     val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
     val sl = vector.Pq.adcTopKIndexed(codes, books, cents, queries,
-        PqRerankShortlist, nProbe = 2)
+        PqRerankShortlist, nProbe)
       .select(col("query_id"), col("vec_id"))
     vector.Pq.exactRerank(quantized, sl, queries, 5)
   }
@@ -882,6 +882,49 @@ object Queries {
     * of [[q_ann_recall]] is the same ceiling under its own
     * float-cosine truth and probe). More probes, not a wider
     * shortlist, is the production knob for that half. */
+  /** The probed depths of [[q_ivfpq_probe_recall]], shared verbatim
+    * with the oracle SQL so the curve's geometry cannot drift. 2 is
+    * the catalog serve's depth, 8 == nCells probes every cell (zero
+    * pruning — the curve's ceiling must meet [[q_pq_rerank_recall]]'s
+    * flat-funnel recall there, which the committed run confirms). */
+  private[graft] val IvfpqProbeLadder = Seq(2, 4, 8)
+
+  /** The measured nProbe-vs-recall CURVE for the IVFPQ+refine serve
+    * (r16 verdict #4): one row per probed depth in
+    * [[IvfpqProbeLadder]], micro-averaged recall@5 vs the exact
+    * lattice truth over [[RecallQueryCount]] queries. Pins by
+    * MEASUREMENT what [[q_ivfpq_rerank_recall]] attributed by
+    * geometry — that the funnel's residual loss at nProbe=2 is cell
+    * pruning: recall must rise monotonically with probes and meet
+    * the flat-funnel ceiling ([[q_pq_rerank_recall]], 0.94) at
+    * nProbe = nCells = 8, where probing is exhaustive. The truth
+    * pass runs ONCE (persisted) and each depth reuses the same saved
+    * index; serve cost per depth is the production serve's own —
+    * this is the curve a 100 TB deployment reads to pick its
+    * recall/scan-cost operating point. */
+  def q_ivfpq_probe_recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = pqQueries(emb, RecallQueryCount)
+    val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
+    val truth = vector.Pq.exactTopK(quantized, queries, 5)
+      .select(col("query_id"), col("vec_id"))
+      .persistTracked("probecurve.truth")
+    val totK = truth.agg(count(lit(1)).cast("int").as("total_k"))
+    val hitsPerDepth = IvfpqProbeLadder.map { p =>
+      val approx = ivfpqRerankServe(s, dir, queries, nProbe = p)
+        .select(col("query_id"), col("vec_id"))
+      truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).cast("int").as("total_hit"))
+        .select(lit(p).as("n_probe"), col("total_hit"))
+    }
+    hitsPerDepth.reduce(_.unionByName(_))
+      .crossJoin(broadcast(totK))
+      .select(col("n_probe"), col("total_hit"), col("total_k"),
+        round(col("total_hit").cast("double") / col("total_k"), 4)
+          .as("mean_recall"))
+      .orderBy(col("n_probe"))
+  }
+
   def q_ivfpq_rerank_recall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb, RecallQueryCount)
@@ -2717,6 +2760,63 @@ object Queries {
   def q_mm_phash(s: SparkSession, dir: String): DataFrame =
     Multimodal.phashNearDup(Multimodal.pngAssetsWithNearDups(s, 40), 3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Cross-modal corpus size, shared verbatim with the oracle. */
+  private[graft] val CrossModalN = 30
+
+  /** CROSS-MODAL image↔caption retrieval (r16 verdict #7) — the
+    * LAION-style pair-curation join no prior row exercised: image
+    * embeddings come from a REAL ImageIO decode of the crafted CLIP
+    * set ([[Multimodal.clipImageVecs]] — row 0 of each PNG is the
+    * 8-dim embedding, the deterministic stand-in for a learned image
+    * encoder), caption embeddings from PARSING each caption's
+    * quantized tone tokens back into a vector (the text side's
+    * encoder seam), and the two modalities meet in the shared
+    * brute-cosine funnel ([[vector.Ann.bruteTopK]] — broadcast
+    * queries, codegen'd FloatVecDot, bounded-heap TopKPerKey).
+    * Captions carry 4-QUANTIZED values, so matched pairs sit at
+    * cos ≈ 0.9999, not 1.0 — retrieval, not an equality join — while
+    * the min top-1 margin over crossed pairs is 0.047. Every row
+    * carries the planted-pair recall@1 (1.0 on this set, the pin
+    * that the funnel actually recovers the pairs). The oracle
+    * predicts every decoded pixel from [[Multimodal.clipPixel]] —
+    * the [[q_mm_decode]] discipline applied to retrieval. At 100 TB:
+    * decode+parse are map-only passes; the retrieval join is the
+    * vector tier's own (brute here; the saved-IVF/PQ serves take
+    * over at scale — same (vec_id, embedding) contract). */
+  def q_crossmodal_topk(s: SparkSession, dir: String): DataFrame = {
+    val dim = Multimodal.ClipDim
+    // image side: REAL decode of the crafted CLIP PNGs
+    val img = Multimodal.clipImageVecs(
+      Multimodal.clipAssets(s, CrossModalN))
+    // caption side: each id's crafted caption STRING (quantized tone
+    // tokens, generated in-plan from the shared formula)…
+    val toneCols: Seq[Column] = (0 until dim).map { x =>
+      ((col("id") * 131 + lit(x * 79) + col("id") * lit(x * 57) +
+        col("id") * lit(x * x * 23)) % 256 / lit(4)).cast("int")
+        .cast("string")
+    }
+    val captions = s.range(CrossModalN).select(col("id"),
+      concat_ws(" ", lit("photo") +: col("id").cast("string") +:
+        lit("tones") +: toneCols: _*).as("caption"))
+    // …then the plan PARSES the tokens back out and dequantizes to
+    // the caption vector (midpoint of the 4-wide quantization cell)
+    val parsed = captions.select(col("id").as("query_id"),
+      transform(slice(split(col("caption"), " "), 4, dim),
+        t => (t.cast("int") * 4 + 2).cast("float")).as("q_embedding"))
+    val top = vector.Ann.bruteTopK(img, parsed, 3)
+      .withColumn("hit",
+        (col("rank") === 1 && col("vec_id") === col("query_id"))
+          .cast("int"))
+      .persistTracked("crossmodal.top")
+    val tot = top.agg(sum(col("hit")).cast("int").as("total_hit"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("recall_at_1",
+        round(col("total_hit").cast("double") / lit(CrossModalN), 4))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"),
+        col("hit"), col("recall_at_1"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Audio-fingerprint near-dup ([[Multimodal.audioNearDup]]) — the
     * AUDIO twin of [[q_mm_phash]] and the third instance of the

@@ -531,6 +531,89 @@ object Multimodal {
       .toDF("asset_id", "payload")
   }
 
+  // ===== cross-modal (image↔caption) retrieval fixture =====
+
+  /** Embedding width of the cross-modal crafted set — row 0 of each
+    * [[makeClipPng]] carries exactly this many pixels. */
+  val ClipDim = 8
+
+  /** Crafted pixel value e(id, x) of the cross-modal set's embedding
+    * row — pure integer arithmetic shared verbatim with the caption
+    * generator and the DuckDB oracle (the [[makePng]] discipline).
+    * The quadratic id·x² mix is what separates the 30 ids: a purely
+    * linear-in-x row would put every id's vector on one 2-plane
+    * (measured: top-1 margin 0.002 linear vs 0.047 with the mix). */
+  def clipPixel(id: Long, x: Int): Int =
+    ((id * 131 + x * 79 + id * x * 57 + id * x * x * 23) % 256).toInt
+
+  /** CLIP-style crafted asset: an 8×4 grayscale PNG whose FIRST ROW
+    * is the image's 8-dim embedding ([[clipPixel]]) and whose other
+    * rows are [[makePng]] texture — the deterministic stand-in for a
+    * learned image encoder (the [[graft.vector.BatchedEmbedder]]
+    * real-model seam, made exactly replayable). PNG is lossless, so
+    * a REAL decode recovers the embedding bit-exactly and the oracle
+    * can predict it from the formula without decoding anything. */
+  def makeClipPng(id: Long): Array[Byte] = {
+    val w = ClipDim
+    val h = 4
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (y == 0) clipPixel(id, x)
+          else ((x * 7 + y * 13 + id * 31) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** `n` crafted cross-modal image payloads, generated executor-side
+    * (the driver ships only the id range — the [[pngAssets]] shape). */
+  def clipAssets(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(id => (id, makeClipPng(id))))
+      .toDF("asset_id", "payload")
+  }
+
+  /** REAL-decode image embeddings of a cross-modal asset table:
+    * ImageIO decodes each payload and row 0's luminances (grayscale,
+    * so lum == the written pixel value under the exact-1000 ITU
+    * weights) become the `float[8]` embedding — `(vec_id,
+    * embedding)` ready for the shared ANN funnel. Undecodable
+    * payloads drop (decode-or-skip, the [[assetFeatures]] rule).
+    * Map-only: at 100 TB this is one decode pass per asset, no
+    * shuffle until the retrieval join. */
+  def clipImageVecs(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          if (img == null || img.getWidth < ClipDim) None
+          else {
+            val v = Array.tabulate(ClipDim) { x =>
+              val rgb = img.getRGB(x, 0)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              ((r * 299 + g * 587 + b * 114) / 1000).toFloat
+            }
+            Some((id, v))
+          }
+        } catch { case _: Throwable => None }
+      })
+      .toDF("vec_id", "embedding")
+  }
+
   /** 8×8 average-hash of a decoded image as FOUR 16-bit band keys:
     * cell (i, j) nearest-neighbor-samples the pixel
     * `(j·w/8, i·h/8)` (the [[resizeImage]] integer sampling rule),

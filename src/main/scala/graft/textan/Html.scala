@@ -140,17 +140,24 @@ object Html {
     val spans = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      val sweeps = Seq(CommentRe, ScriptRe, StyleRe, TitleRe).map { re =>
-        Future {
-          val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-          val m = java.util.regex.Pattern.compile(re).matcher(html)
-          while (m.find()) b += ((m.start(), m.end()))
-          b
-        }
+      def sweep(re: String) = {
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        val m = java.util.regex.Pattern.compile(re).matcher(html)
+        while (m.find()) b += ((m.start(), m.end()))
+        b
       }
-      val b = Await
-        .result(Future.sequence(sweeps), scala.concurrent.duration.Duration.Inf)
-        .flatten
+      val futures = Seq(ScriptRe, StyleRe, TitleRe).map(re => Future(sweep(re)))
+      // one sweep stays on the calling task thread: progress is
+      // guaranteed even when every pool thread is busy with OTHER
+      // tasks' sweeps (many concurrent tasks share the one
+      // ncpu-thread global pool during a full scan stage)
+      val local = sweep(CommentRe)
+      // bounded await: the sweeps are linear scans (~10 ms/MB
+      // measured), so a miss of this 1 s/MB + 60 s backstop means a
+      // pattern backtracked pathologically on adversarial HTML — fail
+      // the TASK loudly instead of pinning an executor thread forever
+      val timeout = scala.concurrent.duration.Duration(60L + n / 1000000L, "s")
+      val b = local ++ Await.result(Future.sequence(futures), timeout).flatten
       val sorted = b.sortBy(_._1)
       // merge overlaps so the eligibility test is one binary search
       val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]

@@ -66,6 +66,67 @@ object HostCal {
   def hostRatioOf(rows: Seq[(String, Double, Double, Double)]): Double =
     rows.map(_._4).sorted.apply(rows.size / 2)
 
+  /** Fixed-work single-thread wall (ms): 2²⁷ xorshift64 steps of pure
+    * register arithmetic — no allocation, no memory traffic, no Spark.
+    * This wall moves ONLY with the core's delivered clock, so a slow
+    * window with an elevated value is attributable to host CPU speed
+    * (shared-VM co-tenancy / frequency scaling), while a slow window
+    * with a NORMAL value points at memory/IO or run-queue delay. One
+    * untimed pass first so JIT state can't masquerade as host speed.
+    * r16 context: the two full-bench runs proved host_ratio is
+    * uncorrelated with loadavg on this box (2.121 @ 0.68 vs 1.728 @
+    * 12.95) — this is the missing attribution signal. */
+  def singleThreadWallMs(): Double = {
+    def pass(seed: Long): Long = {
+      var x = seed; var i = 0
+      while (i < (1 << 27)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    val warm = pass(0x9E3779B97F4A7C15L) // JIT warm-up, result kept live below
+    val t0 = System.nanoTime()
+    val v = pass(warm | 1L) // seed depends on warm pass: neither can fold away
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (v == 0L) System.err.println("") // unreachable for odd seeds; keeps v live
+    ms
+  }
+
+  /** Mean of the live "cpu MHz" lines in /proc/cpuinfo (0.0 when the
+    * field is absent, as on some VMs) — frequency-scaling attribution. */
+  def cpuMhzMean(): Double =
+    try {
+      val vals = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/cpuinfo"))
+        .linesIterator.filter(_.startsWith("cpu MHz"))
+        .map(_.split(":")(1).trim.toDouble).toSeq
+      if (vals.isEmpty) 0.0 else vals.sum / vals.size
+    } catch { case _: Throwable => 0.0 }
+
+  /** Fraction of CPU time stolen by the hypervisor over a ~500 ms
+    * sample window (field 8 of /proc/stat's aggregate cpu line), plus
+    * the cumulative steal jiffies — the direct shared-VM co-tenant
+    * signal. (-1.0, -1L) when /proc/stat is unreadable. */
+  def stealSample(): (Double, Long) =
+    try {
+      def read(): Array[Long] = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+      val a = read(); Thread.sleep(500); val b = read()
+      val dTotal = (b.sum - a.sum).toDouble
+      val steal = if (a.length > 7) (b(7) - a(7)).toDouble else 0.0
+      (if (dTotal > 0) steal / dTotal else 0.0, if (b.length > 7) b(7) else 0L)
+    } catch { case _: Throwable => (-1.0, -1L) }
+
+  /** The full attribution JSON fragment, shared by [[main]] and any
+    * poller so every HOSTCAL line carries the same fields. No pinned
+    * baseline yet for st_wall_ms — the r17 polling log establishes
+    * the fast/slow bands empirically. */
+  def attributionJson(): String = {
+    val st = singleThreadWallMs()
+    val mhz = cpuMhzMean()
+    val (stealFrac, stealCum) = stealSample()
+    f""""attribution":{"st_wall_ms":$st%.1f,"cpu_mhz_mean":$mhz%.1f,"steal_frac_500ms":$stealFrac%.4f,"steal_cum_jiffies":$stealCum%d}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -87,7 +148,8 @@ object HostCal {
     val qs = rows.map { case (n, b, m, r) =>
       f"""\"$n\":{\"baseline\":$b%s,\"measured\":$m%.6f,\"ratio\":$r%.3f}""" }
       .mkString("{", ",", "}")
-    val line = f"""{"metric":"hostcal","host_ratio":$hostRatio%.3f,"baseline_provenance":"r13 idle BENCH_LOCAL (commit b82dd3f, loadavg 1.40)","queries":$qs%s,"loadavg_before":${JsonText.quote(loadBefore)}%s,"loadavg_after":${JsonText.quote(loadAfter)}%s,"sf":"$sfDir%s"}"""
+    val attr = attributionJson()
+    val line = f"""{"metric":"hostcal","host_ratio":$hostRatio%.3f,"baseline_provenance":"r13 idle BENCH_LOCAL (commit b82dd3f, loadavg 1.40)",$attr%s,"queries":$qs%s,"loadavg_before":${JsonText.quote(loadBefore)}%s,"loadavg_after":${JsonText.quote(loadAfter)}%s,"sf":"$sfDir%s"}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>

@@ -453,12 +453,6 @@ object Pq {
         .select(col("query_id"), col("vec_id")),
       queries, k)
 
-  /** The exact-rerank half of every refine funnel: re-score ONLY the
-    * `(query_id, vec_id)` shortlist rows with the exact integer
-    * lattice L2 and keep the top `k`. The shortlist broadcasts (it is
-    * |queries| × width at any corpus size) and the full-vector table
-    * is touched for shortlist rows only — shared by the flat-PQ
-    * funnel ([[adcRerankTopK]]) and the IVFPQ+refine serve. */
   /** Exact integer squared L2 via the codegen'd [[IntVecDotL]]:
     * ‖q−v‖² = q·q + v·v − 2·q·v. Every term is an exact Long sum of
     * int products, so the value is IDENTICAL to the elementwise
@@ -470,6 +464,12 @@ object Pq {
     FloatVecExpr.dotI(qq, qq) + FloatVecExpr.dotI(qv, qv) -
       lit(2L) * FloatVecExpr.dotI(qq, qv)
 
+  /** The exact-rerank half of every refine funnel: re-score ONLY the
+    * `(query_id, vec_id)` shortlist rows with the exact integer
+    * lattice L2 and keep the top `k`. The shortlist broadcasts (it is
+    * |queries| × width at any corpus size) and the full-vector table
+    * is touched for shortlist rows only — shared by the flat-PQ
+    * funnel ([[adcRerankTopK]]) and the IVFPQ+refine serve. */
   def exactRerank(quantized: DataFrame, shortlist: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))

@@ -40,6 +40,37 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(r.forall(row => row.getLong(0) == row.getLong(1)))
   }
 
+  test("q_ivfpq_probe_recall: monotone in probes; exhaustive probing == flat funnel") {
+    val rows = Queries.q_ivfpq_probe_recall(spark, sf).collect()
+    val hitByProbe = rows.map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(hitByProbe.keySet == Set(2, 4, 8))
+    // more probed cells can only ADD shortlist candidates the exact
+    // rerank then ranks truthfully — recall must be non-decreasing
+    assert(hitByProbe(2) <= hitByProbe(4) && hitByProbe(4) <= hitByProbe(8))
+    // nProbe == nCells probes every cell (zero pruning): the funnel
+    // degenerates to the flat ADC shortlist -> exact rerank, so the
+    // curve's ceiling must EQUAL q_pq_rerank_recall's total_hit —
+    // pinning "the residual loss at nProbe=2 is cell pruning" as an
+    // identity, not an attribution
+    val flat = Queries.q_pq_rerank_recall(spark, sf)
+      .select("total_hit").head().getInt(0)
+    assert(hitByProbe(8) == flat,
+      s"exhaustive-probe funnel (${hitByProbe(8)}) != flat funnel ($flat)")
+  }
+
+  test("q_crossmodal_topk: planted image-caption pairs all recovered at rank 1") {
+    val rows = Queries.q_crossmodal_topk(spark, sf).collect()
+    assert(rows.length == Queries.CrossModalN * 3)
+    // every caption's rank-1 asset is its planted image, through a
+    // REAL PNG decode on one side and a REAL token parse on the other
+    assert(rows.head.getDouble(5) == 1.0, "recall@1 != 1.0")
+    val rank1 = rows.filter(_.getInt(1) == 1)
+    assert(rank1.forall(r => r.getLong(2) == r.getLong(0)))
+    // quantization noise keeps this retrieval, not an equality join:
+    // matched-pair cosine is high but strictly below 1
+    assert(rank1.forall(r => r.getDouble(3) > 0.999 && r.getDouble(3) < 1.0))
+  }
+
   test("chunk queries agree on totals") {
     val chunks = Queries.q_chunk_fixed(spark, sf).count()
     val summary = Queries.q_chunk_summary(spark, sf)
