@@ -167,10 +167,15 @@ object Queries {
   /** C2 under the giant-document split policy
     * ([[graft.text.chunk.DocSplit.chunkParts]]): split any document
     * over 1 Mchar at separator-snapped boundaries, recursive-chunk
-    * each part independently (parallel in (doc, part) — the r11
-    * row-skew probe's 50 MB document becomes ~50 tasks instead of
-    * one 15 s straggler), then re-base offsets and renumber chunk
-    * indexes per document. Every fixture group document fits one
+    * each part independently (parallel in (doc, part)), then re-base
+    * offsets and renumber chunk indexes per document. r17 measured
+    * the split/serial crossover at 50/100/200 MB giants
+    * (SCALE_STRESS `recsplit_crossover`): post-r14-rework the serial
+    * chunker's kernel slope (0.130 s/MB) is BELOW the split path's
+    * own linear overhead (0.160 s/MB — cut pass + part exchange), so
+    * this row is the engine's bounded-task-memory / straggler-tail
+    * answer for documents too large for one task, not a throughput
+    * optimization (SCALE.md Round-17 retires the r14 payoff claim). Every fixture group document fits one
     * part, so the output is BIT-IDENTICAL to [[q_chunk_recursive]]
     * and shares its recursive-CTE DuckDB oracle verbatim — the
     * identity that pins the policy as a pure parallelism rewrite

@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   * per-document kernel (chunkers, simhash, BPE apply, repetition) is
   * linear in doc length, but a document is one ROW, and one 50 MB
   * document is one serial task no partitioning can split (~15 s for
-  * the recursive chunker alone). The reference never hits this (its
-  * documents are 10-Q PDF markdowns, `chromadb_rag.py:38-47`), but a
-  * 100 TB web corpus will.
+  * the r11-era recursive chunker alone; the reworked chunker's slope
+  * is ~5× lower, which r17's `recsplit_crossover` measurement shows
+  * now UNDERCUTS this policy's own exchange overhead at every probed
+  * size — for that kernel the split is a bounded-task-memory /
+  * straggler-tail routing, not a throughput win; SCALE.md Round-17).
+  * The reference never hits this (its documents are 10-Q PDF
+  * markdowns, `chromadb_rag.py:38-47`), but a 100 TB web corpus
+  * will.
   *
   * [[parts]] pre-splits any document over `maxChars` into
   * separator-snapped parts in ONE forward pass over the text, and

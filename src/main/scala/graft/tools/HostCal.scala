@@ -90,6 +90,35 @@ object HostCal {
     ms
   }
 
+  /** The same fixed work on EVERY core at once (nproc threads, one
+    * [[singleThreadWallMs]] pass each): delivered all-core throughput.
+    * On an uncontended box this wall ≈ the single-thread wall (each
+    * core runs its pass in parallel); in a co-tenant slow window it
+    * rises while the single-thread wall stays flat — the r17 polling
+    * data shows exactly that split (st_wall stable ~285 ms across
+    * windows where the Spark micro-bench read 1.6–2.3×), so THIS is
+    * the field that explains host_ratio on a box where steal time
+    * and loadavg see nothing. */
+  def multiThreadWallMs(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    def pass(seed: Long): Long = {
+      var x = seed; var i = 0
+      while (i < (1 << 27)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    def spawn(): Seq[Thread] = (1 to n).map { t =>
+      val th = new Thread(() => sink.addAndGet(pass(0x9E3779B97F4A7C15L + t)))
+      th.start(); th
+    }
+    spawn().foreach(_.join()) // warm-up: JIT + thread-pool page faults
+    val t0 = System.nanoTime()
+    spawn().foreach(_.join())
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (sink.get() == 0L) System.err.println("") // keep the work live
+    ms
+  }
+
   /** Mean of the live "cpu MHz" lines in /proc/cpuinfo (0.0 when the
     * field is absent, as on some VMs) — frequency-scaling attribution. */
   def cpuMhzMean(): Double =
@@ -122,9 +151,10 @@ object HostCal {
     * the fast/slow bands empirically. */
   def attributionJson(): String = {
     val st = singleThreadWallMs()
+    val mt = multiThreadWallMs()
     val mhz = cpuMhzMean()
     val (stealFrac, stealCum) = stealSample()
-    f""""attribution":{"st_wall_ms":$st%.1f,"cpu_mhz_mean":$mhz%.1f,"steal_frac_500ms":$stealFrac%.4f,"steal_cum_jiffies":$stealCum%d}"""
+    f""""attribution":{"st_wall_ms":$st%.1f,"mt_wall_ms":$mt%.1f,"mt_over_st":${mt / st}%.3f,"cpu_mhz_mean":$mhz%.1f,"steal_frac_500ms":$stealFrac%.4f,"steal_cum_jiffies":$stealCum%d}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -484,6 +484,53 @@ object Profile {
             noop(graft.Queries.q_html_extract(spark, dir50))
             graft.io.Caches.clearAll(spark)
           }
+      case "linedd" =>
+        // r17: attribute q_line_dedup's in-situ row-skew interaction
+        // (r16 row_skew: t_insitu 13.46 s vs t_only 3.68 + t_base
+        // 0.77 — every other kernel is additive). Hypothesis under
+        // test: the final collect_list aggregate is an
+        // ObjectHashAggregate whose sort-based FALLBACK (default
+        // threshold 128 in-memory groups) never fires on the
+        // giant-only corpus (1 group) but always fires in-situ
+        // (corpus doc count >> 128), so only the MIXED corpus pays a
+        // sort over the giant's ~750k heavy line structs.
+        val insitu = time("build corpus+50MB in-situ dir") {
+          ScaleStress.skewDir(spark, sfDir, 50)
+        }
+        val only = time("build 50MB giant-only dir") {
+          ScaleStress.skewDir(spark, sfDir, 50, giantOnly = true)
+        }
+        def stages(tag: String, dir: String): Unit = {
+          val docs = Tables.documents(spark, dir)
+          val lines = Dedup.linesOf(docs)
+          for (i <- 1 to 2) time(s"$tag: linesOf $i") { noop(lines) }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("line"))).orderBy(col("doc_id"), col("p"))
+          val kept = Dedup.linesOf(docs)
+            .withColumn("kept", (row_number().over(w) === 1).cast("int"))
+          for (i <- 1 to 2) time(s"$tag: +window kept $i") { noop(kept) }
+          for (i <- 1 to 2) time(s"$tag: full lineDedup $i") {
+            noop(Dedup.lineDedup(docs))
+          }
+          // the catalog row adds a bare global orderBy(doc_id) on
+          // top — the range partitioner's SAMPLING pass re-executes
+          // the final aggregate (the giant's 50 MB collect_list
+          // group) a second time
+          for (i <- 1 to 2) time(s"$tag: full q_line_dedup $i") {
+            noop(graft.SparkEntry.queries("q_line_dedup")(spark, dir))
+            graft.io.Caches.clearAll(spark)
+          }
+        }
+        stages("base", sfDir)
+        stages("only", only)
+        stages("insitu", insitu)
+        // the fallback-threshold A/B: same in-situ plan with the
+        // object-hash aggregate allowed to keep every group in the
+        // hash map (no sort fallback)
+        spark.conf.set(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          "10000000")
+        stages("insitu-nofallback", insitu)
       case other =>
         System.err.println(s"unknown profile target: $other")
     }

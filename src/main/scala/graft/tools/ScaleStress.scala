@@ -346,11 +346,47 @@ object ScaleStress {
     }
   }
 
+  /** Recursive-split crossover probe (r16 verdict #3): the split
+    * path (q_chunk_recursive_split) pays one cut pass + an exchange
+    * + a renumber window to buy parallel per-part chunking, and at
+    * the 50 MB row-skew giant it still LOSES to the serial chunker
+    * (10.0 vs 8.0 s r16) — this mode measures both rows on giant-only
+    * corpora at growing sizes to find where (whether) the trade turns
+    * positive, so the routing threshold can sit AT the measured
+    * crossover instead of a claim. Section `recsplit_crossover`. */
+  private def recSplit(spark: SparkSession, baseDir: String,
+      outFile: String, mbs: Seq[Int]): Unit = {
+    spark.read.parquet(s"$baseDir/documents.parquet")
+      .groupBy("lang").count().count() // session warm-up
+    val loadBefore = loadavg()
+    val rows = mbs.map { mb =>
+      System.err.println(s"[recsplit] building ${mb}MB giant-only corpus ...")
+      val dir = skewDir(spark, baseDir, mb, giantOnly = true)
+      val serial = time(spark, "q_chunk_recursive", dir, 2)._2
+      val split = time(spark, "q_chunk_recursive_split", dir, 2)._2
+      System.err.println(
+        f"[recsplit] ${mb}MB serial=$serial%.2f split=$split%.2f")
+      (mb, serial, split)
+    }
+    val loadAfter = loadavg()
+    val qs = rows.map { case (mb, serial, split) =>
+      f""""${mb}mb":{"serial_s":$serial%.3f,"split_s":$split%.3f,"split_wins":${split < serial}}""" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"section":"recsplit_crossover","base":"$baseDir",""" +
+        s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+        s""""sizes":$qs}"""
+    println(json)
+    upsertSection(outFile, "recsplit_crossover", json)
+  }
+
   def main(args: Array[String]): Unit = {
     val isRowSkew = args.headOption.contains("rowskew")
-    val rest = if (isRowSkew) args.drop(1) else args
+    val isRecSplit = args.headOption.contains("recsplit")
+    val rest = if (isRowSkew || isRecSplit) args.drop(1) else args
     val baseDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = if (rest.length > 1 && !isRowSkew) rest(1).toInt else 10
+    val factor =
+      if (rest.length > 1 && !isRowSkew && !isRecSplit) rest(1).toInt else 10
     val queryNames: Seq[String] =
       if (!isRowSkew && rest.length > 2) rest(2).split(",").toSeq else Heavy
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "SCALE_STRESS.json")
@@ -368,6 +404,13 @@ object ScaleStress {
       val mbs = if (rest.length > 1)
         rest(1).split(",").map(_.trim.toInt).toSeq else Seq(5, 50)
       rowSkew(spark, baseDir, outFile, mbs)
+      spark.stop()
+      return
+    }
+    if (isRecSplit) {
+      val mbs = if (rest.length > 1)
+        rest(1).split(",").map(_.trim.toInt).toSeq else Seq(50, 100, 200)
+      recSplit(spark, baseDir, outFile, mbs)
       spark.stop()
       return
     }

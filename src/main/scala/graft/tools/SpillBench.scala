@@ -29,10 +29,19 @@ object SpillBench {
     * pipeline). */
   private val Heavy = Seq(
     "q_substr_dedup", "q_corpus_filter", "q_unigram_logprob",
-    "q_bpe_tokens", "q_bm25_indexed", "q_semdedup", "q_training_mix",
+    "q_bpe_tokens", "q_bm25_indexed", "q_semdedup", "q_semdedup_scaled",
+    "q_training_mix", "q_pagerank", "q_minhash_recall", "q_cdx_dedup",
+    "q_dsir_weights", "q_gopher_rules",
     // r14: the new inverted-index dedup (widest fresh shuffle) and
     // the streaming replay (state-store memory under starvation)
-    "q_dup_containment", "q_events_watermark")
+    "q_dup_containment", "q_events_watermark",
+    // r17: the IVFPQ+refine serve — the shortlist→exact-rerank join
+    // is the newest shuffle shape (saved-code ADC scan proposes, the
+    // full-vector table joins back under starved memory). The default
+    // list now EQUALS the committed tile10_f0.15 section's catalog so
+    // a bare full run can never silently narrow the canonical
+    // artifact.
+    "q_topk_ivfpq_rerank")
 
   private class SpillListener extends SparkListener {
     @volatile var memSpilled = 0L
