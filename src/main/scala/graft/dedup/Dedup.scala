@@ -279,8 +279,15 @@ object Dedup {
           s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("shh"))
       .persistTracked("containment.shh")
     val ex = shh.select(col("doc_id"), explode(col("shh")).as("g"))
+    // every joined side below (rare keys, candidate pairs, the
+    // signature table) is CORPUS-PROPORTIONAL — a broadcast pick for
+    // any of them is a stats fluke that stops scaling (measured: at
+    // tile×10 under 16 shuffle partitions AQE's exact sizes put
+    // `rare` under its broadcast threshold and materialized a
+    // ~192 MiB broadcast; at 100 TB that is a driver OOM). The merge
+    // hints pin the spill-safe shuffle plan at every size.
     val rare = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("g"))
+      .filter(col("df") <= maxDf).select(col("g")).hint("merge")
     val exr = ex.join(rare, "g")
     val cand = exr.select(col("g"), col("doc_id").as("doc_a"))
       .join(exr.select(col("g"), col("doc_id").as("doc_b")), "g")
@@ -289,8 +296,10 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     val conts = cand
-      .join(shh.select(col("doc_id").as("doc_a"), col("shh").as("sh_a")), "doc_a")
-      .join(shh.select(col("doc_id").as("doc_b"), col("shh").as("sh_b")), "doc_b")
+      .join(shh.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"))
+        .hint("merge"), "doc_a")
+      .join(shh.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"))
+        .hint("merge"), "doc_b")
       .withColumn("n_a", size(col("sh_a")))
       .withColumn("n_b", size(col("sh_b")))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -338,7 +347,14 @@ object Dedup {
       val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       val bandKeys = (0 until bands).map(b =>
         concat((b * rpb until (b + 1) * rpb).map(s => col(s"h$s")): _*))
+      // merge hint: `sig` is one row PER DOCUMENT — corpus-
+      // proportional, so a broadcast pick here is a stats fluke that
+      // stops scaling (the same r17 class as containmentPairs'
+      // `rare`: at tile×10 the starved harness measured the fluke
+      // materializing a >150 MB broadcast). Both sides key on
+      // doc_id; the shuffle plan is flat at every size.
       sig.select(col("doc_id"), array(bandKeys: _*).as("bks"))
+        .hint("merge")
         .join(shingled, "doc_id")
         .write.mode("overwrite").parquet(path)
     } finally shingled.unpersist()

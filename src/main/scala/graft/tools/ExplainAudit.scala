@@ -111,7 +111,16 @@ object ExplainAudit {
     // partitioned codes parquet), the rerank-funnel recall row, and
     // SemDeDup at the √n scale geometry (plan identical to q_semdedup
     // modulo the cell count baked into the saved-index build)
-    "q_pq_recall", "q_pq_rerank_recall", "q_semdedup_scaled")
+    "q_pq_recall", "q_pq_rerank_recall", "q_semdedup_scaled",
+    // r17: the nProbe-vs-recall curve (three per-depth saved-index
+    // serves sharing one persisted exact truth), the cross-modal
+    // image↔caption funnel (real-decode embeddings on one side,
+    // parsed caption tokens on the other, brute-cosine TopKPerKey),
+    // and q_dup_containment after the merge hints (every
+    // corpus-proportional side must show SortMergeJoin — the tile×10
+    // AQE broadcast fluke regression check; q_dup_containment itself
+    // is in the r14 entries above)
+    "q_ivfpq_probe_recall", "q_crossmodal_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

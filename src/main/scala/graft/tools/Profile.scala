@@ -531,6 +531,14 @@ object Profile {
           "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
           "10000000")
         stages("insitu-nofallback", insitu)
+      case "dupcont" =>
+        // r17: find the join that materialized a 192 MiB broadcast in
+        // the starved SpillBench run of q_dup_containment at tile x10
+        val tiled = graft.io.TempDirs.create("graft-dupcont-x10")
+        ScaleStress.tile(spark, sfDir, tiled, 10)
+        val df = graft.Queries.q_dup_containment(spark, tiled)
+        noop(df) // let AQE finalize
+        println(df.queryExecution.executedPlan.toString.take(12000))
       case other =>
         System.err.println(s"unknown profile target: $other")
     }

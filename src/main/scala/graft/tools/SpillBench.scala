@@ -81,6 +81,20 @@ object SpillBench {
       // ~400 MB is shared by 32 concurrent tasks (~12 MB each) —
       // far below the heavy queries' aggregate state at sf0.1
       .config("spark.memory.fraction", fraction)
+      // environment pin (r17): this container's jar set (Spark 4.1.2
+      // with kryo-shaded-4.0.3/chill-0.10.0) cannot construct ANY
+      // KryoSerializer — newKryo()'s default registration list
+      // includes java.nio.HeapByteBuffer, which this Kryo's
+      // FieldSerializer refuses (verified by a direct
+      // `new KryoSerializer(conf).newKryo()` repro with no graft
+      // code). Only this harness ever hits it: the starved
+      // MemoryStore evicts deserialized blocks to disk through
+      // SerializerManager's Kryo AUTOPICK, which is disabled by
+      // explicitly setting spark.serializer — evictions then use
+      // the (working) Java path. Well-provisioned sessions
+      // (Verify/Bench) never evict, so they stay on defaults.
+      .config("spark.serializer",
+        "org.apache.spark.serializer.JavaSerializer")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -111,6 +125,10 @@ object SpillBench {
           None
         } catch { case e: Throwable =>
           pass = false
+          // full stack to stderr: a starved-run failure is a plan gap
+          // (or an environment defect) that needs the CALLER, not
+          // just the exception class (the r17 Kryo hunt)
+          e.printStackTrace()
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9
