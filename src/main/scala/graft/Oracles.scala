@@ -3503,6 +3503,46 @@ object Oracles {
          |ORDER BY t.query_id, t.rank""".stripMargin
     },
 
+    // cross-modal pair curation: the planted wrong-alt-text pairs
+    // (id = 4 mod 5 takes the next id's caption) score ~0.9 against
+    // ~0.9999 for true pairs; the 0.999 gate keeps exactly the
+    // matches — both vector sides predicted from the shared
+    // clipPixel formula, cosine replay as in q_crossmodal_topk
+    "q_crossmodal_curation" -> {
+      val n = graft.Queries.CrossModalN
+      val dim = graft.multimodal.Multimodal.ClipDim
+      s"""WITH ids AS (
+         |  SELECT unnest(generate_series(0, ${n - 1})) AS id
+         |), xs AS (
+         |  SELECT unnest(generate_series(0, ${dim - 1})) AS x
+         |), ev AS (
+         |  SELECT id, x,
+         |         (id*131 + x*79 + id*x*57 + id*x*x*23) % 256 AS e
+         |  FROM ids CROSS JOIN xs
+         |), img AS (
+         |  SELECT id AS vec_id, list(CAST(e AS DOUBLE) ORDER BY x) AS emb
+         |  FROM ev GROUP BY id
+         |), cap AS (
+         |  SELECT id AS caption_id,
+         |         list(CAST((e // 4) * 4 + 2 AS DOUBLE) ORDER BY x) AS qe
+         |  FROM ev GROUP BY id
+         |), pairs AS (
+         |  SELECT vec_id AS pair_id,
+         |         CASE WHEN vec_id % 5 = 4 THEN (vec_id + 1) % $n
+         |              ELSE vec_id END AS caption_id,
+         |         emb
+         |  FROM img
+         |), sc AS (
+         |  SELECT p.pair_id, p.caption_id,
+         |         round(list_cosine_similarity(p.emb, c.qe), 6) AS cos_sim
+         |  FROM pairs p JOIN cap c ON c.caption_id = p.caption_id
+         |)
+         |SELECT pair_id, caption_id, cos_sim,
+         |       CAST(CASE WHEN cos_sim >= 0.999 THEN 1 ELSE 0 END AS INTEGER)
+         |         AS kept
+         |FROM sc ORDER BY pair_id""".stripMargin
+    },
+
     // perceptual-hash image near-dup: every decoded luminance is
     // predicted from the crafted gray-pixel formula (grayscale ITU
     // luminance == the pixel value), then the 8x8 nearest-neighbor

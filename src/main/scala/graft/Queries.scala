@@ -2789,13 +2789,15 @@ object Queries {
     * decode+parse are map-only passes; the retrieval join is the
     * vector tier's own (brute here; the saved-IVF/PQ serves take
     * over at scale — same (vec_id, embedding) contract). */
-  def q_crossmodal_topk(s: SparkSession, dir: String): DataFrame = {
+  /** The caption side of the cross-modal rows: each id's crafted
+    * caption STRING (quantized tone tokens from the shared
+    * [[Multimodal.clipPixel]] formula, generated in-plan), then the
+    * plan PARSES the tokens back out and dequantizes to the caption
+    * vector (midpoint of the 4-wide quantization cell) —
+    * `(caption_id, q_embedding)`. The parse is the text-side encoder
+    * seam the oracle checks against the formula. */
+  private def clipCaptionVecs(s: SparkSession): DataFrame = {
     val dim = Multimodal.ClipDim
-    // image side: REAL decode of the crafted CLIP PNGs
-    val img = Multimodal.clipImageVecs(
-      Multimodal.clipAssets(s, CrossModalN))
-    // caption side: each id's crafted caption STRING (quantized tone
-    // tokens, generated in-plan from the shared formula)…
     val toneCols: Seq[Column] = (0 until dim).map { x =>
       ((col("id") * 131 + lit(x * 79) + col("id") * lit(x * 57) +
         col("id") * lit(x * x * 23)) % 256 / lit(4)).cast("int")
@@ -2804,11 +2806,17 @@ object Queries {
     val captions = s.range(CrossModalN).select(col("id"),
       concat_ws(" ", lit("photo") +: col("id").cast("string") +:
         lit("tones") +: toneCols: _*).as("caption"))
-    // …then the plan PARSES the tokens back out and dequantizes to
-    // the caption vector (midpoint of the 4-wide quantization cell)
-    val parsed = captions.select(col("id").as("query_id"),
+    captions.select(col("id").as("caption_id"),
       transform(slice(split(col("caption"), " "), 4, dim),
         t => (t.cast("int") * 4 + 2).cast("float")).as("q_embedding"))
+  }
+
+  def q_crossmodal_topk(s: SparkSession, dir: String): DataFrame = {
+    // image side: REAL decode of the crafted CLIP PNGs
+    val img = Multimodal.clipImageVecs(
+      Multimodal.clipAssets(s, CrossModalN))
+    val parsed = clipCaptionVecs(s)
+      .withColumnRenamed("caption_id", "query_id")
     val top = vector.Ann.bruteTopK(img, parsed, 3)
       .withColumn("hit",
         (col("rank") === 1 && col("vec_id") === col("query_id"))
@@ -2821,6 +2829,39 @@ object Queries {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"),
         col("hit"), col("recall_at_1"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** CROSS-MODAL pair CURATION — the LAION-style alt-text quality
+    * gate that complements [[q_crossmodal_topk]]'s retrieval view:
+    * a (image, caption) PAIR table scores each pair's cosine and
+    * keeps only pairs above the gate (LAION-400M kept CLIP-score
+    * ≥ 0.3 of raw crawl pairs; here the crafted analogue). The
+    * fixture plants real noise: every id ≡ 4 (mod 5) pairs its image
+    * with the NEXT id's caption (the classic wrong-alt-text crawl
+    * artifact), so matched pairs sit at cos ≈ 0.9999 and mismatched
+    * at ≈ 0.9 — the 0.999 gate keeps 24 of 30 and drops exactly the
+    * planted mismatches. Same real decode + real parse seams as the
+    * retrieval row; the cosine is [[vector.Ann.bruteTopK]]'s exact
+    * expression (dotF / (normF·normF), rounded before the gate). At
+    * 100 TB this is a map-side 1:1 join (pair table keys both
+    * sides) — no candidate generation at all, the cheapest tier of
+    * multimodal curation. */
+  def q_crossmodal_curation(s: SparkSession, dir: String): DataFrame = {
+    val img = Multimodal.clipImageVecs(
+      Multimodal.clipAssets(s, CrossModalN))
+    val caps = clipCaptionVecs(s)
+    val pairs = img.select(col("vec_id").as("pair_id"), col("embedding"),
+      when(col("vec_id") % 5 === 4, (col("vec_id") + 1) % CrossModalN)
+        .otherwise(col("vec_id")).as("caption_id"))
+    val scored = pairs.join(caps, "caption_id")
+      .withColumn("cos_sim",
+        round(vector.FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
+          (vector.FloatVecExpr.normF(col("embedding")) *
+            vector.FloatVecExpr.normF(col("q_embedding"))), 6))
+      .withColumn("kept", (col("cos_sim") >= 0.999).cast("int"))
+    scored
+      .select(col("pair_id"), col("caption_id"), col("cos_sim"), col("kept"))
+      .orderBy(col("pair_id"))
   }
 
   /** Audio-fingerprint near-dup ([[Multimodal.audioNearDup]]) — the

@@ -119,6 +119,52 @@ object HostCal {
     ms
   }
 
+  /** Sequential-read memory bandwidth (GB/s, best of 3 passes over a
+    * 256 MiB long array; `mt` adds an 8-thread disjoint-range pass =
+    * 2 GiB touched). The decisive r17 signal: polls in 2.26× slow
+    * windows showed mt_over_st ≈ 1.04 — every core at full ALU
+    * speed — so the 2× on Spark's scan-bound kernels must come from
+    * the MEMORY subsystem (shared-host bandwidth), which this probe
+    * reads directly. ALU flat + bandwidth depressed = co-tenant
+    * memory traffic; both flat = look at I/O. */
+  def memBw(): (Double, Double) = {
+    val n = (256 << 20) / 8
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i.toLong; i += 1 }
+    var sink = 0L
+    def pass(lo: Int, hi: Int): Long = {
+      var j = lo; var s = 0L
+      while (j < hi) { s += a(j); j += 1 }
+      s
+    }
+    var st = 0.0
+    for (_ <- 1 to 3) {
+      val t0 = System.nanoTime()
+      sink ^= pass(0, n)
+      st = math.max(st, (n * 8).toDouble / (System.nanoTime() - t0))
+    }
+    val threads = 8
+    var mt = 0.0
+    for (_ <- 1 to 3) {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() =>
+          acc.addAndGet(pass(t * (n / threads), (t + 1) * (n / threads))))
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      // threads sweep disjoint ranges of one full array pass
+      // concurrently: total bytes / wall = delivered aggregate
+      // multi-core bandwidth
+      mt = math.max(mt, (n * 8).toDouble / (System.nanoTime() - t0))
+      sink ^= acc.get()
+    }
+    if (sink == 42L) System.err.println("") // keep the sweeps live
+    (st, mt)
+  }
+
   /** Mean of the live "cpu MHz" lines in /proc/cpuinfo (0.0 when the
     * field is absent, as on some VMs) — frequency-scaling attribution. */
   def cpuMhzMean(): Double =
@@ -152,9 +198,10 @@ object HostCal {
   def attributionJson(): String = {
     val st = singleThreadWallMs()
     val mt = multiThreadWallMs()
+    val (bw1, bw8) = memBw()
     val mhz = cpuMhzMean()
     val (stealFrac, stealCum) = stealSample()
-    f""""attribution":{"st_wall_ms":$st%.1f,"mt_wall_ms":$mt%.1f,"mt_over_st":${mt / st}%.3f,"cpu_mhz_mean":$mhz%.1f,"steal_frac_500ms":$stealFrac%.4f,"steal_cum_jiffies":$stealCum%d}"""
+    f""""attribution":{"st_wall_ms":$st%.1f,"mt_wall_ms":$mt%.1f,"mt_over_st":${mt / st}%.3f,"membw_st_gbps":$bw1%.2f,"membw_mt8_gbps":$bw8%.2f,"cpu_mhz_mean":$mhz%.1f,"steal_frac_500ms":$stealFrac%.4f,"steal_cum_jiffies":$stealCum%d}"""
   }
 
   def main(args: Array[String]): Unit = {

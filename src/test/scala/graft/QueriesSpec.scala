@@ -71,6 +71,17 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rank1.forall(r => r.getDouble(3) > 0.999 && r.getDouble(3) < 1.0))
   }
 
+  test("q_crossmodal_curation: the gate drops exactly the planted mismatched pairs") {
+    val rows = Queries.q_crossmodal_curation(spark, sf).collect()
+    assert(rows.length == Queries.CrossModalN)
+    val (dropped, kept) = rows.partition(_.getInt(3) == 0)
+    // ids = 4 (mod 5) carry the NEXT id's caption — the gate must
+    // reject all of them and nothing else
+    assert(dropped.map(_.getLong(0)).sorted.toSeq ==
+      (0L until Queries.CrossModalN).filter(_ % 5 == 4))
+    assert(kept.forall(r => r.getLong(1) == r.getLong(0)))
+  }
+
   test("chunk queries agree on totals") {
     val chunks = Queries.q_chunk_fixed(spark, sf).count()
     val summary = Queries.q_chunk_summary(spark, sf)
