@@ -112,8 +112,12 @@ object Bench {
     // (sf0.1, local[32]): under any other sf/cpus the measured walls
     // are incommensurable with HostCal.Baseline and the redirect
     // would mis-fire silently (always trips at fewer cores, never at
-    // a smaller sf) — skip the guard and stamp the mismatch instead
-    val gateConfigOk = sfDir.endsWith("sf0.1") && cpus == "32"
+    // a smaller sf) — skip the guard and stamp the mismatch instead.
+    // sfDir is normalized (trailing slashes stripped) so
+    // SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1/ doesn't silently skip
+    // the guard at the actually-pinned config (r17 advice)
+    val sfDirNorm = sfDir.replaceAll("/+$", "")
+    val gateConfigOk = sfDirNorm.endsWith("sf0.1") && cpus == "32"
     val hostRatio: Option[Double] =
       if (only.isEmpty && gateConfigOk) {
         val rows = graft.tools.HostCal.measure(spark, sfDir)
@@ -127,6 +131,16 @@ object Bench {
       case Some(r) if r > 1.3 && !force && outFile == "BENCH_LOCAL.json" =>
         System.err.println(
           f"[bench] host_ratio $r%.3f > 1.3 — slow host window; writing " +
+            "BENCH_LOCAL.rejected.json instead (SPARK_GRAFT_BENCH_FORCE=1 to override)")
+        "BENCH_LOCAL.rejected.json"
+      // a gate-SKIPPED full sweep (config mismatch) must not write the
+      // measurement-of-record ungated either: its walls are
+      // incommensurable with the committed record's pinned config
+      // (r17 advice) — redirect unless explicitly forced
+      case None if only.isEmpty && !gateConfigOk && !force &&
+          outFile == "BENCH_LOCAL.json" =>
+        System.err.println(
+          "[bench] host gate skipped (config mismatch) — writing " +
             "BENCH_LOCAL.rejected.json instead (SPARK_GRAFT_BENCH_FORCE=1 to override)")
         "BENCH_LOCAL.rejected.json"
       case _ => outFile

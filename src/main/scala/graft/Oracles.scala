@@ -509,12 +509,20 @@ object Oracles {
 
   /** Shared int8-lattice CTEs: `emb` (the raw table) and `qvt`
     * (each vector with its quantized lattice `qv`). Every
-    * bounded-fit ANN oracle (IVF, PQ, IVF+PQ) replays from these. */
-  /** The quantize half of [[latticeCte]], parameterized over which
-    * `emb` CTE precedes it (the base table, or [[semLatticeCte]]'s
-    * planted-twin augmentation). */
+    * bounded-fit ANN oracle (IVF, PQ, IVF+PQ) replays from these.
+    *
+    * Every multi-referenced CTE in the ANN fit/serve chain is
+    * declared `AS MATERIALIZED`: DuckDB (1.0) otherwise INLINES each
+    * reference, re-executing the upstream chain once per consumer —
+    * combinatorial with nesting depth. The residual IVFPQ recall row
+    * (codebook trained on residuals of the coarse chain) was the
+    * deepest stack and blew past 600 s / multi-GiB peak with inlined
+    * CTEs vs 1.0 s / <0.6 GiB materialized (measured r18,
+    * tools/oracle_mem.py) — the DuckDB-OOM kill vector behind the
+    * r15/r17 empty CORRECTNESS files. Results are hash-identical
+    * (materialization is an evaluation hint, not a semantic change). */
   private lazy val qvtCte: String =
-    s"""qvt AS (
+    s"""qvt AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
        |              ELSE list_transform(embedding,
@@ -526,7 +534,7 @@ object Oracles {
        |)""".stripMargin
 
   private lazy val latticeCte: String =
-    s"""emb AS (
+    s"""emb AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |), $qvtCte""".stripMargin
 
@@ -536,7 +544,7 @@ object Oracles {
     * both IEEE-exact, so the twin embeddings match Spark's bit for
     * bit and the shared quantize/k-means replay applies unchanged. */
   private lazy val semLatticeCte: String =
-    s"""emb AS (
+    s"""emb AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 100000 AS vec_id,
@@ -616,7 +624,7 @@ object Oracles {
     // one assignment CTE per round: argmin over the given centroid
     // CTE by (ordered-fold distance, cell)
     def assignCte(name: String, centCte: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT vec_id, cell FROM (
          |    SELECT v.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -629,19 +637,19 @@ object Oracles {
     // one update CTE pair per round: per-(cell, dim) exact integer
     // sums -> double centroid; empty cells carry the previous one
     def updateCte(sName: String, cName: String, aName: String, prev: String) =
-      s"""$sName AS (
+      s"""$sName AS MATERIALIZED (
          |  SELECT a.cell, js.j, sum(v.qv[js.j]) AS sq, count(*) AS cnt
          |  FROM $aName a JOIN qvt v USING (vec_id)
          |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
          |  GROUP BY 1, 2
-         |), $cName AS (
+         |), $cName AS MATERIALIZED (
          |  SELECT cell, list(CAST(sq AS DOUBLE) / cnt ORDER BY j) AS cent
          |  FROM $sName GROUP BY cell
          |  UNION ALL
          |  SELECT p.cell, p.cent FROM $prev p
          |  WHERE p.cell NOT IN (SELECT DISTINCT cell FROM $sName)
          |)""".stripMargin
-    s"""c0 AS (
+    s"""c0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS INTEGER) AS cell,
        |         list_transform(qv, x -> CAST(x AS DOUBLE)) AS cent
        |  FROM qvt WHERE vec_id < ($seedSql)
@@ -650,12 +658,12 @@ object Oracles {
        |, ${assignCte("a2", "c1")}
        |, ${updateCte("s2", "c2", "a2", "c1")}
        |, ${assignCte("a3", "c2")}
-       |, gc AS (
+       |, gc AS MATERIALIZED (
        |  SELECT cell, list_transform(cent, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS g
        |  FROM c2
-       |), qs AS (
+       |), qs AS MATERIALIZED (
        |  SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < $nQ
-       |), probe AS (
+       |), probe AS MATERIALIZED (
        |  SELECT query_id, cell${if (keepRank) ", crank" else ""} FROM (
        |    SELECT q.query_id, g.cell,
        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -684,7 +692,7 @@ object Oracles {
     // assignment CTE: per (vec, subspace) argmin over the given
     // codebook CTE by (ordered-fold subspace distance, code)
     def pqAssign(name: String, cbCte: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT vec_id, s, code FROM (
          |    SELECT v.vec_id, c.s, c.code,
          |           row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY
@@ -698,13 +706,13 @@ object Oracles {
     // update CTE pair: per-(subspace, code, dim) exact integer sums
     // -> double centroid; empty codes carry the previous one
     def pqUpdate(uName: String, cbName: String, aName: String, prev: String) =
-      s"""$uName AS (
+      s"""$uName AS MATERIALIZED (
          |  SELECT a.s, a.code, js.j,
          |         sum(v.qv[(a.s - 1) * $pqSub + js.j]) AS sq, count(*) AS cnt
          |  FROM $aName a JOIN $src v USING (vec_id)
          |  CROSS JOIN (SELECT unnest(generate_series(1, $pqSub)) AS j) js
          |  GROUP BY 1, 2, 3
-         |), $cbName AS (
+         |), $cbName AS MATERIALIZED (
          |  SELECT s, code, list(CAST(sq AS DOUBLE) / cnt ORDER BY j) AS cent
          |  FROM $uName GROUP BY s, code
          |  UNION ALL
@@ -712,7 +720,7 @@ object Oracles {
          |  WHERE NOT EXISTS (SELECT 1 FROM $uName u
          |                    WHERE u.s = p.s AND u.code = p.code)
          |)""".stripMargin
-    s"""cb0 AS (
+    s"""cb0 AS MATERIALIZED (
        |  SELECT sp.s, CAST(v.vec_id AS INTEGER) AS code,
        |         list_transform(generate_series(1, $pqSub),
        |           j -> CAST(v.qv[(sp.s - 1) * $pqSub + j] AS DOUBLE)) AS cent
@@ -731,9 +739,9 @@ object Oracles {
 
   private def pqFitCteN(nQ: Int): String =
     s"""${pqCodebookCte("qvt")}
-       |, pqs AS (
+       |, pqs AS MATERIALIZED (
        |  SELECT vec_id AS query_id, qv AS qq FROM qvt WHERE vec_id < $nQ
-       |), dt AS (
+       |), dt AS MATERIALIZED (
        |  SELECT q.query_id, c.s, c.code,
        |         list_sum(list_transform(generate_series(1, $pqSub),
        |           j -> (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j])
@@ -746,12 +754,12 @@ object Oracles {
     * shortlist, parameterized over the query-set size. */
   private def pqRankedCteN(nQ: Int): String =
     s"""${pqFitCteN(nQ)}
-       |, pqscored AS (
+       |, pqscored AS MATERIALIZED (
        |  SELECT e.vec_id, d.query_id,
        |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
        |  FROM enc e JOIN dt d ON d.s = e.s AND d.code = e.code
        |  GROUP BY e.vec_id, d.query_id
-       |), pqranked AS (
+       |), pqranked AS MATERIALIZED (
        |  SELECT query_id, vec_id, adc_dist,
        |         row_number() OVER (PARTITION BY query_id
        |           ORDER BY adc_dist, vec_id) AS rank
@@ -837,7 +845,7 @@ object Oracles {
   private def ivfpqScoredCteN(nQ: Int): String =
     s"""${ivfCoarseCteN(nQ)}
        |, ${pqFitCteN(nQ)}
-       |, ipsc AS (
+       |, ipsc AS MATERIALIZED (
        |  SELECT p.query_id, a.vec_id,
        |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
        |  FROM probe p
@@ -931,7 +939,7 @@ object Oracles {
     s"""WITH $latticeCte
        |, ${ivfCoarseCteN(nQ, nProbe = ladder.max, keepRank = true)}
        |, ${pqFitCteN(nQ)}
-       |, ipsc AS (
+       |, ipsc AS MATERIALIZED (
        |  SELECT p.query_id, p.crank, a.vec_id,
        |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
        |  FROM probe p
@@ -940,7 +948,7 @@ object Oracles {
        |  JOIN dt d ON d.query_id = p.query_id
        |    AND d.s = e.s AND d.code = e.code
        |  GROUP BY p.query_id, p.crank, a.vec_id
-       |), truth AS (
+       |), truth AS MATERIALIZED (
        |  SELECT query_id, vec_id FROM (${exactLatticeTruthSqlN(nQ)}) t
        |), tot AS (
        |  SELECT CAST(count(*) AS INTEGER) AS total_k FROM truth
@@ -955,26 +963,26 @@ object Oracles {
   private def topkIvfpqResSqlN(nQ: Int): String =
     s"""WITH $latticeCte
        |, ${ivfCoarseCteN(nQ)}
-       |, rqt AS (
+       |, rqt AS MATERIALIZED (
        |  SELECT v.vec_id,
        |         list_transform(generate_series(1, 64),
        |           j -> CAST(floor((CAST(v.qv[j] AS DOUBLE) - c.cent[j]) * 8 + 0.5) AS INTEGER)) AS qv
        |  FROM qvt v JOIN a3 a USING (vec_id)
        |  JOIN c2 c ON c.cell = a.cell
        |), ${pqCodebookCte("rqt")}
-       |, rqs AS (
+       |, rqs AS MATERIALIZED (
        |  SELECT p.query_id, p.cell,
        |         list_transform(generate_series(1, 64),
        |           j -> CAST(floor((CAST(v.qv[j] AS DOUBLE) - c.cent[j]) * 8 + 0.5) AS INTEGER)) AS qq
        |  FROM probe p JOIN qvt v ON v.vec_id = p.query_id
        |  JOIN c2 c ON c.cell = p.cell
-       |), rdt AS (
+       |), rdt AS MATERIALIZED (
        |  SELECT q.query_id, q.cell, c.s, c.code,
        |         list_sum(list_transform(generate_series(1, $pqSub),
        |           j -> (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j])
        |              * (CAST(q.qq[(c.s - 1) * $pqSub + j] AS DOUBLE) - c.cent[j]))) AS d
        |  FROM rqs q CROSS JOIN cb2 c
-       |), rsc AS (
+       |), rsc AS MATERIALIZED (
        |  SELECT d.query_id, e.vec_id,
        |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
        |  FROM a3 a
@@ -4743,7 +4751,7 @@ object Oracles {
     * queries (pure integer distances) — the truth side of the PQ-tier
     * recall rows. */
   private def exactLatticeTruthSqlN(nQ: Int): String =
-    s"""WITH lqv AS (
+    s"""WITH lqv AS MATERIALIZED (
        |  SELECT vec_id,
        |         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
        |              ELSE list_transform(embedding,
@@ -4770,9 +4778,9 @@ object Oracles {
     * `truthSql` plus the micro-averaged tier mean on every row — the
     * DuckDB twin of Queries.recallFrame. */
   private def recallSql(truthSql: String, approxSql: String): String =
-    s"""WITH truth AS (
+    s"""WITH truth AS MATERIALIZED (
        |  SELECT query_id, vec_id FROM ($truthSql) t
-       |), approx AS (
+       |), approx AS MATERIALIZED (
        |  SELECT query_id, vec_id FROM ($approxSql) a
        |), hits AS (
        |  SELECT t.query_id, count(*) AS n_hit

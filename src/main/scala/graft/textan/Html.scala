@@ -140,9 +140,36 @@ object Html {
     val spans = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
+      // deadline shared by ALL four sweeps: linear scans measure
+      // ~10 ms/MB, so missing 1 s/MB + 60 s means a pattern
+      // backtracked pathologically on adversarial HTML. The deadline
+      // is enforced INSIDE the matcher via a charAt-counting
+      // CharSequence (backtracking hammers charAt, so a runaway match
+      // hits the check within microseconds): this bounds the
+      // calling-thread sweep — which a pool-side Await alone never
+      // could — and makes a timed-out pooled sweep die and release
+      // its global-pool thread instead of scanning on as an orphan
+      // after Await gives up (r17 advice: Await does not cancel)
+      val deadlineNanos =
+        System.nanoTime() + (60L + n / 1000000L) * 1000000000L
+      final class DeadlineSeq extends CharSequence {
+        private[this] var calls = 0
+        def length: Int = n
+        def charAt(i: Int): Char = {
+          calls += 1
+          if ((calls & 0xffff) == 0 && System.nanoTime() > deadlineNanos)
+            throw new IllegalStateException(
+              s"pageCutOffsets: regex sweep exceeded deadline on $n chars")
+          html.charAt(i)
+        }
+        def subSequence(s: Int, e: Int): CharSequence = html.subSequence(s, e)
+        override def toString: String = html
+      }
       def sweep(re: String) = {
         val b = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-        val m = java.util.regex.Pattern.compile(re).matcher(html)
+        // each sweep gets its own DeadlineSeq (the call counter is
+        // not thread-safe across sweeps)
+        val m = java.util.regex.Pattern.compile(re).matcher(new DeadlineSeq)
         while (m.find()) b += ((m.start(), m.end()))
         b
       }
@@ -152,11 +179,10 @@ object Html {
       // tasks' sweeps (many concurrent tasks share the one
       // ncpu-thread global pool during a full scan stage)
       val local = sweep(CommentRe)
-      // bounded await: the sweeps are linear scans (~10 ms/MB
-      // measured), so a miss of this 1 s/MB + 60 s backstop means a
-      // pattern backtracked pathologically on adversarial HTML — fail
-      // the TASK loudly instead of pinning an executor thread forever
-      val timeout = scala.concurrent.duration.Duration(60L + n / 1000000L, "s")
+      // bounded await as the outer backstop (a pool so saturated the
+      // futures never even START would otherwise hang the await; the
+      // in-matcher deadline can't fire for work that never runs)
+      val timeout = scala.concurrent.duration.Duration(120L + n / 1000000L, "s")
       val b = local ++ Await.result(Future.sequence(futures), timeout).flatten
       val sorted = b.sortBy(_._1)
       // merge overlaps so the eligibility test is one binary search

@@ -127,11 +127,24 @@ object HostCal {
     * the MEMORY subsystem (shared-host bandwidth), which this probe
     * reads directly. ALU flat + bandwidth depressed = co-tenant
     * memory traffic; both flat = look at I/O. */
-  def memBw(): (Double, Double) = {
+  /** The 256 MiB probe array, allocated ONCE and reused across polls
+    * (r17 advice): a fresh allocate-and-init per attributionJson()
+    * call briefly doubled hot memory and ran an unmeasured full write
+    * pass inside the very tool attributing memory-bandwidth
+    * contention. Note the probe itself still saturates bandwidth for
+    * ~tens of ms per poll by design — consumers reading a co-tenant
+    * dip at poll timestamps should expect that self-inflicted blip. */
+  private lazy val bwArray: Array[Long] = {
     val n = (256 << 20) / 8
     val a = new Array[Long](n)
     var i = 0
     while (i < n) { a(i) = i.toLong; i += 1 }
+    a
+  }
+
+  def memBw(): (Double, Double) = {
+    val a = bwArray
+    val n = a.length
     var sink = 0L
     def pass(lo: Int, hi: Int): Long = {
       var j = lo; var s = 0L

@@ -44,8 +44,13 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     val rows = Queries.q_ivfpq_probe_recall(spark, sf).collect()
     val hitByProbe = rows.map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(hitByProbe.keySet == Set(2, 4, 8))
-    // more probed cells can only ADD shortlist candidates the exact
-    // rerank then ranks truthfully — recall must be non-decreasing
+    // EMPIRICAL under this fixture, not an invariant (r17 advice):
+    // the ADC shortlist is capped at PqRerankShortlist per query, so
+    // widening nProbe grows the candidate pool competing for the same
+    // slots and can in principle displace a true neighbor that made
+    // the shortlist at a smaller depth. The deterministic fixture
+    // keeps the curve non-decreasing today; if a fixture/shortlist
+    // change trips this line, re-measure before suspecting the serve.
     assert(hitByProbe(2) <= hitByProbe(4) && hitByProbe(4) <= hitByProbe(8))
     // nProbe == nCells probes every cell (zero pruning): the funnel
     // degenerates to the flat ADC shortlist -> exact rerank, so the
