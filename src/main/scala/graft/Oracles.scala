@@ -618,9 +618,14 @@ object Oracles {
     * the assign/update rounds are cell-count-agnostic. `nProbe` is
     * the probe depth (2 for every catalog serve row); `keepRank`
     * additionally emits the probe rank `crank` so the probe-curve
-    * row can score ONE widest-depth chain and slice it per depth. */
+    * row can score ONE widest-depth chain and slice it per depth.
+    * `dim` is the vector width (64 for the embeddings table, 8 for
+    * the cross-modal clip fixture) and `qsSql` optionally replaces
+    * the query CTE body (default: the corpus's own first nQ vectors;
+    * the cross-modal row substitutes the parsed CAPTION vectors). */
   private def ivfCoarseCteN(nQ: Int, seedSql: String = "8",
-      nProbe: Int = 2, keepRank: Boolean = false): String = {
+      nProbe: Int = 2, keepRank: Boolean = false, dim: Int = 64,
+      qsSql: Option[String] = None): String = {
     // one assignment CTE per round: argmin over the given centroid
     // CTE by (ordered-fold distance, cell)
     def assignCte(name: String, centCte: String) =
@@ -628,7 +633,7 @@ object Oracles {
          |  SELECT vec_id, cell FROM (
          |    SELECT v.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |             list_sum(list_transform(generate_series(1, 64),
+         |             list_sum(list_transform(generate_series(1, $dim),
          |               i -> (CAST(v.qv[i] AS DOUBLE) - c.cent[i])
          |                  * (CAST(v.qv[i] AS DOUBLE) - c.cent[i]))), c.cell) AS rn
          |    FROM qvt v CROSS JOIN $centCte c)
@@ -640,7 +645,7 @@ object Oracles {
       s"""$sName AS MATERIALIZED (
          |  SELECT a.cell, js.j, sum(v.qv[js.j]) AS sq, count(*) AS cnt
          |  FROM $aName a JOIN qvt v USING (vec_id)
-         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) js
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS j) js
          |  GROUP BY 1, 2
          |), $cName AS MATERIALIZED (
          |  SELECT cell, list(CAST(sq AS DOUBLE) / cnt ORDER BY j) AS cent
@@ -662,12 +667,13 @@ object Oracles {
        |  SELECT cell, list_transform(cent, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS g
        |  FROM c2
        |), qs AS MATERIALIZED (
-       |  SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < $nQ
+       |  ${qsSql.getOrElse(
+            s"SELECT vec_id AS query_id, embedding AS qe FROM emb WHERE vec_id < $nQ")}
        |), probe AS MATERIALIZED (
        |  SELECT query_id, cell${if (keepRank) ", crank" else ""} FROM (
        |    SELECT q.query_id, g.cell,
        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-       |             list_sum(list_transform(generate_series(1, 64),
+       |             list_sum(list_transform(generate_series(1, $dim),
        |               i -> CAST(q.qe[i] AS DOUBLE) * g.g[i]))
        |             / (sqrt(list_sum(list_transform(q.qe,
        |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -3549,6 +3555,123 @@ object Oracles {
          |       CAST(CASE WHEN cos_sim >= 0.999 THEN 1 ELSE 0 END AS INTEGER)
          |         AS kept
          |FROM sc ORDER BY pair_id""".stripMargin
+    },
+
+    // the composed multimodal materialization: pair gate (planted
+    // wrong-alt-text noise at the wide n), per-IVF-cell quota (the
+    // shared bounded-fit replay chain provides a3), seeded shard
+    // shuffle, per-shard caption-length offsets — q_training_mix's
+    // replay discipline over the cross-modal machines
+    "q_crossmodal_mix" -> {
+      val n = graft.Queries.CrossModalServeN
+      val dim = graft.multimodal.Multimodal.ClipDim
+      s"""WITH ids AS (
+         |  SELECT unnest(generate_series(0, ${n - 1})) AS id
+         |), xs AS (
+         |  SELECT unnest(generate_series(0, ${dim - 1})) AS x
+         |), ev AS MATERIALIZED (
+         |  SELECT id, x,
+         |         (id*131 + x*79 + id*x*57 + id*x*x*23) % 256 AS e
+         |  FROM ids CROSS JOIN xs
+         |), emb AS MATERIALIZED (
+         |  SELECT id AS vec_id, list(CAST(e AS DOUBLE) ORDER BY x) AS embedding
+         |  FROM ev GROUP BY id
+         |), $qvtCte
+         |, ${ivfCoarseCteN(n, seedSql = "8", nProbe = 2, dim = dim)}
+         |, cap AS MATERIALIZED (
+         |  SELECT id AS caption_id,
+         |         'photo ' || CAST(id AS VARCHAR) || ' tones ' ||
+         |           array_to_string(list(CAST(e // 4 AS VARCHAR) ORDER BY x), ' ')
+         |           AS caption,
+         |         list(CAST((e // 4) * 4 + 2 AS DOUBLE) ORDER BY x) AS qe
+         |  FROM ev GROUP BY id
+         |), pairs AS (
+         |  SELECT e.vec_id AS pair_id, e.embedding, a.cell,
+         |         CASE WHEN e.vec_id % 5 = 4 THEN (e.vec_id + 1) % $n
+         |              ELSE e.vec_id END AS caption_id
+         |  FROM emb e JOIN a3 a ON a.vec_id = e.vec_id
+         |), gated AS (
+         |  SELECT pair_id, caption_id, cell, cos_sim,
+         |         CAST(strlen(caption) AS INTEGER) AS n_chars
+         |  FROM (
+         |    SELECT p.pair_id, p.caption_id, p.cell, c.caption,
+         |           round(list_cosine_similarity(p.embedding, c.qe), 6) AS cos_sim
+         |    FROM pairs p JOIN cap c USING (caption_id))
+         |  WHERE cos_sim >= 0.999
+         |), quota AS (
+         |  SELECT pair_id, caption_id, cell, cos_sim, n_chars FROM (
+         |    SELECT pair_id, caption_id, cell, cos_sim, n_chars,
+         |           row_number() OVER (PARTITION BY cell
+         |             ORDER BY cos_sim DESC, pair_id) AS rq
+         |    FROM gated) WHERE rq <= 12
+         |), keyed AS (
+         |  SELECT pair_id, caption_id, cell, cos_sim, n_chars,
+         |         CAST('0x' || substr(md5('xmix-11|' || CAST(pair_id AS VARCHAR)), 1, 15) AS BIGINT) AS hkey
+         |  FROM quota
+         |)
+         |SELECT pair_id, caption_id, cell, cos_sim,
+         |       CAST(hkey % 4 AS INTEGER) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY hkey % 4
+         |         ORDER BY hkey, pair_id) AS INTEGER) AS pos_in_shard,
+         |       n_chars,
+         |       CAST(coalesce(sum(n_chars) OVER (PARTITION BY hkey % 4
+         |         ORDER BY hkey, pair_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS BIGINT) AS char_offset
+         |FROM keyed ORDER BY shard, pos_in_shard""".stripMargin
+    },
+
+    // cross-modal retrieval on the SAVED IVF serve: image vectors
+    // (clipPixel formula) run the shared bounded-fit replay chain at
+    // dim = 8 (seed 8 cells from vec_id < 8, two exact-integer
+    // update rounds, float-cast centroids), caption vectors
+    // ((e // 4) * 4 + 2) probe 2 cells, and the fine cosine ranks
+    // only probed-cell candidates — the same chain Ivf
+    // .ensureSavedBoundedIndex + topKIndexed serve from disk
+    "q_crossmodal_indexed" -> {
+      val n = graft.Queries.CrossModalServeN
+      val dim = graft.multimodal.Multimodal.ClipDim
+      val capQs =
+        s"""SELECT id AS query_id,
+           |         list(CAST((e // 4) * 4 + 2 AS DOUBLE) ORDER BY x) AS qe
+           |  FROM ev GROUP BY id""".stripMargin
+      s"""WITH ids AS (
+         |  SELECT unnest(generate_series(0, ${n - 1})) AS id
+         |), xs AS (
+         |  SELECT unnest(generate_series(0, ${dim - 1})) AS x
+         |), ev AS MATERIALIZED (
+         |  SELECT id, x,
+         |         (id*131 + x*79 + id*x*57 + id*x*x*23) % 256 AS e
+         |  FROM ids CROSS JOIN xs
+         |), emb AS MATERIALIZED (
+         |  SELECT id AS vec_id, list(CAST(e AS DOUBLE) ORDER BY x) AS embedding
+         |  FROM ev GROUP BY id
+         |), $qvtCte
+         |, ${ivfCoarseCteN(n, seedSql = "8", nProbe = 2, dim = dim,
+              qsSql = Some(capQs))}
+         |, fine AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         round(list_cosine_similarity(e.embedding, q.qe), 6) AS cos_sim
+         |  FROM probe p
+         |  JOIN a3 a USING (cell)
+         |  JOIN emb e ON e.vec_id = a.vec_id
+         |  JOIN qs q ON q.query_id = p.query_id
+         |), top AS MATERIALIZED (
+         |  SELECT query_id, rank, vec_id, cos_sim,
+         |         CAST(CASE WHEN rank = 1 AND vec_id = query_id
+         |              THEN 1 ELSE 0 END AS INTEGER) AS hit
+         |  FROM (
+         |    SELECT query_id, vec_id, cos_sim,
+         |           CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+         |    FROM fine) WHERE rank <= 3
+         |), tot AS (
+         |  SELECT CAST(sum(hit) AS INTEGER) AS total_hit FROM top
+         |)
+         |SELECT t.query_id, t.rank, t.vec_id, t.cos_sim, t.hit,
+         |       round(CAST(o.total_hit AS DOUBLE) / $n, 4) AS recall_at_1
+         |FROM top t CROSS JOIN tot o
+         |ORDER BY t.query_id, t.rank""".stripMargin
     },
 
     // perceptual-hash image near-dup: every decoded luminance is

@@ -2796,20 +2796,27 @@ object Queries {
     * vector (midpoint of the 4-wide quantization cell) —
     * `(caption_id, q_embedding)`. The parse is the text-side encoder
     * seam the oracle checks against the formula. */
-  private def clipCaptionVecs(s: SparkSession): DataFrame = {
+  /** [[clipCaptionVecs]] keeping the caption STRING beside the parsed
+    * vector — the composed materialization row charges its shard
+    * offsets by caption length, so the text must survive the parse. */
+  private def clipCaptionTable(s: SparkSession, n: Int): DataFrame = {
     val dim = Multimodal.ClipDim
     val toneCols: Seq[Column] = (0 until dim).map { x =>
       ((col("id") * 131 + lit(x * 79) + col("id") * lit(x * 57) +
         col("id") * lit(x * x * 23)) % 256 / lit(4)).cast("int")
         .cast("string")
     }
-    val captions = s.range(CrossModalN).select(col("id"),
-      concat_ws(" ", lit("photo") +: col("id").cast("string") +:
-        lit("tones") +: toneCols: _*).as("caption"))
-    captions.select(col("id").as("caption_id"),
-      transform(slice(split(col("caption"), " "), 4, dim),
-        t => (t.cast("int") * 4 + 2).cast("float")).as("q_embedding"))
+    s.range(n).select(col("id"),
+        concat_ws(" ", lit("photo") +: col("id").cast("string") +:
+          lit("tones") +: toneCols: _*).as("caption"))
+      .select(col("id").as("caption_id"), col("caption"),
+        transform(slice(split(col("caption"), " "), 4, dim),
+          t => (t.cast("int") * 4 + 2).cast("float")).as("q_embedding"))
   }
+
+  private def clipCaptionVecs(s: SparkSession,
+      n: Int = CrossModalN): DataFrame =
+    clipCaptionTable(s, n).select(col("caption_id"), col("q_embedding"))
 
   def q_crossmodal_topk(s: SparkSession, dir: String): DataFrame = {
     // image side: REAL decode of the crafted CLIP PNGs
@@ -2862,6 +2869,128 @@ object Queries {
     scored
       .select(col("pair_id"), col("caption_id"), col("cos_sim"), col("kept"))
       .orderBy(col("pair_id"))
+  }
+
+  /** Corpus size of the cross-modal SAVED-SERVE row — wide enough
+    * (120 images over 8 cells) that the IVF serve does real pruning
+    * (each caption scores only its 2 probed cells' candidates, ~1/4
+    * of the corpus), shared verbatim with the oracle. */
+  private[graft] val CrossModalServeN = 120
+
+  /** CROSS-MODAL retrieval on the SAVED ANN serve (r17 verdict #3) —
+    * the row that makes the LAION-curation story ride the tier the
+    * 100 TB claim ships on: the REAL-decoded image embeddings
+    * ([[Multimodal.clipImageVecs]], same seam as
+    * [[q_crossmodal_topk]]) are fit + persisted through
+    * [[vector.Ivf.ensureSavedBoundedIndex]] (the oracle-replayable
+    * bounded k-means, `partitionBy("cell")` on disk, built once per
+    * JVM), and the parsed CAPTION vectors query it via
+    * [[vector.Ivf.topKIndexed]] — cell-pruned candidate generation
+    * (nProbe 2 of nCells 8: each caption scores ~1/4 of the corpus)
+    * with the same (vec_id, embedding) contract as every saved
+    * serve. Fixture widened to [[CrossModalServeN]] = 120 pairs so
+    * the pruning is real, planted-pair recall@1 carried on every row
+    * — 0.9917 measured (119/120): caption 16's image lands in a cell
+    * its 2 probed cells miss, the honest coarse-tier pruning loss
+    * ([[q_ann_recall]]'s attribution) surfacing cross-modally, and
+    * the oracle replays the same miss exactly. At 100 TB: decode and
+    * parse are map-only; the index is built offline once; each serve
+    * reads only probed cell files — the FAISS build/serve split
+    * applied cross-modally. Oracle: the shared bounded-fit replay
+    * chain at dim = 8 with the caption formula as the query CTE. */
+  /** Build-or-reuse the saved IVF index over the crafted clip image
+    * corpus at size `n` / geometry `nCells` — the catalog rows share
+    * one key; the ScaleStress crossmodal probe mints per-size keys. */
+  private[graft] def ensureClipIndex(s: SparkSession, n: Int,
+      nCells: Int, key: String): String =
+    vector.Ivf.ensureSavedBoundedIndex(
+      Multimodal.clipImageVecs(Multimodal.clipAssets(s, n)),
+      nCells = nCells, rounds = 2, cacheKey = key,
+      epoch = Some(s"clip-fixture-v1-n$n-c$nCells"))
+
+  /** The caption→saved-index serve funnel of [[q_crossmodal_indexed]]
+    * parameterized over the index path and caption-query count —
+    * shared verbatim with the ScaleStress crossmodal factor probe so
+    * the measured serve IS the catalog row's serve. */
+  private[graft] def crossmodalServeAt(s: SparkSession, path: String,
+      nQueries: Int): DataFrame = {
+    val (disk, cents) = vector.Ivf.loadIndex(s, path)
+    val queries = clipCaptionVecs(s, nQueries)
+      .select(col("caption_id").as("query_id"), col("q_embedding"))
+    vector.Ivf.topKIndexed(disk, cents, queries, 3, nProbe = 2)
+  }
+
+  def q_crossmodal_indexed(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureClipIndex(s, CrossModalServeN, nCells = 8,
+      key = "crossmodal-clip-ivf")
+    val top = crossmodalServeAt(s, path, CrossModalServeN)
+      .withColumn("hit",
+        (col("rank") === 1 && col("vec_id") === col("query_id"))
+          .cast("int"))
+      .persistTracked("crossmodal.idxtop")
+    val tot = top.agg(sum(col("hit")).cast("int").as("total_hit"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("recall_at_1",
+        round(col("total_hit").cast("double") / lit(CrossModalServeN), 4))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"),
+        col("hit"), col("recall_at_1"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The MULTIMODAL corpus materialization (r17 verdict #7) — the
+    * cross-modal twin of [[q_training_mix]], wiring the pair gate
+    * into the same composed, hash-checked chain the text corpus
+    * ships through: (image, caption) pairs over the WIDE fixture
+    * (the [[q_crossmodal_curation]] planted wrong-alt-text noise at
+    * [[CrossModalServeN]] = 120), CLIP-score gate (cos ≥ 0.999 —
+    * drops the 24 planted mismatches), per-VISUAL-CLUSTER quota
+    * (bounded-heap [[graft.plans.TopKPerKey]] keyed on the saved IVF
+    * index's cell — the "cap near-identical visual clusters"
+    * diversity rule, reusing the persisted coarse quantizer as the
+    * cluster id), deterministic seeded shuffle into 4 shards, and
+    * per-shard caption-length offsets. Each machine is hash-checked
+    * elsewhere (curation gate, saved-IVF cells, TopKPerKey quota,
+    * seeded shuffle); this row hash-checks the COMPOSITION. Scale
+    * shape: decode/parse map-only, the pair join map-side 1:1, the
+    * cell comes free off the saved index (no re-fit), bounded heaps
+    * for the quota, ONE `shard` exchange — nothing global. */
+  def q_crossmodal_mix(s: SparkSession, dir: String): DataFrame = {
+    val n = CrossModalServeN
+    val path = ensureClipIndex(s, n, nCells = 8, key = "crossmodal-clip-ivf")
+    val (disk, _) = vector.Ivf.loadIndex(s, path)
+    val caps = clipCaptionTable(s, n)
+    // the raw crawl pair table: every id ≡ 4 (mod 5) pairs its image
+    // with the NEXT id's caption (q_crossmodal_curation's noise)
+    val pairs = disk.select(col("vec_id").as("pair_id"), col("embedding"),
+      col("cell"),
+      when(col("vec_id") % 5 === 4, (col("vec_id") + 1) % n)
+        .otherwise(col("vec_id")).as("caption_id"))
+    val gated = pairs.join(caps, "caption_id")
+      .withColumn("cos_sim",
+        round(vector.FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
+          (vector.FloatVecExpr.normF(col("embedding")) *
+            vector.FloatVecExpr.normF(col("q_embedding"))), 6))
+      .filter(col("cos_sim") >= 0.999)
+      .withColumn("n_chars", length(col("caption")).cast("int"))
+      .select(col("pair_id"), col("caption_id"), col("cell"),
+        col("cos_sim"), col("n_chars"))
+    val quota = graft.plans.TopKPerKey(gated, Seq(col("cell")),
+      Seq(col("cos_sim").desc, col("pair_id")), 12)
+    val h = conv(substring(md5(concat(lit("xmix-11|"),
+      col("pair_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hkey"), col("pair_id"))
+    quota.withColumn("hkey", h)
+      .withColumn("shard", pmod(col("hkey"), lit(4L)).cast("int"))
+      .withColumn("pos_in_shard", row_number().over(w))
+      .withColumn("char_offset", coalesce(
+        sum(col("n_chars").cast("long")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select(col("pair_id"), col("caption_id"), col("cell"),
+        col("cos_sim"), col("shard"), col("pos_in_shard"),
+        col("n_chars"), col("char_offset"))
+      .orderBy(col("shard"), col("pos_in_shard"))
   }
 
   /** Audio-fingerprint near-dup ([[Multimodal.audioNearDup]]) — the

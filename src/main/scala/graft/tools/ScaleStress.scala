@@ -380,9 +380,75 @@ object ScaleStress {
     upsertSection(outFile, "recsplit_crossover", json)
   }
 
+  /** Cross-modal saved-serve factor probe (r17 verdict #3): the
+    * catalog row's EXACT serve funnel (Queries.crossmodalServeAt —
+    * caption queries probing the saved clip-image IVF index) measured
+    * with the image CORPUS grown ×`factor` at the production
+    * geometry nCells = max(8, ⌊√n⌋), caption load held fixed — the
+    * serve contract at 100 TB (the corpus grows; a query batch
+    * doesn't). Candidate math predicts the wall: per caption,
+    * candidates ≈ nProbe/nCells × n, so ×10 corpus at √n cells is
+    * ≈3× candidates — `allowed` = 5. Build walls are reported but
+    * unbounded (the offline phase). Section `crossmodal_factor`. */
+  private def crossmodal(spark: SparkSession, outFile: String,
+      factor: Int): Unit = {
+    val nQ = graft.Queries.CrossModalServeN
+    // session warm-up off the measured serve
+    spark.range(1000).selectExpr("sum(id)").count()
+    val loadBefore = loadavg()
+    def serveWall(n: Int): (Double, Double, Double, Int) = {
+      val cells = math.max(8, math.sqrt(n.toDouble).toInt)
+      val tb = System.nanoTime()
+      val path = graft.Queries.ensureClipIndex(spark, n, cells,
+        key = s"xm-scale-$n-$cells")
+      val build = (System.nanoTime() - tb) / 1e9
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        graft.Queries.crossmodalServeAt(spark, path, nQ)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.io.Caches.clearAll(spark)
+        dt
+      }
+      val first = one()
+      (build, first, math.min(first, one()), cells)
+    }
+    val (b1, f1, m1, c1) = serveWall(nQ)
+    val (bN, fN, mN, cN) = serveWall(nQ * factor)
+    val loadAfter = loadavg()
+    val allowed = 5.0
+    val ratio = mN / m1
+    val json =
+      f"""{"section":"crossmodal_factor","metric":"crossmodal_serve","factor":$factor,"n_base":$nQ,"n_scaled":${nQ * factor},"queries_held_at":$nQ,"cells_base":$c1,"cells_scaled":$cN,"build_base_s":$b1%.3f,"build_scaled_s":$bN%.3f,"serve_base_first_s":$f1%.3f,"serve_base_min_s":$m1%.3f,"serve_scaled_first_s":$fN%.3f,"serve_scaled_min_s":$mN%.3f,"serve_ratio_min":$ratio%.2f,"allowed_ratio":$allowed%.1f,"pass":${ratio <= allowed},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    println(json)
+    upsertSection(outFile, "crossmodal_factor", json)
+    if (ratio > allowed) {
+      System.err.println(f"[crossmodal] serve ratio $ratio%.2f > $allowed%.1f")
+      sys.exit(1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val isRowSkew = args.headOption.contains("rowskew")
     val isRecSplit = args.headOption.contains("recsplit")
+    val isCrossModal = args.headOption.contains("crossmodal")
+    if (isCrossModal) {
+      val outFile =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "SCALE_STRESS.json")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sparkXm = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      sparkXm.sparkContext.setLogLevel("WARN")
+      crossmodal(sparkXm, outFile,
+        args.drop(1).headOption.map(_.toInt).getOrElse(10))
+      sparkXm.stop()
+      return
+    }
     val rest = if (isRowSkew || isRecSplit) args.drop(1) else args
     val baseDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
     val factor =

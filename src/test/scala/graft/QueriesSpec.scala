@@ -87,6 +87,45 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.forall(r => r.getLong(1) == r.getLong(0)))
   }
 
+  test("q_crossmodal_indexed: saved-IVF serve recovers 119/120 pairs; the miss is cell pruning") {
+    val rows = Queries.q_crossmodal_indexed(spark, sf).collect()
+    assert(rows.length == Queries.CrossModalServeN * 3)
+    // recall@1 = 0.9917: one caption (16) probes 2 cells that miss
+    // its image's cell — the honest coarse-tier pruning loss
+    assert(rows.head.getDouble(5) == 0.9917)
+    val rank1 = rows.filter(_.getInt(1) == 1)
+    val misses = rank1.filter(r => r.getLong(2) != r.getLong(0))
+    assert(misses.map(_.getLong(0)).toSeq == Seq(16L))
+    // the miss is PRUNING, not ranking: the planted image appears
+    // NOWHERE in query 16's results (its cell was never probed)
+    assert(!rows.exists(r => r.getLong(0) == 16L && r.getLong(2) == 16L))
+    // every hit is a real retrieval, not an equality join
+    assert(rank1.filter(r => r.getLong(2) == r.getLong(0))
+      .forall(r => r.getDouble(3) > 0.999 && r.getDouble(3) < 1.0))
+  }
+
+  test("q_crossmodal_mix: gate drops planted mismatches, quota caps cells, offsets are per-shard prefix sums") {
+    val rows = Queries.q_crossmodal_mix(spark, sf).collect()
+    val n = Queries.CrossModalServeN
+    // the 24 planted wrong-caption pairs (id = 4 mod 5) never survive
+    // the gate; the per-cell quota then trims the survivors
+    assert(rows.forall(_.getLong(0) % 5 != 4))
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0)))
+    assert(rows.length <= n - n / 5)
+    val byCell = rows.groupBy(_.getInt(2)).map(_._2.length)
+    assert(byCell.forall(_ <= 12), s"cell over quota: $byCell")
+    // char_offset is the exclusive per-shard prefix sum of n_chars in
+    // (hkey, pair_id) order == pos_in_shard order
+    rows.groupBy(_.getInt(4)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(5))
+      var acc = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(7) == acc, s"offset mismatch at pair ${r.getLong(0)}")
+        acc += r.getInt(6)
+      }
+    }
+  }
+
   test("chunk queries agree on totals") {
     val chunks = Queries.q_chunk_fixed(spark, sf).count()
     val summary = Queries.q_chunk_summary(spark, sf)
