@@ -103,6 +103,43 @@ object DocStreams {
       .select(col("fetch_id"), col("canon"), col("digest"),
         col("first_fetch").as("dup_of"))
 
+  /** Stream-static crawl-frontier ADMISSION — the continuous twin of
+    * [[graft.Queries.q_crawl_frontier]] (r17 verdict #8), completing
+    * the ingest-shaped twin set (CDX, line-dedup, DSIR, Gopher,
+    * classifier): each incoming URL entry canonicalizes per-row
+    * ([[graft.rel.Urls.canonical]] — narrow expressions, no state),
+    * RELATIVE/scheme-less entries drop (never fetchable, the batch
+    * row's filter), first-wins goes to the STATIC frontier (a
+    * stream-static LEFT ANTI join on `canon` — an entry already
+    * scheduled is never re-admitted), and each admission carries its
+    * host's politeness continuation: `queue_base` = the host's
+    * static queue depth, `fetch_at_sec = queue_base × 2` — the next
+    * free slot in the batch row's `(host_rank − 1) × 2` schedule.
+    * Stateless on the stream side by construction: multiple
+    * same-host admissions inside one micro-batch all see the same
+    * static base (intra-batch sub-slotting would be a stateful rank
+    * — that's the scheduler's merge step, exactly like the near-dup
+    * twin leaving pair-dedup downstream). The static side is the
+    * compact frontier table (canon, host, host_rank), never the
+    * crawl. Batch == stream on the same entries (spec-pinned). */
+  def frontierAdmitAgainstStatic(incoming: DataFrame,
+      frontier: DataFrame): DataFrame = {
+    val canoned = incoming
+      .withColumn("canon", graft.rel.Urls.canonical(col("url")))
+      .withColumn("host",
+        regexp_extract(col("canon"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
+      .filter(col("host") =!= "")
+    val hostQueue = frontier.groupBy(col("host"))
+      .agg(max(col("host_rank")).cast("int").as("__queued"))
+    canoned
+      .join(frontier.select(col("canon")), Seq("canon"), "left_anti")
+      .join(hostQueue, Seq("host"), "left")
+      .select(col("entry_id"), col("host"), col("canon"),
+        coalesce(col("__queued"), lit(0)).cast("int").as("queue_base"),
+        (coalesce(col("__queued"), lit(0)) * 2).cast("long")
+          .as("fetch_at_sec"))
+  }
+
   /** Stream-static DSIR scoring — the continuous-ingest twin of
     * [[graft.Queries.q_dsir_weights]]: incoming documents are scored
     * against FROZEN hashed LMs ([[graft.textan.Dsir.collectLm]] over

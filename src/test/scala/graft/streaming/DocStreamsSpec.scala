@@ -220,6 +220,53 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static frontier admission: scheduled canons drop, admissions continue host queues, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val frontier = graft.Queries.q_crawl_frontier(spark, sf)
+      .select(col("host"), col("canon"), col("host_rank"))
+    val f0canon = frontier.orderBy(col("canon")).head().getString(1)
+    val wwwQueue = frontier.filter(col("host") === "www.example.com")
+      .agg(max(col("host_rank"))).head().getInt(0)
+    val entries = Seq(
+      // already scheduled: the frontier canon dressed in a fragment
+      // canonicalizes back to itself -> first-wins to the frontier
+      (9000L, f0canon + "#dup"),
+      // fresh page on an ALREADY-QUEUED host -> admitted at the
+      // host's next politeness slot
+      (9001L, "https://www.example.com/docs/brandnew?z=1"),
+      // relative entry: never fetchable, dropped like the batch row
+      (9002L, "/docs/rel/new?x=1"),
+      // fresh host -> queue starts at slot 0
+      (9003L, "https://fresh.example.io/a"))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.frontierAdmitAgainstStatic(
+        mem.toDF().toDF("entry_id", "url"), frontier)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frontier_stream_out").start()
+    val got = try {
+      mem.addData(entries: _*)
+      q.processAllAvailable()
+      spark.table("frontier_stream_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    } finally q.stop()
+    assert(got.map(_._1) == Seq(9001L, 9003L), s"admitted set: $got")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(9001L)._2 == "www.example.com")
+    assert(byId(9001L)._3 == wwwQueue && byId(9001L)._4 == wwwQueue * 2L,
+      s"politeness continuation: ${byId(9001L)}")
+    assert(byId(9003L)._3 == 0 && byId(9003L)._4 == 0L)
+    // stream == batch: the same entries through the same twin as a
+    // plain DataFrame yield identical rows
+    val batch = DocStreams.frontierAdmitAgainstStatic(
+        entries.toDF("entry_id", "url"), frontier).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(batch == got, s"stream $got != batch $batch")
+  }
+
   test("stream-static DSIR scoring: new docs scored against frozen LMs == batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
