@@ -41,7 +41,12 @@ object SpillBench {
     // list now EQUALS the committed tile10_f0.15 section's catalog so
     // a bare full run can never silently narrow the canonical
     // artifact.
-    "q_topk_ivfpq_rerank")
+    "q_topk_ivfpq_rerank",
+    // r18 (r17 verdict #5): the probe-curve eval — THREE saved-index
+    // serves at widening nProbe plus a persisted exact-lattice truth
+    // pass in one plan family, the widest multi-serve shape; starved
+    // coverage proves the eval wall is spill-safe too
+    "q_ivfpq_probe_recall")
 
   private class SpillListener extends SparkListener {
     @volatile var memSpilled = 0L
