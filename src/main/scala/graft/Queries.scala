@@ -2810,8 +2810,7 @@ object Queries {
         concat_ws(" ", lit("photo") +: col("id").cast("string") +:
           lit("tones") +: toneCols: _*).as("caption"))
       .select(col("id").as("caption_id"), col("caption"),
-        transform(slice(split(col("caption"), " "), 4, dim),
-          t => (t.cast("int") * 4 + 2).cast("float")).as("q_embedding"))
+        Multimodal.captionParse(col("caption")).as("q_embedding"))
   }
 
   private def clipCaptionVecs(s: SparkSession,

@@ -590,26 +590,40 @@ object Multimodal {
     * payloads drop (decode-or-skip, the [[assetFeatures]] rule).
     * Map-only: at 100 TB this is one decode pass per asset, no
     * shuffle until the retrieval join. */
+  /** Decode ONE clip payload to its embedding row — the per-row
+    * kernel of [[clipImageVecs]], shared with the streaming gate twin
+    * ([[graft.streaming.DocStreams.crossmodalGateStream]]) so the two
+    * paths cannot drift: ImageIO decode, row 0's ITU-601 integer
+    * luminances as `float[ClipDim]`, None on undecodable payloads
+    * (decode-or-skip). */
+  private[graft] def decodeClipVec(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < ClipDim) None
+      else Some(Array.tabulate(ClipDim) { x =>
+        val rgb = img.getRGB(x, 0)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        ((r * 299 + g * 587 + b * 114) / 1000).toFloat
+      })
+    } catch { case _: Throwable => None }
+
+  /** The caption-side encoder seam as a Column: parse a crafted
+    * caption's quantized tone tokens back into the dequantized
+    * `float[ClipDim]` vector (midpoint of the 4-wide cell) — shared
+    * by the batch caption table and the streaming gate twin. */
+  def captionParse(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(slice(split(c, " "), 4, ClipDim),
+      t => (t.cast("int") * 4 + 2).cast("float"))
+
   def clipImageVecs(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select(col("asset_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        try {
-          val img = ImageIO.read(new ByteArrayInputStream(payload))
-          if (img == null || img.getWidth < ClipDim) None
-          else {
-            val v = Array.tabulate(ClipDim) { x =>
-              val rgb = img.getRGB(x, 0)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              ((r * 299 + g * 587 + b * 114) / 1000).toFloat
-            }
-            Some((id, v))
-          }
-        } catch { case _: Throwable => None }
+        decodeClipVec(payload).map(v => (id, v))
       })
       .toDF("vec_id", "embedding")
   }

@@ -103,6 +103,45 @@ object DocStreams {
       .select(col("fetch_id"), col("canon"), col("digest"),
         col("first_fetch").as("dup_of"))
 
+  /** Streaming CROSS-MODAL pair gate — the continuous twin of
+    * [[graft.Queries.q_crossmodal_curation]], proving the multimodal
+    * plumbing is streaming-safe end to end: each incoming
+    * (pair_id, payload, caption) row REAL-decodes its image embedding
+    * ([[graft.multimodal.Multimodal.decodeClipVec]] inside
+    * mapPartitions — the identical kernel the batch path runs),
+    * parses the caption vector per-row
+    * ([[graft.multimodal.Multimodal.captionParse]]), scores the
+    * pair's cosine with the batch row's exact expression (dotF /
+    * (normF·normF), rounded before the gate) and keeps pairs at or
+    * above `threshold`. Everything is map-only — no state, no
+    * watermark, no shuffle — so it runs on an unbounded crawl stream;
+    * undecodable payloads drop (decode-or-skip). Emits
+    * (pair_id, cos_sim, kept) for EVERY decodable pair (kept 0/1, so
+    * the downstream writer can route keeps and drops differently);
+    * batch == stream on the same pairs (spec-pinned). */
+  def crossmodalGateStream(pairs: DataFrame,
+      threshold: Double = 0.999): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val decoded = pairs
+      .select(col("pair_id"), col("payload"), col("caption"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.flatMap { case (id, payload, caption) =>
+        graft.multimodal.Multimodal.decodeClipVec(payload)
+          .map(v => (id, v, caption))
+      })
+      .toDF("pair_id", "embedding", "caption")
+    decoded
+      .withColumn("q_embedding",
+        graft.multimodal.Multimodal.captionParse(col("caption")))
+      .withColumn("cos_sim",
+        round(graft.vector.FloatVecExpr.dotF(col("embedding"), col("q_embedding")) /
+          (graft.vector.FloatVecExpr.normF(col("embedding")) *
+            graft.vector.FloatVecExpr.normF(col("q_embedding"))), 6))
+      .select(col("pair_id"), col("cos_sim"),
+        (col("cos_sim") >= threshold).cast("int").as("kept"))
+  }
+
   /** Stream-static crawl-frontier ADMISSION — the continuous twin of
     * [[graft.Queries.q_crawl_frontier]] (r17 verdict #8), completing
     * the ingest-shaped twin set (CDX, line-dedup, DSIR, Gopher,

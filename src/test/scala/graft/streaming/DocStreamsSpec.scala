@@ -220,6 +220,51 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming cross-modal gate: real decode + caption parse on a stream, keeps/drops == batch == curation row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.Multimodal
+    val n = graft.Queries.CrossModalN
+    // the batch curation fixture's exact pair table: image id paired
+    // with its own caption, except id = 4 (mod 5) takes the NEXT id's
+    // caption — captions from the shared crafted formula
+    def caption(id: Long): String = {
+      val tones = (0 until Multimodal.ClipDim).map { x =>
+        ((id * 131 + x * 79 + id * x * 57 + id * x * x * 23) % 256 / 4).toInt
+      }
+      s"photo $id tones ${tones.mkString(" ")}"
+    }
+    val entries = (0L until n).map { id =>
+      val capId = if (id % 5 == 4) (id + 1) % n else id
+      (id, Multimodal.makeClipPng(id), caption(capId))
+    } :+ (999L, Array[Byte](1, 2, 3), caption(0)) // undecodable: drops
+    val mem = MemoryStream[(Long, Array[Byte], String)]
+    val q = DocStreams.crossmodalGateStream(
+        mem.toDF().toDF("pair_id", "payload", "caption"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("xm_gate_stream_out").start()
+    val got = try {
+      mem.addData(entries: _*)
+      q.processAllAvailable()
+      spark.table("xm_gate_stream_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .sortBy(_._1).toSeq
+    } finally q.stop()
+    // the undecodable payload dropped; every real pair scored
+    assert(got.map(_._1) == (0L until n))
+    // kept/dropped matches the batch curation row bit for bit
+    val curation = graft.Queries.q_crossmodal_curation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).sortBy(_._1).toSeq
+    assert(got == curation, s"stream gate != batch curation row")
+    // stream == batch through the SAME twin
+    val batch = DocStreams.crossmodalGateStream(
+        entries.toDF("pair_id", "payload", "caption")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(got == batch)
+  }
+
   test("stream-static frontier admission: scheduled canons drop, admissions continue host queues, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
