@@ -693,8 +693,13 @@ object Oracles {
   /** Per-subspace codebook chain over an arbitrary lattice CTE
     * (`src` must expose (vec_id, qv)): seed `cb0`, two unrolled
     * exact-integer rounds, final assignment `enc`. Shared by the
-    * raw-lattice PQ rows and the residual IVFPQ fit. */
-  private def pqCodebookCte(src: String): String = {
+    * raw-lattice PQ rows and the residual IVFPQ fit; the cross-modal
+    * compressed serve passes its own (m, sub, k) geometry over the
+    * dim-8 clip lattice. */
+  private def pqCodebookCte(src: String, geom: (Int, Int, Int) = null)
+      : String = {
+    val (pqM, pqSub, pqK) =
+      if (geom == null) (Oracles.pqM, Oracles.pqSub, Oracles.pqK) else geom
     // assignment CTE: per (vec, subspace) argmin over the given
     // codebook CTE by (ordered-fold subspace distance, code)
     def pqAssign(name: String, cbCte: String) =
@@ -3619,6 +3624,93 @@ object Oracles {
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |         AS BIGINT) AS char_offset
          |FROM keyed ORDER BY shard, pos_in_shard""".stripMargin
+    },
+
+    // cross-modal retrieval on the COMPRESSED serve: the dim-8 clip
+    // lattice trains 4x2x8 codebooks (shared pqCodebookCte geometry
+    // param), caption lattices ADC-scan probed cells' codes, the
+    // shortlist refines on the exact integer lattice — the IVFPQ +
+    // refine replay at cross-modal geometry
+    "q_crossmodal_pq" -> {
+      val n = graft.Queries.CrossModalServeN
+      val dim = graft.multimodal.Multimodal.ClipDim
+      val m = graft.Queries.XmPqM
+      val sub = dim / m
+      val k = graft.Queries.XmPqK
+      val sl = graft.Queries.XmPqShortlist
+      val capQs =
+        s"""SELECT id AS query_id,
+           |         list(CAST((e // 4) * 4 + 2 AS DOUBLE) ORDER BY x) AS qe
+           |  FROM ev GROUP BY id""".stripMargin
+      s"""WITH ids AS (
+         |  SELECT unnest(generate_series(0, ${n - 1})) AS id
+         |), xs AS (
+         |  SELECT unnest(generate_series(0, ${dim - 1})) AS x
+         |), ev AS MATERIALIZED (
+         |  SELECT id, x,
+         |         (id*131 + x*79 + id*x*57 + id*x*x*23) % 256 AS e
+         |  FROM ids CROSS JOIN xs
+         |), emb AS MATERIALIZED (
+         |  SELECT id AS vec_id, list(CAST(e AS DOUBLE) ORDER BY x) AS embedding
+         |  FROM ev GROUP BY id
+         |), $qvtCte
+         |, ${ivfCoarseCteN(n, seedSql = "8", nProbe = 2, dim = dim,
+              qsSql = Some(capQs))}
+         |, ${pqCodebookCte("qvt", (m, sub, k))}
+         |, capq AS MATERIALIZED (
+         |  SELECT query_id,
+         |         CASE WHEN mq = 0 THEN list_transform(qe, x -> 0)
+         |              ELSE list_transform(qe,
+         |                x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mq) + 0.5) AS INTEGER))
+         |         END AS qq
+         |  FROM (SELECT query_id, qe,
+         |          list_max(list_transform(qe, x -> abs(CAST(x AS DOUBLE)))) AS mq
+         |        FROM qs)
+         |), dt AS MATERIALIZED (
+         |  SELECT q.query_id, c.s, c.code,
+         |         list_sum(list_transform(generate_series(1, $sub),
+         |           j -> (CAST(q.qq[(c.s - 1) * $sub + j] AS DOUBLE) - c.cent[j])
+         |              * (CAST(q.qq[(c.s - 1) * $sub + j] AS DOUBLE) - c.cent[j]))) AS d
+         |  FROM capq q CROSS JOIN cb2 c
+         |), ipsc AS MATERIALIZED (
+         |  SELECT p.query_id, a.vec_id,
+         |         round(list_sum(list(d.d ORDER BY d.s)), 6) AS adc_dist
+         |  FROM probe p
+         |  JOIN a3 a USING (cell)
+         |  JOIN enc e ON e.vec_id = a.vec_id
+         |  JOIN dt d ON d.query_id = p.query_id
+         |    AND d.s = e.s AND d.code = e.code
+         |  GROUP BY p.query_id, a.vec_id
+         |), isl AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc_dist, vec_id) AS rank
+         |    FROM ipsc)
+         |  WHERE rank <= $sl
+         |), rr AS MATERIALIZED (
+         |  SELECT i.query_id, i.vec_id,
+         |         list_sum(list_transform(generate_series(1, $dim),
+         |           x -> CAST(q.qq[x] - v.qv[x] AS BIGINT) * (q.qq[x] - v.qv[x]))) AS l2
+         |  FROM isl i
+         |  JOIN qvt v ON v.vec_id = i.vec_id
+         |  JOIN capq q ON q.query_id = i.query_id
+         |), top AS MATERIALIZED (
+         |  SELECT query_id, rank, vec_id, l2_dist,
+         |         CAST(CASE WHEN rank = 1 AND vec_id = query_id
+         |              THEN 1 ELSE 0 END AS INTEGER) AS hit
+         |  FROM (
+         |    SELECT query_id, vec_id, CAST(l2 AS BIGINT) AS l2_dist,
+         |           CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY l2, vec_id) AS INTEGER) AS rank
+         |    FROM rr) WHERE rank <= 3
+         |), tot AS (
+         |  SELECT CAST(sum(hit) AS INTEGER) AS total_hit FROM top
+         |)
+         |SELECT t.query_id, t.rank, t.vec_id, t.l2_dist, t.hit,
+         |       round(CAST(o.total_hit AS DOUBLE) / $n, 4) AS recall_at_1
+         |FROM top t CROSS JOIN tot o
+         |ORDER BY t.query_id, t.rank""".stripMargin
     },
 
     // cross-modal retrieval on the SAVED IVF serve: image vectors

@@ -2936,6 +2936,60 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cross-modal COMPRESSED-serve geometry, shared verbatim with the
+    * oracle: 4 subspaces × 2 dims over the 8-dim clip embeddings,
+    * 8 codes per subspace (4 B of codes per image vs 32 B of floats),
+    * ADC shortlist 16 into the exact-lattice refine. */
+  private[graft] val XmPqM = 4
+  private[graft] val XmPqK = 8
+  private[graft] val XmPqShortlist = 16
+
+  /** Cross-modal retrieval on the COMPRESSED (IVFPQ + refine) serve —
+    * the second saved tier ([[q_crossmodal_indexed]] is the
+    * raw-vector IVF one): the decoded image corpus trains + persists
+    * a saved IVF+PQ index ([[vector.Pq.ensureSavedIndex]] — coarse
+    * cells and per-subspace codebooks both bounded-fit, codes
+    * `partitionBy("cell")`), caption queries ADC-scan ONLY probed
+    * cells' codes ([[vector.Pq.adcTopKIndexed]], [[XmPqShortlist]]
+    * candidates each), and only shortlist rows re-score on the exact
+    * int8 lattice ([[vector.Pq.exactRerank]]) — FAISS's
+    * IndexRefineFlat shape serving image↔caption pairs. 100 TB
+    * story: the serve reads 4 B/image codes in probed cells plus
+    * |queries|×16 full vectors — the memory tier the multimodal
+    * corpus actually ships on. Recall@1 carried on every row; the
+    * coarse chain is the same fit as the IVF row, so the cell-
+    * pruning miss set is shared and any additional loss is the
+    * codebook's (the shortlist refine recovers it here). Oracle: the
+    * shared dim-8 replay chains — coarse ([[Oracles]] ivfCoarseCteN),
+    * codebooks (pqCodebookCte at 4×2×8), caption lattice, ADC,
+    * exact-lattice refine. */
+  def q_crossmodal_pq(s: SparkSession, dir: String): DataFrame = {
+    val n = CrossModalServeN
+    val img = Multimodal.clipImageVecs(Multimodal.clipAssets(s, n))
+    val path = vector.Pq.ensureSavedIndex(img, m = XmPqM, k = XmPqK,
+      rounds = 2, nCells = 8, cacheKey = "crossmodal-clip-pq",
+      epoch = Some(s"clip-fixture-v1-n$n-pq$XmPqM-$XmPqK"))
+    val (codes, books, cents) = vector.Pq.loadIndex(s, path)
+    val queries = clipCaptionVecs(s, n)
+      .select(col("caption_id").as("query_id"), col("q_embedding"))
+    val sl = vector.Pq.adcTopKIndexed(codes, books, cents, queries,
+        XmPqShortlist, nProbe = 2)
+      .select(col("query_id"), col("vec_id"))
+    val quantized = img.withColumn("qv", vector.Quantize.int8(col("embedding")))
+    val top = vector.Pq.exactRerank(quantized, sl, queries, 3)
+      .withColumn("hit",
+        (col("rank") === 1 && col("vec_id") === col("query_id"))
+          .cast("int"))
+      .persistTracked("crossmodal.pqtop")
+    val tot = top.agg(sum(col("hit")).cast("int").as("total_hit"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("recall_at_1",
+        round(col("total_hit").cast("double") / lit(n), 4))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("l2_dist"),
+        col("hit"), col("recall_at_1"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The MULTIMODAL corpus materialization (r17 verdict #7) — the
     * cross-modal twin of [[q_training_mix]], wiring the pair gate
     * into the same composed, hash-checked chain the text corpus

@@ -104,6 +104,22 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       .forall(r => r.getDouble(3) > 0.999 && r.getDouble(3) < 1.0))
   }
 
+  test("q_crossmodal_pq: compressed serve loses nothing beyond the IVF row's cell pruning") {
+    val pq = Queries.q_crossmodal_pq(spark, sf).collect()
+    assert(pq.length == Queries.CrossModalServeN * 3)
+    def misses(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(r => r.getInt(1) == 1 && r.getLong(2) != r.getLong(0))
+      .map(_.getLong(0)).toSeq.sorted
+    val ivf = Queries.q_crossmodal_indexed(spark, sf).collect()
+    // the loss decomposition identity, cross-modally: both serves fit
+    // the SAME coarse chain, the shortlist->exact refine recovers the
+    // codebook half entirely at shortlist 16, so the compressed
+    // serve's miss set EQUALS the raw-vector serve's (pure cell
+    // pruning - query 16 on this fixture)
+    assert(misses(pq) == misses(ivf) && misses(pq) == Seq(16L),
+      s"pq misses ${misses(pq)} != ivf misses ${misses(ivf)}")
+  }
+
   test("q_crossmodal_mix: gate drops planted mismatches, quota caps cells, offsets are per-shard prefix sums") {
     val rows = Queries.q_crossmodal_mix(spark, sf).collect()
     val n = Queries.CrossModalServeN
