@@ -2963,20 +2963,41 @@ object Queries {
     * shared dim-8 replay chains — coarse ([[Oracles]] ivfCoarseCteN),
     * codebooks (pqCodebookCte at 4×2×8), caption lattice, ADC,
     * exact-lattice refine. */
-  def q_crossmodal_pq(s: SparkSession, dir: String): DataFrame = {
-    val n = CrossModalServeN
-    val img = Multimodal.clipImageVecs(Multimodal.clipAssets(s, n))
-    val path = vector.Pq.ensureSavedIndex(img, m = XmPqM, k = XmPqK,
-      rounds = 2, nCells = 8, cacheKey = "crossmodal-clip-pq",
-      epoch = Some(s"clip-fixture-v1-n$n-pq$XmPqM-$XmPqK"))
+  /** Build-or-reuse the saved IVF+PQ index over the clip image corpus
+    * at size `n` / coarse geometry `nCells` (codebooks stay at the
+    * [[XmPqM]]×[[XmPqK]] serve geometry) — the catalog row shares one
+    * key; the ScaleStress crossmodal probe mints per-size keys. */
+  private[graft] def ensureClipPqIndex(s: SparkSession, n: Int,
+      nCells: Int, key: String): String =
+    vector.Pq.ensureSavedIndex(
+      Multimodal.clipImageVecs(Multimodal.clipAssets(s, n)),
+      m = XmPqM, k = XmPqK, rounds = 2, nCells = nCells, cacheKey = key,
+      epoch = Some(s"clip-fixture-v1-n$n-c$nCells-pq$XmPqM-$XmPqK"))
+
+  /** The caption→compressed-serve funnel of [[q_crossmodal_pq]]
+    * parameterized over index path and caption count — shared
+    * verbatim with the ScaleStress crossmodal probe. Note the refine
+    * side re-decodes the image corpus (map-only): at scale the full-
+    * vector table is the corpus store the shortlist joins back to. */
+  private[graft] def crossmodalPqServeAt(s: SparkSession, path: String,
+      nQueries: Int, corpusN: Int = -1): DataFrame = {
     val (codes, books, cents) = vector.Pq.loadIndex(s, path)
-    val queries = clipCaptionVecs(s, n)
+    val queries = clipCaptionVecs(s, nQueries)
       .select(col("caption_id").as("query_id"), col("q_embedding"))
     val sl = vector.Pq.adcTopKIndexed(codes, books, cents, queries,
         XmPqShortlist, nProbe = 2)
       .select(col("query_id"), col("vec_id"))
-    val quantized = img.withColumn("qv", vector.Quantize.int8(col("embedding")))
-    val top = vector.Pq.exactRerank(quantized, sl, queries, 3)
+    val n = if (corpusN > 0) corpusN else nQueries
+    val quantized = Multimodal.clipImageVecs(Multimodal.clipAssets(s, n))
+      .withColumn("qv", vector.Quantize.int8(col("embedding")))
+    vector.Pq.exactRerank(quantized, sl, queries, 3)
+  }
+
+  def q_crossmodal_pq(s: SparkSession, dir: String): DataFrame = {
+    val n = CrossModalServeN
+    val path = ensureClipPqIndex(s, n, nCells = 8,
+      key = "crossmodal-clip-pq")
+    val top = crossmodalPqServeAt(s, path, n)
       .withColumn("hit",
         (col("rank") === 1 && col("vec_id") === col("query_id"))
           .cast("int"))

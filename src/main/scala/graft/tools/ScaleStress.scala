@@ -396,34 +396,50 @@ object ScaleStress {
     // session warm-up off the measured serve
     spark.range(1000).selectExpr("sum(id)").count()
     val loadBefore = loadavg()
-    def serveWall(n: Int): (Double, Double, Double, Int) = {
+    // one tier = (build wall, serve first, serve min, cells) at size n
+    def tier(n: Int, build: Int => String,
+        serve: String => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Double, Int) = {
       val cells = math.max(8, math.sqrt(n.toDouble).toInt)
       val tb = System.nanoTime()
-      val path = graft.Queries.ensureClipIndex(spark, n, cells,
-        key = s"xm-scale-$n-$cells")
-      val build = (System.nanoTime() - tb) / 1e9
+      val path = build(cells)
+      val buildS = (System.nanoTime() - tb) / 1e9
       def one(): Double = {
         val t0 = System.nanoTime()
-        graft.Queries.crossmodalServeAt(spark, path, nQ)
-          .write.format("noop").mode("overwrite").save()
+        serve(path).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         graft.io.Caches.clearAll(spark)
         dt
       }
       val first = one()
-      (build, first, math.min(first, one()), cells)
+      (buildS, first, math.min(first, one()), cells)
     }
-    val (b1, f1, m1, c1) = serveWall(nQ)
-    val (bN, fN, mN, cN) = serveWall(nQ * factor)
+    def ivfTier(n: Int) = tier(n,
+      cells => graft.Queries.ensureClipIndex(spark, n, cells,
+        key = s"xm-scale-$n-$cells"),
+      path => graft.Queries.crossmodalServeAt(spark, path, nQ))
+    def pqTier(n: Int) = tier(n,
+      cells => graft.Queries.ensureClipPqIndex(spark, n, cells,
+        key = s"xm-scale-pq-$n-$cells"),
+      // corpusN = n: the refine joins the shortlist back to the FULL
+      // scaled corpus store, not just the query-sized slice
+      path => graft.Queries.crossmodalPqServeAt(spark, path, nQ,
+        corpusN = n))
+    val (b1, f1, m1, c1) = ivfTier(nQ)
+    val (bN, fN, mN, cN) = ivfTier(nQ * factor)
+    val (pb1, pf1, pm1, _) = pqTier(nQ)
+    val (pbN, pfN, pmN, _) = pqTier(nQ * factor)
     val loadAfter = loadavg()
     val allowed = 5.0
     val ratio = mN / m1
+    val pratio = pmN / pm1
     val json =
-      f"""{"section":"crossmodal_factor","metric":"crossmodal_serve","factor":$factor,"n_base":$nQ,"n_scaled":${nQ * factor},"queries_held_at":$nQ,"cells_base":$c1,"cells_scaled":$cN,"build_base_s":$b1%.3f,"build_scaled_s":$bN%.3f,"serve_base_first_s":$f1%.3f,"serve_base_min_s":$m1%.3f,"serve_scaled_first_s":$fN%.3f,"serve_scaled_min_s":$mN%.3f,"serve_ratio_min":$ratio%.2f,"allowed_ratio":$allowed%.1f,"pass":${ratio <= allowed},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+      f"""{"section":"crossmodal_factor","metric":"crossmodal_serve","factor":$factor,"n_base":$nQ,"n_scaled":${nQ * factor},"queries_held_at":$nQ,"cells_base":$c1,"cells_scaled":$cN,"build_base_s":$b1%.3f,"build_scaled_s":$bN%.3f,"serve_base_first_s":$f1%.3f,"serve_base_min_s":$m1%.3f,"serve_scaled_first_s":$fN%.3f,"serve_scaled_min_s":$mN%.3f,"serve_ratio_min":$ratio%.2f,"pq_build_base_s":$pb1%.3f,"pq_build_scaled_s":$pbN%.3f,"pq_serve_base_first_s":$pf1%.3f,"pq_serve_base_min_s":$pm1%.3f,"pq_serve_scaled_first_s":$pfN%.3f,"pq_serve_scaled_min_s":$pmN%.3f,"pq_serve_ratio_min":$pratio%.2f,"allowed_ratio":$allowed%.1f,"pass":${ratio <= allowed && pratio <= allowed},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
     println(json)
     upsertSection(outFile, "crossmodal_factor", json)
-    if (ratio > allowed) {
-      System.err.println(f"[crossmodal] serve ratio $ratio%.2f > $allowed%.1f")
+    if (ratio > allowed || pratio > allowed) {
+      System.err.println(
+        f"[crossmodal] serve ratio ivf=$ratio%.2f pq=$pratio%.2f > $allowed%.1f")
       sys.exit(1)
     }
   }
