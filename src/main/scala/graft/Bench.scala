@@ -127,10 +127,40 @@ object Bench {
       System.err.println(
         s"[bench] host gate skipped: sfDir=$sfDir cpus=$cpus != pinned sf0.1/local[32]")
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    // gate v3 (r18, closing the r17 verdict-#4 standing order): the
+    // ≤1.3 fast-host window has not existed for two full rounds of
+    // polling (HOSTCAL_POLL.jsonl: 14 samples r17–r18, 1.644–2.385,
+    // median 2.0 — the r13 host state the walls were pinned on is
+    // gone), so a gate that ONLY admits ≤1.3 can never admit and
+    // every record needs a manual promotion. Rebase: additionally
+    // admit a TYPICAL-OR-BETTER window (ratio ≤ 2.3 = 1.15× the
+    // observed median) PROVIDED it does not degrade the incumbent
+    // record's window (≤ incumbent host_ratio + 0.05, scraped from
+    // the file being replaced) — a worse-window rerun still cannot
+    // displace a better-window record, which is what the gate was
+    // built to prevent. Legacy host_ratio stays stamped unchanged
+    // for cross-round comparability.
+    val incumbentRatio: Double = {
+      try {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(outFile))
+        "\"host_ratio\":([0-9.]+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
+      } catch { case _: Throwable => Double.MaxValue }
+    }
+    val admitBound = math.min(2.3,
+      if (incumbentRatio == Double.MaxValue) 2.3 else incumbentRatio + 0.05)
     val fileTarget = hostRatio match {
+      case Some(r) if r > 1.3 && r <= admitBound && !force &&
+          outFile == "BENCH_LOCAL.json" =>
+        System.err.println(
+          f"[bench] host_ratio $r%.3f in the typical band (≤ $admitBound%.2f: " +
+            "min(2.3, incumbent+0.05)) — admitted under the r18 median-window " +
+            "rebase (BASELINE.md)")
+        outFile
       case Some(r) if r > 1.3 && !force && outFile == "BENCH_LOCAL.json" =>
         System.err.println(
-          f"[bench] host_ratio $r%.3f > 1.3 — slow host window; writing " +
+          f"[bench] host_ratio $r%.3f > admit bound $admitBound%.2f — slow host window; writing " +
             "BENCH_LOCAL.rejected.json instead (SPARK_GRAFT_BENCH_FORCE=1 to override)")
         "BENCH_LOCAL.rejected.json"
       // a gate-SKIPPED full sweep (config mismatch) must not write the
