@@ -120,7 +120,13 @@ object ExplainAudit {
     // corpus-proportional side must show SortMergeJoin — the tile×10
     // AQE broadcast fluke regression check; q_dup_containment itself
     // is in the r14 entries above)
-    "q_ivfpq_probe_recall", "q_crossmodal_topk")
+    "q_ivfpq_probe_recall", "q_crossmodal_topk",
+    // r18: the cross-modal SAVED serves (both tiers must show the
+    // partitioned index scan with a static `cell IN (…)` filter —
+    // the raw-vector IVF read and the compressed codes read) and the
+    // composed multimodal materialization (pair gate → TopKPerKey
+    // quota on the saved cell → one `shard` exchange, nothing global)
+    "q_crossmodal_indexed", "q_crossmodal_pq", "q_crossmodal_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
