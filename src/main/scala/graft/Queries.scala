@@ -2787,8 +2787,11 @@ object Queries {
     * predicts every decoded pixel from [[Multimodal.clipPixel]] —
     * the [[q_mm_decode]] discipline applied to retrieval. At 100 TB:
     * decode+parse are map-only passes; the retrieval join is the
-    * vector tier's own (brute here; the saved-IVF/PQ serves take
-    * over at scale — same (vec_id, embedding) contract). */
+    * vector tier's own (brute here over the 30-pair fixture; since
+    * r18 the saved serves actually carry it — the raw-vector tier in
+    * [[q_crossmodal_indexed]] and the compressed tier in
+    * [[q_crossmodal_pq]], both at the wider [[CrossModalServeN]]
+    * fixture with measured scale-flat ×10 serves). */
   /** The caption side of the cross-modal rows: each id's crafted
     * caption STRING (quantized tone tokens from the shared
     * [[Multimodal.clipPixel]] formula, generated in-plan), then the
