@@ -206,22 +206,53 @@ object Bench {
     // window gate was rejecting it on the inline-ratio proxy — the
     // proxy and the direct outcome disagreed, and the outcome wins).
     // Coverage guard: ≥90% of the incumbent's rows must be shared so
-    // a renamed/trimmed catalog can't game the comparison.
+    // a renamed/trimmed catalog can't game the comparison. Config
+    // guard: outcome admission requires the PINNED config
+    // (gateConfigOk) — a sweep at a smaller sf or more cores is
+    // faster for incommensurable reasons and must never re-enter
+    // through this door after the config-mismatch redirect.
+    //
+    // The symmetric guard (same review): a band-ADMITTED sweep
+    // (window ≤ incumbent+0.05 at gate time) can still return
+    // inflated totals if the window drifts worse DURING the sweep —
+    // the proxy is sampled once, minutes before the rows run. So a
+    // band admission is DEMOTED to the rejected file when its
+    // shared-row sum exceeds the incumbent's by >10% (tolerance so a
+    // legitimate code-cost change can still move the record; a gross
+    // load spike is far outside 10%). Legacy ≤1.3 windows and FORCE
+    // skip the demotion (a genuinely fast window needs no outcome
+    // proof, and force is the documented manual override).
+    lazy val sharedOutcome: Option[(Double, Double, Int)] = {
+      val shared = results.keySet intersect prev.keySet
+      if (prev.nonEmpty && shared.size >= (prev.size * 9) / 10)
+        Some((shared.toSeq.map(results).sum, shared.toSeq.map(prev).sum,
+          shared.size))
+      else None
+    }
     val fileTargetFinal =
-      if (fileTarget == "BENCH_LOCAL.rejected.json" && only.isEmpty &&
-          errors.isEmpty && prev.nonEmpty) {
-        val shared = results.keySet intersect prev.keySet
-        if (shared.size >= (prev.size * 9) / 10) {
-          val newSum = shared.toSeq.map(results).sum
-          val oldSum = shared.toSeq.map(prev).sum
-          if (newSum <= oldSum) {
+      if (only.nonEmpty || errors.nonEmpty || force) fileTarget
+      else if (fileTarget == "BENCH_LOCAL.rejected.json" && gateConfigOk) {
+        sharedOutcome match {
+          case Some((newSum, oldSum, n)) if newSum <= oldSum =>
             System.err.println(
               f"[bench] outcome admission: shared-row sum $newSum%.1f s ≤ " +
-                f"incumbent $oldSum%.1f s over ${shared.size} rows — a faster " +
+                f"incumbent $oldSum%.1f s over $n rows — a faster " +
                 "sweep cannot be window-inflated; writing BENCH_LOCAL.json")
             "BENCH_LOCAL.json"
-          } else fileTarget
-        } else fileTarget
+          case _ => fileTarget
+        }
+      } else if (fileTarget == "BENCH_LOCAL.json" &&
+          hostRatio.exists(r => r > 1.3)) {
+        // band-admitted: demote on a grossly worse outcome
+        sharedOutcome match {
+          case Some((newSum, oldSum, n)) if newSum > oldSum * 1.10 =>
+            System.err.println(
+              f"[bench] band admission demoted: shared-row sum $newSum%.1f s " +
+                f"> incumbent $oldSum%.1f s × 1.10 over $n rows — window " +
+                "drifted during the sweep; writing BENCH_LOCAL.rejected.json")
+            "BENCH_LOCAL.rejected.json"
+          case _ => fileTarget
+        }
       } else fileTarget
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

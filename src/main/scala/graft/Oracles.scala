@@ -971,6 +971,32 @@ object Oracles {
        |) ORDER BY n_probe""".stripMargin
   }
 
+  /** Crafted clip fixture CTEs shared by every r18 cross-modal
+    * oracle (the single source for the clipPixel formula and the
+    * decoded-image vectors — a formula change edits ONE place):
+    * `ids`/`xs`/`ev` plus `emb` (vec_id, embedding as DOUBLE list),
+    * ready for [[qvtCte]] and [[ivfCoarseCteN]] to stack on. */
+  private def clipFixtureCte(n: Int, dim: Int): String =
+    s"""ids AS (
+       |  SELECT unnest(generate_series(0, ${n - 1})) AS id
+       |), xs AS (
+       |  SELECT unnest(generate_series(0, ${dim - 1})) AS x
+       |), ev AS MATERIALIZED (
+       |  SELECT id, x,
+       |         (id*131 + x*79 + id*x*57 + id*x*x*23) % 256 AS e
+       |  FROM ids CROSS JOIN xs
+       |), emb AS MATERIALIZED (
+       |  SELECT id AS vec_id, list(CAST(e AS DOUBLE) ORDER BY x) AS embedding
+       |  FROM ev GROUP BY id
+       |)""".stripMargin
+
+  /** The parsed caption vectors as an [[ivfCoarseCteN]] query-CTE
+    * body (dequantized tone tokens from the shared formula). */
+  private val clipCaptionQs: String =
+    s"""SELECT id AS query_id,
+       |         list(CAST((e // 4) * 4 + 2 AS DOUBLE) ORDER BY x) AS qe
+       |  FROM ev GROUP BY id""".stripMargin
+
   private def topkIvfpqResSqlN(nQ: Int): String =
     s"""WITH $latticeCte
        |, ${ivfCoarseCteN(nQ)}
@@ -3570,18 +3596,8 @@ object Oracles {
     "q_crossmodal_mix" -> {
       val n = graft.Queries.CrossModalServeN
       val dim = graft.multimodal.Multimodal.ClipDim
-      s"""WITH ids AS (
-         |  SELECT unnest(generate_series(0, ${n - 1})) AS id
-         |), xs AS (
-         |  SELECT unnest(generate_series(0, ${dim - 1})) AS x
-         |), ev AS MATERIALIZED (
-         |  SELECT id, x,
-         |         (id*131 + x*79 + id*x*57 + id*x*x*23) % 256 AS e
-         |  FROM ids CROSS JOIN xs
-         |), emb AS MATERIALIZED (
-         |  SELECT id AS vec_id, list(CAST(e AS DOUBLE) ORDER BY x) AS embedding
-         |  FROM ev GROUP BY id
-         |), $qvtCte
+      s"""WITH ${clipFixtureCte(n, dim)}
+         |, $qvtCte
          |, ${ivfCoarseCteN(n, seedSql = "8", nProbe = 2, dim = dim)}
          |, cap AS MATERIALIZED (
          |  SELECT id AS caption_id,
@@ -3638,24 +3654,10 @@ object Oracles {
       val sub = dim / m
       val k = graft.Queries.XmPqK
       val sl = graft.Queries.XmPqShortlist
-      val capQs =
-        s"""SELECT id AS query_id,
-           |         list(CAST((e // 4) * 4 + 2 AS DOUBLE) ORDER BY x) AS qe
-           |  FROM ev GROUP BY id""".stripMargin
-      s"""WITH ids AS (
-         |  SELECT unnest(generate_series(0, ${n - 1})) AS id
-         |), xs AS (
-         |  SELECT unnest(generate_series(0, ${dim - 1})) AS x
-         |), ev AS MATERIALIZED (
-         |  SELECT id, x,
-         |         (id*131 + x*79 + id*x*57 + id*x*x*23) % 256 AS e
-         |  FROM ids CROSS JOIN xs
-         |), emb AS MATERIALIZED (
-         |  SELECT id AS vec_id, list(CAST(e AS DOUBLE) ORDER BY x) AS embedding
-         |  FROM ev GROUP BY id
-         |), $qvtCte
+      s"""WITH ${clipFixtureCte(n, dim)}
+         |, $qvtCte
          |, ${ivfCoarseCteN(n, seedSql = "8", nProbe = 2, dim = dim,
-              qsSql = Some(capQs))}
+              qsSql = Some(clipCaptionQs))}
          |, ${pqCodebookCte("qvt", (m, sub, k))}
          |, capq AS MATERIALIZED (
          |  SELECT query_id,
@@ -3723,24 +3725,10 @@ object Oracles {
     "q_crossmodal_indexed" -> {
       val n = graft.Queries.CrossModalServeN
       val dim = graft.multimodal.Multimodal.ClipDim
-      val capQs =
-        s"""SELECT id AS query_id,
-           |         list(CAST((e // 4) * 4 + 2 AS DOUBLE) ORDER BY x) AS qe
-           |  FROM ev GROUP BY id""".stripMargin
-      s"""WITH ids AS (
-         |  SELECT unnest(generate_series(0, ${n - 1})) AS id
-         |), xs AS (
-         |  SELECT unnest(generate_series(0, ${dim - 1})) AS x
-         |), ev AS MATERIALIZED (
-         |  SELECT id, x,
-         |         (id*131 + x*79 + id*x*57 + id*x*x*23) % 256 AS e
-         |  FROM ids CROSS JOIN xs
-         |), emb AS MATERIALIZED (
-         |  SELECT id AS vec_id, list(CAST(e AS DOUBLE) ORDER BY x) AS embedding
-         |  FROM ev GROUP BY id
-         |), $qvtCte
+      s"""WITH ${clipFixtureCte(n, dim)}
+         |, $qvtCte
          |, ${ivfCoarseCteN(n, seedSql = "8", nProbe = 2, dim = dim,
-              qsSql = Some(capQs))}
+              qsSql = Some(clipCaptionQs))}
          |, fine AS (
          |  SELECT p.query_id, a.vec_id,
          |         round(list_cosine_similarity(e.embedding, q.qe), 6) AS cos_sim

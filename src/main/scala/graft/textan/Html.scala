@@ -150,16 +150,25 @@ object Html {
       // could — and makes a timed-out pooled sweep die and release
       // its global-pool thread instead of scanning on as an orphan
       // after Await gives up (r17 advice: Await does not cancel)
-      val deadlineNanos =
-        System.nanoTime() + (60L + n / 1000000L) * 1000000000L
+      val budgetNanos = (60L + n / 1000000L) * 1000000000L
       final class DeadlineSeq extends CharSequence {
         private[this] var calls = 0
+        // anchored at the FIRST charAt, not at construction/submit: a
+        // pooled sweep that queued behind other tasks must not burn
+        // its budget waiting and then die spuriously at its first
+        // check — the budget bounds the SCAN, the outer Await bounds
+        // the queue (r18 review)
+        private[this] var deadlineNanos = 0L
         def length: Int = n
         def charAt(i: Int): Char = {
           calls += 1
-          if ((calls & 0xffff) == 0 && System.nanoTime() > deadlineNanos)
-            throw new IllegalStateException(
-              s"pageCutOffsets: regex sweep exceeded deadline on $n chars")
+          if ((calls & 0xffff) == 0) {
+            val now = System.nanoTime()
+            if (deadlineNanos == 0L) deadlineNanos = now + budgetNanos
+            else if (now > deadlineNanos)
+              throw new IllegalStateException(
+                s"pageCutOffsets: regex sweep exceeded deadline on $n chars")
+          }
           html.charAt(i)
         }
         def subSequence(s: Int, e: Int): CharSequence = html.subSequence(s, e)

@@ -460,8 +460,13 @@ object ScaleStress {
         .withExtensions(new graft.GraftExtensions)
         .getOrCreate()
       sparkXm.sparkContext.setLogLevel("WARN")
+      // tolerate the rowskew/recsplit arg convention ("crossmodal
+      // [baseDir] [factor]"): the fixture is generated, so a baseDir
+      // arg is meaningless here — take the first INTEGER argument as
+      // the factor and ignore path-shaped ones instead of crashing
+      // on NumberFormatException (r18 review)
       crossmodal(sparkXm, outFile,
-        args.drop(1).headOption.map(_.toInt).getOrElse(10))
+        args.drop(1).flatMap(_.toIntOption).headOption.getOrElse(10))
       sparkXm.stop()
       return
     }

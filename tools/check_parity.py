@@ -78,19 +78,27 @@ def compare_one(sf_dir, out_dir, name, sql):
     if list(sdf.columns) != list(ddf.columns):
         return {"status": "fail",
                 "reason": f"columns {list(sdf.columns)} vs {list(ddf.columns)}"[:200]}
-    if len(sdf) != len(ddf):
-        return {"status": "fail", "reason": f"rows {len(sdf)} vs {len(ddf)}"}
+    # dtype drift computed before any row compare so a failing query
+    # keeps the diagnostic that likely explains its row diff
     dt_s = [str(x) for x in sdf.dtypes]
     dt_d = [str(x) for x in ddf.dtypes]
     warn = None
     if dt_s != dt_d:
         warn = f"dtypes {list(zip(sdf.columns, dt_s, dt_d))}"[:300]
+    if len(sdf) != len(ddf):
+        v = {"status": "fail", "reason": f"rows {len(sdf)} vs {len(ddf)}"}
+        if warn:
+            v["warn"] = warn
+        return v
     rs, rd = render(sdf), render(ddf)
     bad = [i for i, (a, b) in enumerate(zip(rs, rd)) if a != b]
     if bad:
         i = bad[0]
-        return {"status": "fail", "reason": f"{len(bad)} differing rows",
-                "first_diff": {"row": i, "spark": rs[i][:300], "duck": rd[i][:300]}}
+        v = {"status": "fail", "reason": f"{len(bad)} differing rows",
+             "first_diff": {"row": i, "spark": rs[i][:300], "duck": rd[i][:300]}}
+        if warn:
+            v["warn"] = warn
+        return v
     v = {"status": "pass", "rows": len(sdf)}
     if warn:
         v["warn"] = warn
@@ -178,6 +186,8 @@ def main(sf_dir, out_dir, only=None):
             if "first_diff" in v:
                 print(f"  spark: {v['first_diff']['spark']}")
                 print(f"  duck : {v['first_diff']['duck']}")
+            if "warn" in v:
+                print(f"WARN {name}: {v['warn']}")
         sys.stdout.flush()
     # rows-only queries
     for name in sorted(os.listdir(out_dir)):

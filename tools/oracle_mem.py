@@ -28,6 +28,7 @@ def child_run(sf_dir, sql, wfd):
     lim = os.environ.get("ORACLE_MEM_LIMIT")
     if lim:
         con.execute(f"PRAGMA memory_limit='{lim}'")
+        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
         con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
