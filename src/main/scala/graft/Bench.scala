@@ -25,6 +25,68 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** Shared-row outcome vs the incumbent record: (newSum, oldSum,
+    * nShared) when ≥90% of the incumbent's rows are shared (the
+    * coverage guard — a renamed/trimmed catalog can't game the
+    * comparison), None otherwise. */
+  private[graft] def sharedOutcomeOf(results: Map[String, Double],
+      prev: Map[String, Double]): Option[(Double, Double, Int)] = {
+    val shared = results.keySet intersect prev.keySet
+    if (prev.nonEmpty && shared.size >= (prev.size * 9) / 10)
+      Some((shared.toSeq.map(results).sum, shared.toSeq.map(prev).sum,
+        shared.size))
+    else None
+  }
+
+  /** The POST-SWEEP half of the measurement-of-record gate (v3.1),
+    * pure so BenchGateSpec can table-test every path. `fileTarget` is
+    * the pre-sweep window-gate verdict; this function may flip it in
+    * either direction based on the completed sweep's OUTCOME:
+    *
+    *  - OUTCOME ADMISSION: a window-rejected full sweep whose
+    *    shared-row sum is ≤ the incumbent's cannot be window-inflated
+    *    (inflation only ever makes rows SLOWER) and is admitted —
+    *    but ONLY at the pinned config: a smaller-sf / more-core sweep
+    *    is faster for incommensurable reasons and must never re-enter
+    *    through this door after the config-mismatch redirect.
+    *  - BAND DEMOTION: a band-admitted sweep (gate-time window ≤
+    *    incumbent+0.05) whose shared-row sum exceeds the incumbent's
+    *    by >10% had its window drift worse DURING the sweep (the
+    *    proxy is sampled once, minutes before the rows run) and is
+    *    demoted. The 10% tolerance lets a legitimate code-cost change
+    *    move the record; a load spike is far outside it. Legacy ≤1.3
+    *    windows skip the demotion (a genuinely fast window needs no
+    *    outcome proof).
+    *
+    * Partial sweeps, errored sweeps, FORCE, and custom out files are
+    * never touched. Returns (final target, stderr notes). */
+  private[graft] def finalTarget(fileTarget: String,
+      hostRatio: Option[Double], gateConfigOk: Boolean, force: Boolean,
+      partialSweep: Boolean, hadErrors: Boolean,
+      sharedOutcome: Option[(Double, Double, Int)]): (String, Seq[String]) = {
+    if (partialSweep || hadErrors || force) (fileTarget, Nil)
+    else if (fileTarget == "BENCH_LOCAL.rejected.json" && gateConfigOk) {
+      sharedOutcome match {
+        case Some((newSum, oldSum, n)) if newSum <= oldSum =>
+          ("BENCH_LOCAL.json", Seq(
+            f"[bench] outcome admission: shared-row sum $newSum%.1f s ≤ " +
+              f"incumbent $oldSum%.1f s over $n rows — a faster " +
+              "sweep cannot be window-inflated; writing BENCH_LOCAL.json"))
+        case _ => (fileTarget, Nil)
+      }
+    } else if (fileTarget == "BENCH_LOCAL.json" &&
+        hostRatio.exists(r => r > 1.3)) {
+      sharedOutcome match {
+        case Some((newSum, oldSum, n)) if newSum > oldSum * 1.10 =>
+          ("BENCH_LOCAL.rejected.json", Seq(
+            f"[bench] band admission demoted: shared-row sum $newSum%.1f s " +
+              f"> incumbent $oldSum%.1f s × 1.10 over $n rows — window " +
+              "drifted during the sweep; writing BENCH_LOCAL.rejected.json"))
+        case _ => (fileTarget, Nil)
+      }
+    } else (fileTarget, Nil)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -196,64 +258,16 @@ object Bench {
       }
     }
     val loadAfter = loadavg()
-    // gate v3.1 — OUTCOME admission (r18): the window gate exists to
-    // stop a slow-window rerun from INFLATING the committed record.
-    // Inflation is impossible in the other direction: a completed
-    // sweep whose shared-row sum is ≤ the incumbent's is strictly
-    // more credible than the incumbent regardless of its stamped
-    // window (this round's 117.4 s/178-row sweep beat the committed
-    // 123.5 s/175-row record by 9 s on the 175 shared rows while the
-    // window gate was rejecting it on the inline-ratio proxy — the
-    // proxy and the direct outcome disagreed, and the outcome wins).
-    // Coverage guard: ≥90% of the incumbent's rows must be shared so
-    // a renamed/trimmed catalog can't game the comparison. Config
-    // guard: outcome admission requires the PINNED config
-    // (gateConfigOk) — a sweep at a smaller sf or more cores is
-    // faster for incommensurable reasons and must never re-enter
-    // through this door after the config-mismatch redirect.
-    //
-    // The symmetric guard (same review): a band-ADMITTED sweep
-    // (window ≤ incumbent+0.05 at gate time) can still return
-    // inflated totals if the window drifts worse DURING the sweep —
-    // the proxy is sampled once, minutes before the rows run. So a
-    // band admission is DEMOTED to the rejected file when its
-    // shared-row sum exceeds the incumbent's by >10% (tolerance so a
-    // legitimate code-cost change can still move the record; a gross
-    // load spike is far outside 10%). Legacy ≤1.3 windows and FORCE
-    // skip the demotion (a genuinely fast window needs no outcome
-    // proof, and force is the documented manual override).
-    lazy val sharedOutcome: Option[(Double, Double, Int)] = {
-      val shared = results.keySet intersect prev.keySet
-      if (prev.nonEmpty && shared.size >= (prev.size * 9) / 10)
-        Some((shared.toSeq.map(results).sum, shared.toSeq.map(prev).sum,
-          shared.size))
-      else None
-    }
-    val fileTargetFinal =
-      if (only.nonEmpty || errors.nonEmpty || force) fileTarget
-      else if (fileTarget == "BENCH_LOCAL.rejected.json" && gateConfigOk) {
-        sharedOutcome match {
-          case Some((newSum, oldSum, n)) if newSum <= oldSum =>
-            System.err.println(
-              f"[bench] outcome admission: shared-row sum $newSum%.1f s ≤ " +
-                f"incumbent $oldSum%.1f s over $n rows — a faster " +
-                "sweep cannot be window-inflated; writing BENCH_LOCAL.json")
-            "BENCH_LOCAL.json"
-          case _ => fileTarget
-        }
-      } else if (fileTarget == "BENCH_LOCAL.json" &&
-          hostRatio.exists(r => r > 1.3)) {
-        // band-admitted: demote on a grossly worse outcome
-        sharedOutcome match {
-          case Some((newSum, oldSum, n)) if newSum > oldSum * 1.10 =>
-            System.err.println(
-              f"[bench] band admission demoted: shared-row sum $newSum%.1f s " +
-                f"> incumbent $oldSum%.1f s × 1.10 over $n rows — window " +
-                "drifted during the sweep; writing BENCH_LOCAL.rejected.json")
-            "BENCH_LOCAL.rejected.json"
-          case _ => fileTarget
-        }
-      } else fileTarget
+    // gate v3.1 — the post-sweep OUTCOME half of the gate (see
+    // [[finalTarget]]'s doc for the full policy; motivated live this
+    // round when a 117.4 s/178-row sweep beat the committed
+    // 123.5 s/175-row record on every shared row while the one-shot
+    // window proxy was voting reject)
+    val (fileTargetFinal, gateNotes) = finalTarget(fileTarget,
+      hostRatio, gateConfigOk, force,
+      partialSweep = only.nonEmpty, hadErrors = errors.nonEmpty,
+      sharedOutcomeOf(results, prev))
+    gateNotes.foreach(System.err.println)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rr = reruns.map { case (k, (a, b)) =>

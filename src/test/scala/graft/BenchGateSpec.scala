@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Table tests for the POST-SWEEP half of the bench
+  * measurement-of-record gate ([[Bench.finalTarget]], v3.1) and its
+  * shared-row outcome input ([[Bench.sharedOutcomeOf]]) — every
+  * admission/demotion path the r18 review hardened. */
+class BenchGateSpec extends AnyFunSuite {
+
+  private val Rec = "BENCH_LOCAL.json"
+  private val Rej = "BENCH_LOCAL.rejected.json"
+
+  private def ft(fileTarget: String, ratio: Option[Double] = Some(2.0),
+      configOk: Boolean = true, force: Boolean = false,
+      partial: Boolean = false, errors: Boolean = false,
+      outcome: Option[(Double, Double, Int)] = None): String =
+    Bench.finalTarget(fileTarget, ratio, configOk, force, partial,
+      errors, outcome)._1
+
+  test("outcome admission: a window-rejected faster sweep is admitted") {
+    assert(ft(Rej, outcome = Some((117.4, 123.5, 175))) == Rec)
+    // equality is enough — "not slower" cannot be inflation
+    assert(ft(Rej, outcome = Some((123.5, 123.5, 175))) == Rec)
+  }
+
+  test("outcome admission requires the pinned config (r18 review #1)") {
+    // a smaller-sf/more-core sweep is faster for incommensurable
+    // reasons: it must stay in the rejected file
+    assert(ft(Rej, configOk = false, outcome = Some((30.0, 123.5, 175))) == Rej)
+  }
+
+  test("outcome admission never fires without coverage, on slower sweeps, on partial/errored/forced runs") {
+    assert(ft(Rej, outcome = None) == Rej)
+    assert(ft(Rej, outcome = Some((130.0, 123.5, 175))) == Rej)
+    assert(ft(Rej, partial = true, outcome = Some((1.0, 123.5, 175))) == Rej)
+    assert(ft(Rej, errors = true, outcome = Some((1.0, 123.5, 175))) == Rej)
+    // force leaves whatever the window gate (overridden by force
+    // upstream) decided — finalTarget never touches forced runs
+    assert(ft(Rej, force = true, outcome = Some((1.0, 123.5, 175))) == Rej)
+  }
+
+  test("band demotion: an admitted sweep whose outcome is >10% worse is demoted (r18 review #3)") {
+    assert(ft(Rec, ratio = Some(1.8), outcome = Some((140.0, 123.5, 175))) == Rej)
+    // within the 10% tolerance a legitimate code-cost change stands
+    assert(ft(Rec, ratio = Some(1.8), outcome = Some((130.0, 123.5, 175))) == Rec)
+    // no coverage -> no demotion evidence -> stands
+    assert(ft(Rec, ratio = Some(1.8), outcome = None) == Rec)
+  }
+
+  test("legacy fast windows and custom out files are never second-guessed") {
+    // ratio <= 1.3: a genuinely fast window needs no outcome proof
+    assert(ft(Rec, ratio = Some(1.2), outcome = Some((999.0, 123.5, 175))) == Rec)
+    // gate never ran (filtered/custom-file runs)
+    assert(ft("/tmp/bench_filtered.json", ratio = None,
+      outcome = Some((999.0, 123.5, 175))) == "/tmp/bench_filtered.json")
+  }
+
+  test("sharedOutcomeOf: 90% coverage guard and sums") {
+    val prev = (1 to 10).map(i => s"q$i" -> 1.0).toMap
+    // full overlap
+    val full = Bench.sharedOutcomeOf(prev.map { case (k, _) => k -> 2.0 }, prev)
+    assert(full.contains((20.0, 10.0, 10)))
+    // 9 of 10 = exactly the 90% floor
+    val nine = prev - "q10"
+    assert(Bench.sharedOutcomeOf(nine.map { case (k, _) => k -> 2.0 }, prev)
+      .contains((18.0, 9.0, 9)))
+    // 8 of 10: below coverage -> None (a trimmed catalog can't game it)
+    val eight = nine - "q9"
+    assert(Bench.sharedOutcomeOf(eight, prev).isEmpty)
+    // empty incumbent -> None
+    assert(Bench.sharedOutcomeOf(prev, Map.empty).isEmpty)
+  }
+}
