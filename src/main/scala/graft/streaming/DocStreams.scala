@@ -154,13 +154,25 @@ object DocStreams {
     * host's politeness continuation: `queue_base` = the host's
     * static queue depth, `fetch_at_sec = queue_base × 2` — the next
     * free slot in the batch row's `(host_rank − 1) × 2` schedule.
-    * Stateless on the stream side by construction: multiple
-    * same-host admissions inside one micro-batch all see the same
-    * static base (intra-batch sub-slotting would be a stateful rank
-    * — that's the scheduler's merge step, exactly like the near-dup
-    * twin leaving pair-dedup downstream). The static side is the
-    * compact frontier table (canon, host, host_rank), never the
-    * crawl. Batch == stream on the same entries (spec-pinned). */
+    * Multiple same-host admissions inside one micro-batch all see
+    * the same static base (intra-batch sub-slotting would be a
+    * stateful rank — that's the scheduler's merge step, exactly like
+    * the near-dup twin leaving pair-dedup downstream). Duplicate
+    * CANONS, by contrast, dedup here: a `dropDuplicates("canon")`
+    * collapses re-sent URLs to one admission per canon per query run
+    * (r18 advice — without it two same-canon entries in one batch,
+    * or the same URL re-sent across batches, were each admitted,
+    * since the static frontier is never updated by this twin). On a
+    * stream this is Spark's stateful dedup: state is one row per
+    * distinct admitted canon — the same growth rate as the frontier
+    * the scheduler maintains anyway; an unbounded deployment would
+    * swap in `dropDuplicatesWithinWatermark` to bound it by horizon.
+    * The winner among same-batch duplicates is single-but-arbitrary
+    * (all its non-id columns are identical by construction);
+    * cross-RUN dedup — merging admissions back into the frontier —
+    * remains the downstream scheduler merge's job. The static side
+    * is the compact frontier table (canon, host, host_rank), never
+    * the crawl. Batch == stream on the same entries (spec-pinned). */
   def frontierAdmitAgainstStatic(incoming: DataFrame,
       frontier: DataFrame): DataFrame = {
     val canoned = incoming
@@ -168,6 +180,7 @@ object DocStreams {
       .withColumn("host",
         regexp_extract(col("canon"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
       .filter(col("host") =!= "")
+      .dropDuplicates("canon")
     val hostQueue = frontier.groupBy(col("host"))
       .agg(max(col("host_rank")).cast("int").as("__queued"))
     canoned

@@ -152,23 +152,26 @@ object Html {
       // after Await gives up (r17 advice: Await does not cancel)
       val budgetNanos = (60L + n / 1000000L) * 1000000000L
       final class DeadlineSeq extends CharSequence {
-        private[this] var calls = 0
-        // anchored at the FIRST charAt, not at construction/submit: a
-        // pooled sweep that queued behind other tasks must not burn
-        // its budget waiting and then die spuriously at its first
-        // check — the budget bounds the SCAN, the outer Await bounds
-        // the queue (r18 review)
+        // Long, not Int: a pathological sweep can exceed 2^31 charAt
+        // calls, and an Int wrap would re-trigger the first-call
+        // anchor below and silently extend the budget (r18 advice)
+        private[this] var calls = 0L
+        // anchored at the FIRST charAt (calls == 1), not at
+        // construction/submit: a pooled sweep that queued behind
+        // other tasks must not burn its budget waiting and then die
+        // spuriously at its first check — the budget bounds the SCAN,
+        // the outer Await bounds the queue (r18 review; the anchor
+        // moved from the first SAMPLED check to the literal first
+        // call per the r18 advice)
         private[this] var deadlineNanos = 0L
         def length: Int = n
         def charAt(i: Int): Char = {
           calls += 1
-          if ((calls & 0xffff) == 0) {
-            val now = System.nanoTime()
-            if (deadlineNanos == 0L) deadlineNanos = now + budgetNanos
-            else if (now > deadlineNanos)
-              throw new IllegalStateException(
-                s"pageCutOffsets: regex sweep exceeded deadline on $n chars")
-          }
+          if (calls == 1L) deadlineNanos = System.nanoTime() + budgetNanos
+          else if ((calls & 0xffffL) == 0L &&
+              System.nanoTime() > deadlineNanos)
+            throw new IllegalStateException(
+              s"pageCutOffsets: regex sweep exceeded deadline on $n chars")
           html.charAt(i)
         }
         def subSequence(s: Int, e: Int): CharSequence = html.subSequence(s, e)

@@ -12,11 +12,12 @@ class BenchGateSpec extends AnyFunSuite {
   private val Rej = "BENCH_LOCAL.rejected.json"
 
   private def ft(fileTarget: String, ratio: Option[Double] = Some(2.0),
-      configOk: Boolean = true, force: Boolean = false,
-      partial: Boolean = false, errors: Boolean = false,
+      incumbentRatio: Double = 2.0, configOk: Boolean = true,
+      force: Boolean = false, partial: Boolean = false,
+      errors: Boolean = false,
       outcome: Option[(Double, Double, Int)] = None): String =
-    Bench.finalTarget(fileTarget, ratio, configOk, force, partial,
-      errors, outcome)._1
+    Bench.finalTarget(fileTarget, ratio, incumbentRatio, configOk, force,
+      partial, errors, outcome)._1
 
   test("outcome admission: a window-rejected faster sweep is admitted") {
     assert(ft(Rej, outcome = Some((117.4, 123.5, 175))) == Rec)
@@ -42,10 +43,34 @@ class BenchGateSpec extends AnyFunSuite {
 
   test("band demotion: an admitted sweep whose outcome is >10% worse is demoted (r18 review #3)") {
     assert(ft(Rec, ratio = Some(1.8), outcome = Some((140.0, 123.5, 175))) == Rej)
-    // within the 10% tolerance a legitimate code-cost change stands
-    assert(ft(Rec, ratio = Some(1.8), outcome = Some((130.0, 123.5, 175))) == Rec)
+    // within the 10% tolerance a legitimate code-cost change stands —
+    // at an equal-or-better window than the incumbent's
+    assert(ft(Rec, ratio = Some(1.8), incumbentRatio = 1.8,
+      outcome = Some((130.0, 123.5, 175))) == Rec)
+    assert(ft(Rec, ratio = Some(1.7), incumbentRatio = 1.8,
+      outcome = Some((130.0, 123.5, 175))) == Rec)
     // no coverage -> no demotion evidence -> stands
     assert(ft(Rec, ratio = Some(1.8), outcome = None) == Rec)
+  }
+
+  test("anti-ratchet: a WORSE-window band admission gets zero slowdown tolerance (r18 advice)") {
+    // window worse than the incumbent's: even a 1% slower shared sum
+    // is demoted — repeated band-admitted reruns could otherwise each
+    // land 10% slower at a 0.05-looser window and ratchet the record
+    assert(ft(Rec, ratio = Some(1.85), incumbentRatio = 1.8,
+      outcome = Some((124.8, 123.5, 175))) == Rej)
+    // a worse-window rerun that is NOT slower may still overwrite
+    // (its stamped window then LOWERS nothing, but the record's rows
+    // are equal-or-faster — not inflation by construction)
+    assert(ft(Rec, ratio = Some(1.85), incumbentRatio = 1.8,
+      outcome = Some((123.5, 123.5, 175))) == Rec)
+    // equal windows keep the legitimate-code-cost tolerance
+    assert(ft(Rec, ratio = Some(1.8), incumbentRatio = 1.8,
+      outcome = Some((124.8, 123.5, 175))) == Rec)
+    // no incumbent on disk (MaxValue sentinel): any window counts as
+    // equal-or-better, tolerance applies
+    assert(ft(Rec, ratio = Some(2.2), incumbentRatio = Double.MaxValue,
+      outcome = Some((124.8, 123.5, 175))) == Rec)
   }
 
   test("legacy fast windows and custom out files are never second-guessed") {
@@ -70,5 +95,12 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.sharedOutcomeOf(eight, prev).isEmpty)
     // empty incumbent -> None
     assert(Bench.sharedOutcomeOf(prev, Map.empty).isEmpty)
+    // degenerate incumbent (r18 advice): a 1-row prev floors the 90%
+    // guard to 0 — the max(1, …) floor must still require a real
+    // shared row, so a disjoint result set can never produce the
+    // vacuous (0.0 <= 0.0) outcome admission
+    val one = Map("qx" -> 1.0)
+    assert(Bench.sharedOutcomeOf(Map("qy" -> 0.5), one).isEmpty)
+    assert(Bench.sharedOutcomeOf(Map("qx" -> 0.5), one).contains((0.5, 1.0, 1)))
   }
 }

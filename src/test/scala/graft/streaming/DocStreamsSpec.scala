@@ -284,7 +284,12 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
       // relative entry: never fetchable, dropped like the batch row
       (9002L, "/docs/rel/new?x=1"),
       // fresh host -> queue starts at slot 0
-      (9003L, "https://fresh.example.io/a"))
+      (9003L, "https://fresh.example.io/a"),
+      // DUPLICATE canon inside the same batch (a fragment variant of
+      // 9003's URL): exactly one of the pair may admit — the r18
+      // advice's dropDuplicates("canon"); the winner is
+      // single-but-arbitrary, so assertions below are canon-level
+      (9004L, "https://fresh.example.io/a#again"))
     val mem = MemoryStream[(Long, String)]
     val q = DocStreams.frontierAdmitAgainstStatic(
         mem.toDF().toDF("entry_id", "url"), frontier)
@@ -297,19 +302,30 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
         .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getLong(4)))
         .sortBy(_._1).toSeq
     } finally q.stop()
-    assert(got.map(_._1) == Seq(9001L, 9003L), s"admitted set: $got")
+    // one admission for www, exactly ONE for the duplicated fresh
+    // canon (either entry id), nothing else
+    assert(got.map(_._1).count(_ == 9001L) == 1, s"admitted set: $got")
+    val freshRows = got.filter(r => r._1 == 9003L || r._1 == 9004L)
+    assert(freshRows.size == 1,
+      s"dup canon admitted ${freshRows.size} times: $got")
+    assert(got.size == 2, s"admitted set: $got")
     val byId = got.map(r => r._1 -> r).toMap
     assert(byId(9001L)._2 == "www.example.com")
     assert(byId(9001L)._3 == wwwQueue && byId(9001L)._4 == wwwQueue * 2L,
       s"politeness continuation: ${byId(9001L)}")
-    assert(byId(9003L)._3 == 0 && byId(9003L)._4 == 0L)
+    assert(freshRows.head._3 == 0 && freshRows.head._4 == 0L)
     // stream == batch: the same entries through the same twin as a
-    // plain DataFrame yield identical rows
+    // plain DataFrame yield identical rows up to the arbitrary winner
+    // among same-canon duplicates (normalize both ids to 9003)
+    val norm = (rows: Seq[(Long, String, Int, Long)]) => rows
+      .map(r => (if (r._1 == 9004L) 9003L else r._1, r._2, r._3, r._4))
+      .sortBy(_._1)
     val batch = DocStreams.frontierAdmitAgainstStatic(
         entries.toDF("entry_id", "url"), frontier).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getLong(4)))
       .sortBy(_._1).toSeq
-    assert(batch == got, s"stream $got != batch $batch")
+    assert(batch.size == 2, s"batch admitted set: $batch")
+    assert(norm(batch) == norm(got), s"stream $got != batch $batch")
   }
 
   test("stream-static DSIR scoring: new docs scored against frozen LMs == batch") {
