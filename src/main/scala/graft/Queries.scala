@@ -276,6 +276,37 @@ object Queries {
       ragE2eQueries, "simple", graft.vector.LatticeEmbedder(8), "hybrid")
       .orderBy(col("query_id"))
 
+  /** The flagship pipeline composed ONTO THE SAVED SERVE TIER, hash-
+    * checked end to end (r18 verdict #1 — the last asserted-not-
+    * measured piece of the 100 TB story): the same chunk → embed →
+    * upsert store slice as [[q_rag_e2e]], enumerated once and
+    * persisted through BOTH build-once-serve-many indexes — the
+    * bounded-k-means saved IVF ([[graft.vector.Ivf
+    * .ensureSavedBoundedIndex]], `partitionBy("cell")`, 8 cells) and
+    * the bucket-partitioned saved BM25 postings ([[graft.text.Bm25
+    * .ensureSavedIndex]], md5(term) % 64) — then every serve is:
+    * cell-pruned dense candidates (nProbe 2 of 8 — ~1/4 of the store
+    * files read, [[graft.vector.Ivf.topKIndexed]]) + term-bucket-
+    * pruned BM25 candidates ([[graft.text.Bm25.topKIndexed]]), both
+    * at depth 2k, RRF-fused (1/(60+rank), round 6), top-5, and a
+    * citation join-back with the ≤ |queries|·k hit ids pushed as a
+    * scan filter. ZERO build jobs above the two serves on a warm
+    * index ([[graft.io.SavedIndex]] epoch hit — even the store
+    * DataFrame's construction is skipped); the dense list is the
+    * honest IVF approximation (a candidate outside the probed cells
+    * is missed — [[q_ann_recall]]'s attribution), which the oracle
+    * replays exactly via the shared bounded-fit CTE chain at dim 8
+    * over the store lattice, stacked with [[q_rag_e2e_hybrid]]'s
+    * BM25 + RRF + context replay. Every ranking is on exact-integer-
+    * derived doubles or round-6 scores, ties on vec_id — bit-
+    * identical across engines. */
+  def q_rag_e2e_indexed(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.RagPipeline.run(s, t(s, dir, "documents"),
+      ragE2eQueries, "simple", graft.vector.LatticeEmbedder(8),
+      "hybrid_indexed", indexKey = s"rag-e2e/$dir",
+      epoch = tableEpoch(s, dir, "documents"))
+      .orderBy(col("query_id"))
+
   // ===== vector retrieval (V/J6/W1 series) =====
 
   /** Flagship: top-5 cosine neighbors for 3 query vectors taken from
@@ -2983,15 +3014,23 @@ object Queries {
     * side re-decodes the image corpus (map-only): at scale the full-
     * vector table is the corpus store the shortlist joins back to. */
   private[graft] def crossmodalPqServeAt(s: SparkSession, path: String,
-      nQueries: Int, corpusN: Int = -1): DataFrame = {
+      nQueries: Int, corpusN: Int): DataFrame = {
+    // corpusN is REQUIRED (r18 verdict): a default that equated corpus
+    // size with query count would silently rerank a wider corpus's
+    // shortlist against a truncated lattice when fewer captions than
+    // images are served — the caller must state the corpus the saved
+    // index was built over, and it can never be narrower than the
+    // query set it answers
+    require(corpusN >= nQueries,
+      s"crossmodalPqServeAt: corpusN=$corpusN < nQueries=$nQueries — " +
+        "the rerank lattice must cover at least the served query ids")
     val (codes, books, cents) = vector.Pq.loadIndex(s, path)
     val queries = clipCaptionVecs(s, nQueries)
       .select(col("caption_id").as("query_id"), col("q_embedding"))
     val sl = vector.Pq.adcTopKIndexed(codes, books, cents, queries,
         XmPqShortlist, nProbe = 2)
       .select(col("query_id"), col("vec_id"))
-    val n = if (corpusN > 0) corpusN else nQueries
-    val quantized = Multimodal.clipImageVecs(Multimodal.clipAssets(s, n))
+    val quantized = Multimodal.clipImageVecs(Multimodal.clipAssets(s, corpusN))
       .withColumn("qv", vector.Quantize.int8(col("embedding")))
     vector.Pq.exactRerank(quantized, sl, queries, 3)
   }
@@ -3000,7 +3039,7 @@ object Queries {
     val n = CrossModalServeN
     val path = ensureClipPqIndex(s, n, nCells = 8,
       key = "crossmodal-clip-pq")
-    val top = crossmodalPqServeAt(s, path, n)
+    val top = crossmodalPqServeAt(s, path, n, corpusN = n)
       .withColumn("hit",
         (col("rank") === 1 && col("vec_id") === col("query_id"))
           .cast("int"))

@@ -56,8 +56,14 @@ final class SavedIndex(prefix: String) {
   /** Path of the up-to-date index for `key`, building via `build`
     * (which receives the destination directory) when absent or stale.
     * The build runs single-flight: the hit paths are lock-free, and
-    * two concurrent first callers can never both pay the corpus pass. */
-  def ensure(key: String, corpus: DataFrame,
+    * two concurrent first callers can never both pay the corpus pass.
+    *
+    * `corpus` is BY-NAME: the O(1) epoch-hit path never evaluates it,
+    * so a caller whose corpus CONSTRUCTION is itself a Spark job (the
+    * RAG store's prefix-sum enumeration collects per-partition totals
+    * at plan-build time) pays nothing on a serve — the lazy-DataFrame
+    * callers are unaffected. */
+  def ensure(key: String, corpus: => DataFrame,
       epoch: Option[String] = None)(build: String => Unit): String = {
     memo.get(key) match {
       // O(1) epoch hit: the caller vouches the corpus is unchanged

@@ -18,6 +18,13 @@ import graft.vector.{Embedder, HashingEmbedder, VectorOps}
 object RagPipeline {
   val TopK = 5 // chromadb_rag.py:18
 
+  /** Saved-serve geometry of the `hybrid_indexed` retrieval mode,
+    * shared verbatim with the q_rag_e2e_indexed oracle: 8 coarse
+    * cells over the chunk store, 2 probed per query (each dense
+    * candidate pass scores ~1/4 of the store). */
+  val IndexedCells = 8
+  val IndexedProbe = 2
+
   /** Chunk + embed a corpus into a queryable vector-store DataFrame
     * (reference `add_chunks_to_collection`, `chromadb_rag.py:110-124`):
     * id = `{source}_chunk_{index}` (F16), metadata carried columnar.
@@ -69,13 +76,25 @@ object RagPipeline {
     * identity hashCodes in the canonicalized plan, so identical
     * invocations hash differently (measured), and a
     * silently-colliding key would serve the wrong corpus. */
+  /** `epoch` (saved-serve modes only): the caller's corpus-version
+    * token, forwarded to [[graft.io.SavedIndex]] — when it matches
+    * the recorded one the serve is O(1) (no fingerprint scan, no
+    * store build); see SavedIndex's serve-cost policy.
+    * `indexedCells` (`hybrid_indexed` only): the coarse-quantizer
+    * cell count — [[IndexedCells]] is the fixed catalog geometry; a
+    * corpus-proportional caller passes ~√n(chunks) (the SemDeDup
+    * cost-balance argument), which is what the ScaleStress ragserve
+    * probe measures. Folded into the index cache key, so differing
+    * geometries can never serve each other's files. */
   def run(spark: SparkSession, docs: DataFrame, queryTexts: Seq[String],
       strategy: String = "simple",
       embedder: Embedder = HashingEmbedder(64),
       retrieval: String = "brute",
-      indexKey: String = ""): DataFrame = {
+      indexKey: String = "",
+      epoch: Option[String] = None,
+      indexedCells: Int = IndexedCells): DataFrame = {
     import spark.implicits._
-    val store = buildStore(docs, strategy, embedder)
+    lazy val store = buildStore(docs, strategy, embedder)
     val queries = embedder
       .embed(queryTexts.zipWithIndex.toDF("query_text", "query_id"),
         textCol = "query_text", out = "q_embedding")
@@ -150,6 +169,64 @@ object RagPipeline {
         hits.withColumnRenamed("doc_id", "vec_id")
           .join(indexed.select(col("vec_id"), col("source"), col("text")),
             "vec_id")
+          .select(col("query_id"), col("rank"), col("source"), col("text"))
+      case "hybrid_indexed" =>
+        // THE 100 TB query path: hybrid (dense + lexical) retrieval
+        // composed entirely onto the SAVED serve tier (r18 verdict
+        // #1). Build-once: the chunk store is enumerated (distributed
+        // prefix sum → dense vec_id), fit + persisted through the
+        // oracle-replayable bounded-k-means saved IVF index
+        // (partitionBy("cell") on disk) and the bucket-partitioned
+        // saved BM25 postings (md5(term) % 64). Serve-many: every
+        // later call runs ZERO build jobs above the two serves — the
+        // dense list reads only the probed nProbe/nCells cell files
+        // (Ivf.topKIndexed's storage-level pruning), the lexical list
+        // only the query terms' posting buckets (Bm25.topKIndexed),
+        // RRF fuses the two bounded lists, and the citation join-back
+        // reads the store with a pushed vec_id IN (…) filter over
+        // ≤ |queries|·k ids. The store is never rebuilt, re-embedded
+        // or re-tokenized on a serve; even the store DataFrame's
+        // CONSTRUCTION (the prefix sum collects partition totals) is
+        // skipped on an epoch hit — SavedIndex's by-name corpus.
+        require(indexKey.nonEmpty,
+          "hybrid_indexed serves from saved indexes and needs a stable " +
+            "indexKey (see the indexKey doc above)")
+        val keyBase =
+          s"${indexKey.length}:$indexKey/$strategy/${embedder.dim}/$indexedCells"
+        def enumerated = graft.rel.PrefixSum.exclusivePrefixSum(
+            store, col("id"), lit(1L), "vec_id")
+          .select(col("vec_id"), col("source"), col("text"), col("embedding"))
+        val ivfPath = graft.vector.Ivf.ensureSavedBoundedIndex(enumerated,
+          nCells = indexedCells, rounds = 2,
+          cacheKey = s"ragpipeline-ivf/$keyBase", epoch = epoch)
+        val (disk, cents) = graft.vector.Ivf.loadIndex(spark, ivfPath)
+        // the BM25 build reads the PERSISTED store back from the IVF
+        // index's corpus files — the store pipeline runs once for
+        // both indexes, not once per index
+        val bmPath = graft.text.Bm25.ensureSavedIndex(
+          disk.select(col("vec_id").as("doc_id"), col("text")),
+          s"ragpipeline-bm25/$keyBase", epoch = epoch)
+        val dense = graft.vector.Ivf.topKIndexed(disk, cents,
+            queries.select(col("query_id"), col("q_embedding")),
+            TopK * 2, nProbe = IndexedProbe)
+          .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+        val lex = graft.text.Bm25.topKIndexed(
+            graft.text.Bm25.loadIndex(spark, bmPath),
+            queries.select(col("query_id"), col("query_text").as("qtext")),
+            TopK * 2)
+          .select(col("query_id"), col("rank"), col("doc_id"))
+        val fused = graft.text.Bm25.rrfFuse(dense, lex, TopK)
+          .persistTracked("rag.indexed_fused")
+        // citation lookup: the fused id set is bounded by
+        // |queries| × k, so resolve it driver-side and push it as a
+        // scan filter — row-group pruning instead of a full pass over
+        // the store's text column (the same bounded-collect serve
+        // style as the probed-cell and query-term resolutions above)
+        val hitIds = fused.select(col("doc_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        fused.withColumnRenamed("doc_id", "vec_id")
+          .join(disk.filter(col("vec_id").isin(hitIds: _*))
+            .select(col("vec_id"), col("source"), col("text")), "vec_id")
           .select(col("query_id"), col("rank"), col("source"), col("text"))
       case other =>
         throw new IllegalArgumentException(

@@ -213,6 +213,81 @@ object DocStreams {
       .select(col("doc_id"), col("__s._1").as("n_feats"),
         col("__s._2").as("logw_micro"))
 
+  /** Stream-static DOMAIN-QUOTA admission — the continuous-ingest
+    * twin of [[graft.Queries.q_domain_quota]] (r18 verdict #6): each
+    * incoming document scores its composite quality per-row
+    * ([[graft.textan.TextAnalysis.withQuality]] — pure Column
+    * expressions, no state), and admits iff it would ENTER the
+    * frozen per-source top-K: its source's quota is not yet filled
+    * (n_kept < K), or it orders before the source's current K-th
+    * kept row under the batch operator's exact (quality DESC,
+    * doc_id ASC) ordering. `keptRanked` is the CURRENT kept set with
+    * ranks — the batch row's own output — so "beats the K-th kept"
+    * is literally "top-K over (kept ∪ {doc}) contains doc" (the kept
+    * set IS history's top-K; spec-pinned). Stateless on the stream
+    * side: score is a map, the static side collapses to ≤ |sources|
+    * broadcast bar rows. Same-batch admissions to one full source
+    * each beat the same frozen bar — re-ranking them against each
+    * other is the downstream scheduler merge's job (the frontier
+    * twin's discipline), as is folding admissions back into the
+    * kept set (which moves the bar for the NEXT batch). */
+  def quotaAdmitAgainstStatic(incoming: DataFrame,
+      keptRanked: DataFrame, k: Int): DataFrame = {
+    val sizes = keptRanked.groupBy(col("source"))
+      .agg(count(lit(1)).cast("int").as("quota_filled"))
+    val bars = keptRanked.filter(col("rank") === k)
+      .select(col("source"), col("quality").as("bar_quality"),
+        col("doc_id").as("bar_doc_id"))
+    TextAnalysis.withQuality(incoming)
+      .select(col("doc_id"), col("source"), col("quality"))
+      .join(broadcast(sizes), Seq("source"), "left")
+      .join(broadcast(bars), Seq("source"), "left")
+      .filter(coalesce(col("quota_filled"), lit(0)) < k ||
+        col("quality") > col("bar_quality") ||
+        (col("quality") === col("bar_quality") &&
+          col("doc_id") < col("bar_doc_id")))
+      .select(col("doc_id"), col("source"), col("quality"),
+        coalesce(col("quota_filled"), lit(0)).as("quota_filled"))
+  }
+
+  /** Stream-static TEMPERATURE-MIX admission — the continuous-ingest
+    * twin of [[graft.Queries.q_temperature_mix]] with FROZEN weights
+    * (r18 verdict #6): the per-language quotas and the md5-ranked
+    * selection cut are computed ONCE from the history corpus (the
+    * batch row's own output `mixSelected` carries both), and each
+    * incoming document admits iff its deterministic selection key
+    * `h = md5("mix|" + doc_id)` would fall INSIDE its language's
+    * frozen quota — the quota is unfilled, or (h, doc_id) orders
+    * before the language's current LAST selected row (rk == quota).
+    * Languages outside the frozen mix drop (inner join — the frozen-
+    * weights contract: a new language waits for the next mix re-fit,
+    * it is never admitted on weights it didn't shape). Stateless on
+    * the stream side: the key is a per-row md5, the static side
+    * collapses to ≤ |langs| broadcast cut rows; recomputing weights
+    * per batch would be the stateful re-fit this twin deliberately
+    * freezes. Same-batch ties against one cut are the scheduler
+    * merge's job, as everywhere in this twin family. */
+  def mixAdmitAgainstStatic(incoming: DataFrame,
+      mixSelected: DataFrame): DataFrame = {
+    def hOf(c: org.apache.spark.sql.Column) =
+      md5(concat(lit("mix|"), c.cast("string")))
+    val sizes = mixSelected.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("int").as("quota_filled"),
+        max(col("quota")).as("quota"))
+    val cuts = mixSelected.filter(col("rk") === col("quota"))
+      .select(col("lang"), hOf(col("doc_id")).as("cut_h"),
+        col("doc_id").as("cut_doc_id"))
+    incoming.select(col("doc_id"), col("lang"))
+      .withColumn("h", hOf(col("doc_id")))
+      .join(broadcast(sizes), Seq("lang"))
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .filter(col("quota_filled") < col("quota") ||
+        col("h") < col("cut_h") ||
+        (col("h") === col("cut_h") && col("doc_id") < col("cut_doc_id")))
+      .select(col("doc_id"), col("lang"), col("h"), col("quota"),
+        col("quota_filled"))
+  }
+
   /** Watermarked event dedup: drops re-deliveries of the same
     * `event_id` arriving within `delay` of the watermark — bounded
     * state for at-least-once upstreams. */

@@ -178,9 +178,14 @@ object Bm25 {
     * changed corpus can never be served from the pre-change index. */
   private val savedIndexes = new graft.io.SavedIndex("graft-bm25-idx")
 
-  def ensureSavedIndex(docs: DataFrame, cacheKey: String,
-      epoch: Option[String] = None): String =
-    savedIndexes.ensure(cacheKey, docs, epoch)(p => saveIndex(docs, p))
+  /** `docs` is by-name (evaluated at most once): an epoch-hit serve
+    * never pays the corpus construction — see [[graft.io.SavedIndex
+    * .ensure]]'s by-name rationale. */
+  def ensureSavedIndex(docs: => DataFrame, cacheKey: String,
+      epoch: Option[String] = None): String = {
+    lazy val d = docs
+    savedIndexes.ensure(cacheKey, d, epoch)(p => saveIndex(d, p))
+  }
 
   /** Token-set Jaccard ranking — the unweighted lexical cousin of
     * BM25: |Q∩D| / |Q∪D| over distinct lowercase tokens. Same

@@ -444,10 +444,102 @@ object ScaleStress {
     }
   }
 
+  /** Composed-retrieval saved-serve factor probe (r18 verdict #3):
+    * the q_rag_e2e_indexed catalog row's EXACT funnel
+    * (RagPipeline.run "hybrid_indexed" — saved-IVF dense serve +
+    * saved-BM25 lexical serve + RRF + pushed-id citation) measured
+    * with the DOCUMENT corpus grown ×`factor` (suffixed sources so
+    * the chunk store truly grows — same-source copies would upsert
+    * away) at the production geometry nCells = max(8, ⌊√nChunks⌋),
+    * query load held fixed at the 3 flagship queries. The serve
+    * should inherit the component serves' flatness: per query the
+    * dense leg scores ≈ nProbe/√n × n ≈ 2√n candidates (×√10 ≈ 3.2
+    * at factor 10 — the crossmodal bound argument), the BM25 leg
+    * reads only query-term buckets (posting lists grow ×factor but
+    * stay term-bounded), RRF and the citation lookup are
+    * query-bounded. `allowed` = 5, the crossmodal probe's bound.
+    * Build walls reported, unbounded (offline phase). Section
+    * `rag_indexed_factor`. */
+  private def ragServe(spark: SparkSession, baseDir: String,
+      outFile: String, factor: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    docs.groupBy("lang").count().count() // session warm-up
+    val loadBefore = loadavg()
+    def corpusAt(f: Int): DataFrame =
+      if (f <= 1) docs
+      else (0 until f).map { i =>
+        if (i == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("source", concat(col("source"), lit(s"_x$i")))
+      }.reduce(_ unionByName _)
+    // (build+first-serve wall, serve first, serve min, cells) at ×f
+    def tier(f: Int): (Double, Double, Double, Int) = {
+      val corpus = corpusAt(f)
+      // chunk-store size ∝ corpus chars; √n cells from the doc count
+      // via the measured ~1.4 chunks/doc of the fixture chunker
+      val nChunks = (docs.count() * f * 14L) / 10L
+      val cells = math.max(8, math.sqrt(nChunks.toDouble).toInt)
+      def serveOnce(): Double = {
+        val t0 = System.nanoTime()
+        graft.pipeline.RagPipeline.run(spark, corpus,
+            graft.Queries.ragE2eQueries, "simple",
+            graft.vector.LatticeEmbedder(8), "hybrid_indexed",
+            indexKey = s"rag-scale-$f", epoch = Some(s"rag-scale-$f"),
+            indexedCells = cells)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.io.Caches.clearAll(spark)
+        dt
+      }
+      val tb = System.nanoTime()
+      val buildS = { serveOnce(); (System.nanoTime() - tb) / 1e9 }
+      val first = serveOnce() // epoch hit: serve-only
+      (buildS, first, math.min(first, serveOnce()), cells)
+    }
+    val (b1, f1, m1, c1) = tier(1)
+    val (bN, fN, mN, cN) = tier(factor)
+    val loadAfter = loadavg()
+    val allowed = 5.0
+    val ratioFirst = fN / f1
+    val ratio = mN / m1
+    val json =
+      f"""{"section":"rag_indexed_factor","metric":"rag_indexed_serve","factor":$factor,"base":"$baseDir","queries_held_at":${graft.Queries.ragE2eQueries.size},"cells_base":$c1,"cells_scaled":$cN,"build_base_s":$b1%.3f,"build_scaled_s":$bN%.3f,"serve_base_first_s":$f1%.3f,"serve_base_min_s":$m1%.3f,"serve_scaled_first_s":$fN%.3f,"serve_scaled_min_s":$mN%.3f,"serve_ratio_first":$ratioFirst%.2f,"serve_ratio_min":$ratio%.2f,"allowed_ratio":$allowed%.1f,"pass":${ratio <= allowed},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    println(json)
+    upsertSection(outFile, "rag_indexed_factor", json)
+    if (ratio > allowed) {
+      System.err.println(
+        f"[ragserve] composed serve ratio $ratio%.2f > $allowed%.1f")
+      sys.exit(1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val isRowSkew = args.headOption.contains("rowskew")
     val isRecSplit = args.headOption.contains("recsplit")
     val isCrossModal = args.headOption.contains("crossmodal")
+    val isRagServe = args.headOption.contains("ragserve")
+    if (isRagServe) {
+      val outFile =
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "SCALE_STRESS.json")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val sparkRs = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      sparkRs.sparkContext.setLogLevel("WARN")
+      val rest = args.drop(1)
+      val baseDir = rest.find(_.contains("/"))
+        .getOrElse("/root/testdata/sf0.01")
+      ragServe(sparkRs, baseDir, outFile,
+        rest.flatMap(_.toIntOption).headOption.getOrElse(10))
+      sparkRs.stop()
+      return
+    }
     if (isCrossModal) {
       val outFile =
         sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "SCALE_STRESS.json")

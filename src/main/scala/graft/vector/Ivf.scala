@@ -299,7 +299,12 @@ object Ivf {
     * pre-upsert index. */
   private val savedIndexes = new graft.io.SavedIndex("graft-ivf-idx")
 
-  private def ensureWith(cacheKey: String, corpus: DataFrame,
+  // corpus is BY-NAME through the ensure* surface (evaluated at most
+  // once, via the lazy val in each caller): an epoch-hit serve must
+  // never pay the corpus CONSTRUCTION — the RAG store's prefix-sum
+  // enumeration runs a totals job at plan-build time, so even
+  // building the DataFrame is a Spark job there (SavedIndex doc)
+  private def ensureWith(cacheKey: String, corpus: => DataFrame,
       epoch: Option[String])(
       build: () => (DataFrame, Array[Array[Double]])): String =
     savedIndexes.ensure(cacheKey, corpus, epoch) { p =>
@@ -307,9 +312,11 @@ object Ivf {
       saveIndex(assigned, cents, p)
     }
 
-  def ensureSavedIndex(corpus: DataFrame, nCells: Int,
-      cacheKey: String, epoch: Option[String] = None): String =
-    ensureWith(cacheKey, corpus, epoch)(() => index(corpus, nCells))
+  def ensureSavedIndex(corpus: => DataFrame, nCells: Int,
+      cacheKey: String, epoch: Option[String] = None): String = {
+    lazy val c = corpus
+    ensureWith(cacheKey, c, epoch)(() => index(c, nCells))
+  }
 
   /** [[ensureSavedIndex]] for the DISTRIBUTED [[boundedIndex]] fit:
     * the `rounds + 1` corpus scans of the k-means run ONCE per cache
@@ -320,8 +327,9 @@ object Ivf {
     * fit. Floats and the double centroids round-trip parquet
     * losslessly, and serve shares [[fineSearch]]'s Column trees with
     * the in-memory path, so served scores are bit-identical. */
-  def ensureSavedBoundedIndex(corpus: DataFrame, nCells: Int,
-      rounds: Int, cacheKey: String, epoch: Option[String] = None): String =
-    ensureWith(cacheKey, corpus, epoch)(() =>
-      boundedIndex(corpus, nCells, rounds))
+  def ensureSavedBoundedIndex(corpus: => DataFrame, nCells: Int,
+      rounds: Int, cacheKey: String, epoch: Option[String] = None): String = {
+    lazy val c = corpus
+    ensureWith(cacheKey, c, epoch)(() => boundedIndex(c, nCells, rounds))
+  }
 }

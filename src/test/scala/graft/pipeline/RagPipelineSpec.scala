@@ -81,6 +81,47 @@ class RagPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_.toSeq).toSeq == unkeyed.map(_.toSeq).toSeq)
   }
 
+  test("run: hybrid_indexed composes BOTH saved serves — warm epoch serve is build-free and value-identical") {
+    val corpus = docs.limit(50)
+    val key = "ragpipeline-spec-hybrid-indexed"
+    val epoch = Some("spec-hybrid-indexed-v1")
+    // cold call: builds + persists the saved IVF and BM25 indexes
+    val out = RagPipeline.run(spark, corpus,
+      Seq("table scan filter"), "simple", retrieval = "hybrid_indexed",
+      indexKey = key, epoch = epoch).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1).split("\n\n").length == RagPipeline.TopK,
+      "hybrid_indexed: context must cite TopK chunks")
+    assert(Seq("table", "scan", "filter")
+      .exists(w => out(0).getString(1).contains(w)))
+    // WARM serve: same key + same epoch token. The store pipeline —
+    // including the prefix-sum enumeration, whose CONSTRUCTION runs a
+    // totals job and registers the "prefixsum.local" tracked persist
+    // — must never run: zero build jobs above the two serves
+    // (SavedIndex's O(1) epoch hit through the by-name corpus).
+    graft.io.Caches.clearAll(spark)
+    val prefixBefore = graft.io.Caches.trackedCount("prefixsum.local")
+    val again = RagPipeline.run(spark, corpus,
+      Seq("table scan filter"), "simple", retrieval = "hybrid_indexed",
+      indexKey = key, epoch = epoch).collect()
+    assert(graft.io.Caches.trackedCount("prefixsum.local") == prefixBefore,
+      "warm hybrid_indexed serve must not construct the store enumeration")
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "warm serve must be value-identical to the building call")
+    // a fresh key (fresh build over the same corpus) agrees too —
+    // the saved-serve composition is build-deterministic
+    val rebuilt = RagPipeline.run(spark, corpus,
+      Seq("table scan filter"), "simple", retrieval = "hybrid_indexed",
+      indexKey = key + "-rebuild", epoch = Some("spec-v1-rebuild")).collect()
+    assert(out.map(_.toSeq).toSeq == rebuilt.map(_.toSeq).toSeq)
+    // the mode is saved-serve by definition: no indexKey raises
+    val e = intercept[IllegalArgumentException] {
+      RagPipeline.run(spark, corpus, Seq("x"), "simple",
+        retrieval = "hybrid_indexed")
+    }
+    assert(e.getMessage.contains("indexKey"))
+  }
+
   test("run: signlsh retrieval agrees with brute on an exact-chunk query") {
     val corpus = docs.limit(50)
     // query = an exact chunk text: its embedding equals the stored

@@ -649,4 +649,107 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-static domain-quota admission: beats-the-bar docs admit, others drop, stream == batch == top-K displacement") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val K = 8
+    // the frozen kept set IS the batch operator's output
+    val kept = graft.Queries.q_domain_quota(spark, sf)
+    val keptBySource = kept.collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (s, rows) =>
+        s -> rows.map(r => (r._3, r._2)).toSeq }
+    val aSource = keptBySource.keys.min
+    // stopword-rich long text scores high quality; "zq zq" scores low
+    val richText = ("the and is of to in it was for on with as " * 10).trim
+    val incoming = Seq(
+      (90000L, aSource, richText),            // should beat the bar
+      (90001L, aSource, "zq zq zq"),          // low quality: drop
+      (90002L, "src-brandnew", "zq zq zq"))   // fresh source: quota open
+    val mem = MemoryStream[(Long, String, String)]
+    val q = DocStreams.quotaAdmitAgainstStatic(
+        mem.toDF().toDF("doc_id", "source", "text"), kept, K)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_stream_out").start()
+    val got = try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      spark.table("quota_stream_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(_._1).toSeq
+    } finally q.stop()
+    // independent expectation: admit iff top-K of (kept ∪ {doc}) by
+    // (quality DESC, doc_id ASC) still contains doc — a Scala sort,
+    // not the twin's bar/filter logic
+    val qualities = TextAnalysis
+      .withQuality(incoming.toDF("doc_id", "source", "text"))
+      .select(col("doc_id"), col("source"), col("quality")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = qualities.filter { case (id, src, qual) =>
+      val pool = keptBySource.getOrElse(src, Seq.empty) :+ ((qual, id))
+      pool.sortBy { case (ql, di) => (-ql, di) }.take(K).contains((qual, id))
+    }.map(_._1).toSet
+    assert(got.map(_._1).toSet == expected, s"admitted $got expected $expected")
+    assert(expected.contains(90000L) && expected.contains(90002L) &&
+      !expected.contains(90001L), s"fixture lost its shape: $expected")
+    // stream == batch through the same twin
+    val batch = DocStreams.quotaAdmitAgainstStatic(
+        incoming.toDF("doc_id", "source", "text"), kept, K).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(batch == got, s"stream $got != batch $batch")
+  }
+
+  test("stream-static temperature-mix admission: frozen quotas/cuts gate new docs, unknown langs drop, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val selected = graft.Queries.q_temperature_mix(spark, sf)
+    val sel = selected.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(4)))
+    val quotaOf = sel.groupBy(_._2).map { case (l, rs) => l -> rs.head._3 }
+    def hOf(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix|$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val selKeys = sel.groupBy(_._2).map { case (l, rs) =>
+      l -> rs.map(r => (hOf(r._1), r._1)).toSeq }
+    val langs = quotaOf.keys.toSeq.sorted
+    // a spread of fresh ids per known lang (md5 keys land on both
+    // sides of each cut) plus an unknown lang that must drop
+    val incoming = (0 until 40).map(i =>
+      (91000L + i, langs(i % langs.size))) :+ ((99999L, "xx"))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.mixAdmitAgainstStatic(
+        mem.toDF().toDF("doc_id", "lang"), selected)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mix_stream_out").start()
+    val got = try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      spark.table("mix_stream_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    } finally q.stop()
+    // independent expectation: admit iff the doc's (h, id) key lands
+    // inside the frozen smallest-`quota` of (selected keys ∪ {key}) —
+    // a Scala sort over quota+1 keys, not the twin's cut logic
+    val expected = incoming.filter { case (id, lang) =>
+      quotaOf.get(lang).exists { quota =>
+        val pool = selKeys.getOrElse(lang, Seq.empty) :+ ((hOf(id), id))
+        pool.sorted.take(quota).contains((hOf(id), id))
+      }
+    }.map(_._1).toSet
+    assert(got.map(_._1).toSet == expected, s"admitted $got expected $expected")
+    assert(!got.exists(_._2 == "xx"), "unknown lang must drop")
+    assert(expected.nonEmpty && expected.size < incoming.size,
+      s"fixture must exercise both admit and drop: $expected")
+    // stream == batch through the same twin
+    val batch = DocStreams.mixAdmitAgainstStatic(
+        incoming.toDF("doc_id", "lang"), selected).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(batch == got, s"stream $got != batch $batch")
+  }
 }
