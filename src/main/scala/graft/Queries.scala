@@ -791,7 +791,7 @@ object Queries {
     * loaded codebooks are bit-identical to an inline
     * [[vector.Pq.boundedTrain]] (PqSpec pins the lossless
     * round-trip), so every oracle is unchanged. */
-  private def pqEnsured(s: SparkSession, dir: String)
+  private[graft] def pqEnsured(s: SparkSession, dir: String)
       : (DataFrame, vector.Pq.Codebooks, Array[Array[Double]]) = {
     val emb = t(s, dir, "embeddings")
     val path = vector.Pq.ensureSavedIndex(emb, pqM, pqK, rounds = 2,
