@@ -126,7 +126,15 @@ object ExplainAudit {
     // the raw-vector IVF read and the compressed codes read) and the
     // composed multimodal materialization (pair gate → TopKPerKey
     // quota on the saved cell → one `shard` exchange, nothing global)
-    "q_crossmodal_indexed", "q_crossmodal_pq", "q_crossmodal_mix")
+    "q_crossmodal_indexed", "q_crossmodal_pq", "q_crossmodal_mix",
+    // r19: the flagship composed onto the saved serve tier — the
+    // WARM-epoch plan must show only the two serves (cell-filtered
+    // partitioned IVF corpus scan for the dense leg, bucket-filtered
+    // postings scans for the lexical leg), the RRF aggregate, and
+    // the citation join-back with the collected hit ids pushed as a
+    // vec_id IN (…) scan filter; NO store build (no chunk Generate,
+    // no prefix-sum machinery) may appear anywhere in the plan
+    "q_rag_e2e_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
