@@ -171,67 +171,87 @@ object RagPipeline {
             "vec_id")
           .select(col("query_id"), col("rank"), col("source"), col("text"))
       case "hybrid_indexed" =>
-        // THE 100 TB query path: hybrid (dense + lexical) retrieval
-        // composed entirely onto the SAVED serve tier (r18 verdict
-        // #1). Build-once: the chunk store is enumerated (distributed
-        // prefix sum → dense vec_id), fit + persisted through the
-        // oracle-replayable bounded-k-means saved IVF index
-        // (partitionBy("cell") on disk) and the bucket-partitioned
-        // saved BM25 postings (md5(term) % 64). Serve-many: every
-        // later call runs ZERO build jobs above the two serves — the
-        // dense list reads only the probed nProbe/nCells cell files
-        // (Ivf.topKIndexed's storage-level pruning), the lexical list
-        // only the query terms' posting buckets (Bm25.topKIndexed),
-        // RRF fuses the two bounded lists, and the citation join-back
-        // reads the store with a pushed vec_id IN (…) filter over
-        // ≤ |queries|·k ids. The store is never rebuilt, re-embedded
-        // or re-tokenized on a serve; even the store DataFrame's
-        // CONSTRUCTION (the prefix sum collects partition totals) is
-        // skipped on an epoch hit — SavedIndex's by-name corpus.
         require(indexKey.nonEmpty,
           "hybrid_indexed serves from saved indexes and needs a stable " +
             "indexKey (see the indexKey doc above)")
-        val keyBase =
-          s"${indexKey.length}:$indexKey/$strategy/${embedder.dim}/$indexedCells"
-        def enumerated = graft.rel.PrefixSum.exclusivePrefixSum(
-            store, col("id"), lit(1L), "vec_id")
-          .select(col("vec_id"), col("source"), col("text"), col("embedding"))
-        val ivfPath = graft.vector.Ivf.ensureSavedBoundedIndex(enumerated,
-          nCells = indexedCells, rounds = 2,
-          cacheKey = s"ragpipeline-ivf/$keyBase", epoch = epoch)
-        val (disk, cents) = graft.vector.Ivf.loadIndex(spark, ivfPath)
-        // the BM25 build reads the PERSISTED store back from the IVF
-        // index's corpus files — the store pipeline runs once for
-        // both indexes, not once per index
-        val bmPath = graft.text.Bm25.ensureSavedIndex(
-          disk.select(col("vec_id").as("doc_id"), col("text")),
-          s"ragpipeline-bm25/$keyBase", epoch = epoch)
-        val dense = graft.vector.Ivf.topKIndexed(disk, cents,
-            queries.select(col("query_id"), col("q_embedding")),
-            TopK * 2, nProbe = IndexedProbe)
-          .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
-        val lex = graft.text.Bm25.topKIndexed(
-            graft.text.Bm25.loadIndex(spark, bmPath),
-            queries.select(col("query_id"), col("query_text").as("qtext")),
-            TopK * 2)
-          .select(col("query_id"), col("rank"), col("doc_id"))
-        val fused = graft.text.Bm25.rrfFuse(dense, lex, TopK)
-          .persistTracked("rag.indexed_fused")
-        // citation lookup: the fused id set is bounded by
-        // |queries| × k, so resolve it driver-side and push it as a
-        // scan filter — row-group pruning instead of a full pass over
-        // the store's text column (the same bounded-collect serve
-        // style as the probed-cell and query-term resolutions above)
-        val hitIds = fused.select(col("doc_id")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        fused.withColumnRenamed("doc_id", "vec_id")
-          .join(disk.filter(col("vec_id").isin(hitIds: _*))
-            .select(col("vec_id"), col("source"), col("text")), "vec_id")
-          .select(col("query_id"), col("rank"), col("source"), col("text"))
+        hybridIndexedServe(spark, store, queries,
+          s"${indexKey.length}:$indexKey/$strategy/${embedder.dim}/$indexedCells",
+          epoch, indexedCells)
       case other =>
         throw new IllegalArgumentException(
           s"unknown retrieval strategy: $other") // C4-style dispatch error
     }
     VectorOps.assembleContext(topk)
+  }
+
+  /** THE 100 TB query path: hybrid (dense + lexical) retrieval
+    * composed entirely onto the SAVED serve tier (r18 verdict #1),
+    * over an already-built chunk STORE — either [[buildStore]]'s
+    * output (the `run("hybrid_indexed")` route) or a
+    * stream-maintained store read back from parquet
+    * ([[graft.streaming.DocStreams.upsertIntoStore]], with
+    * `DocStreams.storeEpoch` as the epoch token so each committed
+    * micro-batch triggers exactly one staleness re-check + rebuild
+    * and every serve in between is O(1)).
+    *
+    * Build-once: the store is enumerated (distributed prefix sum →
+    * dense vec_id), fit + persisted through the oracle-replayable
+    * bounded-k-means saved IVF index (partitionBy("cell") on disk)
+    * and the bucket-partitioned saved BM25 postings (md5(term) % 64;
+    * the BM25 build reads the PERSISTED store back from the IVF
+    * index's corpus files, so the store pipeline runs once for both
+    * indexes). Serve-many: every later call runs ZERO build jobs
+    * above the two serves — the dense list reads only the probed
+    * nProbe/nCells cell files ([[graft.vector.Ivf.topKIndexed]]'s
+    * storage-level pruning), the lexical list only the query terms'
+    * posting buckets ([[graft.text.Bm25.topKIndexed]]), RRF fuses
+    * the two bounded lists, and the citation join-back reads the
+    * store with a pushed vec_id IN (…) filter over ≤ |queries|·k
+    * ids. The store is never rebuilt, re-embedded or re-tokenized on
+    * a serve; even the store DataFrame's CONSTRUCTION (the prefix
+    * sum collects partition totals) is skipped on an epoch hit —
+    * [[graft.io.SavedIndex]]'s by-name corpus (hence `store` is
+    * by-name here too).
+    *
+    * `queries` must carry (query_id, query_text, q_embedding) —
+    * embedded with the same embedder as the store. `cacheKeyBase`
+    * must be a stable, collision-free identity for the (store,
+    * geometry) pair — `run` builds it from the length-prefixed
+    * indexKey + strategy + dim + cells. */
+  def hybridIndexedServe(spark: SparkSession, store: => DataFrame,
+      queries: DataFrame, cacheKeyBase: String, epoch: Option[String],
+      indexedCells: Int = IndexedCells): DataFrame = {
+    def enumerated = graft.rel.PrefixSum.exclusivePrefixSum(
+        store, col("id"), lit(1L), "vec_id")
+      .select(col("vec_id"), col("source"), col("text"), col("embedding"))
+    val ivfPath = graft.vector.Ivf.ensureSavedBoundedIndex(enumerated,
+      nCells = indexedCells, rounds = 2,
+      cacheKey = s"ragpipeline-ivf/$cacheKeyBase", epoch = epoch)
+    val (disk, cents) = graft.vector.Ivf.loadIndex(spark, ivfPath)
+    val bmPath = graft.text.Bm25.ensureSavedIndex(
+      disk.select(col("vec_id").as("doc_id"), col("text")),
+      s"ragpipeline-bm25/$cacheKeyBase", epoch = epoch)
+    val dense = graft.vector.Ivf.topKIndexed(disk, cents,
+        queries.select(col("query_id"), col("q_embedding")),
+        TopK * 2, nProbe = IndexedProbe)
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+    val lex = graft.text.Bm25.topKIndexed(
+        graft.text.Bm25.loadIndex(spark, bmPath),
+        queries.select(col("query_id"), col("query_text").as("qtext")),
+        TopK * 2)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val fused = graft.text.Bm25.rrfFuse(dense, lex, TopK)
+      .persistTracked("rag.indexed_fused")
+    // citation lookup: the fused id set is bounded by |queries| × k,
+    // so resolve it driver-side and push it as a scan filter —
+    // row-group pruning instead of a full pass over the store's text
+    // column (the same bounded-collect serve style as the
+    // probed-cell and query-term resolutions above)
+    val hitIds = fused.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    fused.withColumnRenamed("doc_id", "vec_id")
+      .join(disk.filter(col("vec_id").isin(hitIds: _*))
+        .select(col("vec_id"), col("source"), col("text")), "vec_id")
+      .select(col("query_id"), col("rank"), col("source"), col("text"))
   }
 }

@@ -504,10 +504,16 @@ object ScaleStress {
     val allowed = 5.0
     val ratioFirst = fN / f1
     val ratio = mN / m1
+    // honor the section override (verify-skill rule: subset/scratch
+    // runs must not clobber the canonical section) — the canonical
+    // factor-10 section is `rag_indexed_factor`; the factor-100 run
+    // lands in `rag_indexed_factor100`
+    val section = sys.env.getOrElse("SPARK_GRAFT_SCALE_SECTION",
+      if (factor == 10) "rag_indexed_factor" else s"rag_indexed_factor$factor")
     val json =
-      f"""{"section":"rag_indexed_factor","metric":"rag_indexed_serve","factor":$factor,"base":"$baseDir","queries_held_at":${graft.Queries.ragE2eQueries.size},"cells_base":$c1,"cells_scaled":$cN,"build_base_s":$b1%.3f,"build_scaled_s":$bN%.3f,"serve_base_first_s":$f1%.3f,"serve_base_min_s":$m1%.3f,"serve_scaled_first_s":$fN%.3f,"serve_scaled_min_s":$mN%.3f,"serve_ratio_first":$ratioFirst%.2f,"serve_ratio_min":$ratio%.2f,"allowed_ratio":$allowed%.1f,"pass":${ratio <= allowed},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+      f"""{"section":"$section","metric":"rag_indexed_serve","factor":$factor,"base":"$baseDir","queries_held_at":${graft.Queries.ragE2eQueries.size},"cells_base":$c1,"cells_scaled":$cN,"build_base_s":$b1%.3f,"build_scaled_s":$bN%.3f,"serve_base_first_s":$f1%.3f,"serve_base_min_s":$m1%.3f,"serve_scaled_first_s":$fN%.3f,"serve_scaled_min_s":$mN%.3f,"serve_ratio_first":$ratioFirst%.2f,"serve_ratio_min":$ratio%.2f,"allowed_ratio":$allowed%.1f,"pass":${ratio <= allowed},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
     println(json)
-    upsertSection(outFile, "rag_indexed_factor", json)
+    upsertSection(outFile, section, json)
     if (ratio > allowed) {
       System.err.println(
         f"[ragserve] composed serve ratio $ratio%.2f > $allowed%.1f")

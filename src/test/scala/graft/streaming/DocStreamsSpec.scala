@@ -650,6 +650,65 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-maintained store serves the composed saved-serve retrieval; a committed batch moves the epoch and rebuilds exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the full 100 TB loop in one spec: continuous ingest maintains
+    // the chunk store (upsertIntoStore), DocStreams.storeEpoch is the
+    // SavedIndex epoch token, and RagPipeline.hybridIndexedServe is
+    // the composed query path — each committed micro-batch triggers
+    // exactly one staleness re-check + rebuild; serves in between
+    // are O(1) epoch hits
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-ragserve-store").toString + "/store"
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = DocStreams.upsertIntoStore(
+      mem.toDF().toDF("doc_id", "text", "source", "n_chars"), storeDir)
+    val emb = graft.vector.HashingEmbedder(64) // upsertIntoStore's default
+    val queries = emb.embed(
+      Seq(("omicron pi", 0), ("epsilon zeta", 1))
+        .toDF("query_text", "query_id"),
+      textCol = "query_text", out = "q_embedding")
+    def serve(store: org.apache.spark.sql.DataFrame, key: String,
+        epoch: Option[String]) =
+      graft.pipeline.RagPipeline.hybridIndexedServe(spark, store, queries,
+          cacheKeyBase = key, epoch = epoch, indexedCells = 2)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma delta", "srcA", 22L),
+        (2L, "epsilon zeta eta theta", "srcB", 22L))
+      q.processAllAvailable()
+      val r1 = serve(spark.read.parquet(storeDir), "spec-stream-rag",
+        DocStreams.storeEpoch(storeDir))
+      assert(r1.nonEmpty, "serve over the first committed store")
+      // the target of query 0 does not exist yet
+      assert(!r1.exists(_._3.contains("omicron")))
+      // batch 2: a new doc lands → the store epoch moves → the NEXT
+      // serve with the same key must re-check, rebuild, and retrieve
+      // the new document
+      mem.addData((3L, "nu xi omicron pi", "srcC", 16L))
+      q.processAllAvailable()
+      val r2 = serve(spark.read.parquet(storeDir), "spec-stream-rag",
+        DocStreams.storeEpoch(storeDir))
+      assert(r2.exists(t => t._1 == 0 && t._2 == 1 && t._3.contains("omicron")),
+        s"post-upsert serve must retrieve the batch-2 doc: $r2")
+      // the stream-maintained serve equals a fresh build over the
+      // batch-built first-arrival store (the twin contract carried
+      // through the whole composed funnel)
+      val batchStore = graft.pipeline.RagPipeline.buildStore(
+        Seq((1L, "alpha beta gamma delta", "srcA", 22L),
+            (2L, "epsilon zeta eta theta", "srcB", 22L),
+            (3L, "nu xi omicron pi", "srcC", 16L))
+          .toDF("doc_id", "text", "source", "n_chars"), "simple")
+      val expect = serve(batchStore, "spec-stream-rag-batchtwin",
+        Some("spec-batch-twin-v1"))
+      assert(r2 == expect, s"stream-store serve $r2 != batch-store serve $expect")
+    } finally q.stop()
+  }
+
   test("stream-static domain-quota admission: beats-the-bar docs admit, others drop, stream == batch == top-K displacement") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
