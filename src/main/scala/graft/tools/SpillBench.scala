@@ -46,7 +46,13 @@ object SpillBench {
     // serves at widening nProbe plus a persisted exact-lattice truth
     // pass in one plan family, the widest multi-serve shape; starved
     // coverage proves the eval wall is spill-safe too
-    "q_ivfpq_probe_recall")
+    "q_ivfpq_probe_recall",
+    // r19: the composed saved-serve flagship — store build (chunk +
+    // embed + prefix-sum enumeration + two index persists) on the
+    // first run, then the dense cell-pruned serve + term-pruned BM25
+    // serve + RRF + citation join under the same starvation; the
+    // user-facing query path must be spill-safe end to end
+    "q_rag_e2e_indexed")
 
   private class SpillListener extends SparkListener {
     @volatile var memSpilled = 0L
