@@ -314,11 +314,14 @@ object Bench {
     // compact summary as the LAST stdout line (r18 verdict #5): the
     // driver's BENCH_r{N} capture is a 2000-char stdout tail, and the
     // full line above (with its per-query map) has overflowed it —
-    // `parsed: null` — for four straight rounds. This line always
-    // fits, so the captured artifact always carries the total, the
-    // row count, the window and the error list; the complete
-    // per-query record stays in the file artifact above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},${hostJson}"errors":$errJson,"file":"$fileTargetFinal","sf":"$sfDir","summary":true}""")
+    // `parsed: null` — for four straight rounds. This line must
+    // ALWAYS fit, so the error list here is bounded (count + first
+    // few entries truncated to 100 chars — Spark exception messages
+    // alone can run to thousands); the complete error text and
+    // per-query record stay in the full line / file artifact above.
+    val errSummary = errors.take(5).map(e => JsonText.quote(e.take(100)))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},${hostJson}"n_errors":${errors.size},"errors":$errSummary,"file":"$fileTargetFinal","sf":"$sfDir","summary":true}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED")

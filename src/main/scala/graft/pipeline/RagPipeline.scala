@@ -174,8 +174,14 @@ object RagPipeline {
         require(indexKey.nonEmpty,
           "hybrid_indexed serves from saved indexes and needs a stable " +
             "indexKey (see the indexKey doc above)")
+        // the embedder CLASS is part of the key, not just its dim: a
+        // same-dim different-embedder caller would otherwise produce
+        // an identical key, and the O(1) epoch path — which by design
+        // never re-fingerprints — would serve it the wrong index
+        // (r19 review)
         hybridIndexedServe(spark, store, queries,
-          s"${indexKey.length}:$indexKey/$strategy/${embedder.dim}/$indexedCells",
+          s"${indexKey.length}:$indexKey/$strategy/" +
+            s"${embedder.getClass.getName}-${embedder.dim}/$indexedCells",
           epoch, indexedCells)
       case other =>
         throw new IllegalArgumentException(
@@ -221,9 +227,23 @@ object RagPipeline {
   def hybridIndexedServe(spark: SparkSession, store: => DataFrame,
       queries: DataFrame, cacheKeyBase: String, epoch: Option[String],
       indexedCells: Int = IndexedCells): DataFrame = {
-    def enumerated = graft.rel.PrefixSum.exclusivePrefixSum(
-        store, col("id"), lit(1L), "vec_id")
-      .select(col("vec_id"), col("source"), col("text"), col("embedding"))
+    def enumerated = {
+      // first-wins dedup on id BEFORE enumeration — buildStore output
+      // is already unique per id (no-op there), but a STREAM-
+      // maintained store is at-least-once (upsertIntoStore's
+      // documented caveat: a batch retry can re-append rows, and
+      // 'consumers dedup on id'); indexing a duplicated id twice
+      // would inflate BM25's n_docs/df and let one chunk occupy two
+      // citation slots (r19 review). Build-time-only cost: the
+      // window runs once per index build, never on a serve.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("doc_id"), col("chunk_index"))
+      graft.rel.PrefixSum.exclusivePrefixSum(
+          store.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn"),
+          col("id"), lit(1L), "vec_id")
+        .select(col("vec_id"), col("source"), col("text"), col("embedding"))
+    }
     val ivfPath = graft.vector.Ivf.ensureSavedBoundedIndex(enumerated,
       nCells = indexedCells, rounds = 2,
       cacheKey = s"ragpipeline-ivf/$cacheKeyBase", epoch = epoch)

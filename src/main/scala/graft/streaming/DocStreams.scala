@@ -233,6 +233,18 @@ object DocStreams {
     * kept set (which moves the bar for the NEXT batch). */
   def quotaAdmitAgainstStatic(incoming: DataFrame,
       keptRanked: DataFrame, k: Int): DataFrame = {
+    // k must be the K the kept set was RANKED with: a k smaller than
+    // the observed max rank is definitely wrong (the set holds rows
+    // past the claimed quota) and fails loudly here; a k LARGER than
+    // the builder's K cannot be detected from the output alone (it
+    // looks like open quotas) and silently disables the bar — the
+    // scaladoc pins the contract (r19 review). One bounded driver
+    // action on the static side (≤ |sources|·K rows) at twin
+    // construction.
+    val maxRank = keptRanked.agg(max(col("rank"))).head().getInt(0)
+    require(maxRank <= k,
+      s"quotaAdmitAgainstStatic: kept set carries rank $maxRank > k=$k — " +
+        "k must equal the K the kept set was built with")
     val sizes = keptRanked.groupBy(col("source"))
       .agg(count(lit(1)).cast("int").as("quota_filled"))
     val bars = keptRanked.filter(col("rank") === k)

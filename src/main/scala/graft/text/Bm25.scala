@@ -142,12 +142,33 @@ object Bm25 {
     idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Memoized per (session identity, path) — bounded LRU, the
+    * [[graft.vector.Pq.loadIndex]] pattern: the four parquet reads
+    * cost footer I/O per call, and paths are content-addressed
+    * (fresh TempDirs per rebuild) so a cached entry can never go
+    * stale (r19 review). */
+  private val loadedIndexes = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, String), Bm25Index](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), Bm25Index]): Boolean =
+        size() > 16
+    })
+
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Bm25Index = Bm25Index(
-    spark.read.parquet(s"$path/postings"),
-    spark.read.parquet(s"$path/doclen"),
-    spark.read.parquet(s"$path/dfreq"),
-    spark.read.parquet(s"$path/stats"))
+      path: String): Bm25Index = {
+    val key = (System.identityHashCode(spark), path)
+    val hit = loadedIndexes.get(key)
+    if (hit != null) hit
+    else {
+      val v = Bm25Index(
+        spark.read.parquet(s"$path/postings"),
+        spark.read.parquet(s"$path/doclen"),
+        spark.read.parquet(s"$path/dfreq"),
+        spark.read.parquet(s"$path/stats"))
+      loadedIndexes.put(key, v)
+      v
+    }
+  }
 
   /** Serve top-k from a loaded index with TERM-PRUNED reads: the
     * query terms' buckets become a static partition filter on the

@@ -278,13 +278,36 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Memoized per (session identity, path) like [[graft.vector.Pq
+    * .loadIndex]] (bounded LRU — epoch-moving consumers mint a fresh
+    * path per rebuild, so an unbounded memo would retain every
+    * superseded version): the centroid collect is a driver-side
+    * Spark job, and without the memo every serve on the documented
+    * O(1) epoch-hit path paid it again (r19 review). Paths are
+    * content-addressed (fresh TempDirs per rebuild), so a cached
+    * entry can never go stale. */
+  private val loadedIndexes = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (Int, String), (DataFrame, Array[Array[Double]])](32, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          (Int, String), (DataFrame, Array[Array[Double]])]): Boolean =
+        size() > 16
+    })
+
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, Array[Array[Double]]) = {
-    val corpus = spark.read.parquet(s"$path/corpus")
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    (corpus, cents)
+    val key = (System.identityHashCode(spark), path)
+    val hit = loadedIndexes.get(key)
+    if (hit != null) hit
+    else {
+      val corpus = spark.read.parquet(s"$path/corpus")
+      val cents = spark.read.parquet(s"$path/centroids")
+        .orderBy("cell").collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      val v = (corpus, cents)
+      loadedIndexes.put(key, v)
+      v
+    }
   }
 
   /** One saved index per cache key per JVM (build-once-serve-many,
