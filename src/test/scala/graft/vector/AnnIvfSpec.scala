@@ -116,6 +116,33 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestBase {
       s"no partition pruning on the loaded index scan:\n${plan.take(2000)}")
   }
 
+  test("loadIndex memoizes per (session, path): repeat loads return the cached frames, distinct paths stay distinct") {
+    val df = corpus(30, 0).toDF("vec_id", "embedding")
+    val (assigned, cents) = Ivf.index(df, nCells = 2)
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ivf-memo1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ivf-memo2").toString
+    Ivf.saveIndex(assigned, cents, d1)
+    Ivf.saveIndex(assigned, cents, d2)
+    val a = Ivf.loadIndex(spark, d1)
+    // repeat load: the SAME cached tuple (reference equality — the
+    // centroid collect, a Spark job, must not re-run per serve)
+    assert(Ivf.loadIndex(spark, d1).asInstanceOf[AnyRef]
+      .eq(a.asInstanceOf[AnyRef]), "repeat load must hit the memo")
+    // a different path is a different entry (content-addressed dirs:
+    // a rebuilt index gets a fresh path, never a stale cache hit)
+    assert(!Ivf.loadIndex(spark, d2).asInstanceOf[AnyRef]
+      .eq(a.asInstanceOf[AnyRef]), "distinct paths must not collide")
+    // same memo contract on the BM25 side
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"alpha beta token$i"))
+      .toDF("doc_id", "text")
+    val b1 = java.nio.file.Files.createTempDirectory("graft-bm25-memo1").toString
+    graft.text.Bm25.saveIndex(docs, b1)
+    val bi = graft.text.Bm25.loadIndex(spark, b1)
+    assert(graft.text.Bm25.loadIndex(spark, b1).asInstanceOf[AnyRef]
+      .eq(bi.asInstanceOf[AnyRef]), "BM25 repeat load must hit the memo")
+  }
+
   test("topKIndexed: STATIC cell pruning on the loaded scan, scores identical to topK") {
     val df = corpus(50, 0).toDF("vec_id", "embedding")
     val (assigned, cents) = Ivf.index(df, nCells = 4)
