@@ -1034,6 +1034,117 @@ object Oracles {
        |  FROM rsc
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The shared store→candidate-lists chain of the saved-serve
+    * flagship: store CTEs (chunk → first-wins ids → enumeration) +
+    * exact-integer lattice counts/norms/dots + the dense dim-8
+    * embedding, its int8 quantization, the bounded-k-means coarse
+    * chain (dim 8, nProbe 2), the cell-pruned fine search ranked to
+    * depth 10 (`dr`), and the BM25 chain ranked to depth 10 (`lr`).
+    * q_rag_e2e_indexed fuses dr+lr into the cited context;
+    * q_rag_fusion_overlap additionally derives the brute dense list
+    * and compares the two fusions. */
+  private lazy val ragIndexedChainCte: String =
+    s"""$chunkCte
+       |, ids AS (
+         |  SELECT doc_id, source, chunk_index, text,
+         |         source || '_chunk_' || CAST(chunk_index AS VARCHAR) AS id
+         |  FROM ch
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY source || '_chunk_' || CAST(chunk_index AS VARCHAR)
+         |    ORDER BY doc_id, chunk_index) = 1
+         |), st AS MATERIALIZED (
+         |  SELECT doc_id, source, chunk_index, text, id,
+         |         row_number() OVER (ORDER BY id) - 1 AS vec_id
+         |  FROM ids
+         |), cb AS (
+         |  SELECT vec_id,
+         |         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 8 AS INTEGER) AS bucket
+         |  FROM (SELECT vec_id, unnest(regexp_extract_all(text, '$RE')) AS t FROM st)
+         |), cnt AS MATERIALIZED (
+         |  SELECT vec_id, bucket, CAST(count(*) AS BIGINT) AS c FROM cb GROUP BY 1, 2
+         |), cn AS MATERIALIZED (
+         |  SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS nn FROM cnt GROUP BY 1
+         |), q AS (
+         |  SELECT * FROM (VALUES (CAST(0 AS INTEGER), 'join hash window stream'),
+         |                        (CAST(1 AS INTEGER), 'sort merge filter vector'),
+         |                        (CAST(2 AS INTEGER), 'spark query scan batch'))
+         |    AS v(query_id, qtext)
+         |), qb AS (
+         |  SELECT query_id,
+         |         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 8 AS INTEGER) AS bucket
+         |  FROM (SELECT query_id, unnest(regexp_extract_all(qtext, '$RE')) AS t FROM q)
+         |), qc AS MATERIALIZED (
+         |  SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS c FROM qb GROUP BY 1, 2
+         |), qn AS MATERIALIZED (
+         |  SELECT query_id, CAST(sum(c * c) AS BIGINT) AS nn FROM qc GROUP BY 1
+         |), dt AS MATERIALIZED (
+         |  SELECT b.query_id, a.vec_id, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         |  FROM cnt a JOIN qc b USING (bucket) GROUP BY 1, 2
+         |), bks AS (
+         |  SELECT unnest(generate_series(0, 7)) AS bucket
+         |), emb AS MATERIALIZED (
+         |  SELECT s.vec_id,
+         |         list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY b.bucket) AS embedding
+         |  FROM st s CROSS JOIN bks b
+         |  LEFT JOIN cnt c ON c.vec_id = s.vec_id AND c.bucket = b.bucket
+         |  GROUP BY s.vec_id
+         |), $qvtCte
+         |, qemb AS MATERIALIZED (
+         |  SELECT q.query_id,
+         |         list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY b.bucket) AS qe
+         |  FROM q CROSS JOIN bks b
+         |  LEFT JOIN qc c ON c.query_id = q.query_id AND c.bucket = b.bucket
+         |  GROUP BY q.query_id
+         |), ${ivfCoarseCteN(3, seedSql = "8", nProbe = 2, dim = 8,
+              qsSql = Some("SELECT query_id, qe FROM qemb"))}
+         |, fine AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         round(CAST(coalesce(dt.dot, 0) AS DOUBLE)
+         |           / (sqrt(cn.nn) * sqrt(qn.nn)), 6) AS cos_sim
+         |  FROM probe p
+         |  JOIN a3 a USING (cell)
+         |  JOIN cn ON cn.vec_id = a.vec_id
+         |  JOIN qn ON qn.query_id = p.query_id
+         |  LEFT JOIN dt ON dt.query_id = p.query_id AND dt.vec_id = a.vec_id
+         |), dr AS (
+         |  SELECT query_id, vec_id, rn AS rank FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_sim DESC, vec_id) AS rn
+         |    FROM fine) WHERE rn <= 10
+         |), p0 AS (
+         |  SELECT vec_id AS doc_id, unnest(regexp_extract_all(lower(text), '$RE')) AS term
+         |  FROM st
+         |), postings AS MATERIALIZED (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM p0 GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+         |), dfreq AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1
+         |), qt AS (
+         |  SELECT DISTINCT query_id, term FROM (
+         |    SELECT query_id, unnest(regexp_extract_all(lower(qtext), '$RE')) AS term FROM q)
+         |), lsc AS (
+         |  SELECT qt.query_id, p.doc_id,
+         |         round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+         |           (p.tf * (1.2 + 1.0) /
+         |            (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)))), 6) AS score
+         |  FROM postings p
+         |  JOIN qt ON p.term = qt.term
+         |  JOIN dfreq f ON f.term = p.term
+         |  JOIN dl d ON d.doc_id = p.doc_id
+         |  CROSS JOIN stats s
+         |  GROUP BY 1, 2
+         |), lr AS (
+         |  SELECT query_id, doc_id, rn AS rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY score DESC, doc_id) AS rn
+         |    FROM lsc) WHERE rn <= 10
+         |)""".stripMargin
+
   private val base: Map[String, String] = Map(
 
     "q_chunk_fixed" ->
@@ -4476,108 +4587,12 @@ object Oracles {
     // cell-pruned fine search on exact-integer dot/norm² values.
     // Dense candidates at depth 10 come only from each query's 2
     // probed cells — the oracle replays the IVF approximation (and
-    // its misses) exactly.
+    // its misses) exactly. The chain through the two candidate lists
+    // (`dr` = IVF dense, `lr` = BM25) is shared verbatim with the
+    // q_rag_fusion_overlap eval row via [[ragIndexedChainCte]].
     "q_rag_e2e_indexed" ->
-      s"""$chunkCte
-         |, ids AS (
-         |  SELECT doc_id, source, chunk_index, text,
-         |         source || '_chunk_' || CAST(chunk_index AS VARCHAR) AS id
-         |  FROM ch
-         |  QUALIFY row_number() OVER (
-         |    PARTITION BY source || '_chunk_' || CAST(chunk_index AS VARCHAR)
-         |    ORDER BY doc_id, chunk_index) = 1
-         |), st AS MATERIALIZED (
-         |  SELECT doc_id, source, chunk_index, text, id,
-         |         row_number() OVER (ORDER BY id) - 1 AS vec_id
-         |  FROM ids
-         |), cb AS (
-         |  SELECT vec_id,
-         |         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 8 AS INTEGER) AS bucket
-         |  FROM (SELECT vec_id, unnest(regexp_extract_all(text, '$RE')) AS t FROM st)
-         |), cnt AS MATERIALIZED (
-         |  SELECT vec_id, bucket, CAST(count(*) AS BIGINT) AS c FROM cb GROUP BY 1, 2
-         |), cn AS MATERIALIZED (
-         |  SELECT vec_id, CAST(sum(c * c) AS BIGINT) AS nn FROM cnt GROUP BY 1
-         |), q AS (
-         |  SELECT * FROM (VALUES (CAST(0 AS INTEGER), 'join hash window stream'),
-         |                        (CAST(1 AS INTEGER), 'sort merge filter vector'),
-         |                        (CAST(2 AS INTEGER), 'spark query scan batch'))
-         |    AS v(query_id, qtext)
-         |), qb AS (
-         |  SELECT query_id,
-         |         CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 8 AS INTEGER) AS bucket
-         |  FROM (SELECT query_id, unnest(regexp_extract_all(qtext, '$RE')) AS t FROM q)
-         |), qc AS MATERIALIZED (
-         |  SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS c FROM qb GROUP BY 1, 2
-         |), qn AS MATERIALIZED (
-         |  SELECT query_id, CAST(sum(c * c) AS BIGINT) AS nn FROM qc GROUP BY 1
-         |), dt AS MATERIALIZED (
-         |  SELECT b.query_id, a.vec_id, CAST(sum(a.c * b.c) AS BIGINT) AS dot
-         |  FROM cnt a JOIN qc b USING (bucket) GROUP BY 1, 2
-         |), bks AS (
-         |  SELECT unnest(generate_series(0, 7)) AS bucket
-         |), emb AS MATERIALIZED (
-         |  SELECT s.vec_id,
-         |         list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY b.bucket) AS embedding
-         |  FROM st s CROSS JOIN bks b
-         |  LEFT JOIN cnt c ON c.vec_id = s.vec_id AND c.bucket = b.bucket
-         |  GROUP BY s.vec_id
-         |), $qvtCte
-         |, qemb AS MATERIALIZED (
-         |  SELECT q.query_id,
-         |         list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY b.bucket) AS qe
-         |  FROM q CROSS JOIN bks b
-         |  LEFT JOIN qc c ON c.query_id = q.query_id AND c.bucket = b.bucket
-         |  GROUP BY q.query_id
-         |), ${ivfCoarseCteN(3, seedSql = "8", nProbe = 2, dim = 8,
-              qsSql = Some("SELECT query_id, qe FROM qemb"))}
-         |, fine AS (
-         |  SELECT p.query_id, a.vec_id,
-         |         round(CAST(coalesce(dt.dot, 0) AS DOUBLE)
-         |           / (sqrt(cn.nn) * sqrt(qn.nn)), 6) AS cos_sim
-         |  FROM probe p
-         |  JOIN a3 a USING (cell)
-         |  JOIN cn ON cn.vec_id = a.vec_id
-         |  JOIN qn ON qn.query_id = p.query_id
-         |  LEFT JOIN dt ON dt.query_id = p.query_id AND dt.vec_id = a.vec_id
-         |), dr AS (
-         |  SELECT query_id, vec_id, rn AS rank FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY cos_sim DESC, vec_id) AS rn
-         |    FROM fine) WHERE rn <= 10
-         |), p0 AS (
-         |  SELECT vec_id AS doc_id, unnest(regexp_extract_all(lower(text), '$RE')) AS term
-         |  FROM st
-         |), postings AS MATERIALIZED (
-         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM p0 GROUP BY 1, 2
-         |), dl AS (
-         |  SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1
-         |), stats AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
-         |), dfreq AS (
-         |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1
-         |), qt AS (
-         |  SELECT DISTINCT query_id, term FROM (
-         |    SELECT query_id, unnest(regexp_extract_all(lower(qtext), '$RE')) AS term FROM q)
-         |), lsc AS (
-         |  SELECT qt.query_id, p.doc_id,
-         |         round(sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
-         |           (p.tf * (1.2 + 1.0) /
-         |            (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)))), 6) AS score
-         |  FROM postings p
-         |  JOIN qt ON p.term = qt.term
-         |  JOIN dfreq f ON f.term = p.term
-         |  JOIN dl d ON d.doc_id = p.doc_id
-         |  CROSS JOIN stats s
-         |  GROUP BY 1, 2
-         |), lr AS (
-         |  SELECT query_id, doc_id, rn AS rank FROM (
-         |    SELECT query_id, doc_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY score DESC, doc_id) AS rn
-         |    FROM lsc) WHERE rn <= 10
-         |), pooled AS (
+      s"""$ragIndexedChainCte
+         |, pooled AS (
          |  SELECT query_id, vec_id AS doc_id, 1.0 / (60.0 + rank) AS contrib FROM dr
          |  UNION ALL
          |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM lr
@@ -4596,6 +4611,66 @@ object Oracles {
          |                  || '): ' || s.text, e'\\n\\n' ORDER BY fr.rank) AS context
          |FROM fr JOIN st s ON s.vec_id = fr.doc_id
          |GROUP BY fr.query_id ORDER BY fr.query_id""".stripMargin,
+
+    // Fusion-robustness eval of the saved-serve flagship: the shared
+    // chain's IVF dense list (dr) and BM25 list (lr), PLUS the brute
+    // dense list (dsc/drb — q_rag_e2e_hybrid's exact-integer cosine
+    // chain verbatim), fused separately by the same RRF; the indexed
+    // fusion's top-5 annotated with membership in the exact fusion's
+    // top-5 and the per-query overlap fraction.
+    "q_rag_fusion_overlap" ->
+      s"""$ragIndexedChainCte
+         |, dsc AS (
+         |  SELECT q.query_id, s.vec_id,
+         |         CAST(coalesce(dt.dot, 0) AS DOUBLE)
+         |           / (sqrt(cn.nn) * sqrt(qn.nn)) AS cos
+         |  FROM st s CROSS JOIN q
+         |  JOIN cn ON cn.vec_id = s.vec_id
+         |  JOIN qn ON qn.query_id = q.query_id
+         |  LEFT JOIN dt ON dt.query_id = q.query_id AND dt.vec_id = s.vec_id
+         |), drb AS (
+         |  SELECT query_id, vec_id, rn AS rank FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS rn
+         |    FROM dsc) WHERE rn <= 10
+         |), pooledb AS (
+         |  SELECT query_id, vec_id AS doc_id, 1.0 / (60.0 + rank) AS contrib FROM drb
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM lr
+         |), fusedb AS (
+         |  SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+         |  FROM pooledb GROUP BY 1, 2
+         |), frb AS MATERIALIZED (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY rrf DESC, doc_id) AS rn
+         |    FROM fusedb) WHERE rn <= 5
+         |), pooledi AS (
+         |  SELECT query_id, vec_id AS doc_id, 1.0 / (60.0 + rank) AS contrib FROM dr
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM lr
+         |), fusedi AS (
+         |  SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+         |  FROM pooledi GROUP BY 1, 2
+         |), fri AS MATERIALIZED (
+         |  SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY rrf DESC, doc_id) AS rn
+         |    FROM fusedi) WHERE rn <= 5
+         |), annotated AS (
+         |  SELECT i.query_id, i.rank, i.doc_id,
+         |         CAST(b.doc_id IS NOT NULL AS INTEGER) AS in_exact
+         |  FROM fri i LEFT JOIN frb b
+         |    ON b.query_id = i.query_id AND b.doc_id = i.doc_id
+         |)
+         |SELECT query_id, rank, doc_id, in_exact,
+         |       round(CAST(sum(in_exact) OVER (PARTITION BY query_id) AS DOUBLE)
+         |             / 5.0, 4) AS overlap_at_5
+         |FROM annotated
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_context_assembly" ->
       s"""$chunkCte

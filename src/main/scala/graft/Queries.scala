@@ -307,6 +307,69 @@ object Queries {
       epoch = tableEpoch(s, dir, "documents"))
       .orderBy(col("query_id"))
 
+  /** Fusion ROBUSTNESS of the saved-serve flagship — the recall/
+    * loss-decomposition discipline ([[q_ann_recall]] family) applied
+    * to the COMPOSED row: per flagship query, the indexed hybrid's
+    * fused top-5 ([[q_rag_e2e_indexed]]'s funnel — IVF-approximate
+    * dense candidates + BM25, RRF) annotated with membership in the
+    * EXACT hybrid's fused top-5 ([[q_rag_e2e_hybrid]]'s funnel —
+    * brute dense + the SAME BM25 list, same fusion), plus the
+    * per-query overlap fraction. This measures what the cell-pruning
+    * approximation actually costs the USER-FACING result: the dense
+    * tier's recall ceiling ([[q_ann_recall]]) bounds the candidate
+    * loss, but RRF re-ranks against the shared lexical list, so the
+    * fused lists can agree even where the dense lists differ — the
+    * number a deployment reads before choosing nProbe for the
+    * composed serve. Both dense legs and the fusion are
+    * exact-replayable (unrounded integer-derived cosines with vec_id
+    * ties for brute, round-6 cell-pruned cosines for IVF, round-6
+    * RRF), so DuckDB replays the overlap bit for bit. The in-memory
+    * bounded fit here is bit-identical to the saved serve's
+    * (AnnIvfSpec's lossless round-trip pin), so the measured overlap
+    * IS the catalog row's. Eval row: the brute leg is its
+    * denominator's price, bounded by 3 queries. */
+  def q_rag_fusion_overlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = graft.pipeline.RagPipeline.TopK
+    val depth = k * 2
+    val emb8 = graft.vector.LatticeEmbedder(8)
+    val store = graft.pipeline.RagPipeline.buildStore(
+      t(s, dir, "documents"), "simple", emb8)
+    val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
+        store, col("id"), lit(1L), "vec_id")
+      .select(col("vec_id"), col("text"), col("embedding"))
+      .persistTracked("ragfusion.store")
+    val queries = emb8.embed(
+      ragE2eQueries.zipWithIndex.toDF("query_text", "query_id"),
+      textCol = "query_text", out = "q_embedding")
+    val qe = queries.select(col("query_id"), col("q_embedding"))
+    val qt = queries.select(col("query_id"), col("query_text").as("qtext"))
+    // the lexical leg is SHARED verbatim by both fusions
+    val lex = graft.text.Bm25.topK(
+        indexed.select(col("vec_id").as("doc_id"), col("text")), qt, depth)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+      .persistTracked("ragfusion.lex")
+    val denseExact = graft.vector.VectorOps.topK(indexed, qe, depth,
+        tiebreak = Seq(col("vec_id")))
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+    val (assigned, cents) = vector.Ivf.boundedIndex(indexed,
+      nCells = graft.pipeline.RagPipeline.IndexedCells, rounds = 2)
+    val denseIvf = vector.Ivf.topK(assigned, cents, qe, depth,
+        nProbe = graft.pipeline.RagPipeline.IndexedProbe)
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+    val fusedExact = graft.text.Bm25.rrfFuse(denseExact, lex, k)
+      .select(col("query_id"), col("doc_id"), lit(1).as("in_exact"))
+    val fusedIvf = graft.text.Bm25.rrfFuse(denseIvf, lex, k)
+    val w = Window.partitionBy(col("query_id"))
+    fusedIvf.join(fusedExact, Seq("query_id", "doc_id"), "left")
+      .withColumn("in_exact", coalesce(col("in_exact"), lit(0)))
+      .withColumn("overlap_at_5",
+        round(sum(col("in_exact")).over(w) / lit(k.toDouble), 4))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("in_exact"), col("overlap_at_5"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ===== vector retrieval (V/J6/W1 series) =====
 
   /** Flagship: top-5 cosine neighbors for 3 query vectors taken from
