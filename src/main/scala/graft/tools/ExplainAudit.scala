@@ -134,7 +134,11 @@ object ExplainAudit {
     // the citation join-back with the collected hit ids pushed as a
     // vec_id IN (…) scan filter; NO store build (no chunk Generate,
     // no prefix-sum machinery) may appear anywhere in the plan
-    "q_rag_e2e_indexed")
+    "q_rag_e2e_indexed",
+    // r19b: the fusion-robustness eval — two RRF fusions off one
+    // persisted store (brute dense leg broadcast-crossed, IVF leg
+    // cell-joined) sharing one BM25 list; windows all query-keyed
+    "q_rag_fusion_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
