@@ -1034,16 +1034,16 @@ object Oracles {
        |  FROM rsc
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** The shared store→candidate-lists chain of the saved-serve
-    * flagship: store CTEs (chunk → first-wins ids → enumeration) +
-    * exact-integer lattice counts/norms/dots + the dense dim-8
-    * embedding, its int8 quantization, the bounded-k-means coarse
-    * chain (dim 8, nProbe 2), the cell-pruned fine search ranked to
-    * depth 10 (`dr`), and the BM25 chain ranked to depth 10 (`lr`).
-    * q_rag_e2e_indexed fuses dr+lr into the cited context;
-    * q_rag_fusion_overlap additionally derives the brute dense list
-    * and compares the two fusions. */
-  private lazy val ragIndexedChainCte: String =
+  /** The shared store chain of the saved-serve flagship: store CTEs
+    * (chunk → first-wins ids → enumeration) + exact-integer lattice
+    * counts/norms/dots + the dense dim-8 embedding, its int8
+    * quantization, the bounded-k-means coarse chain (dim 8, probe
+    * depth `nProbe`, `keepRank` exposing the probe rank for
+    * curve-slicing rows), and the BM25 chain ranked to depth 10
+    * (`lr`). [[ragFineDrCte]] appends the nProbe-2 serve's fine
+    * search; the curve row slices a keepRank=true probe per depth
+    * instead. */
+  private def ragBaseCte(nProbe: Int, keepRank: Boolean): String =
     s"""$chunkCte
        |, ids AS (
          |  SELECT doc_id, source, chunk_index, text,
@@ -1095,24 +1095,10 @@ object Oracles {
          |  FROM q CROSS JOIN bks b
          |  LEFT JOIN qc c ON c.query_id = q.query_id AND c.bucket = b.bucket
          |  GROUP BY q.query_id
-         |), ${ivfCoarseCteN(3, seedSql = "8", nProbe = 2, dim = 8,
+         |), ${ivfCoarseCteN(3, seedSql = "8", nProbe = nProbe,
+              keepRank = keepRank, dim = 8,
               qsSql = Some("SELECT query_id, qe FROM qemb"))}
-         |, fine AS (
-         |  SELECT p.query_id, a.vec_id,
-         |         round(CAST(coalesce(dt.dot, 0) AS DOUBLE)
-         |           / (sqrt(cn.nn) * sqrt(qn.nn)), 6) AS cos_sim
-         |  FROM probe p
-         |  JOIN a3 a USING (cell)
-         |  JOIN cn ON cn.vec_id = a.vec_id
-         |  JOIN qn ON qn.query_id = p.query_id
-         |  LEFT JOIN dt ON dt.query_id = p.query_id AND dt.vec_id = a.vec_id
-         |), dr AS (
-         |  SELECT query_id, vec_id, rn AS rank FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY cos_sim DESC, vec_id) AS rn
-         |    FROM fine) WHERE rn <= 10
-         |), p0 AS (
+         |, p0 AS (
          |  SELECT vec_id AS doc_id, unnest(regexp_extract_all(lower(text), '$RE')) AS term
          |  FROM st
          |), postings AS MATERIALIZED (
@@ -1144,6 +1130,106 @@ object Oracles {
          |             ORDER BY score DESC, doc_id) AS rn
          |    FROM lsc) WHERE rn <= 10
          |)""".stripMargin
+
+  /** The nProbe-2 serve's cell-pruned fine search + depth-10 dense
+    * list, appended to [[ragBaseCte]] for the catalog serve rows
+    * (fine reads the whole `probe` — at keepRank=false it holds
+    * exactly the serve's nProbe cells per query). */
+  private lazy val ragFineDrCte: String =
+    s"""|, fine AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         round(CAST(coalesce(dt.dot, 0) AS DOUBLE)
+       |           / (sqrt(cn.nn) * sqrt(qn.nn)), 6) AS cos_sim
+       |  FROM probe p
+       |  JOIN a3 a USING (cell)
+       |  JOIN cn ON cn.vec_id = a.vec_id
+       |  JOIN qn ON qn.query_id = p.query_id
+       |  LEFT JOIN dt ON dt.query_id = p.query_id AND dt.vec_id = a.vec_id
+       |), dr AS (
+       |  SELECT query_id, vec_id, rn AS rank FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, vec_id) AS rn
+       |    FROM fine) WHERE rn <= 10
+       |)""".stripMargin
+
+  /** [[ragBaseCte]] at the serve geometry + the serve's fine/dr —
+    * the chain q_rag_e2e_indexed and q_rag_fusion_overlap build on. */
+  private lazy val ragIndexedChainCte: String =
+    ragBaseCte(nProbe = 2, keepRank = false) + "\n" + ragFineDrCte
+
+  /** The brute dense list + exact fusion (q_rag_e2e_hybrid's
+    * exact-integer cosine chain, fused with `lr` by the shared RRF)
+    * — the truth side of both fusion-eval rows. Emits `frb` =
+    * (query_id, doc_id) of the exact fused top-5. */
+  private lazy val ragExactFusionCte: String =
+    s"""|, dsc AS (
+       |  SELECT q.query_id, s.vec_id,
+       |         CAST(coalesce(dt.dot, 0) AS DOUBLE)
+       |           / (sqrt(cn.nn) * sqrt(qn.nn)) AS cos
+       |  FROM st s CROSS JOIN q
+       |  JOIN cn ON cn.vec_id = s.vec_id
+       |  JOIN qn ON qn.query_id = q.query_id
+       |  LEFT JOIN dt ON dt.query_id = q.query_id AND dt.vec_id = s.vec_id
+       |), drb AS (
+       |  SELECT query_id, vec_id, rn AS rank FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos DESC, vec_id) AS rn
+       |    FROM dsc) WHERE rn <= 10
+       |), pooledb AS (
+       |  SELECT query_id, vec_id AS doc_id, 1.0 / (60.0 + rank) AS contrib FROM drb
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM lr
+       |), fusedb AS (
+       |  SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+       |  FROM pooledb GROUP BY 1, 2
+       |), frb AS MATERIALIZED (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rrf DESC, doc_id) AS rn
+       |    FROM fusedb) WHERE rn <= 5
+       |)""".stripMargin
+
+  /** One probed depth of the fusion curve: the keepRank probe sliced
+    * at `crank <= p`, the same fine-search/ranking/fusion text as the
+    * serve chain, and the per-depth overlap count against `frb`. */
+  private def ragFusionCurveDepthCte(p: Int): String =
+    s"""|, fine$p AS (
+       |  SELECT pr.query_id, a.vec_id,
+       |         round(CAST(coalesce(dt.dot, 0) AS DOUBLE)
+       |           / (sqrt(cn.nn) * sqrt(qn.nn)), 6) AS cos_sim
+       |  FROM (SELECT query_id, cell FROM probe WHERE crank <= $p) pr
+       |  JOIN a3 a USING (cell)
+       |  JOIN cn ON cn.vec_id = a.vec_id
+       |  JOIN qn ON qn.query_id = pr.query_id
+       |  LEFT JOIN dt ON dt.query_id = pr.query_id AND dt.vec_id = a.vec_id
+       |), dr$p AS (
+       |  SELECT query_id, vec_id, rn AS rank FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_sim DESC, vec_id) AS rn
+       |    FROM fine$p) WHERE rn <= 10
+       |), pooled$p AS (
+       |  SELECT query_id, vec_id AS doc_id, 1.0 / (60.0 + rank) AS contrib FROM dr$p
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM lr
+       |), fused$p AS (
+       |  SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
+       |  FROM pooled$p GROUP BY 1, 2
+       |), fr$p AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rrf DESC, doc_id) AS rn
+       |    FROM fused$p) WHERE rn <= 5
+       |), row$p AS (
+       |  SELECT CAST($p AS INTEGER) AS n_probe,
+       |         CAST(count(*) AS INTEGER) AS total_overlap
+       |  FROM frb b JOIN fr$p i
+       |    ON i.query_id = b.query_id AND i.doc_id = b.doc_id
+       |)""".stripMargin
 
   private val base: Map[String, String] = Map(
 
@@ -4618,36 +4704,9 @@ object Oracles {
     // chain verbatim), fused separately by the same RRF; the indexed
     // fusion's top-5 annotated with membership in the exact fusion's
     // top-5 and the per-query overlap fraction.
-    "q_rag_fusion_overlap" ->
-      s"""$ragIndexedChainCte
-         |, dsc AS (
-         |  SELECT q.query_id, s.vec_id,
-         |         CAST(coalesce(dt.dot, 0) AS DOUBLE)
-         |           / (sqrt(cn.nn) * sqrt(qn.nn)) AS cos
-         |  FROM st s CROSS JOIN q
-         |  JOIN cn ON cn.vec_id = s.vec_id
-         |  JOIN qn ON qn.query_id = q.query_id
-         |  LEFT JOIN dt ON dt.query_id = q.query_id AND dt.vec_id = s.vec_id
-         |), drb AS (
-         |  SELECT query_id, vec_id, rn AS rank FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY cos DESC, vec_id) AS rn
-         |    FROM dsc) WHERE rn <= 10
-         |), pooledb AS (
-         |  SELECT query_id, vec_id AS doc_id, 1.0 / (60.0 + rank) AS contrib FROM drb
-         |  UNION ALL
-         |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM lr
-         |), fusedb AS (
-         |  SELECT query_id, doc_id, round(sum(contrib), 6) AS rrf
-         |  FROM pooledb GROUP BY 1, 2
-         |), frb AS MATERIALIZED (
-         |  SELECT query_id, doc_id FROM (
-         |    SELECT query_id, doc_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY rrf DESC, doc_id) AS rn
-         |    FROM fusedb) WHERE rn <= 5
-         |), pooledi AS (
+    "q_rag_fusion_overlap" -> (
+      ragIndexedChainCte + "\n" + ragExactFusionCte + "\n" +
+      s"""|, pooledi AS (
          |  SELECT query_id, vec_id AS doc_id, 1.0 / (60.0 + rank) AS contrib FROM dr
          |  UNION ALL
          |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM lr
@@ -4670,7 +4729,26 @@ object Oracles {
          |       round(CAST(sum(in_exact) OVER (PARTITION BY query_id) AS DOUBLE)
          |             / 5.0, 4) AS overlap_at_5
          |FROM annotated
-         |ORDER BY query_id, rank""".stripMargin,
+         |ORDER BY query_id, rank""".stripMargin),
+
+    // The fusion curve: the same base chain at an EXHAUSTIVE
+    // keepRank=true probe (nProbe 8 == nCells), sliced per depth of
+    // the shared ladder — each depth's fine search / ranking / RRF
+    // fusion is the serve chain's text verbatim over `crank <= p`,
+    // counted against the exact fusion (frb).
+    "q_rag_fusion_curve" -> (
+      ragBaseCte(nProbe = 8, keepRank = true) + "\n" +
+      ragExactFusionCte + "\n" +
+      graft.Queries.IvfpqProbeLadder.map(ragFusionCurveDepthCte)
+        .mkString("\n") + "\n" +
+      s"""|, tot AS (SELECT CAST(count(*) AS INTEGER) AS total_k FROM frb)
+         |SELECT n_probe, total_overlap, total_k,
+         |       round(CAST(total_overlap AS DOUBLE) / total_k, 4) AS mean_overlap
+         |FROM (${graft.Queries.IvfpqProbeLadder
+                   .map(p => s"SELECT * FROM row$p")
+                   .mkString(" UNION ALL ")})
+         |CROSS JOIN tot
+         |ORDER BY n_probe""".stripMargin),
 
     "q_context_assembly" ->
       s"""$chunkCte

@@ -370,6 +370,67 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The measured nProbe-vs-FUSED-OVERLAP curve — the
+    * [[q_ivfpq_probe_recall]] discipline applied to the composed
+    * flagship: one row per probed depth in [[IvfpqProbeLadder]]
+    * (2 is the catalog serve, 8 == nCells probes every cell), the
+    * micro-averaged overlap between the depth's fused top-5 and the
+    * EXACT hybrid's fused top-5 over the same BM25 list and RRF.
+    * Pins by measurement what [[q_rag_fusion_overlap]] reads at the
+    * serve point: how the user-facing disagreement closes as probes
+    * widen — at exhaustive probing the dense candidate sets are
+    * equal, so any residual gap there is purely the serve's round-6
+    * cosine ties (measured, not assumed — the honest ceiling). The
+    * exact fusion runs ONCE (persisted); each depth reuses the same
+    * bounded fit. This is the curve a deployment reads NEXT TO the
+    * scan-cost curve (q_ivfpq_probe_recall) to pick nProbe for the
+    * composed serve. */
+  def q_rag_fusion_curve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = graft.pipeline.RagPipeline.TopK
+    val depth = k * 2
+    val emb8 = graft.vector.LatticeEmbedder(8)
+    val store = graft.pipeline.RagPipeline.buildStore(
+      t(s, dir, "documents"), "simple", emb8)
+    val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
+        store, col("id"), lit(1L), "vec_id")
+      .select(col("vec_id"), col("text"), col("embedding"))
+      .persistTracked("ragfusion.store")
+    val queries = emb8.embed(
+      ragE2eQueries.zipWithIndex.toDF("query_text", "query_id"),
+      textCol = "query_text", out = "q_embedding")
+    val qe = queries.select(col("query_id"), col("q_embedding"))
+    val qt = queries.select(col("query_id"), col("query_text").as("qtext"))
+    val lex = graft.text.Bm25.topK(
+        indexed.select(col("vec_id").as("doc_id"), col("text")), qt, depth)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+      .persistTracked("ragfusion.lex")
+    val denseExact = graft.vector.VectorOps.topK(indexed, qe, depth,
+        tiebreak = Seq(col("vec_id")))
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+    val fusedExact = graft.text.Bm25.rrfFuse(denseExact, lex, k)
+      .select(col("query_id"), col("doc_id"))
+      .persistTracked("ragfusion.exact")
+    val totK = fusedExact.agg(count(lit(1)).cast("int").as("total_k"))
+    val (assigned, cents) = vector.Ivf.boundedIndex(indexed,
+      nCells = graft.pipeline.RagPipeline.IndexedCells, rounds = 2)
+    val rows = IvfpqProbeLadder.map { p =>
+      val fusedP = graft.text.Bm25.rrfFuse(
+        vector.Ivf.topK(assigned, cents, qe, depth, nProbe = p)
+          .select(col("query_id"), col("rank"), col("vec_id").as("doc_id")),
+        lex, k)
+      fusedExact.join(fusedP, Seq("query_id", "doc_id"), "left_semi")
+        .agg(count(lit(1)).cast("int").as("total_overlap"))
+        .select(lit(p).as("n_probe"), col("total_overlap"))
+    }
+    rows.reduce(_.unionByName(_))
+      .crossJoin(broadcast(totK))
+      .select(col("n_probe"), col("total_overlap"), col("total_k"),
+        round(col("total_overlap").cast("double") / col("total_k"), 4)
+          .as("mean_overlap"))
+      .orderBy(col("n_probe"))
+  }
+
   // ===== vector retrieval (V/J6/W1 series) =====
 
   /** Flagship: top-5 cosine neighbors for 3 query vectors taken from
