@@ -64,9 +64,15 @@ object Bench {
     *    otherwise repeated reruns could each land 10% slower at a
     *    window 0.05 looser, ratcheting the committed record slower
     *    and the admit bound looser indefinitely — the drift the gate
-    *    exists to prevent, amortized (r18 advice, medium). Legacy
-    *    ≤1.3 windows skip the demotion (a genuinely fast window
-    *    needs no outcome proof).
+    *    exists to prevent, amortized (r18 advice, medium). The
+    *    demotion RATCHETS AGAINST THE BEST-EVER record
+    *    (`bestOutcome`, shared-row sums vs BENCH_BEST.json — a file
+    *    only ever overwritten by an equal-or-faster sweep) when one
+    *    exists, falling back to the incumbent: anchored on the
+    *    current file alone, each 10%-slower equal-window admission
+    *    would rebase the NEXT comparison on itself and compound
+    *    without bound (r19 verdict #1). Legacy ≤1.3 windows skip the
+    *    demotion (a genuinely fast window needs no outcome proof).
     *
     * Partial sweeps, errored sweeps, FORCE, and custom out files are
     * never touched. Returns (final target, stderr notes). */
@@ -74,7 +80,8 @@ object Bench {
       hostRatio: Option[Double], incumbentRatio: Double,
       gateConfigOk: Boolean, force: Boolean,
       partialSweep: Boolean, hadErrors: Boolean,
-      sharedOutcome: Option[(Double, Double, Int)]): (String, Seq[String]) = {
+      sharedOutcome: Option[(Double, Double, Int)],
+      bestOutcome: Option[(Double, Double, Int)] = None): (String, Seq[String]) = {
     if (partialSweep || hadErrors || force) (fileTarget, Nil)
     else if (fileTarget == "BENCH_LOCAL.rejected.json" && gateConfigOk) {
       sharedOutcome match {
@@ -89,11 +96,15 @@ object Bench {
         hostRatio.exists(r => r > 1.3)) {
       val tol =
         if (hostRatio.exists(r => r <= incumbentRatio)) 1.10 else 1.0
-      sharedOutcome match {
+      // anchor the demotion on the best-ever record when it exists:
+      // the incumbent file may itself be a band-admitted 10%-slower
+      // sweep, and rebasing each check on it compounds (r19 verdict)
+      bestOutcome.orElse(sharedOutcome) match {
         case Some((newSum, oldSum, n)) if newSum > oldSum * tol =>
           ("BENCH_LOCAL.rejected.json", Seq(
             f"[bench] band admission demoted: shared-row sum $newSum%.1f s " +
-              f"> incumbent $oldSum%.1f s × $tol%.2f over $n rows " +
+              f"> ${if (bestOutcome.isDefined) "best-ever" else "incumbent"} " +
+              f"$oldSum%.1f s × $tol%.2f over $n rows " +
               (if (tol == 1.0) "(worse-window overwrite gets no slowdown " +
                  "tolerance — anti-ratchet) " else "— window drifted " +
                  "during the sweep ") +
@@ -279,10 +290,16 @@ object Bench {
     // round when a 117.4 s/178-row sweep beat the committed
     // 123.5 s/175-row record on every shared row while the one-shot
     // window proxy was voting reject)
+    // best-ever anchor (r19 verdict #1): BENCH_BEST.json is only ever
+    // overwritten by a sweep equal-or-faster than it on shared rows,
+    // so band demotions ratchet against it instead of compounding on
+    // a chain of band-admitted incumbents
+    val best = prevTimes("BENCH_BEST.json")
     val (fileTargetFinal, gateNotes) = finalTarget(fileTarget,
       hostRatio, incumbentRatio, gateConfigOk, force,
       partialSweep = only.nonEmpty, hadErrors = errors.nonEmpty,
-      sharedOutcomeOf(results, prev))
+      sharedOutcomeOf(results, prev),
+      bestOutcome = sharedOutcomeOf(results, best))
     gateNotes.foreach(System.err.println)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -310,6 +327,23 @@ object Bench {
       java.nio.file.Paths.get(fileTargetFinal), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fileTargetFinal: ${e.getMessage}")
+    }
+    // maintain the best-ever anchor: an UNFORCED gate-admitted full
+    // sweep that is equal-or-faster than the current best on shared
+    // rows (or the first admitted record ever) becomes the new
+    // BENCH_BEST.json — monotone on shared-row sums by construction,
+    // so it can never be ratcheted slower (r19 verdict #1)
+    if (fileTargetFinal == "BENCH_LOCAL.json" && only.isEmpty &&
+        errors.isEmpty && !force &&
+        (best.isEmpty ||
+          sharedOutcomeOf(results, best).exists { case (n2, o2, _) => n2 <= o2 })) {
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_BEST.json"), line + "\n")
+        System.err.println("[bench] BENCH_BEST.json updated (best-ever anchor)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_BEST.json: ${e.getMessage}")
+      }
     }
     // compact summary as the LAST stdout line (r18 verdict #5): the
     // driver's BENCH_r{N} capture is a 2000-char stdout tail, and the

@@ -30,11 +30,14 @@ object ResultCache {
   /** SELECT-only guard (`app.py:279-281`). */
   def isAllowed(query: String): Boolean = normalize(query).startsWith("select")
 
-  /** Key = session identity + normalized-query md5: entries hold
+  /** Key = session token + normalized-query md5: entries hold
     * DataFrames bound to their owning session, so a second session in
-    * the same JVM must never receive another session's frame. */
+    * the same JVM must never receive another session's frame.
+    * [[Sessions.uuid]], not `identityHashCode` — identity hashes
+    * can collide across live sessions and be reused after GC (r19
+    * advice, the loadIndex memo pattern). */
   private def key(spark: SparkSession, query: String): String =
-    System.identityHashCode(spark).toHexString + ":" +
+    graft.io.Sessions.uuid(spark) + ":" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(normalize(query).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString

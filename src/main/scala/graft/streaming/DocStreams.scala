@@ -165,8 +165,11 @@ object DocStreams {
     * since the static frontier is never updated by this twin). On a
     * stream this is Spark's stateful dedup: state is one row per
     * distinct admitted canon — the same growth rate as the frontier
-    * the scheduler maintains anyway; an unbounded deployment would
-    * swap in `dropDuplicatesWithinWatermark` to bound it by horizon.
+    * the scheduler maintains anyway; an unbounded deployment passes
+    * `dedupHorizon = Some((eventTimeCol, delay))` to bound that
+    * state by the watermark horizon via
+    * `dropDuplicatesWithinWatermark` (r19 advice — a parameter, not
+    * a comment).
     * The winner among same-batch duplicates is single-but-arbitrary
     * (all its non-id columns are identical by construction);
     * cross-RUN dedup — merging admissions back into the frontier —
@@ -174,13 +177,26 @@ object DocStreams {
     * is the compact frontier table (canon, host, host_rank), never
     * the crawl. Batch == stream on the same entries (spec-pinned). */
   def frontierAdmitAgainstStatic(incoming: DataFrame,
-      frontier: DataFrame): DataFrame = {
-    val canoned = incoming
+      frontier: DataFrame,
+      dedupHorizon: Option[(String, String)] = None): DataFrame = {
+    val prepared = incoming
       .withColumn("canon", graft.rel.Urls.canonical(col("url")))
       .withColumn("host",
         regexp_extract(col("canon"), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
       .filter(col("host") =!= "")
-      .dropDuplicates("canon")
+    // dedupHorizon = (eventTimeCol, delay): on a STREAMING input this
+    // bounds the dedup state by the watermark horizon
+    // (dropDuplicatesWithinWatermark) instead of growing one state
+    // row per distinct canon forever — the production swap the
+    // scaladoc promises, now a parameter instead of a comment (r19
+    // advice). Batch inputs (and the spec-scale default, None) keep
+    // the exact unbounded dedup so the batch twin is unchanged.
+    val canoned = dedupHorizon match {
+      case Some((tsCol, delay)) if prepared.isStreaming =>
+        prepared.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("canon")
+      case _ => prepared.dropDuplicates("canon")
+    }
     val hostQueue = frontier.groupBy(col("host"))
       .agg(max(col("host_rank")).cast("int").as("__queued"))
     canoned
@@ -240,8 +256,13 @@ object DocStreams {
     // looks like open quotas) and silently disables the bar — the
     // scaladoc pins the contract (r19 review). One bounded driver
     // action on the static side (≤ |sources|·K rows) at twin
-    // construction.
-    val maxRank = keptRanked.agg(max(col("rank"))).head().getInt(0)
+    // construction. coalesce(…, 0): max over an EMPTY kept set is
+    // null and a bare getInt would NPE — a fresh deployment with no
+    // kept history must mean "all quotas open", not a crash (r19
+    // advice); with zero kept rows, sizes/bars are empty and every
+    // incoming row admits through the quota_filled < k arm.
+    val maxRank =
+      keptRanked.agg(coalesce(max(col("rank")), lit(0))).head().getInt(0)
     require(maxRank <= k,
       s"quotaAdmitAgainstStatic: kept set carries rank $maxRank > k=$k — " +
         "k must equal the K the kept set was built with")

@@ -142,21 +142,23 @@ object Bm25 {
     idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Memoized per (session identity, path) — bounded LRU, the
+  /** Memoized per (session UUID, path) — bounded LRU, the
     * [[graft.vector.Pq.loadIndex]] pattern: the four parquet reads
     * cost footer I/O per call, and paths are content-addressed
     * (fresh TempDirs per rebuild) so a cached entry can never go
     * stale (r19 review). */
   private val loadedIndexes = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(Int, String), Bm25Index](32, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String), Bm25Index](32, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), Bm25Index]): Boolean =
+          e: java.util.Map.Entry[(String, String), Bm25Index]): Boolean =
         size() > 16
     })
 
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Bm25Index = {
-    val key = (System.identityHashCode(spark), path)
+    // Sessions.uuid, not identityHashCode — unique per session and
+    // never reused after GC (r19 advice; see graft.io.Sessions)
+    val key = (graft.io.Sessions.uuid(spark), path)
     val hit = loadedIndexes.get(key)
     if (hit != null) hit
     else {

@@ -278,7 +278,7 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  /** Memoized per (session identity, path) like [[graft.vector.Pq
+  /** Memoized per (session UUID, path) like [[graft.vector.Pq
     * .loadIndex]] (bounded LRU — epoch-moving consumers mint a fresh
     * path per rebuild, so an unbounded memo would retain every
     * superseded version): the centroid collect is a driver-side
@@ -288,15 +288,19 @@ object Ivf {
     * entry can never go stale. */
   private val loadedIndexes = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[
-        (Int, String), (DataFrame, Array[Array[Double]])](32, 0.75f, true) {
+        (String, String), (DataFrame, Array[Array[Double]])](32, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[
-          (Int, String), (DataFrame, Array[Array[Double]])]): Boolean =
+          (String, String), (DataFrame, Array[Array[Double]])]): Boolean =
         size() > 16
     })
 
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, Array[Array[Double]]) = {
-    val key = (System.identityHashCode(spark), path)
+    // Sessions.uuid, not identityHashCode: identity hashes are not
+    // unique across live sessions and can be REUSED after a stopped
+    // session is GC'd, which would serve frames bound to a dead
+    // session for the same path (r19 advice)
+    val key = (graft.io.Sessions.uuid(spark), path)
     val hit = loadedIndexes.get(key)
     if (hit != null) hit
     else {

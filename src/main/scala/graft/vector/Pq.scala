@@ -384,16 +384,18 @@ object Pq {
     * applied to this driver-side cache). */
   private val loadedIndexes = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[
-        (Int, String), (DataFrame, Codebooks, Array[Array[Double]])](
+        (String, String), (DataFrame, Codebooks, Array[Array[Double]])](
         32, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[
-          (Int, String), (DataFrame, Codebooks, Array[Array[Double]])])
+          (String, String), (DataFrame, Codebooks, Array[Array[Double]])])
           : Boolean = size() > 16
     })
 
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, Codebooks, Array[Array[Double]]) = {
-    val key = (System.identityHashCode(spark), path)
+    // Sessions.uuid, not identityHashCode — unique per session and
+    // never reused after GC (r19 advice; see graft.io.Sessions)
+    val key = (graft.io.Sessions.uuid(spark), path)
     val hit = loadedIndexes.get(key)
     if (hit != null) hit
     else {

@@ -15,9 +15,10 @@ class BenchGateSpec extends AnyFunSuite {
       incumbentRatio: Double = 2.0, configOk: Boolean = true,
       force: Boolean = false, partial: Boolean = false,
       errors: Boolean = false,
-      outcome: Option[(Double, Double, Int)] = None): String =
+      outcome: Option[(Double, Double, Int)] = None,
+      bestOutcome: Option[(Double, Double, Int)] = None): String =
     Bench.finalTarget(fileTarget, ratio, incumbentRatio, configOk, force,
-      partial, errors, outcome)._1
+      partial, errors, outcome, bestOutcome)._1
 
   test("outcome admission: a window-rejected faster sweep is admitted") {
     assert(ft(Rej, outcome = Some((117.4, 123.5, 175))) == Rec)
@@ -71,6 +72,36 @@ class BenchGateSpec extends AnyFunSuite {
     // equal-or-better, tolerance applies
     assert(ft(Rec, ratio = Some(2.2), incumbentRatio = Double.MaxValue,
       outcome = Some((124.8, 123.5, 175))) == Rec)
+  }
+
+  test("best-ever anchor: band demotion ratchets against BENCH_BEST, not the incumbent (r19 verdict #1)") {
+    // incumbent drifted slower (a prior band admission at 130.0);
+    // anchored on it alone this 142.0 s sweep would pass the 10%
+    // tolerance (142 ≤ 130×1.10) — against the best-ever 123.5 it
+    // must demote: the amortized-ratchet hole
+    assert(ft(Rec, ratio = Some(1.8), incumbentRatio = 1.8,
+      outcome = Some((142.0, 130.0, 175)),
+      bestOutcome = Some((142.0, 123.5, 175))) == Rej)
+    // within 10% of the BEST record a legitimate code-cost change
+    // still stands, regardless of what the incumbent says
+    assert(ft(Rec, ratio = Some(1.8), incumbentRatio = 1.8,
+      outcome = Some((130.0, 130.0, 175)),
+      bestOutcome = Some((130.0, 123.5, 175))) == Rec)
+    // no best file yet (None): falls back to the incumbent anchor —
+    // the pre-r20 behavior, unchanged
+    assert(ft(Rec, ratio = Some(1.8), incumbentRatio = 1.8,
+      outcome = Some((142.0, 130.0, 175)), bestOutcome = None) == Rec)
+    // worse-window zero-tolerance also anchors on best: equal to the
+    // incumbent but slower than best -> demoted
+    assert(ft(Rec, ratio = Some(1.85), incumbentRatio = 1.8,
+      outcome = Some((130.0, 130.0, 175)),
+      bestOutcome = Some((130.0, 123.5, 175))) == Rej)
+    // outcome ADMISSION (rejected->admitted) still compares vs the
+    // incumbent: it requires <= with no tolerance, so it cannot
+    // ratchet, and a sweep faster than the current record should
+    // admit even when an old best is faster still
+    assert(ft(Rej, outcome = Some((125.0, 130.0, 175)),
+      bestOutcome = Some((125.0, 123.5, 175))) == Rec)
   }
 
   test("legacy fast windows and custom out files are never second-guessed") {

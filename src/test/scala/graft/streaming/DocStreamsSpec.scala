@@ -761,6 +761,61 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(batch == got, s"stream $got != batch $batch")
   }
 
+  test("quota admission with an EMPTY kept set: all quotas open, every doc admits, no NPE (r19 advice)") {
+    import spark.implicits._
+    // a fresh deployment has no kept history: max(rank) over zero
+    // rows is null — the coalesce must read it as 0 (all quotas
+    // open) instead of NPE-ing at twin construction
+    val kept = graft.Queries.q_domain_quota(spark, sf).filter(lit(false))
+    val incoming = Seq(
+      (95000L, "srcA", "the and is of to in it was for on"),
+      (95001L, "srcB", "zq zq zq"))
+    val got = DocStreams.quotaAdmitAgainstStatic(
+        incoming.toDF("doc_id", "source", "text"), kept, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).sortBy(_._1).toSeq
+    // both admit (quota_filled 0 < k), regardless of quality
+    assert(got == Seq((95000L, 0), (95001L, 0)), s"got $got")
+  }
+
+  test("frontier admission with a dedup horizon: watermark-bounded state, same admissions (r19 advice)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val frontier = graft.Queries.q_crawl_frontier(spark, sf)
+      .select(col("host"), col("canon"), col("host_rank"))
+    // same shape as the unbounded-dedup case: a fresh host admitted
+    // once despite a same-batch duplicate canon, plus a fresh page
+    // on a queued host — but deduped via dropDuplicatesWithinWatermark
+    // so the state is bounded by the 10-minute horizon instead of
+    // growing per distinct canon forever
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val entries = Seq(
+      (9001L, "https://www.example.com/docs/brandnew?z=1", t0),
+      (9003L, "https://fresh.example.io/a", t0),
+      (9004L, "https://fresh.example.io/a#again", t0))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = DocStreams.frontierAdmitAgainstStatic(
+        mem.toDF().toDF("entry_id", "url", "ts"), frontier,
+        dedupHorizon = Some(("ts", "10 minutes")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frontier_wm_out").start()
+    val got = try {
+      mem.addData(entries: _*)
+      q.processAllAvailable()
+      spark.table("frontier_wm_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    } finally q.stop()
+    // one admission per distinct canon, exactly like the unbounded
+    // default: www continues its host queue, the duplicated fresh
+    // canon admits once at slot 0
+    assert(got.size == 2, s"admitted set: $got")
+    assert(got.map(_._1).count(_ == 9001L) == 1, s"admitted set: $got")
+    val freshRows = got.filter(r => r._1 == 9003L || r._1 == 9004L)
+    assert(freshRows.size == 1 && freshRows.head._3 == 0,
+      s"dup canon under watermark dedup: $got")
+  }
+
   test("stream-static temperature-mix admission: frozen quotas/cuts gate new docs, unknown langs drop, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
