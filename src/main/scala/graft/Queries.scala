@@ -323,38 +323,44 @@ object Queries {
     * composed serve. Both dense legs and the fusion are
     * exact-replayable (unrounded integer-derived cosines with vec_id
     * ties for brute, round-6 cell-pruned cosines for IVF, round-6
-    * RRF), so DuckDB replays the overlap bit for bit. The in-memory
-    * bounded fit here is bit-identical to the saved serve's
-    * (AnnIvfSpec's lossless round-trip pin), so the measured overlap
-    * IS the catalog row's. Eval row: the brute leg is its
+    * RRF), so DuckDB replays the overlap bit for bit. Since r20 the
+    * row prices the PRODUCTION path (r19 verdict #2): the IVF leg
+    * and the shared lexical leg serve from the SAME saved index pair
+    * as [[q_rag_e2e_indexed]] ([[graft.pipeline.RagPipeline
+    * .ensureIndexedServe]] — memoized loads, zero fit/build jobs on
+    * a warm epoch; saved scores are bit-identical to the in-memory
+    * fit by AnnIvfSpec's lossless round-trip pin, so the oracle is
+    * unchanged), and even the brute truth leg reads the enumerated
+    * corpus back from the index's cell files instead of rebuilding
+    * the chunk→embed store per run. Eval row: the brute leg is its
     * denominator's price, bounded by 3 queries. */
   def q_rag_fusion_overlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = graft.pipeline.RagPipeline.TopK
     val depth = k * 2
     val emb8 = graft.vector.LatticeEmbedder(8)
-    val store = graft.pipeline.RagPipeline.buildStore(
-      t(s, dir, "documents"), "simple", emb8)
-    val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
-        store, col("id"), lit(1L), "vec_id")
-      .select(col("vec_id"), col("text"), col("embedding"))
-      .persistTracked("ragfusion.store")
+    val (disk, cents, bm) = graft.pipeline.RagPipeline.ensureIndexedServe(
+      s, graft.pipeline.RagPipeline.buildStore(
+        t(s, dir, "documents"), "simple", emb8),
+      graft.pipeline.RagPipeline.indexedCacheKeyBase(
+        s"rag-e2e/$dir", "simple", emb8,
+        graft.pipeline.RagPipeline.IndexedCells),
+      epoch = tableEpoch(s, dir, "documents"))
+    val indexed = disk.select(col("vec_id"), col("text"), col("embedding"))
     val queries = emb8.embed(
       ragE2eQueries.zipWithIndex.toDF("query_text", "query_id"),
       textCol = "query_text", out = "q_embedding")
     val qe = queries.select(col("query_id"), col("q_embedding"))
     val qt = queries.select(col("query_id"), col("query_text").as("qtext"))
-    // the lexical leg is SHARED verbatim by both fusions
-    val lex = graft.text.Bm25.topK(
-        indexed.select(col("vec_id").as("doc_id"), col("text")), qt, depth)
+    // the lexical leg is SHARED verbatim by both fusions —
+    // term-bucket-pruned reads of the saved postings
+    val lex = graft.text.Bm25.topKIndexed(bm, qt, depth)
       .select(col("query_id"), col("rank"), col("doc_id"))
       .persistTracked("ragfusion.lex")
     val denseExact = graft.vector.VectorOps.topK(indexed, qe, depth,
         tiebreak = Seq(col("vec_id")))
       .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
-    val (assigned, cents) = vector.Ivf.boundedIndex(indexed,
-      nCells = graft.pipeline.RagPipeline.IndexedCells, rounds = 2)
-    val denseIvf = vector.Ivf.topK(assigned, cents, qe, depth,
+    val denseIvf = vector.Ivf.topKIndexed(disk, cents, qe, depth,
         nProbe = graft.pipeline.RagPipeline.IndexedProbe)
       .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
     val fusedExact = graft.text.Bm25.rrfFuse(denseExact, lex, k)
@@ -381,28 +387,33 @@ object Queries {
     * widen — at exhaustive probing the dense candidate sets are
     * equal, so any residual gap there is purely the serve's round-6
     * cosine ties (measured, not assumed — the honest ceiling). The
-    * exact fusion runs ONCE (persisted); each depth reuses the same
-    * bounded fit. This is the curve a deployment reads NEXT TO the
-    * scan-cost curve (q_ivfpq_probe_recall) to pick nProbe for the
-    * composed serve. */
+    * exact fusion runs ONCE (persisted); each depth serves from the
+    * SAME saved index pair as [[q_rag_e2e_indexed]]
+    * ([[graft.pipeline.RagPipeline.ensureIndexedServe]] — zero
+    * fit/build jobs on a warm epoch, the production path; saved and
+    * in-memory scores are bit-identical by AnnIvfSpec's round-trip
+    * pin, so the oracle is unchanged — r19 verdict #2). This is the
+    * curve a deployment reads NEXT TO the scan-cost curve
+    * (q_ivfpq_probe_recall) to pick nProbe for the composed serve. */
   def q_rag_fusion_curve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = graft.pipeline.RagPipeline.TopK
     val depth = k * 2
     val emb8 = graft.vector.LatticeEmbedder(8)
-    val store = graft.pipeline.RagPipeline.buildStore(
-      t(s, dir, "documents"), "simple", emb8)
-    val indexed = graft.rel.PrefixSum.exclusivePrefixSum(
-        store, col("id"), lit(1L), "vec_id")
-      .select(col("vec_id"), col("text"), col("embedding"))
-      .persistTracked("ragfusion.store")
+    val (disk, cents, bm) = graft.pipeline.RagPipeline.ensureIndexedServe(
+      s, graft.pipeline.RagPipeline.buildStore(
+        t(s, dir, "documents"), "simple", emb8),
+      graft.pipeline.RagPipeline.indexedCacheKeyBase(
+        s"rag-e2e/$dir", "simple", emb8,
+        graft.pipeline.RagPipeline.IndexedCells),
+      epoch = tableEpoch(s, dir, "documents"))
+    val indexed = disk.select(col("vec_id"), col("text"), col("embedding"))
     val queries = emb8.embed(
       ragE2eQueries.zipWithIndex.toDF("query_text", "query_id"),
       textCol = "query_text", out = "q_embedding")
     val qe = queries.select(col("query_id"), col("q_embedding"))
     val qt = queries.select(col("query_id"), col("query_text").as("qtext"))
-    val lex = graft.text.Bm25.topK(
-        indexed.select(col("vec_id").as("doc_id"), col("text")), qt, depth)
+    val lex = graft.text.Bm25.topKIndexed(bm, qt, depth)
       .select(col("query_id"), col("rank"), col("doc_id"))
       .persistTracked("ragfusion.lex")
     val denseExact = graft.vector.VectorOps.topK(indexed, qe, depth,
@@ -412,11 +423,9 @@ object Queries {
       .select(col("query_id"), col("doc_id"))
       .persistTracked("ragfusion.exact")
     val totK = fusedExact.agg(count(lit(1)).cast("int").as("total_k"))
-    val (assigned, cents) = vector.Ivf.boundedIndex(indexed,
-      nCells = graft.pipeline.RagPipeline.IndexedCells, rounds = 2)
     val rows = IvfpqProbeLadder.map { p =>
       val fusedP = graft.text.Bm25.rrfFuse(
-        vector.Ivf.topK(assigned, cents, qe, depth, nProbe = p)
+        vector.Ivf.topKIndexed(disk, cents, qe, depth, nProbe = p)
           .select(col("query_id"), col("rank"), col("vec_id").as("doc_id")),
         lex, k)
       fusedExact.join(fusedP, Seq("query_id", "doc_id"), "left_semi")

@@ -180,8 +180,7 @@ object RagPipeline {
         // never re-fingerprints — would serve it the wrong index
         // (r19 review)
         hybridIndexedServe(spark, store, queries,
-          s"${indexKey.length}:$indexKey/$strategy/" +
-            s"${embedder.getClass.getName}-${embedder.dim}/$indexedCells",
+          indexedCacheKeyBase(indexKey, strategy, embedder, indexedCells),
           epoch, indexedCells)
       case other =>
         throw new IllegalArgumentException(
@@ -227,6 +226,61 @@ object RagPipeline {
   def hybridIndexedServe(spark: SparkSession, store: => DataFrame,
       queries: DataFrame, cacheKeyBase: String, epoch: Option[String],
       indexedCells: Int = IndexedCells): DataFrame = {
+    val (disk, cents, bm) =
+      ensureIndexedServe(spark, store, cacheKeyBase, epoch, indexedCells)
+    val dense = graft.vector.Ivf.topKIndexed(disk, cents,
+        queries.select(col("query_id"), col("q_embedding")),
+        TopK * 2, nProbe = IndexedProbe)
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+    val lex = graft.text.Bm25.topKIndexed(bm,
+        queries.select(col("query_id"), col("query_text").as("qtext")),
+        TopK * 2)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val fused = graft.text.Bm25.rrfFuse(dense, lex, TopK)
+      .persistTracked("rag.indexed_fused")
+    // citation lookup: the fused id set is bounded by |queries| × k,
+    // so resolve it driver-side and push it as a scan filter —
+    // row-group pruning instead of a full pass over the store's text
+    // column (the same bounded-collect serve style as the
+    // probed-cell and query-term resolutions above)
+    val hitIds = fused.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    fused.withColumnRenamed("doc_id", "vec_id")
+      .join(disk.filter(col("vec_id").isin(hitIds: _*))
+        .select(col("vec_id"), col("source"), col("text")), "vec_id")
+      .select(col("query_id"), col("rank"), col("source"), col("text"))
+  }
+
+  /** The stable cache-key base every consumer of one saved serve
+    * pair must share — `run("hybrid_indexed")` and the fusion eval
+    * rows ([[graft.Queries.q_rag_fusion_overlap]]/`_curve`) all
+    * derive it from the same (indexKey, strategy, embedder, cells)
+    * tuple, so they hit ONE pair of saved indexes instead of each
+    * building their own. Length-prefixed indexKey: plain '-'
+    * concatenation would let a key containing '-' collide with
+    * another (indexKey, strategy) pair and serve the wrong index;
+    * the embedder CLASS is part of the key, not just its dim — a
+    * same-dim different-embedder caller would otherwise produce an
+    * identical key, and the O(1) epoch path (which by design never
+    * re-fingerprints) would serve it the wrong index (r19 review). */
+  def indexedCacheKeyBase(indexKey: String, strategy: String,
+      embedder: Embedder, indexedCells: Int): String =
+    s"${indexKey.length}:$indexKey/$strategy/" +
+      s"${embedder.getClass.getName}-${embedder.dim}/$indexedCells"
+
+  /** The BUILD-ONCE half of [[hybridIndexedServe]], shared with the
+    * fusion eval rows so they price the production serve path
+    * instead of re-fitting per run (r19 verdict #2): ensure + load
+    * the saved IVF index and the saved BM25 postings over `store`
+    * (by-name — an O(1) epoch hit never constructs the store
+    * DataFrame, whose prefix-sum enumeration is itself a Spark job).
+    * Returns (persisted enumerated corpus read from the IVF index's
+    * cell files, coarse centroids, loaded BM25 index frames) — all
+    * three served from memoized loads on a warm epoch, zero jobs. */
+  def ensureIndexedServe(spark: SparkSession, store: => DataFrame,
+      cacheKeyBase: String, epoch: Option[String],
+      indexedCells: Int = IndexedCells)
+      : (DataFrame, Array[Array[Double]], graft.text.Bm25.Bm25Index) = {
     def enumerated = {
       // first-wins dedup on id BEFORE enumeration — buildStore output
       // is already unique per id (no-op there), but a STREAM-
@@ -251,27 +305,6 @@ object RagPipeline {
     val bmPath = graft.text.Bm25.ensureSavedIndex(
       disk.select(col("vec_id").as("doc_id"), col("text")),
       s"ragpipeline-bm25/$cacheKeyBase", epoch = epoch)
-    val dense = graft.vector.Ivf.topKIndexed(disk, cents,
-        queries.select(col("query_id"), col("q_embedding")),
-        TopK * 2, nProbe = IndexedProbe)
-      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
-    val lex = graft.text.Bm25.topKIndexed(
-        graft.text.Bm25.loadIndex(spark, bmPath),
-        queries.select(col("query_id"), col("query_text").as("qtext")),
-        TopK * 2)
-      .select(col("query_id"), col("rank"), col("doc_id"))
-    val fused = graft.text.Bm25.rrfFuse(dense, lex, TopK)
-      .persistTracked("rag.indexed_fused")
-    // citation lookup: the fused id set is bounded by |queries| × k,
-    // so resolve it driver-side and push it as a scan filter —
-    // row-group pruning instead of a full pass over the store's text
-    // column (the same bounded-collect serve style as the
-    // probed-cell and query-term resolutions above)
-    val hitIds = fused.select(col("doc_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    fused.withColumnRenamed("doc_id", "vec_id")
-      .join(disk.filter(col("vec_id").isin(hitIds: _*))
-        .select(col("vec_id"), col("source"), col("text")), "vec_id")
-      .select(col("query_id"), col("rank"), col("source"), col("text"))
+    (disk, cents, graft.text.Bm25.loadIndex(spark, bmPath))
   }
 }
