@@ -3729,10 +3729,7 @@ object Queries {
       .agg(min(col("doc_id")).as("rep"))
     fp.join(rep, "text_md5")
       .withColumn("bucket", graft.rel.Sampling.hashBucket(col("rep")))
-      .withColumn("split",
-        when(col("bucket") < 58982, "train")
-          .when(col("bucket") < 62259, "val")
-          .otherwise("test"))
+      .withColumn("split", graft.rel.Sampling.splitOf(col("bucket")))
       .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
   }
@@ -3756,10 +3753,7 @@ object Queries {
       .join(comp, docs("doc_id") === comp("node"), "left")
       .withColumn("rep", coalesce(col("comp"), col("doc_id")))
       .withColumn("bucket", graft.rel.Sampling.hashBucket(col("rep")))
-      .withColumn("split",
-        when(col("bucket") < 58982, "train")
-          .when(col("bucket") < 62259, "val")
-          .otherwise("test"))
+      .withColumn("split", graft.rel.Sampling.splitOf(col("bucket")))
       .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
   }

@@ -401,6 +401,26 @@ object Dedup {
     * ([[graft.streaming.DocStreams.nearDupCandidatesAgainstStatic]]).
     * Batch callers building the static history side use it too, so
     * both sides of that join share one key definition. */
+  /** Per-row band-key ARRAY — the explode-free sibling of
+    * [[minhashBandKeys]], value-identical to the saved signature
+    * index's `bks` column (same min-over-md5(seed|shingle) signature,
+    * same per-band concat), computable on an unbounded STREAM row by
+    * row: this is the projection the streaming split-assignment twin
+    * keys on ([[graft.streaming.DocStreams.splitAssignAgainstStatic]]
+    * — one `element_at` per band feeds one stream-static join each,
+    * no explode and no aggregate on the stream side). Blank texts
+    * yield null — no keys, a singleton downstream, matching the
+    * batch operators' no-candidate semantics. */
+  def minhashBandKeyArray(textCol: Column, numHashes: Int = 8,
+      bands: Int = 4, shingleN: Int = 3): Column = {
+    require(numHashes % bands == 0)
+    val rpb = numHashes / bands
+    val sig = minhashSignatureOf(shingles(textCol, shingleN), numHashes)
+    when(trim(textCol) =!= "",
+      array((0 until bands).map(b =>
+        concat_ws("", slice(sig, b * rpb + 1, rpb))): _*))
+  }
+
   def minhashBandKeys(docs: DataFrame, numHashes: Int = 8,
       bands: Int = 4, shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0)

@@ -22,6 +22,22 @@ object Sampling {
   def hashBucket(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
 
+  /** The 90/5/5 train/val/test cuts over the 16-bit [[hashBucket]]
+    * space — ONE definition shared by the batch split rows
+    * ([[graft.Queries.q_split_leakproof]]/`q_split_neardup`) and the
+    * streaming assignment twin ([[graft.streaming.DocStreams
+    * .splitAssignAgainstStatic]]), so the two sides cannot drift:
+    * 58982 = ⌊0.90·65536⌋, 62259 = ⌊0.95·65536⌋. */
+  val TrainCut = 58982
+  val ValCut = 62259
+
+  /** train/val/test label for a [[hashBucket]] value under the
+    * shared cuts. */
+  def splitOf(bucket: Column): Column =
+    when(bucket < TrainCut, "train")
+      .when(bucket < ValCut, "val")
+      .otherwise("test")
+
   /** Rows whose bucket < fraction·65536 — ≈fraction of any corpus,
     * exactly reproducible. */
   def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {

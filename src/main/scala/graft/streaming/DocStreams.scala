@@ -60,6 +60,68 @@ object DocStreams {
         Seq("band", "band_key"))
       .select(col("doc_id"), col("dup_of"), col("band"))
 
+  /** Stream-static LEAK-PROOF SPLIT assignment — the continuous-
+    * ingest twin of [[graft.Queries.q_split_neardup]] (r19 verdict
+    * #5, the last untwinned curation surface): each arriving
+    * document computes its minhash band keys PER ROW
+    * ([[graft.dedup.Dedup.minhashBandKeyArray]] — the explode-free
+    * form, value-identical to the saved signature index's `bks`),
+    * left-joins each of the `bands` keys against the FROZEN
+    * band-key → smallest-representative map (built once here from
+    * the history signature index + the batch split's own rep
+    * assignment — ≤ bands compact static frames, never corpus
+    * text), and inherits the smallest matched representative; an
+    * unmatched (or blank) document is a singleton keyed on itself.
+    * Bucket + split are the batch rows' exact md5 90/5/5 math
+    * ([[graft.rel.Sampling.splitOf]] — one shared definition, so
+    * the sides cannot drift). Stateless on the stream: per-row key
+    * projection, `bands` stream-static left joins, no aggregation
+    * state, no watermark. The leak-proof property under ingest: a
+    * document near-duplicating ANY history document inherits a
+    * HISTORY rep — its split is the frozen assignment of that rep,
+    * so a near-dup of a train-split doc can never land in test.
+    * Frozen-state caveat (the twin family's contract, the
+    * [[quotaAdmitAgainstStatic]] discipline): a doc whose matches
+    * span two history components takes the smaller rep — MERGING
+    * those components (and re-keying their splits) is the next
+    * batch re-fit's job, exactly like same-batch re-ranking in the
+    * quota twin; and same-batch arrivals don't see each other
+    * (each assigns against frozen history only — folding admissions
+    * into the index moves the map for the NEXT epoch).
+    *
+    * `historyIndex`: the saved signature index frame
+    * (doc_id, bks, …); `historySplit`: the batch row's own output
+    * (doc_id, rep, bucket, split). Stream == batch through the same
+    * twin, pinned with an independent exploded-join displacement
+    * oracle in DocStreamsSpec. */
+  def splitAssignAgainstStatic(incoming: DataFrame,
+      historyIndex: DataFrame, historySplit: DataFrame,
+      bands: Int = 4): DataFrame = {
+    val reps = historySplit.select(col("doc_id").as("hist_id"), col("rep"))
+    // static prep, once per twin: per band, the smallest history rep
+    // per band key — the only thing an arriving doc needs to inherit
+    // its cluster's frozen split
+    val bandRep = (0 until bands).map { b =>
+      historyIndex
+        .select(col("doc_id").as("hist_id"),
+          element_at(col("bks"), b + 1).as(s"bk$b"))
+        .join(reps, "hist_id")
+        .groupBy(col(s"bk$b")).agg(min(col("rep")).as(s"rep$b"))
+    }
+    val keyed = incoming.withColumn("__bks",
+      graft.dedup.Dedup.minhashBandKeyArray(col("text")))
+    val joined = (0 until bands).foldLeft(keyed) { (df, b) =>
+      df.withColumn(s"bk$b", element_at(col("__bks"), b + 1))
+        .join(bandRep(b), Seq(s"bk$b"), "left")
+    }
+    joined
+      .withColumn("rep", coalesce(
+        least((0 until bands).map(b => col(s"rep$b")): _*), col("doc_id")))
+      .withColumn("bucket", graft.rel.Sampling.hashBucket(col("rep")))
+      .withColumn("split", graft.rel.Sampling.splitOf(col("bucket")))
+      .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
+  }
+
   /** LINE-level boilerplate detection on the ingest stream — the
     * continuous twin of [[graft.dedup.Dedup.lineDedup]]: each
     * incoming document segments into `lineTokens`-token lines

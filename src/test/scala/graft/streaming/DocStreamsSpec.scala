@@ -816,6 +816,73 @@ class DocStreamsSpec extends AnyFunSuite with SparkTestBase {
       s"dup canon under watermark dedup: $got")
   }
 
+  test("stream-static leak-proof split: arrivals inherit frozen near-dup reps, zero straddlers, stream == batch == displacement oracle") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf)
+    val idxPath = graft.dedup.Dedup.ensureSavedSignatureIndex(docs, sf)
+    val idx = spark.read.parquet(idxPath)
+    val batchSplit = graft.Queries.q_split_neardup(spark, sf)
+    // one history doc per split side, with its text for exact copies
+    val byName = batchSplit.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("rep"), col("split"), col("text"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val train = byName.filter(_._3 == "train").minBy(_._1)
+    val test0 = byName.filter(_._3 == "test").minBy(_._1)
+    val incoming = Seq(
+      (900001L, train._4),                 // exact copy of a TRAIN doc
+      (900002L, test0._4),                 // exact copy of a TEST doc
+      (900003L, "zqa zqb zqc zqd zqe zqf"),// fresh: matches nothing
+      (900004L, train._4 + " trailing near dup tail"), // near-dup
+      (900005L, "   "))                    // blank: singleton, no keys
+    val inDf = incoming.toDF("doc_id", "text")
+    val batch = DocStreams.splitAssignAgainstStatic(inDf, idx, batchSplit)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    // stream through the SAME twin
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.splitAssignAgainstStatic(
+        mem.toDF().toDF("doc_id", "text"), idx, batchSplit)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("split_stream_out").start()
+    val got = try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      spark.table("split_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    } finally q.stop()
+    assert(got == batch, s"stream $got != batch $batch")
+    // independent displacement oracle: the EXPLODED band-key path
+    // (minhashBandKeys join posexplode'd index) — min matched history
+    // rep, or the doc's own id when nothing matches
+    val oracleRep = graft.dedup.Dedup.minhashBandKeys(inDf)
+      .join(idx.select(col("doc_id").as("hist_id"),
+          posexplode(col("bks")).as(Seq("band", "band_key"))),
+        Seq("band", "band_key"))
+      .join(batchSplit.select(col("doc_id").as("hist_id"),
+        col("rep").as("hrep")), "hist_id")
+      .groupBy(col("doc_id")).agg(min(col("hrep")).as("orep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = incoming.map { case (id, _) =>
+      id -> oracleRep.getOrElse(id, id) }.toMap
+    assert(got.map(r => r._1 -> r._2).toMap == expected,
+      s"twin reps ${got.map(r => r._1 -> r._2)} != oracle $expected")
+    val bySide = got.map(r => r._1 -> r).toMap
+    // zero straddlers: exact copies inherit their original's rep AND
+    // split — a near-dup of a train doc can never land in test
+    assert(bySide(900001L)._2 == train._2 && bySide(900001L)._4 == "train")
+    assert(bySide(900002L)._2 == test0._2 && bySide(900002L)._4 == "test")
+    assert(bySide(900004L)._4 != "test" || bySide(900004L)._2 == 900004L,
+      "a near-dup matching the train doc must not land in test")
+    // fresh + blank docs are singletons keyed on themselves
+    assert(bySide(900003L)._2 == 900003L && bySide(900005L)._2 == 900005L)
+  }
+
   test("stream-static temperature-mix admission: frozen quotas/cuts gate new docs, unknown langs drop, stream == batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
