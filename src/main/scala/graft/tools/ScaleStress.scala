@@ -521,11 +521,82 @@ object ScaleStress {
     }
   }
 
+  /** QUERY-load factor probe for the composed saved serve — the QPS
+    * axis of the 100 TB serving story (r19 verdict #4): every other
+    * ragserve/crossmodal probe holds query load fixed and scales the
+    * CORPUS; this one holds the corpus (and its production √n-cells
+    * geometry) fixed and pushes ×10 / ×`factor` the flagship query
+    * load through the warm q_rag_e2e_indexed funnel. What it pins:
+    * per-query amortization — the serve's fixed costs (two memoized
+    * index loads, plan build, job scheduling) should AMORTIZE across
+    * a batch of queries, so per-query seconds must fall (or at least
+    * not rise) as the batch grows; a superlinear blow-up (the
+    * citation IN-list, the per-query probe resolution) would show
+    * here first. Query texts are distinct variants (suffixed
+    * flagship queries) — same shape a real high-QPS batch has. The
+    * serve is warm for every measured wall (built once, epoch hits
+    * only). Pass: per-query cost at ×`factor` ≤ 1.2× the base
+    * per-query cost. Section `rag_qps_factor`. */
+  private def ragQps(spark: SparkSession, baseDir: String,
+      outFile: String, factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    docs.groupBy("lang").count().count() // session warm-up
+    val loadBefore = loadavg()
+    val baseQ = graft.Queries.ragE2eQueries
+    // same production geometry derivation as ragServe tier(1)
+    val nChunks = (docs.count() * 14L) / 10L
+    val cells = math.max(8, math.sqrt(nChunks.toDouble).toInt)
+    def queriesAt(n: Int): Seq[String] =
+      (0 until n).map(i =>
+        if (i < baseQ.size) baseQ(i) else s"${baseQ(i % baseQ.size)} v$i")
+    def serveOnce(qs: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      graft.pipeline.RagPipeline.run(spark, docs, qs, "simple",
+          graft.vector.LatticeEmbedder(8), "hybrid_indexed",
+          indexKey = s"rag-qps/$baseDir", epoch = Some("rag-qps-v1"),
+          indexedCells = cells)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.io.Caches.clearAll(spark)
+      dt
+    }
+    // build once — every measured wall below is a warm epoch hit
+    val tb = System.nanoTime()
+    serveOnce(queriesAt(baseQ.size))
+    val buildS = (System.nanoTime() - tb) / 1e9
+    def fm(n: Int): (Double, Double) = {
+      val f = serveOnce(queriesAt(n))
+      (f, math.min(f, serveOnce(queriesAt(n))))
+    }
+    val n1 = baseQ.size
+    val (f1, m1) = fm(n1)
+    val (f10, m10) = fm(n1 * 10)
+    val (fN, mN) = fm(n1 * factor)
+    val loadAfter = loadavg()
+    val p1 = m1 / n1
+    val p10 = m10 / (n1 * 10)
+    val pN = mN / (n1 * factor)
+    val allowed = 1.2
+    val ratio = pN / p1
+    val section = sys.env.getOrElse("SPARK_GRAFT_SCALE_SECTION",
+      "rag_qps_factor")
+    val json =
+      f"""{"section":"$section","metric":"rag_qps","factor":$factor,"base":"$baseDir","corpus_held_fixed":true,"cells":$cells,"build_s":$buildS%.3f,"q_base":$n1,"q_mid":${n1 * 10},"q_scaled":${n1 * factor},"serve_base_first_s":$f1%.3f,"serve_base_min_s":$m1%.3f,"serve_mid_first_s":$f10%.3f,"serve_mid_min_s":$m10%.3f,"serve_scaled_first_s":$fN%.3f,"serve_scaled_min_s":$mN%.3f,"perq_base_s":$p1%.4f,"perq_mid_s":$p10%.4f,"perq_scaled_s":$pN%.4f,"perq_ratio":$ratio%.3f,"allowed_perq_ratio":$allowed%.1f,"pass":${ratio <= allowed},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    println(json)
+    upsertSection(outFile, section, json)
+    if (ratio > allowed) {
+      System.err.println(
+        f"[ragqps] per-query ratio $ratio%.3f > $allowed%.1f — fixed cost is not amortizing")
+      sys.exit(1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val isRowSkew = args.headOption.contains("rowskew")
     val isRecSplit = args.headOption.contains("recsplit")
     val isCrossModal = args.headOption.contains("crossmodal")
-    val isRagServe = args.headOption.contains("ragserve")
+    val isRagServe = args.headOption.contains("ragserve") ||
+      args.headOption.contains("ragqps")
     if (isRagServe) {
       val outFile =
         sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "SCALE_STRESS.json")
@@ -541,8 +612,12 @@ object ScaleStress {
       val rest = args.drop(1)
       val baseDir = rest.find(_.contains("/"))
         .getOrElse("/root/testdata/sf0.01")
-      ragServe(sparkRs, baseDir, outFile,
-        rest.flatMap(_.toIntOption).headOption.getOrElse(10))
+      if (args.headOption.contains("ragqps"))
+        ragQps(sparkRs, baseDir, outFile,
+          rest.flatMap(_.toIntOption).headOption.getOrElse(100))
+      else
+        ragServe(sparkRs, baseDir, outFile,
+          rest.flatMap(_.toIntOption).headOption.getOrElse(10))
       sparkRs.stop()
       return
     }
