@@ -135,9 +135,13 @@ object ExplainAudit {
     // vec_id IN (…) scan filter; NO store build (no chunk Generate,
     // no prefix-sum machinery) may appear anywhere in the plan
     "q_rag_e2e_indexed",
-    // r19b: the fusion-robustness eval — two RRF fusions off one
-    // persisted store (brute dense leg broadcast-crossed, IVF leg
-    // cell-joined) sharing one BM25 list; windows all query-keyed
+    // r19b/r20: the fusion-robustness eval, since r20 on the SAVED
+    // serve pair (r19 verdict #2) — the warm plan must show the
+    // cell-partitioned IVF corpus scan feeding BOTH dense legs
+    // (brute truth + the cell-filtered probed read), the
+    // bucket-filtered postings scans for the shared BM25 list, two
+    // RRF fusions, and NO store build or k-means fit machinery
+    // (no chunk Generate, no prefix-sum, no qv aggregate)
     "q_rag_fusion_overlap")
 
   def main(args: Array[String]): Unit = {
