@@ -5057,6 +5057,104 @@ object Oracles {
          |            WHEN bucket < 62259 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM bk ORDER BY doc_id""".stripMargin,
+    // delta split assignment against the FROZEN near-dup state: the
+    // q_split_neardup chain (history reps) + a band-key -> min-rep
+    // map, then a corpus-derived delta (copies / suffixed near-dups /
+    // md5 fresh docs / one blank) inherits min matched rep or keys on
+    // itself. band/sig/hrep/brep are multi-referenced -> MATERIALIZED
+    // (the DuckDB CTE-inlining rule)
+    "q_split_assign_delta" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$RE') AS toks
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, toks FROM t WHERE len(toks) > 0
+         |), sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |                     i -> array_to_string(toks[i:i+2], ' ')))
+         |              ELSE [array_to_string(toks, ' ')] END AS shingles
+         |  FROM tf
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(generate_series(0, 7),
+         |           s -> list_min(list_transform(shingles,
+         |                  x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sg
+         |  FROM sh
+         |), band AS MATERIALIZED (
+         |  SELECT doc_id, 0 AS b, sg[1] || sg[2] AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, sg[3] || sg[4] FROM sig
+         |  UNION ALL SELECT doc_id, 2, sg[5] || sg[6] FROM sig
+         |  UNION ALL SELECT doc_id, 3, sg[7] || sg[8] FROM sig
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM band a JOIN band b2 ON a.b = b2.b AND a.band_key = b2.band_key
+         |  WHERE a.doc_id < b2.doc_id
+         |), e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand
+         |), reach AS (
+         |  SELECT a AS node, a AS x FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.node, e.b FROM reach r JOIN e ON e.a = r.x
+         |), comp AS (
+         |  SELECT node, min(x) AS cluster_id FROM reach GROUP BY node
+         |), hrep AS MATERIALIZED (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+         |), brep AS MATERIALIZED (
+         |  SELECT band.b, band.band_key, min(hrep.rep) AS mrep
+         |  FROM band JOIN hrep USING (doc_id)
+         |  GROUP BY band.b, band.band_key
+         |), delta AS MATERIALIZED (
+         |  SELECT doc_id + 500000 AS doc_id, text FROM documents
+         |  WHERE doc_id < 25 AND trim(text) <> ''
+         |  UNION ALL
+         |  SELECT doc_id + 550000, text || ' zz near dup tail' FROM documents
+         |  WHERE doc_id < 10 AND trim(text) <> ''
+         |  UNION ALL
+         |  SELECT doc_id + 600000, md5(text) FROM documents WHERE doc_id < 10
+         |  UNION ALL SELECT 700001, ''
+         |), dt AS (
+         |  SELECT doc_id, regexp_extract_all(text, '$RE') AS toks
+         |  FROM delta WHERE trim(text) <> ''
+         |), dtf AS (
+         |  SELECT doc_id, toks FROM dt WHERE len(toks) > 0
+         |), dsh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |                     i -> array_to_string(toks[i:i+2], ' ')))
+         |              ELSE [array_to_string(toks, ' ')] END AS shingles
+         |  FROM dtf
+         |), dsig AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 7),
+         |           s -> list_min(list_transform(shingles,
+         |                  x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sg
+         |  FROM dsh
+         |), dband AS (
+         |  SELECT doc_id, 0 AS b, sg[1] || sg[2] AS band_key FROM dsig
+         |  UNION ALL SELECT doc_id, 1, sg[3] || sg[4] FROM dsig
+         |  UNION ALL SELECT doc_id, 2, sg[5] || sg[6] FROM dsig
+         |  UNION ALL SELECT doc_id, 3, sg[7] || sg[8] FROM dsig
+         |), matched AS (
+         |  SELECT d.doc_id, min(brep.mrep) AS mrep
+         |  FROM dband d JOIN brep ON brep.b = d.b AND brep.band_key = d.band_key
+         |  GROUP BY d.doc_id
+         |), asn AS (
+         |  SELECT delta.doc_id, coalesce(matched.mrep, delta.doc_id) AS rep
+         |  FROM delta LEFT JOIN matched USING (doc_id)
+         |), abk AS (
+         |  SELECT doc_id, rep,
+         |         CAST(CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4)
+         |           AS INTEGER) AS INTEGER) AS bucket
+         |  FROM asn
+         |)
+         |SELECT doc_id, rep, bucket,
+         |       CASE WHEN bucket < 58982 THEN 'train'
+         |            WHEN bucket < 62259 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM abk ORDER BY doc_id""".stripMargin,
     // soft dedup: floor(1e6 / cluster_size) microweights, rolled up
     // per source — integer division + exact long sums
     "q_dedup_weights" ->

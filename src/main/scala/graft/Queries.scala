@@ -3758,6 +3758,46 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** LEAK-PROOF SPLIT ASSIGNMENT of an arriving delta — the batch
+    * face of [[graft.streaming.DocStreams.splitAssignAgainstStatic]]
+    * as an oracle-checked catalog row (r19 verdict #5 upgraded to
+    * the house discipline: the twin's whole path is deterministic
+    * md5 math, so DuckDB replays it bit for bit). The frozen state
+    * is [[q_split_neardup]]'s own rep assignment plus the saved
+    * signature index's band keys; the DELTA is derived from the
+    * corpus in both engines identically — exact copies of docs < 25
+    * (+500000, must inherit their original's rep and split),
+    * suffixed near-dups of docs < 10 (+550000, ' zz near dup tail' —
+    * inherit iff a band survives the suffix, whichever way the
+    * shared md5 math lands), md5-text fresh docs (+600000, a
+    * one-token text that matches nothing — singletons), and one
+    * blank doc (700001 — no keys, singleton). Every arriving doc
+    * left-joins the frozen band-key → min-rep map per band and
+    * inherits the smallest matched rep ([[graft.dedup.Dedup
+    * .minhashBandKeyArray]] per row — the streaming projection); the
+    * same twin function serves this batch frame and the unbounded
+    * stream (DocStreamsSpec pins stream == batch). */
+  def q_split_assign_delta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val path = Dedup.ensureSavedSignatureIndex(docs, dir,
+      epoch = tableEpoch(s, dir, "documents"))
+    val delta = docs
+      .filter(col("doc_id") < 25 && trim(col("text")) =!= "")
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") < 10 && trim(col("text")) =!= "")
+        .select((col("doc_id") + 550000L).as("doc_id"),
+          concat(col("text"), lit(" zz near dup tail")).as("text")))
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          md5(col("text")).as("text")))
+      .unionByName(Seq((700001L, "")).toDF("doc_id", "text"))
+    graft.streaming.DocStreams.splitAssignAgainstStatic(delta,
+        s.read.parquet(path), q_split_neardup(s, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** SOFT dedup — duplicate-aware training weights instead of drops
     * (the "count each duplicated document once in expectation"
     * policy): every doc weighs floor(1e6 / cluster_size) microunits,

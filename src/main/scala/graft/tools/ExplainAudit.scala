@@ -142,7 +142,12 @@ object ExplainAudit {
     // bucket-filtered postings scans for the shared BM25 list, two
     // RRF fusions, and NO store build or k-means fit machinery
     // (no chunk Generate, no prefix-sum, no qv aggregate)
-    "q_rag_fusion_overlap")
+    "q_rag_fusion_overlap",
+    // r20: delta split assignment — the frozen band→rep map must be
+    // built from the saved signature index's thin (doc_id, bks) scan
+    // (no shingle/signature recompute over history), the delta side
+    // per-row band keys feeding 4 left joins, no windows anywhere
+    "q_split_assign_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
