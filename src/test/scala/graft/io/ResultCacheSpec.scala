@@ -45,6 +45,19 @@ class ResultCacheSpec extends AnyFunSuite with SparkTestBase {
     ResultCache.evictAll()
   }
 
+  test("Sessions.uuid: stable per session, distinct across live sessions (r19 advice)") {
+    // the key every JVM-wide DataFrame cache (loadIndex memos, the
+    // result cache) hangs session-bound frames on: must be stable for
+    // one session and never shared between two live ones — the
+    // identityHashCode collision/reuse hole this replaced
+    val a1 = Sessions.uuid(spark)
+    assert(Sessions.uuid(spark) == a1, "token must be stable per session")
+    val s2 = spark.newSession()
+    assert(Sessions.uuid(s2) != a1,
+      "two live sessions must never share a cache token")
+    assert(Sessions.uuid(s2) == Sessions.uuid(s2))
+  }
+
   test("guard: only SELECT reaches the engine (app.py:279-281)") {
     intercept[IllegalArgumentException] {
       ResultCache.sqlCached(spark, "DROP TABLE important", 1000L)
