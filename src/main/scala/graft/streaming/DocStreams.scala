@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.textan.TextAnalysis
+import graft.io.Caches
 
 /** Streaming twins of the dedup operators — the continuous-ingest
   * shape of a training-data pipeline (SURVEY §2.11 extension; the
@@ -100,13 +101,26 @@ object DocStreams {
     val reps = historySplit.select(col("doc_id").as("hist_id"), col("rep"))
     // static prep, once per twin: per band, the smallest history rep
     // per band key — the only thing an arriving doc needs to inherit
-    // its cluster's frozen split
-    val bandRep = (0 until bands).map { b =>
+    // its cluster's frozen split. ONE pass (r20): posexplode the
+    // index's band keys, join the rep assignment once, min per
+    // (band, key), persist the compact map — the per-band form
+    // rebuilt the history⋈rep join + aggregation `bands` times
+    // (4 copies of the whole frozen-side subtree in the delta row's
+    // plan, including historySplit's own cluster resolution). The
+    // per-band slice each incoming join reads is a filter over the
+    // persisted map; min per (band, key) is value-identical to the
+    // old per-band min, so stream == batch == oracle is unchanged.
+    val bandRepAll = Caches.persistTracked(
       historyIndex
         .select(col("doc_id").as("hist_id"),
-          element_at(col("bks"), b + 1).as(s"bk$b"))
+          posexplode(col("bks")).as(Seq("__band", "__bk")))
         .join(reps, "hist_id")
-        .groupBy(col(s"bk$b")).agg(min(col("rep")).as(s"rep$b"))
+        .groupBy(col("__band"), col("__bk"))
+        .agg(min(col("rep")).as("__rep_min")),
+      "splitassign.bandrep")
+    val bandRep = (0 until bands).map { b =>
+      bandRepAll.filter(col("__band") === b)
+        .select(col("__bk").as(s"bk$b"), col("__rep_min").as(s"rep$b"))
     }
     val keyed = incoming.withColumn("__bks",
       graft.dedup.Dedup.minhashBandKeyArray(col("text")))
