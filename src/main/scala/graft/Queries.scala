@@ -387,12 +387,14 @@ object Queries {
     * widen — at exhaustive probing the dense candidate sets are
     * equal, so any residual gap there is purely the serve's round-6
     * cosine ties (measured, not assumed — the honest ceiling). The
-    * exact fusion runs ONCE (persisted); each depth serves from the
-    * SAME saved index pair as [[q_rag_e2e_indexed]]
+    * exact fusion runs ONCE (persisted); all depths share ONE
+    * widest-depth scored pass over the SAME saved index pair as
+    * [[q_rag_e2e_indexed]]
     * ([[graft.pipeline.RagPipeline.ensureIndexedServe]] — zero
-    * fit/build jobs on a warm epoch, the production path; saved and
-    * in-memory scores are bit-identical by AnnIvfSpec's round-trip
-    * pin, so the oracle is unchanged — r19 verdict #2). This is the
+    * fit/build jobs on a warm epoch; saved and in-memory scores are
+    * bit-identical by AnnIvfSpec's round-trip pin, and each rung's
+    * `crank <= p` cut of the pool is bit-identical to its standalone
+    * serve, so the oracle is unchanged — r19 verdict #2). This is the
     * curve a deployment reads NEXT TO the scan-cost curve
     * (q_ivfpq_probe_recall) to pick nProbe for the composed serve. */
   def q_rag_fusion_curve(s: SparkSession, dir: String): DataFrame = {
@@ -423,9 +425,23 @@ object Queries {
       .select(col("query_id"), col("doc_id"))
       .persistTracked("ragfusion.exact")
     val totK = fusedExact.agg(count(lit(1)).cast("int").as("total_k"))
+    // ONE widest-depth dense pass shared by every rung (r20, guide
+    // §2.4): per-rung Ivf.topKIndexed re-probed, re-collected cells
+    // and re-scanned overlapping cell files (14/8ths of the store
+    // per row across the ladder); the probed cells nest, so score
+    // once with the per-query cell rank kept, persist the pool, and
+    // cut each rung by crank <= p — bit-identical top-k lists to the
+    // standalone serves ([[vector.Ivf.scoredProbed]]), oracle
+    // unchanged. The per-depth PRODUCTION serve cost lives in
+    // q_rag_e2e_indexed / q_topk_ivf_indexed; this row prices only
+    // the overlap measurement.
+    val densePool = vector.Ivf.scoredProbed(disk,
+        vector.Ivf.probeRanked(qe, cents, IvfpqProbeLadder.max))
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("crank"))
+      .persistTracked("ragfusion.densepool")
     val rows = IvfpqProbeLadder.map { p =>
       val fusedP = graft.text.Bm25.rrfFuse(
-        vector.Ivf.topKIndexed(disk, cents, qe, depth, nProbe = p)
+        vector.Ivf.rankTopK(densePool.filter(col("crank") <= p), depth)
           .select(col("query_id"), col("rank"), col("vec_id").as("doc_id")),
         lex, k)
       fusedExact.join(fusedP, Seq("query_id", "doc_id"), "left_semi")
@@ -1067,20 +1083,51 @@ object Queries {
     * pruning: recall must rise monotonically with probes and meet
     * the flat-funnel ceiling ([[q_pq_rerank_recall]], 0.94) at
     * nProbe = nCells = 8, where probing is exhaustive. The truth
-    * pass runs ONCE (persisted) and each depth reuses the same saved
-    * index; serve cost per depth is the production serve's own —
-    * this is the curve a 100 TB deployment reads to pick its
-    * recall/scan-cost operating point. */
+    * pass runs ONCE (persisted) and all depths share ONE
+    * widest-depth ADC pass over the same saved index (r20: scored
+    * once with the per-query cell rank kept, each rung cut by
+    * `crank <= p` — bit-identical shortlists to the standalone
+    * serves, one codes scan instead of three); the per-depth
+    * PRODUCTION serve cost lives in q_topk_ivfpq_indexed and the
+    * committed probe-cost curve, this row prices only the recall
+    * measurement. This is the curve a 100 TB deployment reads to
+    * pick its recall/scan-cost operating point. */
   def q_ivfpq_probe_recall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb, RecallQueryCount)
     val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
-    val truth = vector.Pq.exactTopK(quantized, queries, 5)
+    // the truth pass and every rung's exact rerank read the same
+    // narrow (vec_id, qv) projection — persist it once (r20: was one
+    // full scan + re-quantization per consumer, 4 per row)
+    val qvNarrow = quantized.select(col("vec_id"), col("qv"))
+      .persistTracked("probecurve.qv")
+    val truth = vector.Pq.exactTopK(qvNarrow, queries, 5)
       .select(col("query_id"), col("vec_id"))
       .persistTracked("probecurve.truth")
     val totK = truth.agg(count(lit(1)).cast("int").as("total_k"))
+    // ONE widest-depth ADC pass shared by every rung (r20, guide
+    // §2.4): the cells a depth-p serve scans nest inside the
+    // max-depth probe set, so score once with the per-query cell
+    // rank kept, persist the pool, and cut each rung by
+    // crank <= p — the per-rung serve (one probe + cells collect +
+    // cell-pruned scan + distance-table collect EACH) re-read
+    // overlapping cell files 14/8ths of the corpus per row. The
+    // rank filter commutes with the cell join and the scoring
+    // expressions, so each rung's shortlist is bit-identical to its
+    // standalone serve ([[vector.Pq.probedScored]]); the oracle is
+    // unchanged.
+    val (codes, books, cents) = pqEnsured(s, dir)
+    val pool = vector.Pq.probedScored(codes,
+        vector.Ivf.probeRanked(queries, cents, IvfpqProbeLadder.max)
+          .select(col("query_id"), col("cell"), col("crank")),
+        books, queries)
+      .select(col("query_id"), col("vec_id"), col("adc_dist"), col("crank"))
+      .persistTracked("probecurve.pool")
     val hitsPerDepth = IvfpqProbeLadder.map { p =>
-      val approx = ivfpqRerankServe(s, dir, queries, nProbe = p)
+      val sl = vector.Pq.adcRankCut(
+          pool.filter(col("crank") <= p), PqRerankShortlist)
+        .select(col("query_id"), col("vec_id"))
+      val approx = vector.Pq.exactRerank(qvNarrow, sl, queries, 5)
         .select(col("query_id"), col("vec_id"))
       truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).cast("int").as("total_hit"))

@@ -563,6 +563,45 @@ object Profile {
           "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
           "10000000")
         stages("insitu-nofallback", insitu)
+      case "jobs" =>
+        // r20: the sf0.1 tables are tiny (embeddings 2k / documents 5k
+        // rows), so every bench wall is FIXED overhead — count the
+        // Spark jobs a warm run of each named query submits and their
+        // per-job walls, to attribute row cost to driver actions /
+        // barriers instead of guessing from plan shape. Usage:
+        //   runMain graft.tools.Profile <sfDir> jobs q_a,q_b
+        val names = if (args.length > 2)
+          args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        else Seq("q_ivfpq_probe_recall")
+        final class JobLog extends org.apache.spark.scheduler.SparkListener {
+          val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.put(js.jobId, (js.time,
+              Option(js.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")))
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val st = jobs.remove(je.jobId)
+            if (st != null) done.add((je.jobId, je.time - st._1, st._2))
+          }
+        }
+        names.foreach { name =>
+          val fn = graft.SparkEntry.queries(name)
+          // warm run (index builds, codegen) outside the counted run
+          noop(fn(spark, sfDir)); graft.io.Caches.clearAll(spark)
+          val log = new JobLog
+          spark.sparkContext.addSparkListener(log)
+          val t0 = System.nanoTime()
+          noop(fn(spark, sfDir))
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // let the listener bus drain
+          spark.sparkContext.removeSparkListener(log)
+          graft.io.Caches.clearAll(spark)
+          val rows = log.done.toArray(Array.empty[(Int, Long, String)]).sortBy(_._1)
+          println(f"[profile] $name%-28s wall ${wall}%7.3f s  jobs ${rows.length}%3d  " +
+            f"jobwall ${rows.map(_._2).sum / 1e3}%7.3f s")
+          rows.foreach { case (id, ms, desc) =>
+            println(f"[profile]   job $id%4d ${ms / 1e3}%7.3f s  ${desc.take(90)}") }
+        }
       case "dupcont" =>
         // r17: find the join that materialized a 192 MiB broadcast in
         // the starved SpillBench run of q_dup_containment at tile x10

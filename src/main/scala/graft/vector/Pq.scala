@@ -324,7 +324,18 @@ object Pq {
     * corpus row scored only for the queries that probed its cell),
     * one broadcast distance-table join, partial-then-final top-k. */
   private def probedServe(encodedWithCell: DataFrame, probed: DataFrame,
-      books: Codebooks, queries: DataFrame, k: Int): DataFrame = {
+      books: Codebooks, queries: DataFrame, k: Int): DataFrame =
+    adcRankCut(probedScored(encodedWithCell, probed, books, queries), k)
+
+  /** The scoring half of [[probedServe]] without the per-query top-k
+    * cut — the probe-curve row scores once at the widest depth
+    * (probed rows carrying `crank` flow through the cell join
+    * untouched), persists the pool, and cuts each rung with
+    * [[adcRankCut]] after a `crank` filter: one codes scan and one
+    * distance-table collect serve every rung with bit-identical
+    * scores (same Column trees as the single-depth serves). */
+  private[graft] def probedScored(encodedWithCell: DataFrame,
+      probed: DataFrame, books: Codebooks, queries: DataFrame): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
@@ -340,12 +351,17 @@ object Pq {
       .map(s => element_at(element_at(col("dtab"), s + 1),
         element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist"), col("vec_id"))
     encodedWithCell.join(broadcast(probed), "cell")
       .join(broadcast(tabs), "query_id")
       .withColumn("adc_dist", round(adc, 6))
-      .withColumn("rank", row_number().over(w))
+  }
+
+  /** The rank/cut half of [[probedServe]] (same window, same
+    * tiebreak), shared with the pooled probe-curve path. */
+  private[graft] def adcRankCut(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
   }
