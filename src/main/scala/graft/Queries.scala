@@ -2519,7 +2519,17 @@ object Queries {
     * Each ingredient is independently oracle-checked (q_lang_id,
     * q_quality_score, q_dup_clusters); this row hash-checks the
     * composition. */
-  def q_corpus_filter(s: SparkSession, dir: String): DataFrame = {
+  def q_corpus_filter(s: SparkSession, dir: String): DataFrame =
+    corpusFilterFrame(s, dir).orderBy(col("doc_id"))
+
+  /** [[q_corpus_filter]] WITHOUT its output sort — the form
+    * aggregate-topped composers consume (r20: [[q_training_mix]]
+    * consumed the sorted row, and the bare global orderBy's range
+    * partitioner runs a sampling pass that re-executes the lang +
+    * quality kernels above the last exchange, for an ordering the
+    * quota heap immediately discards — the r12 SortTax finding
+    * applied to a composed row). */
+  private def corpusFilterFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val scored = TextAnalysis.withQuality(TextAnalysis.withDetectedLang(docs))
     val sigPath = Dedup.ensureSavedSignatureIndex(docs, dir,
@@ -2537,7 +2547,6 @@ object Queries {
       .withColumn("keep", (col("reason") === "keep").cast("int"))
       .select(col("doc_id"), col("pred_lang"), col("quality"),
         col("keep"), col("reason"))
-      .orderBy(col("doc_id"))
   }
 
   /** The full LLM-training-data MATERIALIZATION pipeline as one
@@ -2555,7 +2564,7 @@ object Queries {
     * heaps for the quota, one `shard` exchange for the ordering —
     * nothing global. */
   def q_training_mix(s: SparkSession, dir: String): DataFrame = {
-    val kept = q_corpus_filter(s, dir).filter(col("keep") === 1)
+    val kept = corpusFilterFrame(s, dir).filter(col("keep") === 1)
       .select(col("doc_id"), col("quality"))
     val docs = t(s, dir, "documents")
     val narrow = kept
@@ -3790,7 +3799,15 @@ object Queries {
     * candidates + the recursive-closure clustering of
     * [[q_dup_clusters]]) with the same md5-bucket split math; the
     * corpus shuffles only ids and 16-byte keys. */
-  def q_split_neardup(s: SparkSession, dir: String): DataFrame = {
+  def q_split_neardup(s: SparkSession, dir: String): DataFrame =
+    splitNeardupFrame(s, dir).orderBy(col("doc_id"))
+
+  /** [[q_split_neardup]] WITHOUT its output sort — what
+    * [[q_split_assign_delta]] freezes (r20: the twin only reads
+    * (doc_id, rep), and the sorted form's range partitioner pays a
+    * sampling pass that re-executes the docs ⋈ components join for
+    * an ordering the frozen-map aggregation immediately discards). */
+  private def splitNeardupFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val path = Dedup.ensureSavedSignatureIndex(docs, dir,
       epoch = tableEpoch(s, dir, "documents"))
@@ -3802,7 +3819,6 @@ object Queries {
       .withColumn("bucket", graft.rel.Sampling.hashBucket(col("rep")))
       .withColumn("split", graft.rel.Sampling.splitOf(col("bucket")))
       .select(col("doc_id"), col("rep"), col("bucket"), col("split"))
-      .orderBy(col("doc_id"))
   }
 
   /** LEAK-PROOF SPLIT ASSIGNMENT of an arriving delta — the batch
@@ -3841,7 +3857,7 @@ object Queries {
           md5(col("text")).as("text")))
       .unionByName(Seq((700001L, "")).toDF("doc_id", "text"))
     graft.streaming.DocStreams.splitAssignAgainstStatic(delta,
-        s.read.parquet(path), q_split_neardup(s, dir))
+        s.read.parquet(path), splitNeardupFrame(s, dir))
       .orderBy(col("doc_id"))
   }
 

@@ -170,6 +170,13 @@ object EventStreams {
     // covers this row); the sessions share one SparkContext.
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // r20 optimization NOTE: disabling no-data micro-batches here
+    // (halving the replay's micro-batch count) was tried and CHANGES
+    // THE RESULT (3385 vs 3069 rows at sf0.01): late-data admission
+    // lags the watermark by one batch, and the no-data batch after
+    // wave 1 is what advances the admission filter before wave 2
+    // plans. The EMISSION side is advancer-armored; the ADMISSION
+    // side is not. Keep them on.
     implicit val ssCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
     val agg = mem.toDF().toDF("event_id", "ts", "event_type", "value")
