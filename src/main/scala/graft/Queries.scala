@@ -1710,7 +1710,8 @@ object Queries {
     * sequence is emitted alongside, so the training decisions
     * themselves are hash-pinned, like q_bpe_crafted. */
   def q_bpe_tokens(s: SparkSession, dir: String): DataFrame =
-    bpeTokenSignals(t(s, dir, "documents"))
+    bpeTokenSignals(t(s, dir, "documents"),
+      mergeKey = Some((s"bpe-$dir", tableEpoch(s, dir, "documents"))))
 
   /** [[q_bpe_tokens]]'s engine. The ORACLE-checked row trains on the
     * FULL vocabulary (the DuckDB side has no top-N sample) with the
@@ -1729,8 +1730,19 @@ object Queries {
     * (the r12 in-situ attribution: the giant used to encode twice,
     * 26.0 s vs 13.6 s of phases). */
   private[graft] def bpeTokenSignals(docs: DataFrame,
-      splitChars: Long = RepetitionSplitChars): DataFrame = {
-    val merges = graft.text.BpeLite.trainDistributed(docs, numMerges = 8)
+      splitChars: Long = RepetitionSplitChars,
+      mergeKey: Option[(String, Option[String])] = None): DataFrame = {
+    // r20: with a (cacheKey, epoch) voucher the 8-round distributed
+    // trainer runs once per corpus version (BpeLite.ensureTrainedMerges
+    // — the saved-index discipline applied to the tokenizer artifact);
+    // q_bpe_tokens and q_tokenizer_fertility each re-trained per run.
+    // The learned sequence is the memo'd value itself, so the emitted
+    // `merges` column — and every oracle — is unchanged.
+    val merges = mergeKey match {
+      case Some((k, e)) =>
+        graft.text.BpeLite.ensureTrainedMerges(docs, k, e, numMerges = 8)
+      case None => graft.text.BpeLite.trainDistributed(docs, numMerges = 8)
+    }
     bpeEncodeSignals(docs, merges, splitChars, "q_bpe_tokens")
   }
 
@@ -3772,7 +3784,8 @@ object Queries {
     * two truncating divisions into microunits. */
   def q_tokenizer_fertility(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sig = bpeTokenSignals(docs)
+    val sig = bpeTokenSignals(docs,
+      mergeKey = Some((s"bpe-$dir", tableEpoch(s, dir, "documents"))))
       .select(col("doc_id"), col("n_bpe_tokens"), col("n_regex_tokens"))
     docs.select(col("doc_id"), col("lang"), col("n_chars"))
       .join(sig, "doc_id")

@@ -304,6 +304,42 @@ object BpeLite {
     * `train(wordCounts(docs, topN = ∞), numMerges)`: same pair
     * weights (per distinct word × frequency), same (−count, left,
     * right) tie rule, same early stop when no pair remains. */
+  /** Epoch-keyed memo over [[trainDistributed]] — the
+    * [[graft.vector.Pq.loadIndex]] discipline applied to the
+    * TOKENIZER artifact: a production pipeline trains its BPE once
+    * per corpus version and serves every encode from the saved merge
+    * table, so repeated consumers (q_bpe_tokens,
+    * q_tokenizer_fertility, repeated bench runs) must not re-run the
+    * 8-round distributed trainer while the corpus epoch is
+    * unchanged. Merges are plain values (no session-bound
+    * resources), so the key is (cacheKey|numMerges, epoch) only;
+    * bounded LRU like the index memos (an epoch-moving corpus mints
+    * a new entry per version). `epoch = None` trains unconditionally
+    * — the caller is declaring it has no version token to vouch
+    * with, exactly [[graft.io.SavedIndex]]'s contract. */
+  private val trainedMerges = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), Vector[Merge]](
+        32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Vector[Merge]]): Boolean =
+        size() > 16
+    })
+
+  def ensureTrainedMerges(docs: DataFrame, cacheKey: String,
+      epoch: Option[String], textCol: String = "text",
+      numMerges: Int = 8): Vector[Merge] = epoch match {
+    case None => trainDistributed(docs, textCol, numMerges)
+    case Some(e) =>
+      val key = (s"$cacheKey|$textCol|$numMerges", e)
+      val hit = trainedMerges.get(key)
+      if (hit != null) hit
+      else {
+        val v = trainDistributed(docs, textCol, numMerges)
+        trainedMerges.put(key, v)
+        v
+      }
+  }
+
   def trainDistributed(docs: DataFrame, textCol: String = "text",
       numMerges: Int = 8, foldEvery: Int = 4,
       batchK: Int = 16): Vector[Merge] = {
