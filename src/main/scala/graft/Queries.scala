@@ -2565,11 +2565,8 @@ object Queries {
   private def corpusFilterFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val scored = TextAnalysis.withQuality(TextAnalysis.withDetectedLang(docs))
-    val sigPath = Dedup.ensureSavedSignatureIndex(docs, dir,
-      epoch = tableEpoch(s, dir, "documents"))
     val clusters = graft.dedup.Clusters
-      .canonicalize(docs,
-        Dedup.candidatesFromIndex(s.read.parquet(sigPath)))
+      .canonicalizeComp(docs, sigComponents(s, dir))
       .select(col("doc_id"), col("is_canonical"))
     scored.join(clusters, Seq("doc_id"), "left")
       .withColumn("reason",
@@ -3641,11 +3638,23 @@ object Queries {
     * by recursive transitive closure. */
   def q_dup_clusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val path = Dedup.ensureSavedSignatureIndex(docs, dir,
-      epoch = tableEpoch(s, dir, "documents"))
-    graft.dedup.Clusters.canonicalize(docs,
-        Dedup.candidatesFromIndex(s.read.parquet(path)))
+    graft.dedup.Clusters.canonicalizeComp(docs, sigComponents(s, dir))
       .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** The signature-index component map, resolved ONCE per corpus
+    * epoch ([[graft.dedup.Clusters.ensureComponents]]) and shared by
+    * every consumer of the saved signature index's near-dup clusters
+    * (q_dup_clusters, q_corpus_filter/q_training_mix,
+    * q_split_neardup/q_split_assign_delta — r20: each re-ran the
+    * candidate self-join + union-find per invocation). */
+  private def sigComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val epoch = tableEpoch(s, dir, "documents")
+    graft.dedup.Clusters.ensureComponents(s, s"sig-cc|$dir", epoch) {
+      Dedup.candidatesFromIndex(s.read.parquet(
+        Dedup.ensureSavedSignatureIndex(docs, dir, epoch = epoch)))
+    }
   }
 
   /** Embedding-side near-dup RESOLUTION — the vector twin of
@@ -3843,10 +3852,7 @@ object Queries {
     * an ordering the frozen-map aggregation immediately discards). */
   private def splitNeardupFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val path = Dedup.ensureSavedSignatureIndex(docs, dir,
-      epoch = tableEpoch(s, dir, "documents"))
-    val comp = graft.dedup.Clusters.connectedComponents(
-      Dedup.candidatesFromIndex(s.read.parquet(path)))
+    val comp = sigComponents(s, dir)
     docs.select(col("doc_id"))
       .join(comp, docs("doc_id") === comp("node"), "left")
       .withColumn("rep", coalesce(col("comp"), col("doc_id")))
