@@ -4099,7 +4099,9 @@ object Queries {
       rounds = 2, cacheKey = s"semdedup-$dir",
       epoch = tableEpoch(s, dir, "embeddings"))
     val (assigned, _) = vector.Ivf.loadIndex(s, path)
-    graft.dedup.SemDedup.semanticDedupAssigned(assigned)
+    graft.dedup.SemDedup.semanticDedupAssigned(assigned,
+        compKey = Some((s"semdedup-cc-$dir",
+          tableEpoch(s, dir, "embeddings"))))
       .orderBy(col("vec_id"))
   }
 
@@ -4126,7 +4128,9 @@ object Queries {
       rounds = 2, cacheKey = s"semdedup-scaled-$dir",
       epoch = tableEpoch(s, dir, "embeddings"))
     val (assigned, _) = vector.Ivf.loadIndex(s, path)
-    graft.dedup.SemDedup.semanticDedupAssigned(assigned)
+    graft.dedup.SemDedup.semanticDedupAssigned(assigned,
+        compKey = Some((s"semdedup-scaled-cc-$dir|$nCells",
+          tableEpoch(s, dir, "embeddings"))))
       .orderBy(col("vec_id"))
   }
 
