@@ -1145,9 +1145,19 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb, RecallQueryCount)
     val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
-    val truth = vector.Pq.exactTopK(quantized, queries, 5)
+    // ONE narrow (vec_id, qv) pass shared by the truth crossjoin and
+    // the serve's exact rerank (r20 — each re-scanned + re-quantized
+    // the corpus); the serve is otherwise the standalone funnel
+    // (saved-codes ADC shortlist at nProbe 2 + exact rerank).
+    val qvNarrow = quantized.select(col("vec_id"), col("qv"))
+      .persistTracked("rerankrecall.qv")
+    val truth = vector.Pq.exactTopK(qvNarrow, queries, 5)
       .select(col("query_id"), col("vec_id"))
-    val approx = ivfpqRerankServe(s, dir, queries)
+    val (codes, books, cents) = pqEnsured(s, dir)
+    val sl = vector.Pq.adcTopKIndexed(codes, books, cents, queries,
+        PqRerankShortlist, nProbe = 2)
+      .select(col("query_id"), col("vec_id"))
+    val approx = vector.Pq.exactRerank(qvNarrow, sl, queries, 5)
       .select(col("query_id"), col("vec_id"))
     recallFrame(truth, approx, "q_ivfpq_rerank_recall")
   }
@@ -1244,10 +1254,13 @@ object Queries {
     val queries = pqQueries(emb, RecallQueryCount)
     val (codes, books, _) = pqEnsured(s, dir)
     val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
-    val truth = vector.Pq.exactTopK(quantized, queries, 5)
+    // ONE narrow (vec_id, qv) pass shared by truth and rerank (r20)
+    val qvNarrow = quantized.select(col("vec_id"), col("qv"))
+      .persistTracked("pqrerankrecall.qv")
+    val truth = vector.Pq.exactTopK(qvNarrow, queries, 5)
       .select(col("query_id"), col("vec_id"))
     val approx = vector.Pq
-      .adcRerankTopK(codes, books, quantized, queries, 5,
+      .adcRerankTopK(codes, books, qvNarrow, queries, 5,
         shortlist = PqRerankShortlist)
       .select(col("query_id"), col("vec_id"))
     recallFrame(truth, approx, "q_pq_rerank_recall")
