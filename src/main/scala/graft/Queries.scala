@@ -4268,6 +4268,13 @@ object Queries {
     * Scan-stage hashing plus ONE per-doc window + the same-keyed
     * block aggregate — no global window, no corpus-wide exchange
     * beyond the doc_id shuffle. */
+  /** The saved CDC block table for `dir`'s documents
+    * ([[graft.text.chunk.CdcChunker.ensureSavedBlocks]]). */
+  private def cdcBlocksEnsured(s: SparkSession, dir: String): String =
+    graft.text.chunk.CdcChunker.ensureSavedBlocks(
+      t(s, dir, "documents"), s"cdc-$dir",
+      epoch = tableEpoch(s, dir, "documents"))
+
   def q_chunk_cdc(s: SparkSession, dir: String): DataFrame =
     graft.text.chunk.CdcChunker.blocks(t(s, dir, "documents"))
       .select(col("doc_id"), col("block_index"), col("token_start"),
@@ -4285,7 +4292,11 @@ object Queries {
     * embedding cosine (q_near_dup_*) with an exact-run signal that
     * localizes WHERE documents overlap. */
   def q_cdc_shared(s: SparkSession, dir: String): DataFrame = {
-    val blocks = graft.text.chunk.CdcChunker.blocks(t(s, dir, "documents"))
+    // served from the saved CDC block table (r20): the per-char
+    // rolling-hash kernel runs once per corpus epoch; this row reads
+    // two thin columns off it (bit-identical rows by parquet
+    // round-trip; q_chunk_cdc keeps pricing the kernel inline)
+    val blocks = s.read.parquet(cdcBlocksEnsured(s, dir))
       .select(col("doc_id"), col("block_md5")).distinct()
     // the shuffle-hash pin, shared exchange and the nd <= 50
     // boilerplate guard (pair fan-out bounded by real cluster size,
@@ -4312,7 +4323,8 @@ object Queries {
     * shuffle thin block rows, never the corpus text. */
   def q_cdc_dedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val blocks = graft.text.chunk.CdcChunker.blocks(t(s, dir, "documents"))
+    // saved CDC block table, as in q_cdc_shared (r20)
+    val blocks = s.read.parquet(cdcBlocksEnsured(s, dir))
     val w = Window.partitionBy(col("block_md5"))
       .orderBy(col("doc_id"), col("block_index"))
     val kept = blocks
