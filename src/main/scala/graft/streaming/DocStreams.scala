@@ -273,8 +273,12 @@ object DocStreams {
           .dropDuplicatesWithinWatermark("canon")
       case _ => prepared.dropDuplicates("canon")
     }
-    val hostQueue = frontier.groupBy(col("host"))
-      .agg(max(col("host_rank")).cast("int").as("__queued"))
+    // static prep persisted once per twin (r20): per-micro-batch
+    // re-aggregation of the frozen frontier otherwise
+    val hostQueue = Caches.persistTracked(
+      frontier.groupBy(col("host"))
+        .agg(max(col("host_rank")).cast("int").as("__queued")),
+      "frontieradmit.hostqueue")
     canoned
       .join(frontier.select(col("canon")), Seq("canon"), "left_anti")
       .join(hostQueue, Seq("host"), "left")
@@ -342,11 +346,18 @@ object DocStreams {
     require(maxRank <= k,
       s"quotaAdmitAgainstStatic: kept set carries rank $maxRank > k=$k — " +
         "k must equal the K the kept set was built with")
-    val sizes = keptRanked.groupBy(col("source"))
-      .agg(count(lit(1)).cast("int").as("quota_filled"))
-    val bars = keptRanked.filter(col("rank") === k)
-      .select(col("source"), col("quality").as("bar_quality"),
-        col("doc_id").as("bar_doc_id"))
+    // static prep persisted once per twin (r20): on a streaming
+    // input every micro-batch otherwise re-aggregates the kept set
+    // for the same frozen bars
+    val sizes = Caches.persistTracked(
+      keptRanked.groupBy(col("source"))
+        .agg(count(lit(1)).cast("int").as("quota_filled")),
+      "quotaadmit.sizes")
+    val bars = Caches.persistTracked(
+      keptRanked.filter(col("rank") === k)
+        .select(col("source"), col("quality").as("bar_quality"),
+          col("doc_id").as("bar_doc_id")),
+      "quotaadmit.bars")
     TextAnalysis.withQuality(incoming)
       .select(col("doc_id"), col("source"), col("quality"))
       .join(broadcast(sizes), Seq("source"), "left")
@@ -380,12 +391,18 @@ object DocStreams {
       mixSelected: DataFrame): DataFrame = {
     def hOf(c: org.apache.spark.sql.Column) =
       md5(concat(lit("mix|"), c.cast("string")))
-    val sizes = mixSelected.groupBy(col("lang"))
-      .agg(count(lit(1)).cast("int").as("quota_filled"),
-        max(col("quota")).as("quota"))
-    val cuts = mixSelected.filter(col("rk") === col("quota"))
-      .select(col("lang"), hOf(col("doc_id")).as("cut_h"),
-        col("doc_id").as("cut_doc_id"))
+    // static prep persisted once per twin (r20): on a streaming
+    // input every micro-batch otherwise re-aggregates the frozen mix
+    val sizes = Caches.persistTracked(
+      mixSelected.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("quota_filled"),
+          max(col("quota")).as("quota")),
+      "mixadmit.sizes")
+    val cuts = Caches.persistTracked(
+      mixSelected.filter(col("rk") === col("quota"))
+        .select(col("lang"), hOf(col("doc_id")).as("cut_h"),
+          col("doc_id").as("cut_doc_id")),
+      "mixadmit.cuts")
     incoming.select(col("doc_id"), col("lang"))
       .withColumn("h", hOf(col("doc_id")))
       .join(broadcast(sizes), Seq("lang"))
