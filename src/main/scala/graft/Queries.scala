@@ -439,16 +439,44 @@ object Queries {
         vector.Ivf.probeRanked(qe, cents, IvfpqProbeLadder.max))
       .select(col("query_id"), col("vec_id"), col("cos_sim"), col("crank"))
       .persistTracked("ragfusion.densepool")
-    val rows = IvfpqProbeLadder.map { p =>
-      val fusedP = graft.text.Bm25.rrfFuse(
-        vector.Ivf.rankTopK(densePool.filter(col("crank") <= p), depth)
-          .select(col("query_id"), col("rank"), col("vec_id").as("doc_id")),
-        lex, k)
-      fusedExact.join(fusedP, Seq("query_id", "doc_id"), "left_semi")
-        .agg(count(lit(1)).cast("int").as("total_overlap"))
-        .select(lit(p).as("n_probe"), col("total_overlap"))
+    // r21 (the q_ivfpq_probe_recall fusion applied to the fused
+    // ladder): ONE plan for all rungs. Ordered by rankTopK's exact
+    // total order (desc cos_sim, vec_id), the running count of rows
+    // with crank <= p IS row_number within the depth-p subset, so
+    // each rung's dense top-`depth` list (rank value included — RRF
+    // consumes it) is reproduced bit-for-bit in one window pass; the
+    // rung-independent lexical list replicates across rungs, ONE
+    // keyed RRF (rrfFuseKeyed, n_probe in every key) fuses all rungs,
+    // and one semi-join + groupBy counts every rung's overlap — was a
+    // fuse + semi-join + aggregate chain PER rung, unioned. The
+    // ladder left join keeps zero-overlap rung rows.
+    val wCum = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = IvfpqProbeLadder.zipWithIndex.map { case (p, i) =>
+      sum(when(col("crank") <= p, 1).otherwise(0)).over(wCum).as(s"cum_$i")
     }
-    rows.reduce(_.unionByName(_))
+    val rankedPool = densePool.select(
+      Seq(col("query_id"), col("vec_id"), col("crank")) ++ cums: _*)
+    val rungCols = IvfpqProbeLadder.zipWithIndex.map { case (p, i) =>
+      when(col("crank") <= p && col(s"cum_$i") <= depth,
+        struct(lit(p).as("n_probe"), col(s"cum_$i").as("rank")))
+    }
+    val denseAll = rankedPool
+      .withColumn("pr", explode(array(rungCols: _*)))
+      .filter(col("pr").isNotNull)
+      .select(col("pr.n_probe").as("n_probe"), col("query_id"),
+        col("pr.rank").as("rank"), col("vec_id").as("doc_id"))
+    val ladder = IvfpqProbeLadder.toDF("n_probe")
+    val fusedAll = graft.text.Bm25.rrfFuseKeyed(denseAll,
+        lex.crossJoin(broadcast(ladder)), k, keys = Seq("n_probe"))
+      .select(col("n_probe"), col("query_id"), col("doc_id"))
+    val overlaps = fusedAll
+      .join(fusedExact, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).cast("int").as("overlap"))
+    ladder.join(overlaps, Seq("n_probe"), "left")
+      .withColumn("total_overlap", coalesce(col("overlap"), lit(0)))
       .crossJoin(broadcast(totK))
       .select(col("n_probe"), col("total_overlap"), col("total_k"),
         round(col("total_overlap").cast("double") / col("total_k"), 4)
@@ -1093,15 +1121,20 @@ object Queries {
     * measurement. This is the curve a 100 TB deployment reads to
     * pick its recall/scan-cost operating point. */
   def q_ivfpq_probe_recall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb, RecallQueryCount)
     val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
-    // the truth pass and every rung's exact rerank read the same
-    // narrow (vec_id, qv) projection — persist it once (r20: was one
-    // full scan + re-quantization per consumer, 4 per row)
-    val qvNarrow = quantized.select(col("vec_id"), col("qv"))
-      .persistTracked("probecurve.qv")
-    val truth = vector.Pq.exactTopK(qvNarrow, queries, 5)
+    // ONE exact-scored crossjoin per run (r21): the truth cut AND
+    // every rung's rerank distances read this persisted frame — the
+    // truth pass already scores every (query, vector) pair, so a
+    // second exactScored join over the shortlist union would
+    // recompute values this frame holds (same l2Q tree, bit-equal).
+    val scored = vector.Pq.exactAllScored(
+        quantized.select(col("vec_id"), col("qv")), queries)
+      .select(col("query_id"), col("vec_id"), col("l2_dist"))
+      .persistTracked("probecurve.scored")
+    val truth = vector.Pq.l2RankCut(scored, 5)
       .select(col("query_id"), col("vec_id"))
       .persistTracked("probecurve.truth")
     val totK = truth.agg(count(lit(1)).cast("int").as("total_k"))
@@ -1122,18 +1155,51 @@ object Queries {
           .select(col("query_id"), col("cell"), col("crank")),
         books, queries)
       .select(col("query_id"), col("vec_id"), col("adc_dist"), col("crank"))
-      .persistTracked("probecurve.pool")
-    val hitsPerDepth = IvfpqProbeLadder.map { p =>
-      val sl = vector.Pq.adcRankCut(
-          pool.filter(col("crank") <= p), PqRerankShortlist)
-        .select(col("query_id"), col("vec_id"))
-      val approx = vector.Pq.exactRerank(qvNarrow, sl, queries, 5)
-        .select(col("query_id"), col("vec_id"))
-      truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).cast("int").as("total_hit"))
-        .select(lit(p).as("n_probe"), col("total_hit"))
+    // r21 (r20-verdict #2, guide §2.4): ONE PLAN for all rungs. The
+    // per-rung pipeline (window cut + rerank joins + semi-join
+    // aggregate, unioned) materialized 42 Spark jobs of AQE stages
+    // over 2,000 rows. Fused via conditional ranks: ordered by
+    // adcRankCut's exact total order (adc_dist, vec_id), the running
+    // count of rows with crank <= p IS row_number within the depth-p
+    // subset, so `crank <= p && cum_p <= K` reproduces each rung's
+    // shortlist bit-for-bit in ONE window pass. Rerank distances are
+    // read from the persisted `scored` frame (the same l2Q values
+    // exactRerank would recompute), then one (n_probe, query_id)
+    // window replays exactRerank's (l2_dist, vec_id) top-5 per rung
+    // and one semi-join + groupBy counts every rung's hits. A left
+    // join from the ladder literals keeps the zero-hit rung rows the
+    // per-rung aggregates emitted.
+    val wCum = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // window expressions can't live inside a generator — project the
+    // three conditional ranks first (ONE Window node: shared spec),
+    // then explode the rung membership in a follow-on projection
+    val cums = IvfpqProbeLadder.zipWithIndex.map { case (p, i) =>
+      sum(when(col("crank") <= p, 1).otherwise(0)).over(wCum).as(s"cum_$i")
     }
-    hitsPerDepth.reduce(_.unionByName(_))
+    val ranked = pool.select(
+      Seq(col("query_id"), col("vec_id"), col("crank")) ++ cums: _*)
+    val rungCols = IvfpqProbeLadder.zipWithIndex.map { case (p, i) =>
+      when(col("crank") <= p && col(s"cum_$i") <= PqRerankShortlist, lit(p))
+    }
+    val members = ranked
+      .withColumn("n_probe", explode(array(rungCols: _*)))
+      .filter(col("n_probe").isNotNull)
+      .select(col("query_id"), col("vec_id"), col("n_probe"))
+    val wRung = Window.partitionBy(col("n_probe"), col("query_id"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+    val approx = members.join(scored, Seq("query_id", "vec_id"))
+      .withColumn("rank", row_number().over(wRung))
+      .filter(col("rank") <= 5)
+      .select(col("n_probe"), col("query_id"), col("vec_id"))
+    val hits = approx
+      .join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).cast("int").as("hit"))
+    IvfpqProbeLadder.toDF("n_probe")
+      .join(hits, Seq("n_probe"), "left")
+      .withColumn("total_hit", coalesce(col("hit"), lit(0)))
       .crossJoin(broadcast(totK))
       .select(col("n_probe"), col("total_hit"), col("total_k"),
         round(col("total_hit").cast("double") / col("total_k"), 4)
@@ -1145,19 +1211,24 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     val queries = pqQueries(emb, RecallQueryCount)
     val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
-    // ONE narrow (vec_id, qv) pass shared by the truth crossjoin and
-    // the serve's exact rerank (r20 — each re-scanned + re-quantized
-    // the corpus); the serve is otherwise the standalone funnel
-    // (saved-codes ADC shortlist at nProbe 2 + exact rerank).
-    val qvNarrow = quantized.select(col("vec_id"), col("qv"))
-      .persistTracked("rerankrecall.qv")
-    val truth = vector.Pq.exactTopK(qvNarrow, queries, 5)
+    // ONE exact-scored crossjoin per run (r21 — the probe-curve
+    // discipline extended here): the truth cut AND the serve's exact
+    // rerank read the persisted (query, vec, l2) frame — the rerank's
+    // distances are the same l2Q values the truth pass computes
+    // (adcRerankTopK IS exactRerank ∘ adcTopK, and exactRerank ranks
+    // exactScored's tree), so scoring them again was pure recompute.
+    val scored = vector.Pq.exactAllScored(
+        quantized.select(col("vec_id"), col("qv")), queries)
+      .select(col("query_id"), col("vec_id"), col("l2_dist"))
+      .persistTracked("rerankrecall.scored")
+    val truth = vector.Pq.l2RankCut(scored, 5)
       .select(col("query_id"), col("vec_id"))
     val (codes, books, cents) = pqEnsured(s, dir)
     val sl = vector.Pq.adcTopKIndexed(codes, books, cents, queries,
         PqRerankShortlist, nProbe = 2)
       .select(col("query_id"), col("vec_id"))
-    val approx = vector.Pq.exactRerank(qvNarrow, sl, queries, 5)
+    val approx = vector.Pq.l2RankCut(
+        sl.join(scored, Seq("query_id", "vec_id")), 5)
       .select(col("query_id"), col("vec_id"))
     recallFrame(truth, approx, "q_ivfpq_rerank_recall")
   }
@@ -1254,14 +1325,22 @@ object Queries {
     val queries = pqQueries(emb, RecallQueryCount)
     val (codes, books, _) = pqEnsured(s, dir)
     val quantized = emb.withColumn("qv", vector.Quantize.int8(col("embedding")))
-    // ONE narrow (vec_id, qv) pass shared by truth and rerank (r20)
-    val qvNarrow = quantized.select(col("vec_id"), col("qv"))
-      .persistTracked("pqrerankrecall.qv")
-    val truth = vector.Pq.exactTopK(qvNarrow, queries, 5)
+    // ONE exact-scored crossjoin per run shared by truth and rerank
+    // (r21 — the probe-curve discipline; was one narrow qv persist
+    // with the l2 values still computed twice). adcRerankTopK IS
+    // exactRerank ∘ adcTopK, and exactRerank ranks exactScored's
+    // tree, so ranking the shortlist against the persisted scored
+    // frame is value-identical.
+    val scored = vector.Pq.exactAllScored(
+        quantized.select(col("vec_id"), col("qv")), queries)
+      .select(col("query_id"), col("vec_id"), col("l2_dist"))
+      .persistTracked("pqrerankrecall.scored")
+    val truth = vector.Pq.l2RankCut(scored, 5)
       .select(col("query_id"), col("vec_id"))
-    val approx = vector.Pq
-      .adcRerankTopK(codes, books, qvNarrow, queries, 5,
-        shortlist = PqRerankShortlist)
+    val sl = vector.Pq.adcTopK(codes, books, queries, PqRerankShortlist)
+      .select(col("query_id"), col("vec_id"))
+    val approx = vector.Pq.l2RankCut(
+        sl.join(scored, Seq("query_id", "vec_id")), 5)
       .select(col("query_id"), col("vec_id"))
     recallFrame(truth, approx, "q_pq_rerank_recall")
   }
@@ -4028,17 +4107,25 @@ object Queries {
     * window — text never self-joins. */
   def q_cdx_dedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val orig = docs.select(col("doc_id").as("fetch_id"),
-      col("doc_id").as("url_key"), col("text"))
-    val refetch = docs.filter(col("doc_id") < 100)
-      .select((col("doc_id") + 50000L).as("fetch_id"),
-        col("doc_id").as("url_key"), col("text"))
-    val changed = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
-      .select((col("doc_id") + 60000L).as("fetch_id"),
-        col("doc_id").as("url_key"),
-        concat(col("text"), lit(" updated")).as("text"))
+    // ONE corpus scan (r21 — was three union legs, each re-reading
+    // documents; guide §2.4/§6): every doc emits its original fetch
+    // plus its modeled revisits from one pass — a null-sloted struct
+    // array exploded and filtered. Row set is identical to the union
+    // (same fetch_ids, same texts), so the window and the oracle are
+    // unchanged.
+    val legs = array(
+      struct(col("doc_id").as("fetch_id"), col("text").as("text")),
+      when(col("doc_id") < 100,
+        struct((col("doc_id") + 50000L).as("fetch_id"),
+          col("text").as("text"))),
+      when(col("doc_id") >= 100 && col("doc_id") < 150,
+        struct((col("doc_id") + 60000L).as("fetch_id"),
+          concat(col("text"), lit(" updated")).as("text"))))
     val w = Window.partitionBy(col("canon"), col("digest"))
-    orig.unionByName(refetch).unionByName(changed)
+    docs.select(col("doc_id").as("url_key"), explode(legs).as("f"))
+      .filter(col("f").isNotNull)
+      .select(col("f.fetch_id").as("fetch_id"), col("url_key"),
+        col("f.text").as("text"))
       .withColumn("canon", graft.rel.Urls.canonical(messyUrl("url_key")))
       .withColumn("digest", md5(col("text")))
       .withColumn("keeper_id", min(col("fetch_id")).over(w))

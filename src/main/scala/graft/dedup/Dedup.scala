@@ -118,9 +118,15 @@ object Dedup {
       posexplode(transform(sequence(lit(0), size(col("ts")) - n),
         i => md5(array_join(slice(col("ts"), i + 1, lit(n)), " ")))).as(Seq("pos", "gh")))
       .persistTracked("dedup.grams")
-    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select(col("gh"))
-    val cand = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+    // duplicate grams via ONE gh-keyed window pass (r21, guide §2.4):
+    // the aggregate+join-back form shuffled the gram stream for the
+    // count AND re-read it for the join (with a broadcast whose size
+    // is the duplicated-gram set — corpus-proportional on
+    // boilerplate-heavy corpora); a count-over-partition keeps the
+    // same one shuffle and nothing else. Identical candidate rows.
+    val wDup = Window.partitionBy(col("gh"))
+    val cand = grams.withColumn("cnt", count(lit(1)).over(wDup))
+      .filter(col("cnt") > 1).select(col("doc_id"), col("pos"))
     // gaps-and-islands: consecutive duplicated gram positions are one
     // maximal span (positions p and p+1 overlap in n-1 tokens)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

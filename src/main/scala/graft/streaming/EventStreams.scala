@@ -129,9 +129,13 @@ object EventStreams {
     * The driver-side collect is the REPLAY HARNESS, not the scale
     * path — production is `readStream` over an arriving directory
     * ([[hourlyByTypeStream]]); this form exists so the watermark
-    * semantics are oracle-CHECKED, not just spec-asserted. Two
-    * advancer batches make the emitted set independent of whether
-    * no-data micro-batches fire (each batch emits with its
+    * semantics are oracle-CHECKED, not just spec-asserted. Three
+    * advancer waves make the emitted set independent of no-data
+    * micro-batches (which are disabled — see the session note in the
+    * body): an admission advancer at `max(on-time ts)` between waves
+    * 1 and 2 pins the late wave's drop filter at the oracle's
+    * watermark, and the two far-future advancers flush every real
+    * window past the final watermark (each batch emits with its
     * start-of-batch watermark). */
   def hourlyWatermarkedReplay(events: DataFrame,
       lateMod: Int = 3): DataFrame = {
@@ -160,9 +164,9 @@ object EventStreams {
     val maxMs = rows.iterator.map(_._2.getTime).max
     def adv(h: Long) =
       (-1L, new java.sql.Timestamp(maxMs + h * 3600 * 1000), "__advance", 0.0)
-    // the replay runs 4 micro-batches, each paying one state-store
+    // the replay runs 5 micro-batches, each paying one state-store
     // task per shuffle partition; at the session's 32 partitions that
-    // is 128 mostly-empty state tasks for ~1k windows. A streaming
+    // is 160 mostly-empty state tasks for ~1k windows. A streaming
     // query pins its state partitioning at START, so run the replay in
     // a DEDICATED session with 8 partitions — mutating the shared
     // session conf (the r14 form) silently re-planned any concurrent
@@ -170,13 +174,23 @@ object EventStreams {
     // covers this row); the sessions share one SparkContext.
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    // r20 optimization NOTE: disabling no-data micro-batches here
-    // (halving the replay's micro-batch count) was tried and CHANGES
-    // THE RESULT (3385 vs 3069 rows at sf0.01): late-data admission
-    // lags the watermark by one batch, and the no-data batch after
-    // wave 1 is what advances the admission filter before wave 2
-    // plans. The EMISSION side is advancer-armored; the ADMISSION
-    // side is not. Keep them on.
+    // No-data micro-batches are OFF (r21): each processAllAvailable
+    // paid a data batch PLUS a no-data batch — 8 micro-batches per
+    // replay, each with a state-store task per partition. The r20
+    // attempt to disable them naively CHANGED THE RESULT (3385 vs
+    // 3069 rows at sf0.01): late-data admission lags the watermark by
+    // one batch, and the no-data batch after wave 1 was what advanced
+    // the admission filter before wave 2 planned. r21 restores that
+    // cadence DETERMINISTICALLY: an admission-advancer wave between
+    // wave 1 and wave 2 — one row at ts == max(on-time ts), in its
+    // own `__advance` event_type group (event_type is a grouping key,
+    // so it can never contaminate a real window's aggregate, and it
+    // is filtered from the emitted set) — forces the one extra batch
+    // the admission filter needs WITHOUT moving the watermark past
+    // the oracle's stated `max(on-time ts) − 1 h`. The emitted set is
+    // unchanged (oracle-checked); the replay now runs 5 data batches
+    // and zero no-data batches instead of 4 + 4.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     implicit val ssCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
     val agg = mem.toDF().toDF("event_id", "ts", "event_type", "value")
@@ -192,7 +206,17 @@ object EventStreams {
       .format("memory").queryName(sink).start()
     val emitted = try {
       mem.addData(onTime); q.processAllAvailable()
-      if (late.nonEmpty) { mem.addData(late); q.processAllAvailable() }
+      if (late.nonEmpty) {
+        // admission advancer (see the no-data note above): ts equals
+        // the on-time max exactly, so the watermark lands on the
+        // oracle's `max(on-time ts) − 1 h` — no real window's drop
+        // decision can move
+        val onTimeMaxMs = onTime.iterator.map(_._2.getTime).max
+        mem.addData(Seq(
+          (-1L, new java.sql.Timestamp(onTimeMaxMs), "__advance", 0.0)))
+        q.processAllAvailable()
+        mem.addData(late); q.processAllAvailable()
+      }
       mem.addData(adv(72)); q.processAllAvailable()
       mem.addData(adv(96)); q.processAllAvailable()
       ss.table(sink).filter(col("event_type") =!= "__advance").collect()

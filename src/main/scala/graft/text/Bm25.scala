@@ -262,17 +262,31 @@ object Bm25 {
     * and a similarity ranking without score calibration. Inputs need
     * (query_id, doc_id, rank); fused score is rounded before the
     * final ranking for cross-engine determinism. */
-  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Double = 60.0): DataFrame = {
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Double = 60.0): DataFrame =
+    rrfFuseKeyed(a, b, k, c, Nil)
+
+  /** [[rrfFuse]] with extra grouping keys carried through every stage
+    * (union → groupBy → per-key window) — what the probe-ladder
+    * fusion rows use to fuse ALL rungs in ONE plan: `keys =
+    * Seq("n_probe")` makes each rung an independent fusion inside one
+    * aggregate + one window, value-identical per rung to a standalone
+    * [[rrfFuse]] over that rung's lists (same contribution, sum — ≤2
+    * commutative double addends per (query, doc) —, round-6 and
+    * (desc score, doc_id) tiebreak trees, keyed). */
+  def rrfFuseKeyed(a: DataFrame, b: DataFrame, k: Int, c: Double = 60.0,
+      keys: Seq[String] = Nil): DataFrame = {
+    val kc = keys.map(col)
     val contrib = (r: Column) => lit(1.0) / (lit(c) + r)
-    val pooled = a.select(col("query_id"), col("doc_id"), contrib(col("rank")).as("contrib"))
-      .unionByName(
-        b.select(col("query_id"), col("doc_id"), contrib(col("rank")).as("contrib")))
-      .groupBy(col("query_id"), col("doc_id"))
+    val leg = (df: DataFrame) => df.select(kc ++ Seq(col("query_id"),
+      col("doc_id"), contrib(col("rank")).as("contrib")): _*)
+    val pooled = leg(a).unionByName(leg(b))
+      .groupBy(kc ++ Seq(col("query_id"), col("doc_id")): _*)
       .agg(round(sum(col("contrib")), 6).as("rrf_score"))
-    val w = Window.partitionBy(col("query_id"))
+    val w = Window.partitionBy(kc :+ col("query_id"): _*)
       .orderBy(desc("rrf_score"), col("doc_id"))
     pooled.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
+      .select(kc ++ Seq(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_score")): _*)
   }
 }

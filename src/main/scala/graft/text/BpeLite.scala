@@ -316,7 +316,14 @@ object BpeLite {
     * bounded LRU like the index memos (an epoch-moving corpus mints
     * a new entry per version). `epoch = None` trains unconditionally
     * — the caller is declaring it has no version token to vouch
-    * with, exactly [[graft.io.SavedIndex]]'s contract. */
+    * with, exactly [[graft.io.SavedIndex]]'s contract.
+    *
+    * Registered with [[graft.io.Caches.clearAll]] (r20 verdict #1):
+    * the bench clears all caches between its min-of-3 runs so every
+    * run prices the row's declared work — a memo surviving that
+    * clear made q_bpe_tokens price an encode-only memo hit. Within
+    * one run (and for any long-lived consumer between batch
+    * boundaries) the memo still dedupes the trainer. */
   private val trainedMerges = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, String), Vector[Merge]](
         32, 0.75f, true) {
@@ -324,6 +331,16 @@ object BpeLite {
           e: java.util.Map.Entry[(String, String), Vector[Merge]]): Boolean =
         size() > 16
     })
+
+  graft.io.Caches.registerOnClear(() => trainedMerges.clear())
+
+  /** Per-key build gates so two concurrent first callers of the SAME
+    * (key, epoch) train once (the [[graft.io.SavedIndex]] single-
+    * flight discipline; values are deterministic so this is cost
+    * hygiene, not correctness), while distinct keys never serialize
+    * behind each other's 8-round distributed train. */
+  private val building =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
 
   def ensureTrainedMerges(docs: DataFrame, cacheKey: String,
       epoch: Option[String], textCol: String = "text",
@@ -334,9 +351,18 @@ object BpeLite {
       val hit = trainedMerges.get(key)
       if (hit != null) hit
       else {
-        val v = trainDistributed(docs, textCol, numMerges)
-        trainedMerges.put(key, v)
-        v
+        val gate = building.computeIfAbsent(key, _ => new AnyRef)
+        try gate.synchronized {
+          // double-check under the gate: a concurrent first caller
+          // may have trained while this one waited
+          val again = trainedMerges.get(key)
+          if (again != null) again
+          else {
+            val v = trainDistributed(docs, textCol, numMerges)
+            trainedMerges.put(key, v)
+            v
+          }
+        } finally building.remove(key)
       }
   }
 

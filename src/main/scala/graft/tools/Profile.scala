@@ -593,7 +593,17 @@ object Profile {
           val t0 = System.nanoTime()
           noop(fn(spark, sfDir))
           val wall = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(300) // let the listener bus drain
+          // drain the listener bus BEFORE detaching: a fixed sleep
+          // silently dropped late onJobEnd events on a loaded host,
+          // undercounting jobs/jobwall (r20 advice). waitUntilEmpty is
+          // private[spark] — public at the bytecode level, so invoke
+          // reflectively; fall back to the old sleep if the API moves.
+          try {
+            val bus = spark.sparkContext.getClass
+              .getMethod("listenerBus").invoke(spark.sparkContext)
+            bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+              .invoke(bus, java.lang.Long.valueOf(10000L))
+          } catch { case _: Throwable => Thread.sleep(300) }
           spark.sparkContext.removeSparkListener(log)
           graft.io.Caches.clearAll(spark)
           val rows = log.done.toArray(Array.empty[(Int, Long, String)]).sortBy(_._1)

@@ -488,17 +488,53 @@ object Pq {
     * |queries| × width at any corpus size) and the full-vector table
     * is touched for shortlist rows only — shared by the flat-PQ
     * funnel ([[adcRerankTopK]]) and the IVFPQ+refine serve. */
-  def exactRerank(quantized: DataFrame, shortlist: DataFrame,
-      queries: DataFrame, k: Int): DataFrame = {
+  /** The distance half of [[exactRerank]] without the per-query cut:
+    * every `(query_id, vec_id)` shortlist row scored with the exact
+    * integer lattice L2. Shared with the pooled probe-curve row,
+    * which scores the UNION of its rungs' shortlists once and ranks
+    * per rung — the Column tree is the single definition here, so
+    * the fused path cannot drift from the standalone serves. */
+  private[graft] def exactScored(quantized: DataFrame,
+      shortlist: DataFrame, queries: DataFrame): DataFrame = {
     val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
       .select(col("query_id"), col("qq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("l2_dist"), col("vec_id"))
     quantized.select(col("vec_id"), col("qv"))
       .join(broadcast(shortlist), "vec_id")
       .join(broadcast(qs), "query_id")
       .withColumn("l2_dist", l2Q(col("qq"), col("qv")))
+  }
+
+  def exactRerank(quantized: DataFrame, shortlist: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+    exactScored(quantized, shortlist, queries)
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("l2_dist"))
+  }
+
+  /** The scored crossjoin under [[exactTopK]] — EVERY
+    * (query, vector) pair with its exact integer lattice L2. The
+    * probe-curve row persists this once and derives both its truth
+    * cut and every rung's rerank distances from it (the distances
+    * are the same values [[exactScored]] would recompute, by the
+    * shared `l2Q` tree), so the corpus is crossjoin-scored exactly
+    * once per run. */
+  private[graft] def exactAllScored(quantized: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
+      .select(col("query_id"), col("qq"))
+    quantized.select(col("vec_id"), col("qv")).crossJoin(broadcast(qs))
+      .withColumn("l2_dist", l2Q(col("qq"), col("qv")))
+  }
+
+  /** The rank/cut half of [[exactTopK]] (same window, same tiebreak),
+    * shared with the pooled probe-curve path. */
+  private[graft] def l2RankCut(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("l2_dist"))
   }
@@ -507,15 +543,6 @@ object Pq {
     * integer distances (no float accumulation at all), the ground
     * truth [[adcTopK]]'s recall is measured against. */
   def exactTopK(quantized: DataFrame, queries: DataFrame, k: Int)
-      : DataFrame = {
-    val qs = queries.withColumn("qq", Quantize.int8(col("q_embedding")))
-      .select(col("query_id"), col("qq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("l2_dist"), col("vec_id"))
-    quantized.select(col("vec_id"), col("qv")).crossJoin(broadcast(qs))
-      .withColumn("l2_dist", l2Q(col("qq"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("l2_dist"))
-  }
+      : DataFrame =
+    l2RankCut(exactAllScored(quantized, queries), k)
 }
